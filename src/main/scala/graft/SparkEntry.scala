@@ -1,13 +1,257 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (inventory) + §7 (plan).
+  *
+  * Every implemented operator has a `queries` entry; SQL-expressible ones
+  * also carry a DuckDB oracle in `oracleSql`. Column names and types are
+  * aligned on both sides (aggregates aliased identically, integers as
+  * BIGINT, event-time cast to microsecond timestamps) so the driver's
+  * sort-columns-then-hash compare is exact.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.pricingAgg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2b core relational
+    "q1_pricing_agg" -> (Relational.pricingAgg _),
+    "q3_join_agg" -> (Relational.joinAgg _),
+    "q5_multijoin" -> (Relational.multiJoin _),
+    "q_window_rank" -> (Relational.windowRank _),
+    "q_window_running" -> (Relational.windowRunning _),
+    "q_topk_group" -> (Relational.topkGroup _),
+    "q_semi_join" -> (Relational.semiJoin _),
+    "q_anti_join" -> (Relational.antiJoin _),
+    "q_rollup" -> (Relational.rollupAgg _),
+    "q_distinct_agg" -> (Relational.distinctAgg _),
+    "q_approx_distinct" -> (Relational.approxDistinct _),
+    // §2b temporal
+    "q_asof_join" -> (Temporal.asofJoin _),
+    "q_range_join" -> (Temporal.rangeJoin _),
+    "q_sessionize" -> (Temporal.sessionize _),
+    "q_time_bucket" -> (Temporal.timeBucket _),
+    "q_json_extract" -> (Temporal.jsonExtract _),
+    // §2a reference-derived
+    "q_meta_extract" -> (Clif.metaExtract _),
+    "q_status_pivot" -> (Clif.statusPivot _),
+    "q_latest_status" -> (Clif.latestStatus _),
+    "q_incomplete_sites" -> (Clif.incompleteSites _),
+    "q_mention_rollup" -> (Clif.mentionRollup _),
+    "q_category_values" -> (Clif.categoryValues _),
+    "q_category_append" -> (Clif.categoryAppend _),
+    "q_completion_rate" -> (Clif.completionRate _),
+    "q_federated_union" -> (Clif.federatedUnion _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT l_orderkey, o_orderdate,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | round(sum(l_quantity) OVER w, 2) AS running_qty,
+        | round(l_quantity - coalesce(lag(l_quantity, 1) OVER w2, 0.0), 2) AS qty_delta
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        | w2 AS (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q_topk_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+        | SELECT p_brand, p_partkey, p_retailprice,
+        |  row_number() OVER (PARTITION BY p_brand
+        |    ORDER BY p_retailprice DESC, p_partkey) AS rk
+        | FROM part) t
+        |WHERE rk <= 2
+        |ORDER BY p_brand, rk""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | round(sum(o_totalprice), 2) AS total_price,
+        | count(*) AS n_orders
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        | v.event_id AS last_view_id, CAST(v.ts AS TIMESTAMP) AS last_view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        | ON p.user_id = v.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        |ORDER BY p.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT p.event_id AS p_id, p.user_id AS p_user,
+        | CAST(p.ts AS TIMESTAMP) AS p_ts, count(e.ts) AS n_errors_1h
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        | ON p.user_id = e.user_id
+        | AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+        | AND CAST(e.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        |GROUP BY p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP)
+        |ORDER BY p.event_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+        |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        | FROM events),
+        |flagged AS (
+        | SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        | FROM e),
+        |sess AS (
+        | SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(ts) AS sess_start, max(ts) AS sess_end,
+        | round(sum(value), 2) AS sess_value
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_time_bucket" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin,
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+        | count(*) AS n
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY prop_k""".stripMargin,
+    "q_meta_extract" ->
+      """SELECT doc_id,
+        | split_part(text, chr(10), 1) AS title,
+        | regexp_extract(text, '(?i)tables? required[:\-]?\s*([^\n]*)', 1) AS tables_clause,
+        | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words_approx
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_status_pivot" ->
+      """SELECT n_name,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q_latest_status" ->
+      """SELECT user_id, last_event_id, last_status FROM (
+        | SELECT user_id, event_id AS last_event_id, event_type AS last_status,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q_incomplete_sites" ->
+      """SELECT DISTINCT user_id FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM events p
+        |  WHERE p.user_id = e.user_id AND p.event_type = 'purchase')
+        |ORDER BY user_id""".stripMargin,
+    "q_mention_rollup" ->
+      """SELECT n_name, count(*) AS n_pocs,
+        | string_agg(c_name, ' ' ORDER BY c_custkey) AS mentions
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 9000.0
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q_category_values" ->
+      """SELECT DISTINCT p_brand AS dict_key, p_type AS dict_value
+        |FROM part
+        |ORDER BY dict_key, dict_value""".stripMargin,
+    "q_category_append" ->
+      """WITH base AS (
+        | SELECT DISTINCT p_type FROM part WHERE p_size <= 25),
+        |cand AS (
+        | SELECT DISTINCT p_type FROM part WHERE p_size > 25)
+        |SELECT p_type AS dict_value, CAST(0 AS BIGINT) AS is_new FROM base
+        |UNION ALL
+        |SELECT p_type AS dict_value, CAST(1 AS BIGINT) AS is_new FROM cand
+        |WHERE p_type NOT IN (SELECT p_type FROM base)
+        |ORDER BY dict_value""".stripMargin,
+    "q_completion_rate" ->
+      """SELECT n_name, count(*) AS n_orders,
+        | round(CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+        |   / count(*), 4) AS completed_share
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q_federated_union" ->
+      """SELECT c_custkey, c_name, c_acctbal, NULL AS c_mktsegment
+        |FROM customer WHERE c_nationkey <= 11
+        |UNION ALL
+        |SELECT c_custkey, c_name, NULL AS c_acctbal, c_mktsegment
+        |FROM customer WHERE c_nationkey > 11
+        |ORDER BY c_custkey""".stripMargin
+  )
 }

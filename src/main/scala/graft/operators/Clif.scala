@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Reference-derived operators (SURVEY §2a): the data semantics of the
+  * CLIF coordination bot re-expressed as distributed relational plans.
+  *
+  * Mapping of the reference's in-memory dict manipulations to engine
+  * operators (reference file:line cited per method): the 12-site status
+  * dict becomes a pivot over a fact table; "latest status wins" becomes a
+  * row_number window; weekly-reminder targeting becomes an anti-join;
+  * the mCIDE dictionary becomes distinct-per-key with a dedup-checked
+  * append (anti-join ∪ base).
+  */
+object Clif {
+
+  /** README-style metadata extraction (metadata.py:47-69): first line as
+    * title, regex scrape of a "tables required:" clause. Pure codegen'd
+    * string expressions — scales linearly over a 100 TB corpus. */
+  def metaExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        split(col("text"), "\n").getItem(0).as("title"),
+        regexp_extract(col("text"), "(?i)tables? required[:\\-]?\\s*([^\\n]*)", 1)
+          .as("tables_clause"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+          + lit(1)).cast("long").as("n_words_approx"))
+      .orderBy(col("doc_id"))
+
+  /** Status pivot matrix (state.py:145-179): site × status counts.
+    * Nations play the sites, order status plays the run status. Explicit
+    * pivot values keep the plan static (no driver-side distinct scan). */
+  def statusPivot(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select("o_custkey", "o_orderstatus")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L, Seq("F", "O", "P"))
+      .select(col("n_name"), col("F").as("cnt_f"), col("O").as("cnt_o"),
+        col("P").as("cnt_p"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Last-write-wins status (state.py:141-143, app.py:623-634): the
+    * latest event per user. Deterministic via (ts, event_id) ordering. */
+  def latestStatus(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_status"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Reminder targeting (README.md:10): users with activity but no
+    * `purchase` event — a left-anti join on the completion signal. */
+  def incompleteSites(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val done = ev.filter(col("event_type") === "purchase").select("user_id")
+    ev.select("user_id").distinct()
+      .join(done, Seq("user_id"), "left_anti")
+      .orderBy(col("user_id"))
+  }
+
+  /** POC mention rollup (state.py:116-134): per site, an ordered
+    * space-joined mention string. collect_list → array_sort(struct) keeps
+    * ordering deterministic without a per-group sort shuffle. */
+  def mentionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9000.0)
+      .select("c_custkey", "c_name", "c_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_pocs"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("c_custkey"), col("c_name")))),
+            x => x.getField("c_name")),
+          " ").as("mentions"))
+      .orderBy(col("n_name"))
+  }
+
+  /** mCIDE dictionary listing (mcide.py:33-39): distinct permissible
+    * values per dictionary key, ordered. */
+  def categoryValues(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_brand").as("dict_key"), col("p_type").as("dict_value"))
+      .distinct()
+      .orderBy(col("dict_key"), col("dict_value"))
+
+  /** Dedup-checked dictionary append (mcide.py:57-60): candidates are
+    * added iff absent — anti-join then union with the base set. */
+  def categoryAppend(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val base = part.filter(col("p_size") <= 25).select(col("p_type")).distinct()
+      .withColumn("is_new", lit(0L))
+    val candidates = part.filter(col("p_size") > 25).select(col("p_type")).distinct()
+    val appended = candidates
+      .join(base.select("p_type"), Seq("p_type"), "left_anti")
+      .withColumn("is_new", lit(1L))
+    base.unionByName(appended)
+      .select(col("p_type").as("dict_value"), col("is_new"))
+      .orderBy(col("dict_value"))
+  }
+
+  /** Dashboard completion-rate aggregation (workflow.md:66-77): share of
+    * each status per site. */
+  def completionRate(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select("o_custkey", "o_orderstatus")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(when(col("o_orderstatus") === "F", 1).otherwise(0))
+          .cast("double") / count(lit(1)), 4).as("completed_share"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Federated union (workflow.md passim): per-site extracts arrive with
+    * divergent column subsets; unionByName harmonizes, missing → null.
+    * At scale each site slice is its own partitioned source — the union
+    * is metadata-only (no shuffle). */
+  def federatedUnion(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val siteA = cust.filter(col("c_nationkey") <= 11)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val siteB = cust.filter(col("c_nationkey") > 11)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    siteA.unionByName(siteB, allowMissingColumns = true)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+}

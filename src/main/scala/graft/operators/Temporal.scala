@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Time-series operators over the `events` table (SURVEY §2b 21-24).
+  *
+  * The as-of join is the union+window composition: tag both sides, union,
+  * and carry the last non-null right-side value forward within each key
+  * partition. One shuffle on the key, no range explosion — this is the
+  * shape that survives 100 TB (a sort-merge over (key, time) vs. the
+  * naive inequality join's quadratic blowup).
+  */
+object Temporal {
+
+  /** As-of join: for each `purchase` event, the most recent prior-or-equal
+    * `view` event of the same user. Union + last(ignoreNulls) window —
+    * equivalent to DuckDB's ASOF LEFT JOIN. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("side"),
+        lit(null).cast("long").as("view_event_id"),
+        lit(null).cast("timestamp").as("view_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+        lit(1).as("side"), col("event_id").as("view_event_id"),
+        col("ts").as("view_ts"))
+    // At equal ts the view sorts first (side desc) so ">= view_ts" matches.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(views)
+      .select(col("user_id"), col("ts"), col("event_id"), col("side"),
+        last(col("view_event_id"), ignoreNulls = true).over(w).as("last_view_id"),
+        last(col("view_ts"), ignoreNulls = true).over(w).as("last_view_ts"))
+      .filter(col("side") === 0)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_view_id"), col("last_view_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range join: purchases joined to error events of the same user within
+    * the following hour. Equi key (user_id) keeps the shuffle bounded;
+    * the range predicate filters within each key partition. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    p.join(e, col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") &&
+        col("e_ts") < col("p_ts") + expr("INTERVAL 1 HOUR"), "left")
+      .groupBy(col("p_id"), col("p_user"), col("p_ts"))
+      .agg(count(col("e_ts")).as("n_errors_1h"))
+      .orderBy(col("p_id"))
+  }
+
+  /** Gap-based sessionization: a >30-minute silence starts a new session.
+    * lag + cumulative-sum window; one shuffle on user_id. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"),
+        max(col("ts")).as("sess_end"),
+        round(sum(col("value")), 2).as("sess_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Tumbling time-bucket aggregate — the batch twin of the streaming
+    * windowed agg (graft.streaming). */
+  def timeBucket(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  /** JSON property extraction (semi-structured parse — the engine twin of
+    * the reference's metadata.json path, metadata.py:41). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+      .groupBy(col("prop_k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prop_k"))
+}
