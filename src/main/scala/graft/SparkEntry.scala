@@ -46,7 +46,23 @@ object SparkEntry {
     "q_category_values" -> (Clif.categoryValues _),
     "q_category_append" -> (Clif.categoryAppend _),
     "q_completion_rate" -> (Clif.completionRate _),
-    "q_federated_union" -> (Clif.federatedUnion _)
+    "q_federated_union" -> (Clif.federatedUnion _),
+    // §2c LLM-pipeline: dedup
+    "q_dedup_exact" -> (Dedup.exact _),
+    "q_dedup_minhash" -> (Dedup.minhashPairs _),
+    "q_dedup_simhash" -> (Dedup.simhashPairs _),
+    "q_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    // §2c similarity
+    "q_embed_neardup" -> ((s: SparkSession, d: String) => Similarity.embedNeardup(s, d)),
+    "q_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annBruteforce(s, d)),
+    "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    // §2c text analysis
+    "q_token_count" -> (TextAnalysis.tokenCount _),
+    "q_quality_score" -> (TextAnalysis.qualityScore _),
+    "q_lang_id" -> (TextAnalysis.langId _),
+    "q_fingerprint" -> (TextAnalysis.fingerprint _),
+    // §2c multimodal plumbing
+    "q_multimodal_meta" -> (Multimodal.mediaMeta _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -252,6 +268,98 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_custkey, c_name, NULL AS c_acctbal, c_mktsegment
         |FROM customer WHERE c_nationkey > 11
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY keep_id""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) /
+        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        | FROM v a JOIN v b ON a.vec_id < b.vec_id) t
+        |WHERE cos >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_bruteforce" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |pairs AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) /
+        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        | FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |ranked AS (
+        | SELECT id_a, id_b, cos, CAST(row_number() OVER (PARTITION BY id_a
+        |   ORDER BY cos DESC, id_b) AS BIGINT) AS rank
+        | FROM pairs)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY id_a, rank""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS n_tok,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> list_contains(['the','a','and','of','to','in','is','for'], x))) AS DOUBLE) AS n_stop,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS n_punct,
+        |  CAST(length(text) AS DOUBLE) AS len
+        | FROM documents)
+        |SELECT doc_id,
+        | round(n_stop / n_tok, 4) AS stopword_ratio,
+        | round(n_punct / len, 4) AS punct_ratio,
+        | round(len / n_tok, 4) AS avg_token_len,
+        | round(least(len / 500.0, 1.0) * 0.4
+        |   + least(n_stop / n_tok * 4.0, 1.0) * 0.4
+        |   + (1.0 - least(n_punct / len * 10.0, 1.0)) * 0.2, 4) AS quality
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang AS lang_label,
+        |  CAST(len(regexp_extract_all(text, '(?i)\bthe\b')) + len(regexp_extract_all(text, '(?i)\band\b'))
+        |   + len(regexp_extract_all(text, '(?i)\bof\b')) + len(regexp_extract_all(text, '(?i)\bis\b')) AS BIGINT) AS s_en,
+        |  CAST(len(regexp_extract_all(text, '(?i)\bel\b')) + len(regexp_extract_all(text, '(?i)\bla\b'))
+        |   + len(regexp_extract_all(text, '(?i)\blos\b')) + len(regexp_extract_all(text, '(?i)\bque\b'))
+        |   + len(regexp_extract_all(text, '(?i)\by\b')) AS BIGINT) AS s_es,
+        |  CAST(len(regexp_extract_all(text, '(?i)\bder\b')) + len(regexp_extract_all(text, '(?i)\bdie\b'))
+        |   + len(regexp_extract_all(text, '(?i)\bdas\b')) + len(regexp_extract_all(text, '(?i)\bund\b'))
+        |   + len(regexp_extract_all(text, '(?i)\bist\b')) AS BIGINT) AS s_de,
+        |  CAST(len(regexp_extract_all(text, '(?i)\ble\b')) + len(regexp_extract_all(text, '(?i)\bles\b'))
+        |   + len(regexp_extract_all(text, '(?i)\bdes\b')) + len(regexp_extract_all(text, '(?i)\best\b'))
+        |   + len(regexp_extract_all(text, '(?i)\bet\b')) AS BIGINT) AS s_fr,
+        |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh
+        | FROM documents)
+        |SELECT doc_id, lang_label,
+        | CASE WHEN s_zh > 0 THEN 'zh'
+        |  WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |  WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+        |  WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+        |  WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+        |  ELSE 'fr' END AS lang_pred
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+        | CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height,
+        | md5(text) AS content_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
   )
 }

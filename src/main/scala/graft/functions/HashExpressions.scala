@@ -1,0 +1,198 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup/similarity operators
+  * (SURVEY §2e). These run inside Tungsten rows — no Scala-UDF
+  * serialization boundary — and the scalar ones participate in
+  * whole-stage codegen.
+  */
+object HashExpressions {
+
+  /** FNV-1a 64-bit over UTF-8 bytes: deterministic, allocation-free,
+    * engine-independent (public-domain constants). */
+  @inline def fnv1a64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
+  def hammingDistance(a: Column, b: Column): Column = toCol(HammingDistance(toExpr(a), toExpr(b)))
+  def rollingShingles(c: Column, k: Int): Column = toCol(RollingShingles(toExpr(c), Literal(k)))
+  def cosineSimilarity(a: Column, b: Column): Column = toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+  def dotProduct(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
+}
+
+/** 64-bit SimHash over whitespace tokens: per token a 64-bit FNV hash
+  * votes ±1 on each bit; the sign of each bit's tally forms the
+  * fingerprint. Near-duplicate texts land within a small Hamming ball.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val tally = new Array[Int](64)
+    var start = 0
+    var i = 0
+    val n = bytes.length
+    while (i <= n) {
+      val isSpace = i == n || bytes(i) == ' ' || bytes(i) == '\n' ||
+        bytes(i) == '\t' || bytes(i) == '\r'
+      if (isSpace) {
+        if (i > start) {
+          val h = HashExpressions.fnv1a64(bytes, start, i)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) tally(j) += 1 else tally(j) -= 1
+            j += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (tally(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ExprRuntime.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Hamming distance between two 64-bit fingerprints: bitCount(a ^ b).
+  * Full whole-stage-codegen scalar. */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDistance =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming_distance"
+}
+
+/** Character k-gram rolling-hash shingle set (sorted, distinct): the
+  * polynomial hash rolls one byte at a time, so cost is O(len) not
+  * O(len·k). Feeds MinHash/Jaccard without materializing substrings.
+  */
+case class RollingShingles(child: Expression, kExpr: Expression)
+    extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = kExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any, kAny: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val k = kAny.asInstanceOf[Int]
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val B = 1000000007L
+    var pow = 1L // B^(k-1)
+    var i = 1
+    while (i < k) { pow *= B; i += 1 }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var h = 0L
+    i = 0
+    while (i < n) {
+      h = h * B + (bytes(i) & 0xffL)
+      if (i >= k) h -= pow * B * (bytes(i - k) & 0xffL)
+      if (i >= k - 1) out.add(h)
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, k) => s"graft.functions.ExprRuntime.rollingShingles($c, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RollingShingles =
+    copy(child = l, kExpr = r)
+  override def prettyName: String = "rolling_shingles"
+}
+
+/** Fused cosine similarity over two double arrays: one sequential pass
+  * accumulating dot, |a|², |b|² — index order is fixed, which keeps the
+  * result bit-stable across engines for oracle comparison. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprRuntime.cosineSimilarity($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_similarity"
+}
+
+/** Plain dot product over double arrays (used for LSH hyperplane
+  * projections). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    java.lang.Double.valueOf(dot)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprRuntime.dotProduct($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+
+/** Static runtime entry points referenced from generated (Janino) code.
+  * A separate object: companion-object forwarders would collide with the
+  * case classes' inherited `eval(InternalRow)` and never get a static
+  * forwarder, breaking whole-stage codegen compilation.
+  */
+object ExprRuntime {
+  def simhash64(s: UTF8String): Long =
+    SimHash64(null).nullSafeEval(s).asInstanceOf[Long]
+  def rollingShingles(s: UTF8String, k: Int): ArrayData =
+    RollingShingles(null, null).nullSafeEval(s, k).asInstanceOf[ArrayData]
+  def cosineSimilarity(a: ArrayData, b: ArrayData): Double =
+    CosineSimilarity(null, null).nullSafeEval(a, b).asInstanceOf[Double]
+  def dotProduct(a: ArrayData, b: ArrayData): Double =
+    DotProduct(null, null).nullSafeEval(a, b).asInstanceOf[Double]
+}

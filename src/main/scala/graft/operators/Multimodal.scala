@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (SURVEY §2c 36).
+  *
+  * Media (image/audio/video) travels as an opaque `binary` column with a
+  * typed metadata struct beside it. The decode/feature step runs as a
+  * batched `mapPartitions` over a typed Dataset — the Scala analogue of
+  * a vectorized pandas-UDF stage: one decoder init per partition,
+  * streaming batches, no per-row setup. The codec libraries are not in
+  * this container, so `StubDecoder` produces a DETERMINISTIC FAKE
+  * derived from the bytes; the Spark-side schema, partitioning and
+  * batch shape are the real, tested surface.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media: Array[Byte])
+  case class MediaMeta(doc_id: Long, n_bytes: Long, fake_width: Long,
+      fake_height: Long, content_md5: String)
+
+  /** STUB: stands in for an image decoder. Deterministic function of the
+    * payload so tests and oracles are stable. A real deployment swaps
+    * this object for one wrapping the codec, keeping the same
+    * batch-iterator signature. */
+  object StubDecoder {
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaMeta] = {
+      // per-partition init would go here (codec contexts, model handles)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        digest.reset()
+        val md5hex = digest.digest(r.media).map("%02x".format(_)).mkString
+        MediaMeta(r.doc_id, r.media.length.toLong,
+          r.media.length.toLong % 640L, r.media.length.toLong % 480L, md5hex)
+      }
+    }
+  }
+
+  /** Ingest: attach the opaque binary payload (here: UTF-8 text bytes
+    * standing in for media) + source metadata. */
+  def ingest(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[MediaRow]
+  }
+
+  /** Decode + feature-extract through the batched partition decoder. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ingest(spark, dir)
+      .mapPartitions(StubDecoder.decodeBatch _)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+}

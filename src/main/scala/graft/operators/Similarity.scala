@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.HashExpressions._
+import graft.sources.Tables
+
+/** Embedding similarity operators (SURVEY §2c 29-31).
+  *
+  * Brute-force cosine is the correctness baseline (O(n²) pairs — fine
+  * for re-ranking, wrong as the 100 TB scan strategy). The scale path is
+  * LSH bucketing: 16 signed random-hyperplane projections put each
+  * vector in one bucket; neighbor search is per-bucket (plus probing
+  * adjacent buckets would raise recall — spec measures it).
+  */
+object Similarity {
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** All near-duplicate pairs above a cosine threshold. */
+  def embedNeardup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val a = vecs(spark, dir).select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = vecs(spark, dir).select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineSimilarity(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Brute-force cosine top-k neighbors per vector. Rank on the raw
+    * double (engine-stable), round only for output. */
+  def annBruteforce(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val a = vecs(spark, dir).select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = vecs(spark, dir).select(col("vec_id").as("id_b"), col("v").as("vb"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    a.join(b, col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineSimilarity(col("va"), col("vb")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"), col("rank"))
+      .orderBy(col("id_a"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes (seeded, plan-time
+    * literal — data-independent, identical on every executor). */
+  private def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** LSH-bucketed ANN: per table, a signed-projection bucket; candidates
+    * are the union over tables (OR-amplification), then exact cosine +
+    * top-k on candidates only. Every join is an equi-join on
+    * (table, bucket) — the shape that scales; recall vs. the exact
+    * baseline is measured in the spec. */
+  def annLsh(spark: SparkSession, dir: String, k: Int = 3, nPlanes: Int = 8,
+      nTables: Int = 4): DataFrame = {
+    val base = vecs(spark, dir)
+    val tables = (0 until nTables).map { t =>
+      val planes = hyperplanes(64, nPlanes, seed = 42L + t)
+      val bucketCol = planes.zipWithIndex.map { case (p, j) =>
+        when(dotProduct(col("v"), typedlit(p)) > 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      base.select(col("vec_id"), col("v"), lit(t).as("table_id"),
+        bucketCol.as("bucket"))
+    }.reduce(_ unionByName _)
+    val a = tables.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("table_id"), col("bucket"))
+    val b = tables.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("table_id"), col("bucket"))
+    val candidates = a.join(b, Seq("table_id", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    candidates
+      .join(base.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineSimilarity(col("va"), col("vb")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"), col("rank"))
+      .orderBy(col("id_a"), col("rank"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` (SURVEY §2c 32-35). All are
+  * codegen'd built-in string expressions — linear scans that partition
+  * trivially at 100 TB.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "for")
+
+  private def tokensCol: Column = split(lower(trim(col("text"))), "\\s+")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / single digits / punctuation marks). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokensCol).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+          .cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length, punctuation density, stopword share — the
+    * standard cheap pre-filters of a training-data pipeline. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokensCol).cast("double")
+    val nStop = size(filter(tokensCol,
+      t => t.isInCollection(stopwords))).cast("double")
+    val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
+    val len = length(col("text")).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        round(nStop / nTok, 4).as("stopword_ratio"),
+        round(nPunct / len, 4).as("punct_ratio"),
+        round(len / nTok, 4).as("avg_token_len"),
+        round(
+          least(len / lit(500.0), lit(1.0)) * lit(0.4)
+            + least(nStop / nTok * lit(4.0), lit(1.0)) * lit(0.4)
+            + (lit(1.0) - least(nPunct / len * lit(10.0), lit(1.0))) * lit(0.2),
+          4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic language ID: count marker-stopword hits per language,
+    * CJK-codepoint presence short-circuits to zh; deterministic
+    * precedence en > es > de > fr on ties. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def hits(words: Seq[String]): Column =
+      words.map(w => regexp_count(col("text"),
+        lit("(?i)\\b" + w + "\\b")).cast("long")).reduce(_ + _)
+    val sEn = hits(Seq("the", "and", "of", "is"))
+    val sEs = hits(Seq("el", "la", "los", "que", "y"))
+    val sDe = hits(Seq("der", "die", "das", "und", "ist"))
+    val sFr = hits(Seq("le", "les", "des", "est", "et"))
+    val sZh = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).cast("long")
+    val best = greatest(sEn, sEs, sDe, sFr)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("lang_label"),
+        when(sZh > 0, "zh")
+          .when(best === lit(0L), "und")
+          .when(sEn === best, "en")
+          .when(sEs === best, "es")
+          .when(sDe === best, "de")
+          .otherwise("fr").as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text
+    * (the oracle-checkable half; the rolling-hash shingle set feeds the
+    * Dedup family and is spec-checked). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the sql-private Column↔Expression converters (the
+  * conventional extension-library pattern for Spark 4's ColumnNode
+  * refactor). Keeps all graft code outside Spark's namespace except
+  * this one shim.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
