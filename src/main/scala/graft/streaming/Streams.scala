@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming topologies (SURVEY §2d) — the streaming twins of
+  * the batch operators: windowed aggregation ↔ `Temporal.timeBucket`,
+  * stateful latest-status ↔ `Clif.latestStatus`, streaming dedup ↔
+  * `Dedup.exact`, stateful sessionization ↔ `Temporal.sessionize`.
+  *
+  * All transforms are source-agnostic (they take the streaming
+  * DataFrame), so the same topology runs from Kafka, files, or a test
+  * MemoryStream. Watermarks bound state size — the property that keeps
+  * these runnable indefinitely at cluster scale.
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class UserStatus(user_id: Long, last_event_id: Long,
+      last_status: String, last_ts: Timestamp)
+  case class UserSession(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Tumbling-window counts with a 10-minute watermark (append-mode
+    * safe: late data beyond the watermark is dropped, state is pruned). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** Streaming exact-dedup on event_id within the watermark horizon. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stateful last-write-wins status per user — the streaming form of
+    * the reference bot's status updates (state.py:141-143): each
+    * incoming event overwrites the user's state; updates emit
+    * continuously. */
+  def latestStatus(spark: SparkSession, events: Dataset[Event]): Dataset[UserStatus] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserStatus, UserStatus](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserStatus]) =>
+          val latestInBatch = batch.reduceOption { (a, b) =>
+            if (b.ts.after(a.ts) ||
+              (b.ts.equals(a.ts) && b.event_id > a.event_id)) b else a
+          }
+          val merged = (state.getOption, latestInBatch) match {
+            case (Some(s), Some(e)) if e.ts.after(s.last_ts) ||
+              (e.ts.equals(s.last_ts) && e.event_id > s.last_event_id) =>
+              UserStatus(userId, e.event_id, e.event_type, e.ts)
+            case (Some(s), _) => s
+            case (None, Some(e)) => UserStatus(userId, e.event_id, e.event_type, e.ts)
+            case (None, None) => UserStatus(userId, -1L, "none", new Timestamp(0L))
+          }
+          state.update(merged)
+          merged
+      }
+  }
+
+  /** Stateful gap sessionization: a session closes after 30 minutes of
+    * silence (event-time timeout), emitting one row per closed session. */
+  def sessionizeStream(spark: SparkSession, events: Dataset[Event]): Dataset[UserSession] = {
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSession, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserSession]) =>
+          if (state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val events = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var current = state.getOption
+            val closed = Seq.newBuilder[UserSession]
+            events.foreach { e =>
+              current match {
+                case Some(s) if e.ts.getTime - s.session_end.getTime <= gapMs =>
+                  current = Some(s.copy(session_end = e.ts,
+                    n_events = s.n_events + 1,
+                    total_value = s.total_value + e.value))
+                case Some(s) =>
+                  closed += s
+                  current = Some(UserSession(userId, e.ts, e.ts, 1L, e.value))
+                case None =>
+                  current = Some(UserSession(userId, e.ts, e.ts, 1L, e.value))
+              }
+            }
+            current.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.session_end.getTime + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

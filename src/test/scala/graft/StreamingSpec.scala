@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import java.sql.Timestamp
+
+/** Drives the streaming topologies synchronously through MemoryStream.
+  * Each asserts parity with the corresponding batch operator's
+  * semantics. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+  private def tsH(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  test("windowed counts with watermark aggregate by 5-minute buckets") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    input.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 10, "click", 2.0),
+      Event(3, ts(7), 11, "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close earlier windows
+    input.addData(Event(4, tsH(1, 0), 12, "click", 4.0))
+    q.processAllAvailable()
+    val rows = sp.sql("SELECT * FROM win_out ORDER BY win_start, event_type")
+      .collect()
+    q.stop()
+    assert(rows.length >= 2)
+    val first = rows.head
+    assert(first.getAs[String]("event_type") == "click")
+    assert(first.getAs[Long]("n") == 2L)
+    assert(first.getAs[Double]("total_value") == 3.0)
+  }
+
+  test("streaming dedup drops repeated event ids within the watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 10, "view", 2.0))
+    q.processAllAvailable()
+    input.addData(Event(1, ts(3), 10, "click", 1.0)) // dup again
+    q.processAllAvailable()
+    val n = sp.sql("SELECT count(*) FROM dedup_out").head.getLong(0)
+    q.stop()
+    assert(n == 2L, s"expected 2 unique events, got $n")
+  }
+
+  test("stateful latest-status matches batch latest-status semantics") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.latestStatus(sp, input.toDS())
+      .writeStream.format("memory").queryName("status_out")
+      .outputMode("update").start()
+    input.addData(
+      Event(1, ts(1), 10, "signup", 0.0),
+      Event(2, ts(5), 10, "purchase", 9.0))
+    q.processAllAvailable()
+    input.addData(Event(3, ts(3), 10, "click", 1.0)) // older than purchase
+    q.processAllAvailable()
+    val last = sp.sql(
+      "SELECT last_status FROM status_out ORDER BY last_ts DESC LIMIT 1")
+      .head.getString(0)
+    q.stop()
+    assert(last == "purchase", "out-of-order event must not overwrite newer state")
+  }
+
+  test("stateful sessionization closes sessions after the gap timeout") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.sessionizeStream(sp, input.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // session 1: minutes 1-3; then a 40-min gap within the same batch
+    // closes it when the next session's events arrive
+    input.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(3), 10, "view", 2.0),
+      Event(3, tsH(0, 50), 10, "click", 5.0))
+    q.processAllAvailable()
+    val rows = sp.sql("SELECT * FROM sess_out").collect()
+    q.stop()
+    assert(rows.length == 1, s"expected 1 closed session, got ${rows.length}")
+    val s = rows.head
+    assert(s.getAs[Long]("n_events") == 2L)
+    assert(s.getAs[Double]("total_value") == 3.0)
+  }
+}
