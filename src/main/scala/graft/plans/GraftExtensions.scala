@@ -15,10 +15,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** Central list of (name, ExpressionInfo, builder) for SQL registration. */
+/** Central list of (name, ExpressionInfo, builder) for SQL registration:
+  * `spark.sql("SELECT simhash64(text) ...")` works in any session built
+  * with GraftSession / spark.sql.extensions=graft.plans.GraftExtensions.
+  */
 object GraftFunctionRegistry {
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import graft.functions._
   type Builder = Seq[Expression] => Expression
 
-  def registrations: Seq[(String, ExpressionInfo, Builder)] = Seq.empty
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", name, usage)
+
+  /** Direct registration into an existing session (the extensions path
+    * only applies to sessions created after the conf is set). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    registrations.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  def registrations: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("simhash64", info("simhash64", "simhash64(text) - 64-bit SimHash fingerprint"),
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    ("hamming_distance", info("hamming_distance",
+      "hamming_distance(a, b) - bitCount(a ^ b)"),
+      (es: Seq[Expression]) => HammingDistance(es(0), es(1))),
+    ("rolling_shingles", info("rolling_shingles",
+      "rolling_shingles(text, k) - distinct k-gram rolling hashes"),
+      (es: Seq[Expression]) => RollingShingles(es(0), es(1))),
+    ("cosine_similarity", info("cosine_similarity",
+      "cosine_similarity(a, b) - cosine over double arrays"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    ("dot_product", info("dot_product",
+      "dot_product(a, b) - dot product over double arrays"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1)))
+  )
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{FormatIO, Tables}
+import java.nio.file.Files
+
+/** SQL function registration via GraftExtensions + multi-format IO. */
+class ExtensionsIOSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = TestSpark.spark
+    graft.plans.GraftFunctionRegistry.registerAll(s)
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+
+  test("custom expressions are callable from SQL") {
+    Tables.documents(spark, sf).createOrReplaceTempView("docs")
+    val row = spark.sql(
+      """SELECT simhash64(text) AS fp,
+        |  hamming_distance(simhash64(text), simhash64(text)) AS d,
+        |  size(rolling_shingles(text, 5)) AS n_shingles
+        |FROM docs LIMIT 1""".stripMargin).head
+    assert(row.getAs[Long]("fp") != 0L)
+    assert(row.getAs[Int]("d") == 0)
+    assert(row.getAs[Int]("n_shingles") > 0)
+  }
+
+  test("cosine_similarity in SQL matches self-similarity = 1") {
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .createOrReplaceTempView("emb")
+    val bad = spark.sql(
+      """SELECT abs(cosine_similarity(cast(embedding AS array<double>),
+        |  cast(embedding AS array<double>)) - 1.0) AS err FROM emb""".stripMargin)
+      .filter(col("err") > 1e-12).count()
+    assert(bad == 0)
+  }
+
+  test("round-trip csv/json/parquet preserves values with explicit schema") {
+    val dir = Files.createTempDirectory("graft-io").toString
+    val src = Tables.nation(spark, sf)
+    for (fmt <- Seq("parquet", "csv", "json")) {
+      val opts = if (fmt == "csv") Map("header" -> "true") else Map.empty[String, String]
+      FormatIO.write(src, fmt, s"$dir/$fmt", mode = SaveMode.Overwrite, options = opts)
+      val back = FormatIO.read(spark, fmt, s"$dir/$fmt",
+        schema = Some(src.schema), options = opts)
+      assert(back.count() == src.count(), s"$fmt row count")
+      assert(back.exceptAll(src).count() == 0, s"$fmt contents")
+    }
+  }
+
+  test("partitioned write prunes partitions at read") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    FormatIO.write(Tables.orders(spark, sf), "parquet", dir,
+      partitionBy = Seq("o_orderstatus"))
+    val pruned = FormatIO.read(spark, "parquet", dir)
+      .filter(col("o_orderstatus") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() > 0)
+    assert(!plan.contains("o_orderstatus=O"),
+      "non-matching partitions must not be scanned")
+  }
+
+  test("bucketed table join plans without a shuffle on the bucket key") {
+    FormatIO.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_custkey", 4)
+    FormatIO.writeBucketed(Tables.customer(spark, sf), "customer_b", "c_custkey", 4)
+    val j = spark.table("orders_b")
+      .join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+    val exchanges = j.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(j.count() > 0)
+    assert(exchanges.isEmpty, "bucketed join must be shuffle-free")
+  }
+}
