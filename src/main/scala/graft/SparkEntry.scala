@@ -33,6 +33,7 @@ object SparkEntry {
     "q_approx_distinct" -> (Relational.approxDistinct _),
     // §2b temporal
     "q_asof_join" -> (Temporal.asofJoin _),
+    "q_asof_join_native" -> (Temporal.asofJoinNative _),
     "q_range_join" -> (Temporal.rangeJoin _),
     "q_sessionize" -> (Temporal.sessionize _),
     "q_time_bucket" -> (Temporal.timeBucket _),
@@ -154,6 +155,13 @@ object SparkEntry {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        | v.event_id AS last_view_id, CAST(v.ts AS TIMESTAMP) AS last_view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        | ON p.user_id = v.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        |ORDER BY p.event_id""".stripMargin,
+    "q_asof_join_native" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
         | v.event_id AS last_view_id, CAST(v.ts AS TIMESTAMP) AS last_view_ts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -42,6 +42,23 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** The same as-of semantics through the custom Catalyst operator
+    * (graft.plans.AsOfJoin): one shuffle + sort per side, streaming
+    * merge. Verified against the same DuckDB ASOF oracle. */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("last_view_id"),
+        col("ts").as("last_view_ts"))
+    graft.plans.AsOfJoin.join(purchases, views,
+        "user_id", "v_user", "ts", "last_view_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_view_id"), col("last_view_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range join: purchases joined to error events of the same user within
     * the following hour. Equi key (user_id) keeps the shuffle bounded;
     * the range predicate filters within each key partition. */

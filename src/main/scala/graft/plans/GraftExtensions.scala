@@ -12,6 +12,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctionRegistry.registrations.foreach { case (name, info, builder) =>
       ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder))
     }
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
