@@ -285,22 +285,27 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin,
     "q_embed_neardup" ->
       """WITH v AS (SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id,
+        |  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM v)
         |SELECT id_a, id_b, round(cos, 6) AS cosine FROM (
         | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_dot_product(a.v, b.v) /
-        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-        | FROM v a JOIN v b ON a.vec_id < b.vec_id) t
+        |  list_dot_product(a.vn, b.vn) AS cos
+        | FROM n a JOIN n b ON a.vec_id < b.vec_id) t
         |WHERE cos >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH v AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |pairs AS (
+        |n AS (SELECT vec_id,
+        |  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM v),
+        |half AS (
         | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_dot_product(a.v, b.v) /
-        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-        | FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |  list_dot_product(a.vn, b.vn) AS cos
+        | FROM n a JOIN n b ON a.vec_id < b.vec_id),
+        |pairs AS (
+        | SELECT id_a, id_b, cos FROM half
+        | UNION ALL SELECT id_b AS id_a, id_a AS id_b, cos FROM half),
         |ranked AS (
         | SELECT id_a, id_b, cos, CAST(row_number() OVER (PARTITION BY id_a
         |   ORDER BY cos DESC, id_b) AS BIGINT) AS rank

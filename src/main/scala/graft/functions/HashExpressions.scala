@@ -33,6 +33,7 @@ object HashExpressions {
   def rollingShingles(c: Column, k: Int): Column = toCol(RollingShingles(toExpr(c), Literal(k)))
   def cosineSimilarity(a: Column, b: Column): Column = toCol(CosineSimilarity(toExpr(a), toExpr(b)))
   def dotProduct(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
+  def minhashSignature(c: Column, k: Int): Column = toCol(MinHashSignature(toExpr(c), Literal(k)))
 }
 
 /** 64-bit SimHash over whitespace tokens: per token a 64-bit FNV hash
@@ -181,6 +182,46 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 
+/** MinHash signature in ONE pass over a shingle-hash array: k seeded
+  * mix-permutations, all minima tracked simultaneously. Replaces k
+  * separate array traversals (the higher-order-function formulation) —
+  * O(k·n) arithmetic with zero intermediate allocation.
+  */
+case class MinHashSignature(child: Expression, kExpr: Expression)
+    extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = kExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any, kAny: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = kAny.asInstanceOf[Int]
+    val n = arr.numElements()
+    val mins = Array.fill[Long](k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        // splitmix64 finalizer over (shingle ^ per-permutation seed)
+        var h = s ^ (0x9e3779b97f4a7c15L * (j + 1))
+        h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+        h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+        h = h ^ (h >>> 31)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, k) => s"graft.functions.ExprRuntime.minhashSignature($c, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSignature =
+    copy(child = l, kExpr = r)
+  override def prettyName: String = "minhash_signature"
+}
+
 /** Static runtime entry points referenced from generated (Janino) code.
   * A separate object: companion-object forwarders would collide with the
   * case classes' inherited `eval(InternalRow)` and never get a static
@@ -195,4 +236,6 @@ object ExprRuntime {
     CosineSimilarity(null, null).nullSafeEval(a, b).asInstanceOf[Double]
   def dotProduct(a: ArrayData, b: ArrayData): Double =
     DotProduct(null, null).nullSafeEval(a, b).asInstanceOf[Double]
+  def minhashSignature(a: ArrayData, k: Int): ArrayData =
+    MinHashSignature(null, null).nullSafeEval(a, k).asInstanceOf[ArrayData]
 }

@@ -11,20 +11,37 @@ import graft.sources.Tables
   * digest). Near-dup never compares all pairs — MinHash/SimHash map each
   * doc to a handful of band buckets, so candidate generation is an
   * equi-join on (band, signature): linear shuffles, no O(n²) stage.
-  * Exact Jaccard runs only on the candidate pairs.
+  * Exact Jaccard runs only on candidate pairs, computed in the same
+  * scan that generates them (shingle arrays ride through the band join
+  * instead of being recomputed per branch).
+  *
+  * Shingles are char-8-gram rolling hashes (native RollingShingles
+  * expression, O(len)); the 32-permutation signature is one pass via
+  * MinHashSignature — no string allocation anywhere in the pipeline.
   */
 object Dedup {
 
-  /** Normalized text + word shingles, shared by the near-dup family. */
-  private def withShingles(spark: SparkSession, dir: String): DataFrame =
+  private val K = 32 // minhash permutations
+  private val BANDS = 8 // 8 bands x 4 rows
+  private val SHINGLE = 8 // char n-gram width
+
+  /** doc_id + shingle-hash set (normalized text, char 8-grams). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-      .withColumn("tokens", split(col("norm"), " "))
-      .filter(size(col("tokens")) >= 3)
-      .withColumn("shingles", expr(
-        "array_distinct(transform(sequence(1, size(tokens) - 2), " +
-          "i -> concat_ws(' ', tokens[i-1], tokens[i], tokens[i+1])))"))
+      .select(col("doc_id"),
+        rollingShingles(
+          regexp_replace(lower(trim(col("text"))), "\\s+", " "), SHINGLE)
+          .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** doc_id (+payload cols) exploded to (band_id, band_sig) bucket keys. */
+  private def banded(df: DataFrame): DataFrame =
+    df.withColumn("sig", minhashSignature(col("shingles"), K))
+      .withColumn("band", explode(expr(
+        s"transform(sequence(0, ${BANDS - 1}), " +
+          s"b -> struct(b AS band_id, xxhash64(slice(sig, b * ${K / BANDS} + 1, ${K / BANDS})) AS band_sig))")))
+      .select(col("doc_id"), col("shingles"),
+        col("band.band_id"), col("band.band_sig"))
 
   /** Exact dedup: md5 over normalized text, keep the smallest doc_id per
     * digest. */
@@ -36,21 +53,9 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** MinHash signatures: k=32 permutations approximated by seeded
-    * xxhash64; banded into 8 bands of 4 for LSH bucketing. */
-  private[operators] def minhashBands(spark: SparkSession, dir: String): DataFrame =
-    withShingles(spark, dir)
-      .withColumn("sig", expr(
-        "transform(sequence(0, 31), " +
-          "j -> array_min(transform(shingles, s -> xxhash64(j, s))))"))
-      .withColumn("band", expr(
-        "explode(transform(sequence(0, 7), b -> struct(b AS band_id, " +
-          "xxhash64(slice(sig, b * 4 + 1, 4)) AS band_sig)))"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_sig"))
-
   /** MinHash+LSH near-dup candidate pairs: equi-join on band signature. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(spark, dir)
+    val bands = banded(shingled(spark, dir)).select("doc_id", "band_id", "band_sig")
     val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_id"), col("band_sig"))
     a.join(b, Seq("band_id", "band_sig"))
@@ -59,16 +64,22 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram Jaccard, evaluated only on the LSH candidates. */
+  /** Exact n-gram Jaccard on LSH candidates, single scan: shingle arrays
+    * ride through the band join; band-duplicate pairs collapse via
+    * groupBy max (jaccard is identical per pair, so max = the value). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = withShingles(spark, dir).select(col("doc_id"), col("shingles"))
-    val pairs = minhashPairs(spark, dir)
-    pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+    val bands = banded(shingled(spark, dir))
+    val a = bands.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+      col("band_id"), col("band_sig"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+      col("band_id"), col("band_sig"))
+    a.join(b, Seq("band_id", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+          size(array_union(col("sh_a"), col("sh_b"))), 4).as("j"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("j")).as("jaccard"))
       .filter(col("jaccard") >= 0.1)
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -20,27 +20,42 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  /** All near-duplicate pairs above a cosine threshold. */
+  /** All near-duplicate pairs above a cosine threshold. The O(n²) pair
+    * stage computes a dot product only: vectors are unit-normalized once
+    * in the scan projection (3× fewer flops per pair). */
   def embedNeardup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
-    val a = vecs(spark, dir).select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = vecs(spark, dir).select(col("vec_id").as("id_b"), col("v").as("vb"))
+    val normed = vecs(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+          .as("vn"))
+    val a = normed.select(col("vec_id").as("id_a"), col("vn").as("na"))
+    val b = normed.select(col("vec_id").as("id_b"), col("vn").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosineSimilarity(col("va"), col("vb")).as("cos"))
+        dotProduct(col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Brute-force cosine top-k neighbors per vector. Rank on the raw
-    * double (engine-stable), round only for output. */
+  /** Brute-force cosine top-k neighbors per vector: each unordered pair
+    * is scored once (id_a < id_b) on pre-normalized vectors, then
+    * mirrored for per-vector ranking. Rank on the raw double
+    * (engine-stable), round only for output. */
   def annBruteforce(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val a = vecs(spark, dir).select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = vecs(spark, dir).select(col("vec_id").as("id_b"), col("v").as("vb"))
-    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
-    a.join(b, col("id_a") =!= col("id_b"))
+    val normed = vecs(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+          .as("vn"))
+    val a = normed.select(col("vec_id").as("id_a"), col("vn").as("na"))
+    val b = normed.select(col("vec_id").as("id_b"), col("vn").as("nb"))
+    val half = a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosineSimilarity(col("va"), col("vb")).as("cos"))
+        dotProduct(col("na"), col("nb")).as("cos"))
+    val mirrored = half.unionByName(
+      half.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("cos")))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    mirrored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"), col("rank"))
