@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Federation orchestration (the reference bot's core purpose: one
+  * project run fanned out across consortium sites, results collected
+  * and tracked — workflow.md "Project Release Flow").
+  *
+  * Engine form: a site is a data root; a federated run maps one query
+  * over every site root and unions the tagged results. The union is
+  * plan-level (no shuffle — each site's subtree reads its own files),
+  * so site count scales the plan width, not its depth. Sites with
+  * divergent schemas harmonize via unionByName(allowMissingColumns).
+  */
+object Federation {
+
+  case class Site(name: String, dir: String)
+
+  /** Run `query` against every site and union the tagged results. */
+  def runFederated(spark: SparkSession, sites: Seq[Site],
+      query: (SparkSession, String) => DataFrame,
+      siteCol: String = "site"): DataFrame =
+    sites.map { s =>
+      query(spark, s.dir).withColumn(siteCol, lit(s.name))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Per-site run status board (state.py:145-179 as an aggregation):
+    * one row per site with rows produced and success flag — the engine
+    * twin of the ✅/🛠/❌ dashboard. Failures don't abort the federation;
+    * they surface as ❌ rows. */
+  def statusBoard(spark: SparkSession, sites: Seq[Site],
+      query: (SparkSession, String) => DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = sites.map { s =>
+      try {
+        val n = query(spark, s.dir).count()
+        (s.name, n, "completed")
+      } catch {
+        case e: Exception => (s.name, 0L, s"failed: ${e.getClass.getSimpleName}")
+      }
+    }
+    rows.toDF("site", "n_rows", "status")
+  }
+}

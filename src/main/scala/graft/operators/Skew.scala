@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation for the cases AQE's skew-join splitting can't
+  * reach (e.g. the build side can't broadcast and one key dominates a
+  * partition): salt the skewed side into `salt` sub-keys and replicate
+  * the other side across all of them. The join stays an equi-join on
+  * (key, salt); each hot key's rows spread over `salt` reducers.
+  */
+object Skew {
+
+  /** Equi-join `skewed ⋈ other` on `key`, salted `salt` ways.
+    * Row-to-salt assignment only needs to be uniform-ish, so it hashes
+    * the whole skewed row — deterministic, no rand() in the plan. */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+      salt: Int, joinType: String = "inner"): DataFrame = {
+    val saltedL = skewed.withColumn("_salt",
+      pmod(xxhash64(struct(skewed.columns.map(col).toIndexedSeq: _*)), lit(salt)))
+    val saltedR = other.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salt - 1L))))
+    saltedL.join(saltedR, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Top-N heavy-hitter keys with counts — the diagnostic used to decide
+    * whether salting/broadcast is needed. One partial-agg shuffle. */
+  def heavyHitters(df: DataFrame, key: Column, topN: Int = 20): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topN)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Federation, Skew}
+import graft.operators.Federation.Site
+import graft.sources.Tables
+
+class FederationSkewSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sites = Seq(Site("site_a", sf), Site("site_b", sf))
+
+  test("federated run unions tagged per-site results without shuffling") {
+    val fed = Federation.runFederated(spark, sites,
+      (s, d) => Tables.nation(s, d))
+    assert(fed.count() == 50) // 25 nations x 2 sites
+    assert(fed.select("site").distinct().count() == 2)
+    val plan = fed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"federated union must not shuffle:\n$plan")
+  }
+
+  test("federated union harmonizes divergent site schemas") {
+    // same data root, distinct dir strings, so the query can branch per site
+    val divergent = Seq(Site("site_a", sf), Site("site_b", sf + "/"))
+    val fed = Federation.runFederated(spark, divergent,
+      (s, d) =>
+        if (d == sf) Tables.nation(s, d).select("n_nationkey", "n_name")
+        else Tables.nation(s, d).select("n_nationkey", "n_regionkey"))
+    assert(fed.columns.toSet == Set("n_nationkey", "n_name", "n_regionkey", "site"))
+    // but both site dirs are equal here, so split manually: first call
+    // got both columns sets unioned with nulls where missing
+    assert(fed.filter(col("n_name").isNull).count() +
+      fed.filter(col("n_regionkey").isNull).count() > 0)
+  }
+
+  test("status board reports per-site run outcomes, failures isolated") {
+    val board = Federation.statusBoard(spark,
+      sites :+ Site("bad_site", "/nonexistent/path"),
+      (s, d) => Tables.region(s, d))
+    val rows = board.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(rows("site_a") == ((5L, "completed")))
+    assert(rows("site_b") == ((5L, "completed")))
+    assert(rows("bad_site")._2.startsWith("failed"))
+  }
+
+  test("salted join equals the plain join") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(ord, Seq("l_orderkey"))
+    val salted = Skew.saltedJoin(li, ord, "l_orderkey", salt = 7)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("heavy hitters finds the dominant keys") {
+    val hh = Skew.heavyHitters(Tables.lineitem(spark, sf), col("l_returnflag"), 3)
+    val rows = hh.collect()
+    assert(rows.length == 3)
+    assert(rows.head.getLong(1) >= rows.last.getLong(1))
+  }
+}
