@@ -31,6 +31,13 @@ object SparkEntry {
     "q_rollup" -> (Relational.rollupAgg _),
     "q_distinct_agg" -> (Relational.distinctAgg _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
+    "q_percentiles" -> (RelationalExt.percentiles _),
+    "q_set_ops" -> (RelationalExt.setOps _),
+    "q_grouping_sets" -> (RelationalExt.groupingSets _),
+    "q_correlated_subquery" -> (RelationalExt.correlatedSubquery _),
+    "q_range_frame" -> (RelationalExt.rangeFrame _),
+    "q_string_funcs" -> (RelationalExt.stringFuncs _),
+    "q_date_funcs" -> (RelationalExt.dateFuncs _),
     // §2b temporal
     "q_asof_join" -> (Temporal.asofJoin _),
     "q_asof_join_native" -> (Temporal.asofJoinNative _),
@@ -154,6 +161,70 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_set_ops" ->
+      """WITH building AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |with_open AS (
+        |  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT c_custkey, 'intersect' AS set_op
+        |FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM with_open)
+        |UNION ALL
+        |SELECT c_custkey, 'except' AS set_op
+        |FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM with_open)
+        |ORDER BY set_op, c_custkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | round(sum(o_totalprice), 2) AS total_price,
+        | count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT c_custkey,
+        | CAST((SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS BIGINT)
+        |   AS n_orders,
+        | (SELECT round(max(o_totalprice), 2) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_price
+        |FROM customer
+        |WHERE c_acctbal > 9500.0
+        |ORDER BY c_custkey""".stripMargin,
+    "q_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate
+        |   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)
+        |   AS spend_30d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        | upper(p_name) AS name_upper,
+        | substring(p_name, 1, 5) AS name_head,
+        | CAST(length(replace(p_name, ' ', '')) AS BIGINT) AS nonspace_len,
+        | CAST(levenshtein(p_name, p_brand) AS BIGINT) AS lev_brand,
+        | reverse(p_type) AS type_rev,
+        | concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS BIGINT) AS y,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        | CAST(month(o_orderdate) AS BIGINT) AS m,
+        | CAST(day(o_orderdate) AS BIGINT) AS d,
+        | strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+        | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
         | v.event_id AS last_view_id, CAST(v.ts AS TIMESTAMP) AS last_view_ts

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Extended relational coverage (SURVEY §2b continued): exact
+  * percentiles, set operations, grouping sets, correlated scalar
+  * subqueries, interval range frames, string/date function batteries.
+  * SQL-only surfaces (grouping sets, correlated subqueries, interval
+  * frames) go through spark.sql over temp views — same Catalyst plans
+  * a SQL user gets.
+  */
+object RelationalExt {
+
+  /** Exact interpolated percentiles per group (the exact twin of the
+    * approx_percentile sketch path). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy(col("l_returnflag"))
+
+  /** INTERSECT / EXCEPT set semantics: building-segment customers that
+    * do (intersect) and don't (except) also hold open orders. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val withOpen = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O").select(col("o_custkey").as("c_custkey"))
+    val both = building.intersect(withOpen).withColumn("set_op", lit("intersect"))
+    val only = building.except(withOpen).withColumn("set_op", lit("except"))
+    both.unionByName(only).orderBy(col("set_op"), col("c_custkey"))
+  }
+
+  /** GROUPING SETS with distinct aggregation paths per set. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        | round(sum(o_totalprice), 2) AS total_price,
+        | count(*) AS n
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Correlated scalar subquery (Catalyst rewrites to an outer join —
+    * the declarative form stays shuffle-bounded). */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c_custkey,
+        | CAST((SELECT count(*) FROM orders_v WHERE o_custkey = c_custkey) AS BIGINT)
+        |   AS n_orders,
+        | (SELECT round(max(o_totalprice), 2) FROM orders_v
+        |   WHERE o_custkey = c_custkey) AS max_price
+        |FROM customer_v
+        |WHERE c_acctbal > 9500.0
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Interval RANGE frame: trailing-30-day spend per customer. Peer rows
+    * (equal order dates) share a frame, so the result is deterministic
+    * without a unique sort key. */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate
+        |   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)
+        |   AS spend_30d
+        |FROM orders_v
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
+  }
+
+  /** String function battery (codegen'd built-ins). */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 5).as("name_head"),
+        length(regexp_replace(col("p_name"), " ", "")).cast("long").as("nonspace_len"),
+        levenshtein(col("p_name"), col("p_brand")).cast("long").as("lev_brand"),
+        reverse(col("p_type")).as("type_rev"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time function battery. */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+          .as("due_date"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
+      .orderBy(col("o_orderkey"))
+}
