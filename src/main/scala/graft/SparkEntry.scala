@@ -38,6 +38,11 @@ object SparkEntry {
     "q_range_frame" -> (RelationalExt.rangeFrame _),
     "q_string_funcs" -> (RelationalExt.stringFuncs _),
     "q_date_funcs" -> (RelationalExt.dateFuncs _),
+    "q_weighted_avg" -> (RelationalExt.weightedAvg _),
+    "q_dict_violations" -> (Quality.dictViolations _),
+    "q_quality_profile" -> (Quality.qualityProfile _),
+    "q_upsert_latest" -> (Quality.upsertLatest _),
+    "q_source_similarity" -> (Quality.sourceSimilarity _),
     // §2b temporal
     "q_asof_join" -> (Temporal.asofJoin _),
     "q_asof_join_native" -> (Temporal.asofJoinNative _),
@@ -161,6 +166,36 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_weighted_avg" ->
+      """SELECT l_returnflag,
+        | round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_dict_violations" ->
+      """SELECT o_orderpriority AS violating_value, count(*) AS n_rows
+        |FROM orders
+        |WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |GROUP BY 1
+        |ORDER BY violating_value""".stripMargin,
+    "q_quality_profile" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(count(*) FILTER (WHERE l_quantity <= 0.0 OR l_quantity > 50.0) AS BIGINT)
+        |   AS qty_out_of_range,
+        | CAST(count(*) FILTER (WHERE l_discount < 0.0 OR l_discount > 1.0) AS BIGINT)
+        |   AS disc_out_of_range,
+        | CAST(count(*) FILTER (WHERE l_returnflag IS NULL OR l_returnflag = '') AS BIGINT)
+        |   AS flag_missing,
+        | CAST(count(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT) AS date_missing
+        |FROM lineitem""".stripMargin,
+    "q_upsert_latest" ->
+      """SELECT user_id, last_event_id, last_status FROM (
+        | SELECT user_id, event_id AS last_event_id, event_type AS last_status,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+
+/** Typed Dataset aggregator: weighted average, exact semantics
+  * sum(w·x)/sum(w), usable with the `Dataset.groupByKey(...).agg`
+  * API (compile-time typed) — the Dataset-typed face of the engine.
+  */
+class WeightedAvg[I](valueF: I => Double, weightF: I => Double)
+    extends Aggregator[I, (Double, Double), Double] with Serializable {
+  override def zero: (Double, Double) = (0.0, 0.0)
+  override def reduce(b: (Double, Double), in: I): (Double, Double) =
+    (b._1 + valueF(in) * weightF(in), b._2 + weightF(in))
+  override def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
+    (a._1 + b._1, a._2 + b._2)
+  override def finish(r: (Double, Double)): Double =
+    if (r._2 == 0.0) 0.0 else r._1 / r._2
+  override def bufferEncoder: Encoder[(Double, Double)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+/** Group-level MinHash: element-wise minimum of per-row MinHash
+  * signatures, i.e. the signature of the UNION of the group members'
+  * shingle sets. A TypedImperativeAggregate with a primitive long-array
+  * buffer — constant memory per group, merge = elementwise min, so it
+  * map-side combines and never spills row data. Enables group↔group
+  * Jaccard estimation (signature agreement rate) without pairwise doc
+  * comparison — the sketch-union pattern a 100 TB corpus requires.
+  */
+case class GroupMinHash(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(k)(Long.MaxValue)
+
+  override def update(buf: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), k)
+      var i = 0
+      while (i < n) {
+        val x = arr.getLong(i)
+        if (x < buf(i)) buf(i) = x
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * k)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(k)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): GroupMinHash =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): GroupMinHash =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): GroupMinHash = copy(child = cs.head)
+  override def prettyName: String = "group_minhash"
+}
+
+object Aggregates {
+  /** Column form of GroupMinHash for DataFrame aggregations. */
+  def groupMinhash(sig: Column, k: Int = 32): Column =
+    toCol(GroupMinHash(toExpr(sig), k).toAggregateExpression())
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.HashExpressions._
+import graft.functions.Aggregates
+import graft.sources.Tables
+
+/** Data-quality + snapshot-maintenance operators: the engine form of the
+  * mCIDE dictionary-enforcement and status-snapshot workflows.
+  */
+object Quality {
+
+  /** Dictionary validation (the enforcement half of mcide.py: permitted
+    * category values): anti-join fact values against the dictionary,
+    * count violations per offending value. At scale the dictionary side
+    * broadcasts. */
+  def dictViolations(spark: SparkSession, dir: String): DataFrame = {
+    val dict = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("permitted"))
+      .filter(col("permitted").isin("1-URGENT", "2-HIGH", "3-MEDIUM"))
+      .distinct()
+    Tables.orders(spark, dir)
+      .join(broadcast(dict), col("o_orderpriority") === col("permitted"), "left_anti")
+      .groupBy(col("o_orderpriority").as("violating_value"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("violating_value"))
+  }
+
+  /** Column-level quality profile: null/blank/range violations counted
+    * in one pass (conditional aggregation — no per-rule scans). */
+  def qualityProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") <= 0.0 || col("l_quantity") > 50.0, 1L)
+          .otherwise(0L)).as("qty_out_of_range"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L)
+          .otherwise(0L)).as("disc_out_of_range"),
+        sum(when(col("l_returnflag").isNull || col("l_returnflag") === "", 1L)
+          .otherwise(0L)).as("flag_missing"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("date_missing"))
+
+  /** Snapshot upsert (last-write-wins merge of an update stream into a
+    * snapshot — the persistent form of the status store): union + keep
+    * newest per key. One shuffle on the key; identical semantics to
+    * re-deriving from the full log. */
+  def upsertSnapshot(snapshot: DataFrame, updates: DataFrame,
+      key: String, ts: String, tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col(tieBreak).desc)
+    snapshot.unionByName(updates)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** The upsert exercised over events split at mid-month — must equal
+    * deriving latest-status from the full log (oracle: same SQL as
+    * q_latest_status). */
+  def upsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    val snapshot = ev.filter(col("ts") < cut)
+    val updates = ev.filter(col("ts") >= cut)
+    upsertSnapshot(snapshot, updates, "user_id", "ts", "event_id")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_status"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Group-level MinHash sketch union: one 32-long signature per source,
+    * then pairwise signature-agreement = estimated Jaccard between each
+    * source's shingle universe. No doc-to-doc comparison anywhere. */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .select(col("source"),
+        minhashSignature(rollingShingles(
+          regexp_replace(lower(trim(col("text"))), "\\s+", " "), 8), 32)
+          .as("sig"))
+      .groupBy(col("source"))
+      .agg(Aggregates.groupMinhash(col("sig"), 32).as("gsig"))
+    val a = sigs.select(col("source").as("src_a"), col("gsig").as("sig_a"))
+    val b = sigs.select(col("source").as("src_b"), col("gsig").as("sig_b"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(expr(
+          "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / CAST(32.0 AS DOUBLE)"),
+          4).as("est_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+}

@@ -13,6 +13,23 @@ import graft.sources.Tables
   */
 object RelationalExt {
 
+  case class Li(l_returnflag: String, l_extendedprice: Double, l_quantity: Double)
+
+  /** Quantity-weighted mean price via the typed Dataset Aggregator API
+    * (compile-time checked input shape; same Catalyst agg plan). */
+  def weightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .as[Li]
+    val agg = new graft.functions.WeightedAvg[Li](_.l_extendedprice, _.l_quantity)
+    ds.groupByKey(_.l_returnflag)
+      .agg(agg.toColumn.name("wavg"))
+      .toDF("l_returnflag", "wavg")
+      .select(col("l_returnflag"), round(col("wavg"), 4).as("wavg_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Exact interpolated percentiles per group (the exact twin of the
     * approx_percentile sketch path). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
