@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder))
     }
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => SimplifyGraftExpressions)
   }
 }
 

@@ -38,6 +38,21 @@ class ExtensionsIOSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("optimizer rule folds hamming_distance(x, x) to literal 0") {
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.SimplifyGraftExpressions))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SimplifyGraftExpressions
+    val df = Tables.documents(spark, sf)
+      .select(graft.functions.HashExpressions.hammingDistance(
+        graft.functions.HashExpressions.simhash64(col("text")),
+        graft.functions.HashExpressions.simhash64(col("text"))).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("hamming_distance"),
+      s"self-hamming must fold away:\n$optimized")
+    assert(df.filter(col("d") =!= 0).count() == 0)
+  }
+
   test("round-trip csv/json/parquet preserves values with explicit schema") {
     val dir = Files.createTempDirectory("graft-io").toString
     val src = Tables.nation(spark, sf)
