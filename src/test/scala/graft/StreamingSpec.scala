@@ -85,6 +85,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == "purchase", "out-of-order event must not overwrite newer state")
   }
 
+  test("file-source stream of real events matches the batch windowed agg") {
+    val sp = spark
+    import sp.implicits._
+    val batchEvents = graft.sources.Tables.events(sp, sf)
+      .select($"ts", $"event_type", $"value")
+    // stream the same rows through a file source (write once, readStream)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val streamed = sp.readStream.schema(batchEvents.schema).parquet(dir)
+    val q = Streams.windowedCounts(streamed)
+      .writeStream.format("memory").queryName("file_win_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamTotal = sp.sql("SELECT sum(n) FROM file_win_out").head.getLong(0)
+      val streamWindows = sp.sql("SELECT count(*) FROM file_win_out").head.getLong(0)
+      val batch = batchEvents
+        .groupBy(window($"ts", "5 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      assert(streamTotal == batchEvents.count())
+      assert(streamWindows == batch.count())
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions after the gap timeout") {
     val sp = spark
     import sp.implicits._
