@@ -55,4 +55,53 @@ object Multimodal {
       .toDF()
       .orderBy(col("doc_id"))
   }
+
+  case class MediaFeature(doc_id: Long, feature: Array[Double])
+
+  /** STUB feature extractor (stands in for an image/audio embedding
+    * model): 16 deterministic chunk statistics per payload. Same
+    * batched-partition shape a real model-inference stage uses (one
+    * model handle per partition, vectorized batches). */
+  object StubFeaturizer {
+    val DIM = 16
+    def featurizeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeature] = {
+      // real impl: load model once per partition here
+      rows.map { r =>
+        val f = new Array[Double](DIM)
+        val n = r.media.length
+        var i = 0
+        while (i < n) {
+          f(i % DIM) += (r.media(i) & 0xff) / 255.0
+          i += 1
+        }
+        val norm = math.sqrt(f.map(x => x * x).sum)
+        MediaFeature(r.doc_id,
+          if (norm == 0.0) f else f.map(_ / norm))
+      }
+    }
+  }
+
+  /** End-to-end multimodal similarity: payload → stub features → cosine
+    * top-k via the same LSH-style pair machinery as the embedding path.
+    * Demonstrates that media columns flow into the similarity operators
+    * with no special casing — features are just another vector column. */
+  def mediaNeighbors(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    import graft.functions.HashExpressions.dotProduct
+    import org.apache.spark.sql.expressions.Window
+    val feats = ingest(spark, dir)
+      .mapPartitions(StubFeaturizer.featurizeBatch _)
+      .toDF()
+    val a = feats.select(col("doc_id").as("id_a"), col("feature").as("fa"))
+    val b = feats.select(col("doc_id").as("id_b"), col("feature").as("fb"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    val half = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), dotProduct(col("fa"), col("fb")).as("cos"))
+    half.unionByName(
+        half.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("cos")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"), col("rank"))
+      .orderBy(col("id_a"), col("rank"))
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.HashExpressions._
+
+/** Property-style checks of the native expressions against independent
+  * in-JVM reference implementations, over ScalaCheck-generated inputs
+  * (fixed seeds — deterministic CI). */
+class ExpressionPropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val text: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const(" ")))
+      .map(_.mkString(" ")).map(_.take(200))
+
+  /** Reference rolling-shingle implementation: naive O(n·k) substring
+    * polynomial hash, sorted distinct. */
+  private def refShingles(s: String, k: Int): Seq[Long] = {
+    val bytes = s.getBytes("UTF-8")
+    if (bytes.length < k) Seq.empty
+    else (0 to bytes.length - k).map { i =>
+      var h = 0L
+      var j = i
+      while (j < i + k) { h = h * 1000000007L + (bytes(j) & 0xffL); j += 1 }
+      h
+    }.distinct.sorted
+  }
+
+  test("RollingShingles equals the naive polynomial-hash reference") {
+    import spark.implicits._
+    val samples = (1L to 40L).map(s => sample(text, s)).toList
+    val got = samples.toDF("t")
+      .select(rollingShingles(col("t"), 5).as("s"))
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    val expected = samples.map(refShingles(_, 5))
+    assert(got == expected)
+  }
+
+  test("simhash of permuted tokens is identical (order-free fingerprint)") {
+    import spark.implicits._
+    val tokenLists = (1L to 20L).map { s =>
+      sample(Gen.listOfN(8, Gen.alphaNumStr.map(_.take(5)).suchThat(_.nonEmpty)), s)
+    }
+    val rng = new scala.util.Random(7)
+    val pairs = tokenLists.map(ts => (ts.mkString(" "), rng.shuffle(ts).mkString(" ")))
+    val rows = pairs.toDF("a", "b")
+      .select(simhash64(col("a")).as("fa"), simhash64(col("b")).as("fb"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("minhash agreement tracks exact jaccard (monotone estimator)") {
+    import spark.implicits._
+    val agree = Seq(
+      ("abcdefghij klmnopqrst", "abcdefghij klmnopqrst"),
+      ("abcdefghij klmnopqrst", "zzzzyyyyxx wwwwvvvvuu"))
+      .toDF("a", "b")
+      .select(
+        minhashSignature(rollingShingles(col("a"), 5), 32).as("sa"),
+        minhashSignature(rollingShingles(col("b"), 5), 32).as("sb"))
+      .select(expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+        .as("agree"))
+      .collect().map(_.getInt(0))
+    assert(agree(0) == 32, "identical sets must agree on every component")
+    assert(agree(1) <= 2, "disjoint sets must essentially never agree")
+  }
+
+  test("cosine similarity bounds and symmetry on random vectors") {
+    import spark.implicits._
+    val vec = Gen.listOfN(8, Gen.chooseNum(-5.0, 5.0))
+    val pairs = (1L to 30L).map(s => (sample(vec, s), sample(vec, s + 1000)))
+    val rows = pairs.toDF("a", "b")
+      .select(cosineSimilarity(col("a"), col("b")).as("ab"),
+        cosineSimilarity(col("b"), col("a")).as("ba"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "must be symmetric")
+      assert(math.abs(r.getDouble(0)) <= 1.0000001, "must be in [-1,1]")
+    }
+  }
+}

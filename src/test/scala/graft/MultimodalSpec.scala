@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+/** Multimodal plumbing: binary payloads through batched stub decode /
+  * featurize stages into the similarity machinery. */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("media metadata schema and determinism") {
+    val m1 = Multimodal.mediaMeta(spark, sf).collect()
+    val m2 = Multimodal.mediaMeta(spark, sf).collect()
+    assert(m1.sameElements(m2), "stub decode must be deterministic")
+    assert(m1.nonEmpty)
+    assert(m1.forall(_.getAs[Long]("n_bytes") > 0))
+    assert(m1.forall(_.getAs[String]("content_md5").length == 32))
+  }
+
+  test("media md5 equals the SQL md5 of the same payload") {
+    val viaStub = Multimodal.mediaMeta(spark, sf)
+      .select(col("doc_id"), col("content_md5"))
+    val viaSql = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_md5"))
+    assert(viaStub.exceptAll(viaSql).count() == 0)
+    assert(viaSql.exceptAll(viaStub).count() == 0)
+  }
+
+  test("media features feed the ANN path end-to-end") {
+    val nn = Multimodal.mediaNeighbors(spark, sf, k = 2)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(nn.count() == nDocs * 2)
+    assert(nn.filter(col("id_a") === col("id_b")).count() == 0)
+    assert(nn.filter(abs(col("cosine")) > 1.0000001).count() == 0)
+    // unit-normalized non-negative features → cosine in [0, 1]
+    assert(nn.filter(col("cosine") < 0.0).count() == 0)
+  }
+}
