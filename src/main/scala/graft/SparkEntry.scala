@@ -39,6 +39,11 @@ object SparkEntry {
     "q_string_funcs" -> (RelationalExt.stringFuncs _),
     "q_date_funcs" -> (RelationalExt.dateFuncs _),
     "q_weighted_avg" -> (RelationalExt.weightedAvg _),
+    "q_stats_agg" -> (RelationalExt.statsAgg _),
+    "q_array_funcs" -> (RelationalExt.arrayFuncs _),
+    "q_regexp_funcs" -> (RelationalExt.regexpFuncs _),
+    "q_conditional_funcs" -> (RelationalExt.conditionalFuncs _),
+    "q_media_neighbors" -> ((s: SparkSession, d: String) => Multimodal.mediaNeighbors(s, d)),
     "q_dict_violations" -> (Quality.dictViolations _),
     "q_quality_profile" -> (Quality.qualityProfile _),
     "q_upsert_latest" -> (Quality.upsertLatest _),
@@ -172,6 +177,41 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        | round(stddev_samp(l_discount), 6) AS stddev_disc,
+        | round(var_samp(l_tax), 6) AS var_tax,
+        | round(avg(l_quantity), 6) AS mean_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        | array_to_string(list_sort(list_distinct(
+        |   string_split_regex(lower(trim(text)), '\s+')))[1:5], ',') AS first5_tokens,
+        | CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT)
+        |   AS n_distinct_tokens,
+        | list_contains(string_split_regex(lower(trim(text)), '\s+'), 'spark')
+        |   AS mentions_spark
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_regexp_funcs" ->
+      """SELECT event_id,
+        | array_to_string(regexp_extract_all(props, '[0-9]+', 0), ',') AS numbers,
+        | CAST(len(regexp_extract_all(props, '[0-9]+', 0)) AS BIGINT) AS n_numbers
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q_conditional_funcs" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_totalprice > 300000.0 THEN 'high'
+        |   WHEN o_totalprice > 150000.0 THEN 'mid' ELSE 'low' END AS price_band,
+        | coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+        | round(least(o_totalprice, 200000.0), 2) AS capped,
+        | round(greatest(o_totalprice - 100000.0, 0.0), 2) AS excess
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     "q_dict_violations" ->
       """SELECT o_orderpriority AS violating_value, count(*) AS n_rows
         |FROM orders

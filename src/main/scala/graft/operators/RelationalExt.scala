@@ -97,6 +97,60 @@ object RelationalExt {
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
   }
 
+  /** Statistical aggregates: correlation, covariance, dispersion. */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+        round(stddev_samp(col("l_discount")), 6).as("stddev_disc"),
+        round(var_samp(col("l_tax")), 6).as("var_tax"),
+        // skewness omitted: Spark computes population g1, DuckDB the
+        // bias-corrected sample G1 — systematically different values
+        round(avg(col("l_quantity")), 6).as("mean_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** Array function battery (arrays serialized to strings for
+    * cross-engine comparison stability). */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_join(slice(array_sort(array_distinct(
+          split(lower(trim(col("text"))), "\\s+"))), 1, 5), ",")
+          .as("first5_tokens"),
+        size(array_distinct(split(lower(trim(col("text"))), "\\s+")))
+          .cast("long").as("n_distinct_tokens"),
+        array_contains(split(lower(trim(col("text"))), "\\s+"), "spark")
+          .as("mentions_spark"))
+      .orderBy(col("doc_id"))
+
+  /** regexp_extract_all battery: pull every integer out of the props
+    * JSON and aggregate. */
+  def regexpFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        array_join(expr("regexp_extract_all(props, '[0-9]+', 0)"), ",")
+          .as("numbers"),
+        size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("long")
+          .as("n_numbers"))
+      .orderBy(col("event_id"))
+
+  /** Conditional expression battery: CASE precedence, coalesce/nullif,
+    * least/greatest. */
+  def conditionalFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") > 300000.0, "high")
+          .when(col("o_totalprice") > 150000.0, "mid")
+          .otherwise("low").as("price_band"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+          .as("status_or_open"),
+        round(least(col("o_totalprice"), lit(200000.0)), 2).as("capped"),
+        round(greatest(col("o_totalprice") - lit(100000.0), lit(0.0)), 2)
+          .as("excess"))
+      .orderBy(col("o_orderkey"))
+
   /** String function battery (codegen'd built-ins). */
   def stringFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
