@@ -13,7 +13,8 @@ class PlanHygieneSpec extends AnyFunSuite {
   // q_source_similarity pairs per-GROUP sketches (|groups| rows, not
   // |docs|), so its nested loop is over the tiny aggregated side
   private val nestedLoopAllowed = Set(
-    "q_embed_neardup", "q_ann_bruteforce", "q_set_ops", "q_source_similarity")
+    "q_embed_neardup", "q_ann_bruteforce", "q_set_ops", "q_source_similarity",
+    "q_media_neighbors")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
