@@ -81,24 +81,51 @@ object Multimodal {
     }
   }
 
-  /** End-to-end multimodal similarity: payload → stub features → cosine
-    * top-k via the same LSH-style pair machinery as the embedding path.
-    * Demonstrates that media columns flow into the similarity operators
-    * with no special casing — features are just another vector column. */
-  def mediaNeighbors(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  /** End-to-end multimodal similarity: payload → stub features →
+    * LSH-bucketed cosine top-k — the same bucket-equi-join shape as the
+    * embedding ANN (features are just another vector column; a media
+    * corpus never gets an all-pairs stage). */
+  def mediaNeighbors(spark: SparkSession, dir: String, k: Int = 3,
+      nPlanes: Int = 6, nTables: Int = 4): DataFrame = {
     import spark.implicits._
     import graft.functions.HashExpressions.dotProduct
     import org.apache.spark.sql.expressions.Window
-    val feats = ingest(spark, dir)
+    val raw = ingest(spark, dir)
       .mapPartitions(StubFeaturizer.featurizeBatch _)
       .toDF()
-    val a = feats.select(col("doc_id").as("id_a"), col("feature").as("fa"))
-    val b = feats.select(col("doc_id").as("id_b"), col("feature").as("fb"))
+    // Non-negative features cluster in one orthant, where hyperplanes
+    // through the origin cannot split them (every vector lands in one
+    // bucket = accidental all-pairs). Mean-center for BUCKETING only —
+    // one broadcast 1-row stats pass — and keep raw features for the
+    // cosine scoring.
+    val meanVec = raw
+      .select(posexplode(col("feature")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(avg(col("x")).as("m"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("mean_vec"))
+    val feats = raw.crossJoin(broadcast(meanVec))
+      .select(col("doc_id"), col("feature"),
+        expr("zip_with(feature, mean_vec, (x, m) -> x - m)").as("centered"))
+    val rng = new scala.util.Random(7L)
+    val tables = (0 until nTables).map { t =>
+      val planes = Seq.fill(nPlanes)(Seq.fill(StubFeaturizer.DIM)(rng.nextGaussian()))
+      val bucketCol = planes.zipWithIndex.map { case (p, j) =>
+        when(dotProduct(col("centered"), typedlit(p)) > 0.0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      feats.select(col("doc_id"), col("feature"), lit(t).as("table_id"),
+        bucketCol.as("bucket"))
+    }.reduce(_ unionByName _)
+    val a = tables.select(col("doc_id").as("id_a"), col("feature").as("fa"),
+      col("table_id"), col("bucket"))
+    val b = tables.select(col("doc_id").as("id_b"), col("feature").as("fb"),
+      col("table_id"), col("bucket"))
     val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
-    val half = a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), dotProduct(col("fa"), col("fb")).as("cos"))
-    half.unionByName(
-        half.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("cos")))
+    a.join(b, Seq("table_id", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), dotProduct(col("fa"), col("fb")).as("c"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("c")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"), col("rank"))

@@ -89,15 +89,15 @@ object Similarity {
       col("table_id"), col("bucket"))
     val b = tables.select(col("vec_id").as("id_b"), col("v").as("vb"),
       col("table_id"), col("bucket"))
-    val candidates = a.join(b, Seq("table_id", "bucket"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // vectors ride through the bucket join (single scan); a pair seen in
+    // several tables collapses via groupBy max (cosine is identical)
     val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
-    candidates
-      .join(base.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+    a.join(b, Seq("table_id", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosineSimilarity(col("va"), col("vb")).as("cos"))
+        cosineSimilarity(col("va"), col("vb")).as("c"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("c")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"), col("rank"))
