@@ -40,6 +40,9 @@ object SparkEntry {
     "q_date_funcs" -> (RelationalExt.dateFuncs _),
     "q_weighted_avg" -> (RelationalExt.weightedAvg _),
     "q_stats_agg" -> (RelationalExt.statsAgg _),
+    "q13_custdist" -> (RelationalExt.custDist _),
+    "q18_large_volume" -> (RelationalExt.largeVolume _),
+    "q20_nested_exists" -> (RelationalExt.nestedExists _),
     "q_array_funcs" -> (RelationalExt.arrayFuncs _),
     "q_regexp_funcs" -> (RelationalExt.regexpFuncs _),
     "q_conditional_funcs" -> (RelationalExt.conditionalFuncs _),
@@ -177,6 +180,30 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        | FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q18_large_volume" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
+        | round(qty_sum, 2) AS qty_sum
+        |FROM orders JOIN (
+        | SELECT l_orderkey, sum(l_quantity) AS qty_sum
+        | FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150.0) t
+        | ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q20_nested_exists" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (
+        | SELECT 1 FROM lineitem
+        | WHERE l_suppkey = s_suppkey
+        |   AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND EXISTS (SELECT 1 FROM part
+        |     WHERE p_partkey = l_partkey AND p_name LIKE '%a%'))
+        |ORDER BY s_suppkey""".stripMargin,
     "q_stats_agg" ->
       """SELECT l_returnflag,
         | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,

@@ -97,6 +97,49 @@ object RelationalExt {
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
   }
 
+  /** TPC-H Q13 shape: order-count distribution over a left outer join
+    * (customers with zero orders must appear in the 0 bucket). */
+  def custDist(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val ord = Tables.orders(spark, dir).select("o_custkey", "o_orderkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q18 shape: HAVING-filtered IN-subquery (large-volume orders),
+    * planned as aggregate → semi join. */
+  def largeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("qty_sum"))
+      .filter(col("qty_sum") > 150.0)
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    ord.join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("total_price"),
+        round(col("qty_sum"), 2).as("qty_sum"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** TPC-H Q20 shape: nested EXISTS chain as cascaded semi joins. */
+  def nestedExists(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_name").contains("a")).select("p_partkey")
+    val li96 = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .select("l_suppkey", "l_partkey")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+    Tables.supplier(spark, dir)
+      .join(li96, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Statistical aggregates: correlation, covariance, dispersion. */
   def statsAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

@@ -70,12 +70,14 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: per table, a signed-projection bucket; candidates
-    * are the union over tables (OR-amplification), then exact cosine +
-    * top-k on candidates only. Every join is an equi-join on
-    * (table, bucket) — the shape that scales; recall vs. the exact
-    * baseline is measured in the spec. */
+    * are the union over tables (OR-amplification) widened by multiprobe
+    * (the query side also probes every bucket one bit-flip away —
+    * nPlanes extra probes per table for ~(nPlanes+1)× recall at the
+    * same table count). Exact cosine + top-k on candidates only. Every
+    * join is an equi-join on (table, bucket) — the shape that scales;
+    * recall vs. the exact baseline is measured in the spec. */
   def annLsh(spark: SparkSession, dir: String, k: Int = 3, nPlanes: Int = 8,
-      nTables: Int = 4): DataFrame = {
+      nTables: Int = 4, multiprobe: Boolean = true): DataFrame = {
     val base = vecs(spark, dir)
     val tables = (0 until nTables).map { t =>
       val planes = hyperplanes(64, nPlanes, seed = 42L + t)
@@ -85,7 +87,13 @@ object Similarity {
       base.select(col("vec_id"), col("v"), lit(t).as("table_id"),
         bucketCol.as("bucket"))
     }.reduce(_ unionByName _)
-    val a = tables.select(col("vec_id").as("id_a"), col("v").as("va"),
+    val probed =
+      if (!multiprobe) tables
+      else tables.select(col("vec_id"), col("v"), col("table_id"),
+        explode(expr(
+          s"array_union(array(bucket), transform(sequence(0, ${nPlanes - 1}), " +
+            "j -> bucket ^ shiftleft(1L, j)))")).as("bucket"))
+    val a = probed.select(col("vec_id").as("id_a"), col("v").as("va"),
       col("table_id"), col("bucket"))
     val b = tables.select(col("vec_id").as("id_b"), col("v").as("vb"),
       col("table_id"), col("bucket"))

@@ -65,7 +65,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val total = exact.count()
     val recall = hit.toDouble / total
     info(f"LSH recall@3 = $recall%.3f ($hit/$total)")
-    assert(recall >= 0.0 && recall <= 1.0)
+    // multiprobe keeps recall well above the single-bucket baseline even
+    // on this dataset, where "neighbors" sit at cosine ~0.5
+    assert(recall >= 0.2, f"recall regressed: $recall%.3f")
     assert(approx.count() > 0)
   }
 
