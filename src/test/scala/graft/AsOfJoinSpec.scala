@@ -40,6 +40,15 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(unmatchedInconsistent == 0)
   }
 
+  test("unknown join column fails fast with the offending name") {
+    val ev = Tables.events(spark, sf).limit(1)
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.join(ev, ev.select(col("user_id").as("u2"), col("ts").as("t2")),
+        "no_such_column", "u2", "ts", "t2")
+    }
+    assert(e.getMessage.contains("no_such_column"))
+  }
+
   test("physical plan uses the custom exec with one shuffle per side") {
     // AQE wraps the tree in AdaptiveSparkPlanExec, so assert on the
     // rendered inner plan rather than a top-level collect

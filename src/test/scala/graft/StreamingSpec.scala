@@ -109,6 +109,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming parquet sink with checkpoint persists windowed output") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val input = MemoryStream[Event]
+    val q = Streams.windowedCounts(input.toDF())
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    input.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 10, "click", 2.0))
+    q.processAllAvailable()
+    input.addData(Event(3, tsH(2, 0), 11, "view", 3.0)) // advances watermark
+    q.processAllAvailable()
+    q.stop()
+    val persisted = sp.read.parquet(outDir)
+    assert(persisted.count() >= 1)
+    assert(persisted.columns.toSet ==
+      Set("win_start", "win_end", "event_type", "n", "total_value"))
+  }
+
   test("stateful sessionization closes sessions after the gap timeout") {
     val sp = spark
     import sp.implicits._
