@@ -50,6 +50,7 @@ object SparkEntry {
     "q_dict_violations" -> (Quality.dictViolations _),
     "q_quality_profile" -> (Quality.qualityProfile _),
     "q_upsert_latest" -> (Quality.upsertLatest _),
+    "q_incremental_agg" -> (Incremental.incrementalAgg _),
     "q_source_similarity" -> (Quality.sourceSimilarity _),
     // §2b temporal
     "q_asof_join" -> (Temporal.asofJoin _),
@@ -263,6 +264,14 @@ object SparkEntry {
         | FROM events) t
         |WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+    "q_incremental_agg" ->
+      """SELECT user_id, event_type, count(*) AS n,
+        | round(sum(value), 2) AS total_value,
+        | min(CAST(ts AS TIMESTAMP)) AS first_ts,
+        | max(CAST(ts AS TIMESTAMP)) AS last_ts
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -34,6 +34,7 @@ object HashExpressions {
   def cosineSimilarity(a: Column, b: Column): Column = toCol(CosineSimilarity(toExpr(a), toExpr(b)))
   def dotProduct(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
   def minhashSignature(c: Column, k: Int): Column = toCol(MinHashSignature(toExpr(c), Literal(k)))
+  def zorder2(a: Column, b: Column): Column = toCol(ZOrder2(toExpr(a), toExpr(b)))
 }
 
 /** 64-bit SimHash over whitespace tokens: per token a 64-bit FNV hash
@@ -220,6 +221,39 @@ case class MinHashSignature(child: Expression, kExpr: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSignature =
     copy(child = l, kExpr = r)
   override def prettyName: String = "minhash_signature"
+}
+
+/** 2-D Z-order (Morton) code: interleaves the low 32 bits of two keys.
+  * Sorting/range-partitioning by it clusters rows into 2-D tiles, so
+  * parquet files carry tight min/max on BOTH columns and predicates on
+  * either prune at file/row-group level — the lakehouse write-layout
+  * technique for multi-dimensional scans.
+  */
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder2.morton(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ZOrder2.morton($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder2 =
+    copy(left = l, right = r)
+  override def prettyName: String = "zorder2"
+}
+
+object ZOrder2 {
+  /** Spread the low 32 bits of v to even bit positions (standard Morton
+    * bit-twiddling, public domain). */
+  @inline def spread(v: Long): Long = {
+    var x = v & 0xffffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+  def morton(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
 }
 
 /** Static runtime entry points referenced from generated (Janino) code.

@@ -35,6 +35,21 @@ object FormatIO {
     w.save(path)
   }
 
+  /** Z-ordered write: range-partition + sort by the Morton code of two
+    * key columns so each output file covers a tight 2-D tile — both
+    * columns then prune at file/row-group level. `nFiles` bounds output
+    * file count. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      nFiles: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.HashExpressions.zorder2
+    df.withColumn("_z", zorder2(col(colA).cast("long"), col(colB).cast("long")))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Bucketed save-as-table: co-locates both sides of a recurring join
     * key so the join becomes shuffle-free (requires a metastore-backed
     * table — the cluster path; tested via saveAsTable on local). */

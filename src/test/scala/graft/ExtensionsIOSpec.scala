@@ -78,6 +78,29 @@ class ExtensionsIOSpec extends AnyFunSuite {
       "non-matching partitions must not be scanned")
   }
 
+  test("z-ordered write concentrates 2-D range predicates in fewer files") {
+    import graft.functions.HashExpressions.zorder2
+    // expression sanity: interleaving is monotone in tiles
+    val m = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L))
+    val codes = m.map { case (a, b) => graft.functions.ZOrder2.morton(a, b) }
+    assert(codes == Seq(0L, 1L, 2L, 15L))
+
+    val zdir = Files.createTempDirectory("graft-z").toString
+    val rdir = Files.createTempDirectory("graft-r").toString
+    val orders = Tables.orders(spark, "/root/testdata/sf0.01")
+      .withColumn("o_day", datediff(col("o_orderdate").cast("date"),
+        lit("1995-01-01").cast("date")).cast("long"))
+    FormatIO.writeZOrdered(orders, zdir, "o_custkey", "o_day", nFiles = 8)
+    orders.repartition(8).write.mode("overwrite").parquet(rdir) // random layout
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("o_custkey").between(100, 300) && col("o_day").between(0, 400))
+        .select(input_file_name()).distinct().count()
+    val (zf, rf) = (filesTouched(zdir), filesTouched(rdir))
+    info(s"files containing matches: z-ordered=$zf random=$rf")
+    assert(zf <= rf, s"z-order must not scatter matches more than random ($zf vs $rf)")
+  }
+
   test("bucketed table join plans without a shuffle on the bucket key") {
     FormatIO.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_custkey", 4)
     FormatIO.writeBucketed(Tables.customer(spark, sf), "customer_b", "c_custkey", 4)
