@@ -41,6 +41,31 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * view events within the preceding hour. Both sides watermarked so
+    * Spark can bound the join state buffer — the requirement for an
+    * unbounded run. */
+  def purchaseViewJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "1 hour")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+  }
+
+  /** Stream-static enrichment join: the static dimension is read fresh
+    * per micro-batch; broadcast keeps it shuffle-free. */
+  def enrichWithUsers(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(userDim),
+      Seq("user_id"), "left")
+
   /** Stateful last-write-wins status per user — the streaming form of
     * the reference bot's status updates (state.py:141-143): each
     * incoming event overwrites the user's state; updates emit

@@ -109,6 +109,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches views to following purchases") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.purchaseViewJoin(input.toDF())
+      .writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").start()
+    input.addData(
+      Event(1, ts(10), 10, "view", 1.0),
+      Event(2, ts(30), 10, "purchase", 9.0), // view 20 min earlier -> match
+      Event(3, ts(5), 11, "purchase", 5.0)) // no prior view -> no row
+    q.processAllAvailable()
+    val rows = sp.sql("SELECT p_id, v_id FROM ss_join_out").collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 2L && rows.head.getLong(1) == 1L)
+  }
+
+  test("stream-static broadcast enrichment joins the user dimension") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dim = Seq((10L, "site_a"), (11L, "site_b")).toDF("user_id", "site")
+    val input = MemoryStream[Event]
+    val q = Streams.enrichWithUsers(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    input.addData(Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 99, "click", 1.0)) // no dim row -> null site
+    q.processAllAvailable()
+    val rows = sp.sql("SELECT event_id, site FROM enrich_out ORDER BY event_id")
+      .collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "site_a")
+    assert(rows(1).isNullAt(1))
+  }
+
   test("streaming parquet sink with checkpoint persists windowed output") {
     val sp = spark
     import sp.implicits._
