@@ -83,6 +83,10 @@ object SparkEntry {
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
+    "q_pii_redact" -> (TextAnalysis.piiRedact _),
+    "q_repetition" -> (TextAnalysis.repetition _),
+    "q_doc_histogram" -> (TextAnalysis.lengthHistogram _),
+    "q_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     // §2c multimodal plumbing
     "q_multimodal_meta" -> (Multimodal.mediaMeta _)
   )
@@ -548,6 +552,35 @@ object SparkEntry {
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\+?[0-9][0-9() .-]{7,}[0-9]')) AS BIGINT) AS n_phones,
+        | CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_idruns,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+?[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g'),
+        |   '[0-9]{9,}', '<ID>', 'g')) AS redacted_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        | FROM documents),
+        |counts AS (
+        | SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        | round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_tok_share,
+        | round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS distinct_ratio
+        |FROM counts
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_doc_histogram" ->
+      """SELECT CAST(floor(length(text) / 50) * 50 AS BIGINT) AS len_bucket,
+        | count(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY len_bucket""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -84,6 +84,41 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-dup CLUSTERS: connected components over the LSH candidate-pair
+    * graph via iterative min-label propagation (each doc adopts the
+    * smallest doc_id reachable through near-dup edges). Iterations are
+    * data-parallel joins; near-dup components are shallow, so few rounds
+    * converge. The canonical "keep one per cluster" dedup step. */
+  def dedupClusters(spark: SparkSession, dir: String,
+      maxIters: Int = 6): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val docs = shingled(spark, dir).select(col("doc_id"))
+    var labels = docs.withColumn("label", col("doc_id"))
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("label", "n_label"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("n_label")).as("n_label"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("n_label"), col("label"))).as("label"))
+      val changed = updated.join(labels.withColumnRenamed("label", "old"),
+          Seq("doc_id"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels.withColumn("is_keeper", (col("label") === col("doc_id")).cast("boolean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup: 64-bit fingerprint (native Expression), 4×16-bit
     * LSH bands, Hamming ≤ 8 confirm (codegen'd bitCount). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {

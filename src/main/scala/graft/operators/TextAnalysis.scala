@@ -70,6 +70,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** PII detection + redaction battery (training-data hygiene): count
+    * and mask email / phone-like / long-digit-run patterns. Pure regexp
+    * expressions — linear scan, trivially partitionable. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9() .-]{7,}[0-9]"
+    val idrun = "[0-9]{9,}"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(phone)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(idrun)).cast("long").as("n_idruns"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          email, "<EMAIL>"), phone, "<PHONE>"), idrun, "<ID>"))
+          .as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repetition-based quality filter (Gopher/RefinedWeb-style): share of
+    * the document occupied by its most frequent token, and distinct
+    * token ratio. High top-token share = boilerplate/spam signal. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val counts = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        max(col("c")).as("top_tok_count"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("top_tok_count").cast("double") / col("n_tokens"), 4)
+          .as("top_tok_share"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("distinct_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document-length histogram: 50-char buckets — the corpus-shape
+    * profile every pipeline run reports. */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy((floor(length(col("text")) / 50) * 50).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("len_bucket"))
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text
     * (the oracle-checkable half; the rolling-hash shingle set feeds the
     * Dedup family and is spec-checked). */

@@ -71,6 +71,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(approx.count() > 0)
   }
 
+  test("dedup clusters: labels are cluster minima, pairs share labels") {
+    val labels = Dedup.dedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    labels.foreach { case (doc, lab) =>
+      assert(lab <= doc, "label must be the cluster minimum")
+      assert(labels(lab) == lab, "cluster representative must label itself")
+    }
+    val keepers = labels.values.toSet
+    assert(keepers.size < labels.size || pairs.isEmpty,
+      "near-dup pairs must reduce the keeper count")
+  }
+
   test("rolling shingles: deterministic, k-sensitive") {
     import spark.implicits._
     val r = Seq(("abcdefabcdef", "abcdefabcdeg")).toDF("t1", "t2")
