@@ -92,11 +92,14 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String,
       maxIters: Int = 6): DataFrame = {
     val pairs = minhashPairs(spark, dir)
-    // undirected edge list, both directions
+    // undirected edge list, both directions; materialized once — an
+    // iterative algorithm must not re-execute the LSH lineage per round
+    // (cluster deployments would use checkpoint(dir) instead)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     val docs = shingled(spark, dir).select(col("doc_id"))
-    var labels = docs.withColumn("label", col("doc_id"))
+    var labels = docs.withColumn("label", col("doc_id")).localCheckpoint()
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
@@ -108,6 +111,7 @@ object Dedup {
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("n_label"), col("label"))).as("label"))
+        .localCheckpoint()
       val changed = updated.join(labels.withColumnRenamed("label", "old"),
           Seq("doc_id"))
         .filter(col("label") =!= col("old")).limit(1).count()
