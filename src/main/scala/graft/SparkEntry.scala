@@ -86,6 +86,7 @@ object SparkEntry {
     "q_pii_redact" -> (TextAnalysis.piiRedact _),
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_doc_histogram" -> (TextAnalysis.lengthHistogram _),
+    "q_hash_split" -> (Sampling.splitCounts _),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     // §2c multimodal plumbing
     "q_multimodal_meta" -> (Multimodal.mediaMeta _)
@@ -575,6 +576,15 @@ object SparkEntry {
         |FROM counts
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q_hash_split" ->
+      """SELECT CASE
+        |  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') THEN 'test'
+        |  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('2','3') THEN 'val'
+        |  ELSE 'train' END AS split,
+        | lang, count(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY split, lang""".stripMargin,
     "q_doc_histogram" ->
       """SELECT CAST(floor(length(text) / 50) * 50 AS BIGINT) AS len_bucket,
         | count(*) AS n_docs

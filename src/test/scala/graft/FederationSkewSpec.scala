@@ -56,6 +56,35 @@ class FederationSkewSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("hash split is deterministic and stable under corpus growth") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf)
+    val s1 = Sampling.hashSplit(docs, "doc_id").select("doc_id", "split")
+    val s2 = Sampling.hashSplit(docs, "doc_id").select("doc_id", "split")
+    assert(s1.exceptAll(s2).count() == 0, "split must be deterministic")
+    // growth stability: splitting half the corpus assigns the same rows
+    val half = Sampling.hashSplit(docs.filter(col("doc_id") < 250), "doc_id")
+      .select("doc_id", "split")
+    assert(half.exceptAll(s1).count() == 0,
+      "rows must not migrate between splits when the corpus grows")
+    val splits = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits("train") > splits("test"))
+  }
+
+  test("stratified sample respects per-stratum fractions approximately") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf)
+    val sampled = Sampling.stratified(docs, "lang",
+      Map("en" -> 0.5, "zh" -> 0.0, "es" -> 1.0, "de" -> 0.2, "fr" -> 0.2))
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("zh"), "0-fraction stratum must be empty")
+    val es = Tables.documents(spark, sf).filter(col("lang") === "es").count()
+    assert(byLang("es") == es, "1.0-fraction stratum must be complete")
+  }
+
   test("heavy hitters finds the dominant keys") {
     val hh = Skew.heavyHitters(Tables.lineitem(spark, sf), col("l_returnflag"), 3)
     val rows = hh.collect()
