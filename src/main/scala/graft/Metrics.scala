@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicLong
+
+/** Physical-execution metrics capture (bytes scanned, shuffle volume,
+  * records) via a task-level SparkListener — the observability hook a
+  * production deployment wires to its metrics backend. Task metrics are
+  * AQE-proof, unlike walking executed-plan SQL metrics.
+  */
+object Metrics {
+
+  case class RunMetrics(bytesRead: Long, recordsRead: Long,
+      shuffleBytesWritten: Long, shuffleRecordsWritten: Long,
+      durationMs: Long)
+
+  private class Capture extends SparkListener {
+    val bytesRead = new AtomicLong
+    val recordsRead = new AtomicLong
+    val shuffleBytes = new AtomicLong
+    val shuffleRecords = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val tm = e.taskMetrics
+      if (tm != null) {
+        bytesRead.addAndGet(tm.inputMetrics.bytesRead)
+        recordsRead.addAndGet(tm.inputMetrics.recordsRead)
+        shuffleBytes.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
+        shuffleRecords.addAndGet(tm.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+  }
+
+  /** Run `action` with a listener attached; returns (result, aggregated
+    * task metrics for everything executed inside). */
+  def withMetrics[T](spark: SparkSession)(action: => T): (T, RunMetrics) = {
+    val cap = new Capture
+    spark.sparkContext.addSparkListener(cap)
+    val t0 = System.nanoTime()
+    try {
+      val out = action
+      // listener delivery is asynchronous: wait for the totals to settle
+      var prev = -1L
+      var cur = cap.bytesRead.get + cap.shuffleBytes.get + cap.recordsRead.get
+      val deadline = System.nanoTime() + 5000000000L
+      while (prev != cur && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        prev = cur
+        cur = cap.bytesRead.get + cap.shuffleBytes.get + cap.recordsRead.get
+      }
+      (out, RunMetrics(cap.bytesRead.get, cap.recordsRead.get,
+        cap.shuffleBytes.get, cap.shuffleRecords.get,
+        (System.nanoTime() - t0) / 1000000L))
+    } finally spark.sparkContext.removeSparkListener(cap)
+  }
+}

@@ -41,6 +41,8 @@ object SparkEntry {
     "q_weighted_avg" -> (RelationalExt.weightedAvg _),
     "q_stats_agg" -> (RelationalExt.statsAgg _),
     "q13_custdist" -> (RelationalExt.custDist _),
+    "q_multiset_ops" -> (RelationalExt.multisetOps _),
+    "q_full_outer" -> (RelationalExt.fullOuter _),
     "q18_large_volume" -> (RelationalExt.largeVolume _),
     "q20_nested_exists" -> (RelationalExt.nestedExists _),
     "q_array_funcs" -> (RelationalExt.arrayFuncs _),
@@ -186,6 +188,23 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_multiset_ops" ->
+      """WITH a AS (SELECT l_suppkey AS k FROM lineitem),
+        |b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT k, count(*) AS n, 'intersect_all' AS set_op
+        |FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+        |UNION ALL
+        |SELECT k, count(*) AS n, 'except_all' AS set_op
+        |FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+        |ORDER BY set_op, k""".stripMargin,
+    "q_full_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        | round(o_totalprice, 2) AS total_price
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0) c
+        |FULL OUTER JOIN (SELECT o_custkey, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_totalprice > 400000.0) o
+        | ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
     "q13_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (
         | SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count

@@ -97,6 +97,33 @@ object RelationalExt {
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
   }
 
+  /** Multiset (ALL) set operations: bag semantics preserve duplicate
+    * cardinalities, unlike the distinct-set INTERSECT/EXCEPT. */
+  def multisetOps(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.lineitem(spark, dir).select(col("l_suppkey").as("k"))
+    val b = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k"))
+    val inter = a.intersectAll(b).groupBy(col("k"))
+      .agg(count(lit(1)).as("n")).withColumn("set_op", lit("intersect_all"))
+    val exc = a.exceptAll(b).groupBy(col("k"))
+      .agg(count(lit(1)).as("n")).withColumn("set_op", lit("except_all"))
+    inter.unionByName(exc).orderBy(col("set_op"), col("k"))
+  }
+
+  /** Full outer join: preserved rows from both sides with null fill. */
+  def fullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val bigCust = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9000.0).select("c_custkey", "c_name")
+    val bigOrd = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    bigCust.join(bigOrd, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("total_price"))
+      .orderBy(col("c_custkey").asc_nulls_first,
+        col("o_orderkey").asc_nulls_first)
+  }
+
   /** TPC-H Q13 shape: order-count distribution over a left outer join
     * (customers with zero orders must appear in the 0 bucket). */
   def custDist(spark: SparkSession, dir: String): DataFrame = {
