@@ -42,6 +42,9 @@ object SparkEntry {
     "q_stats_agg" -> (RelationalExt.statsAgg _),
     "q13_custdist" -> (RelationalExt.custDist _),
     "q_multiset_ops" -> (RelationalExt.multisetOps _),
+    "q_window_battery" -> (RelationalExt.windowBattery _),
+    "q_unpivot" -> (RelationalExt.unpivot _),
+    "q_key_gaps" -> (RelationalExt.keyGaps _),
     "q_full_outer" -> (RelationalExt.fullOuter _),
     "q18_large_volume" -> (RelationalExt.largeVolume _),
     "q20_nested_exists" -> (RelationalExt.nestedExists _),
@@ -188,6 +191,32 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_window_battery" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pr,
+        | round(cume_dist() OVER w, 6) AS cd,
+        | first_value(o_orderkey) OVER wf AS cheapest_order,
+        | last_value(o_orderkey) OVER wf AS priciest_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+        | wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_unpivot" ->
+      """SELECT o_orderkey, 'totalprice' AS metric,
+        | round(o_totalprice, 2) AS value FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'custkey' AS metric,
+        | CAST(o_custkey AS DOUBLE) AS value FROM orders
+        |ORDER BY o_orderkey, metric""".stripMargin,
+    "q_key_gaps" ->
+      """WITH k AS (SELECT DISTINCT o_orderkey FROM orders),
+        |d AS (SELECT o_orderkey,
+        |  lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev FROM k)
+        |SELECT prev, o_orderkey AS next_key, o_orderkey - prev - 1 AS gap_size
+        |FROM d WHERE o_orderkey - prev > 1
+        |ORDER BY prev""".stripMargin,
     "q_multiset_ops" ->
       """WITH a AS (SELECT l_suppkey AS k FROM lineitem),
         |b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')

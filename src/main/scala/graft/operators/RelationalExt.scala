@@ -167,6 +167,47 @@ object RelationalExt {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Ranking-window battery: ntile, percent_rank, cume_dist,
+    * first/last_value (full-frame). Unique sort keys keep every peer
+    * group a singleton → deterministic across engines. */
+  def windowBattery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first(col("o_orderkey")).over(full).as("cheapest_order"),
+        last(col("o_orderkey")).over(full).as("priciest_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Unpivot (wide → long) via stack. */
+  def unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .selectExpr("o_orderkey",
+        "stack(2, 'totalprice', round(o_totalprice, 2), " +
+          "'custkey', CAST(o_custkey AS DOUBLE)) AS (metric, value)")
+      .orderBy(col("o_orderkey"), col("metric"))
+
+  /** Gap detection over a key sequence (islands-and-gaps). The global
+    * ordered window is fine at audit scale; a 100 TB run range-
+    * partitions the keys and stitches partition boundaries. */
+  def keyGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey")).distinct()
+      .withColumn("prev", lag(col("o_orderkey"), 1).over(w))
+      .filter(col("o_orderkey") - col("prev") > 1)
+      .select(col("prev"), col("o_orderkey").as("next_key"),
+        (col("o_orderkey") - col("prev") - 1).as("gap_size"))
+      .orderBy(col("prev"))
+  }
+
   /** Statistical aggregates: correlation, covariance, dispersion. */
   def statsAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
