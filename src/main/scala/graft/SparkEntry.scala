@@ -43,6 +43,7 @@ object SparkEntry {
     "q13_custdist" -> (RelationalExt.custDist _),
     "q_multiset_ops" -> (RelationalExt.multisetOps _),
     "q_window_battery" -> (RelationalExt.windowBattery _),
+    "q_null_safe" -> (RelationalExt.nullSafeJoin _),
     "q_unpivot" -> (RelationalExt.unpivot _),
     "q_key_gaps" -> (RelationalExt.keyGaps _),
     "q_full_outer" -> (RelationalExt.fullOuter _),
@@ -191,6 +192,18 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_null_safe" ->
+      """WITH fed AS (
+        | SELECT c_custkey, NULL AS c_mktsegment FROM customer WHERE c_nationkey <= 11
+        | UNION ALL
+        | SELECT c_custkey, c_mktsegment FROM customer WHERE c_nationkey > 11),
+        |segs AS (
+        | SELECT DISTINCT c_mktsegment AS seg FROM customer
+        | UNION ALL SELECT NULL AS seg)
+        |SELECT seg, count(*) AS n
+        |FROM fed JOIN segs ON fed.c_mktsegment IS NOT DISTINCT FROM segs.seg
+        |GROUP BY seg
+        |ORDER BY seg ASC NULLS FIRST""".stripMargin,
     "q_window_battery" ->
       """SELECT o_custkey, o_orderkey,
         | CAST(ntile(4) OVER w AS BIGINT) AS quartile,

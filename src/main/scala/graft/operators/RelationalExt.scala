@@ -167,6 +167,21 @@ object RelationalExt {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Null-safe equality (<=>): rows with null keys match each other,
+    * unlike ordinary equality where null = null is unknown. Exercised
+    * through the federated-union output, which manufactures nulls. */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fed = Clif.federatedUnion(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val segs = Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("seg")).distinct()
+      .unionByName(spark.range(1).select(lit(null).cast("string").as("seg")))
+    fed.join(segs, col("c_mktsegment") <=> col("seg"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("seg").asc_nulls_first)
+  }
+
   /** Ranking-window battery: ntile, percent_rank, cume_dist,
     * first/last_value (full-frame). Unique sort keys keep every peer
     * group a singleton → deterministic across engines. */

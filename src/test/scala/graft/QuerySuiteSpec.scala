@@ -52,6 +52,17 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(total == raw)
   }
 
+  test("approx percentile sketch tracks the exact percentile within 5%") {
+    import org.apache.spark.sql.functions._
+    val row = graft.sources.Tables.lineitem(spark, sf)
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("exact"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx"))
+      .head
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx=$approx vs exact=$exact")
+  }
+
   test("latest_status has exactly one row per user") {
     val df = SparkEntry.queries("q_latest_status")(spark, sf)
     assert(df.count() == df.select("user_id").distinct().count())
