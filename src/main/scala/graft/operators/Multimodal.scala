@@ -90,9 +90,13 @@ object Multimodal {
     import spark.implicits._
     import graft.functions.HashExpressions.dotProduct
     import org.apache.spark.sql.expressions.Window
+    // materialized once: the feature table feeds the stats pass plus
+    // every LSH table branch — without this the decode/featurize stage
+    // re-executes per branch
     val raw = ingest(spark, dir)
       .mapPartitions(StubFeaturizer.featurizeBatch _)
       .toDF()
+      .localCheckpoint()
     // Non-negative features cluster in one orthant, where hyperplanes
     // through the origin cannot split them (every vector lands in one
     // bucket = accidental all-pairs). Mean-center for BUCKETING only —
