@@ -83,6 +83,7 @@ object SparkEntry {
     // §2c similarity
     "q_embed_neardup" -> ((s: SparkSession, d: String) => Similarity.embedNeardup(s, d)),
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annBruteforce(s, d)),
+    "q_ann_kernel" -> ((s: SparkSession, d: String) => Similarity.annBruteforceKernel(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     // §2c text analysis
     "q_token_count" -> (TextAnalysis.tokenCount _),
@@ -543,6 +544,25 @@ object SparkEntry {
         |WHERE cos >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     "q_ann_bruteforce" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id,
+        |  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM v),
+        |half AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.vn, b.vn) AS cos
+        | FROM n a JOIN n b ON a.vec_id < b.vec_id),
+        |pairs AS (
+        | SELECT id_a, id_b, cos FROM half
+        | UNION ALL SELECT id_b AS id_a, id_a AS id_b, cos FROM half),
+        |ranked AS (
+        | SELECT id_a, id_b, cos, CAST(row_number() OVER (PARTITION BY id_a
+        |   ORDER BY cos DESC, id_b) AS BIGINT) AS rank
+        | FROM pairs)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY id_a, rank""".stripMargin,
+    "q_ann_kernel" ->
       """WITH v AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id,

@@ -56,6 +56,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ann.filter(abs(col("cosine")) > 1.0).count() == 0)
   }
 
+  test("blocked kernel matches the declarative brute-force bit for bit") {
+    val declarative = Similarity.annBruteforce(spark, sf, k = 3).collect()
+    val kernel = Similarity.annBruteforceKernel(spark, sf, k = 3).collect()
+    assert(kernel.length == declarative.length)
+    assert(kernel.sameElements(declarative),
+      "kernel and declarative paths must produce identical neighbors")
+  }
+
   test("LSH ANN is a valid approximation: subset semantics + recall report") {
     val exact = Similarity.annBruteforce(spark, sf, k = 3)
       .select(col("id_a"), col("id_b"))
