@@ -72,6 +72,36 @@ class ExpressionPropertySpec extends AnyFunSuite {
     assert(agree(1) <= 2, "disjoint sets must essentially never agree")
   }
 
+  test("minhash estimator accuracy: agreement tracks true jaccard ±0.25") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val universe = (0 until 60).map(i => f"w$i%02d")
+    // pairs with controlled overlap: share `o` of 30 tokens each
+    val pairs = Seq(5, 15, 25).map { o =>
+      val shared = rng.shuffle(universe).take(o)
+      val rest = universe.filterNot(shared.contains)
+      val aTok = shared ++ rest.take(30 - o)
+      val bTok = shared ++ rest.slice(30 - o, 60 - 2 * o)
+      (aTok.mkString(" "), bTok.mkString(" "))
+    }
+    val rows = pairs.toDF("a", "b")
+      .select(
+        minhashSignature(rollingShingles(col("a"), 5), 32).as("sa"),
+        minhashSignature(rollingShingles(col("b"), 5), 32).as("sb"),
+        rollingShingles(col("a"), 5).as("ra"),
+        rollingShingles(col("b"), 5).as("rb"))
+      .select(
+        expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / CAST(32.0 AS DOUBLE)").as("est"),
+        (size(array_intersect(col("ra"), col("rb"))).cast("double") /
+          size(array_union(col("ra"), col("rb")))).as("truth"))
+      .collect()
+    rows.foreach { r =>
+      val (est, truth) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(est - truth) <= 0.25,
+        f"minhash estimate $est%.2f too far from true jaccard $truth%.2f")
+    }
+  }
+
   test("cosine similarity bounds and symmetry on random vectors") {
     import spark.implicits._
     val vec = Gen.listOfN(8, Gen.chooseNum(-5.0, 5.0))
