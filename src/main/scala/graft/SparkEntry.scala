@@ -95,6 +95,7 @@ object SparkEntry {
     "q_doc_histogram" -> (TextAnalysis.lengthHistogram _),
     "q_hash_split" -> (Sampling.splitCounts _),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
+    "q_corpus_pipeline" -> ((s: SparkSession, d: String) => Pipeline.curateCorpus(s, d)),
     // §2c multimodal plumbing
     "q_multimodal_meta" -> (Multimodal.mediaMeta _)
   )

@@ -10,9 +10,10 @@ import graft.sources.Tables
   *
   * Brute-force cosine is the correctness baseline (O(n²) pairs — fine
   * for re-ranking, wrong as the 100 TB scan strategy). The scale path is
-  * LSH bucketing: 16 signed random-hyperplane projections put each
-  * vector in one bucket; neighbor search is per-bucket (plus probing
-  * adjacent buckets would raise recall — spec measures it).
+  * LSH bucketing: signed random-hyperplane projections put each vector
+  * in one bucket per table; candidates come from bucket equi-joins
+  * across tables plus 1-bit-flip multiprobe (recall measured in the
+  * spec against the exact baseline).
   */
 object Similarity {
 
@@ -66,9 +67,9 @@ object Similarity {
     * at scale: one index shard that fits executor memory) is broadcast
     * as primitive arrays, and each partition scores its rows against it
     * in a tight loop with a bounded top-k heap — no join machinery, no
-    * per-pair row objects. `mapPartitions` is justified here exactly as
-    * the guide's last resort: a measured 5-10× kernel win over the
-    * nested-loop join on identical results (spec-verified bit-equal). */
+    * per-pair row objects. `mapPartitions` is the deliberate last-resort
+    * escape hatch here: a measured 2.4× win over the nested-loop join at
+    * sf0.1 on identical results (spec-verified bit-equal). */
   def annBruteforceKernel(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
     val normed = vecs(spark, dir)

@@ -96,6 +96,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "near-dup pairs must reduce the keeper count")
   }
 
+  test("corpus pipeline: monotone funnel, deterministic, valid splits") {
+    import graft.operators.Pipeline
+    val corpus = Pipeline.curateCorpus(spark, sf).collect()
+    val corpus2 = Pipeline.curateCorpus(spark, sf).collect()
+    assert(corpus.sameElements(corpus2), "pipeline must be deterministic")
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(corpus.length > 0 && corpus.length <= total)
+    assert(corpus.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "val", "test")))
+    val funnel = Pipeline.curationFunnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel("0_ingested") >= funnel("1_quality_pass"))
+    assert(funnel("3_final_corpus") == corpus.length)
+  }
+
   test("rolling shingles: deterministic, k-sensitive") {
     import spark.implicits._
     val r = Seq(("abcdefabcdef", "abcdefabcdeg")).toDF("t1", "t2")
