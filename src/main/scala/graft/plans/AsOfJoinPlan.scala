@@ -27,7 +27,8 @@ import org.apache.spark.rdd.RDD
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
-    leftTime: Attribute, rightTime: Attribute) extends BinaryNode {
+    leftTime: Attribute, rightTime: Attribute,
+    toleranceUs: Long = -1L) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -37,9 +38,13 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 object AsOfJoin {
   /** DataFrame-level entry point. Right-side columns must not collide
     * with left-side names (alias beforehand, as with any join). */
+  /** `toleranceUs >= 0` additionally requires
+    * leftTime - rightTime <= tolerance (in the time column's native
+    * unit, µs for timestamps); stale matches become nulls. */
   def join(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      toleranceUs: Long = -1L): DataFrame = {
     val spark = leftDf.sparkSession
     // self-register for sessions built without GraftExtensions
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
@@ -52,7 +57,7 @@ object AsOfJoin {
         s"column $n not in ${p.output.map(_.name)}"))
     GraftColumnBridge.ofRows(spark,
       AsOfJoin(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTime), attr(rp, rightTime)))
+        attr(lp, leftTime), attr(rp, rightTime), toleranceUs))
   }
 }
 
@@ -61,14 +66,15 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoin =>
       AsOfJoinExec(planLater(j.left), planLater(j.right),
-        j.leftKey, j.rightKey, j.leftTime, j.rightTime) :: Nil
+        j.leftKey, j.rightKey, j.leftTime, j.rightTime, j.toleranceUs) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
-    leftTime: Attribute, rightTime: Attribute) extends BinaryExecNode {
+    leftTime: Attribute, rightTime: Attribute,
+    toleranceUs: Long = -1L) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -108,6 +114,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
       var lastMatch: InternalRow = null // copied; key == lastMatchKey
       var lastMatchKey: Any = null
+      var lastMatchTime: Any = null
       lIter.map { l =>
         val lk = l.get(lKeyIdx, lKeyType)
         val lt = l.get(lTimeIdx, lTimeType)
@@ -122,10 +129,18 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             timeOrd.compare(rHead.get(rTimeIdx, rTimeType), lt) <= 0) {
           lastMatch = rHead.copy()
           lastMatchKey = lk
+          lastMatchTime = rHead.get(rTimeIdx, rTimeType)
           rHead = if (rIter.hasNext) rIter.next() else null
         }
-        val matched = lastMatch != null && lastMatchKey != null &&
+        var matched = lastMatch != null && lastMatchKey != null &&
           keyOrd.compare(lastMatchKey, lk) == 0
+        if (matched && toleranceUs >= 0L) {
+          // timestamps surface as Long µs; bounded as-of drops stale rows
+          matched = (lt, lastMatchTime) match {
+            case (a: java.lang.Long, b: java.lang.Long) => a - b <= toleranceUs
+            case _ => true
+          }
+        }
         outProj(joined(l, if (matched) lastMatch else nullRight))
       }
     }

@@ -40,6 +40,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(unmatchedInconsistent == 0)
   }
 
+  test("tolerance bound nulls out stale matches, keeps fresh ones") {
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("last_view_id"),
+        col("ts").as("last_view_ts"))
+    val tolUs = 10L * 60 * 1000000 // 10 minutes
+    val bounded = AsOfJoin.join(purchases, views,
+        "user_id", "v_user", "ts", "last_view_ts", toleranceUs = tolUs)
+      .select(col("event_id"), col("last_view_id"), col("last_view_ts"),
+        col("ts"))
+    // expected: unbounded result with stale matches nulled
+    val expected = native()
+      .select(col("event_id"),
+        when(unix_micros(col("ts")) - unix_micros(col("last_view_ts")) <= tolUs,
+          col("last_view_id")).as("last_view_id"),
+        when(unix_micros(col("ts")) - unix_micros(col("last_view_ts")) <= tolUs,
+          col("last_view_ts")).as("last_view_ts"),
+        col("ts"))
+    assert(bounded.count() == expected.count())
+    assert(bounded.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(bounded).count() == 0)
+    // and the bound actually bites: some matches must differ from unbounded
+    val nulled = bounded.filter(col("last_view_id").isNull).count()
+    val unboundedNulled = native().filter(col("last_view_id").isNull).count()
+    assert(nulled > unboundedNulled, "tolerance should null out stale matches")
+  }
+
   test("unknown join column fails fast with the offending name") {
     val ev = Tables.events(spark, sf).limit(1)
     val e = intercept[IllegalArgumentException] {
