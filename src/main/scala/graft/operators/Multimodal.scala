@@ -57,6 +57,72 @@ object Multimodal {
   }
 
   case class MediaFeature(doc_id: Long, feature: Array[Double])
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+      pixels: Array[Double])
+  case class MediaFrame(doc_id: Long, frame_no: Long, offset: Long,
+      frame_md5: String)
+
+  /** STUB resize (stands in for an image resampler): the payload is
+    * box-filtered onto a fixed `side`×`side` grid of byte means — the
+    * batch shape (fixed output dims regardless of input size) that a
+    * real resize kernel has. */
+  object StubResizer {
+    def resizeBatch(side: Int)(rows: Iterator[MediaRow]): Iterator[ResizedMedia] =
+      rows.map { r =>
+        val out = new Array[Double](side * side)
+        val n = r.media.length
+        if (n > 0) {
+          val cell = math.max(1, n / (side * side))
+          var i = 0
+          while (i < n) {
+            out(math.min(i / cell, side * side - 1)) += (r.media(i) & 0xff) / 255.0
+            i += 1
+          }
+          var j = 0
+          while (j < out.length) { out(j) /= cell; j += 1 }
+        }
+        ResizedMedia(r.doc_id, side, side, out)
+      }
+  }
+
+  /** STUB frame sampler (stands in for video keyframe extraction): one
+    * frame every `stride` bytes, identified by offset + content digest —
+    * the fan-out shape (one row per frame, bounded per doc) of a real
+    * sampler. */
+  object StubFrameSampler {
+    def sampleBatch(stride: Int, maxFrames: Int)(
+        rows: Iterator[MediaRow]): Iterator[MediaFrame] = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val n = r.media.length
+        val count = math.min(maxFrames, math.max(1, n / stride))
+        (0 until count).map { f =>
+          val off = f * stride
+          val end = math.min(n, off + stride)
+          digest.reset()
+          digest.update(r.media, off, end - off)
+          MediaFrame(r.doc_id, f.toLong, off.toLong,
+            digest.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
+  /** Resize stage over the corpus: fixed-grid pixel summaries. */
+  def resized(spark: SparkSession, dir: String, side: Int = 8): DataFrame = {
+    import spark.implicits._
+    ingest(spark, dir).mapPartitions(StubResizer.resizeBatch(side) _).toDF()
+  }
+
+  /** Frame-sampling stage: bounded per-doc frame fan-out. */
+  def frames(spark: SparkSession, dir: String, stride: Int = 64,
+      maxFrames: Int = 8): DataFrame = {
+    import spark.implicits._
+    ingest(spark, dir)
+      .mapPartitions(StubFrameSampler.sampleBatch(stride, maxFrames) _)
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
 
   /** STUB feature extractor (stands in for an image/audio embedding
     * model): 16 deterministic chunk statistics per payload. Same

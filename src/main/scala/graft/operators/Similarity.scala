@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.HashExpressions._
@@ -116,6 +116,51 @@ object Similarity {
     }.toDF("id_a", "id_b", "cos", "rank")
     out.select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"),
         col("rank"))
+      .orderBy(col("id_a"), col("rank"))
+  }
+
+  /** IVF (inverted-file) ANN: vectors are assigned to their nearest
+    * centroid's posting list; a query probes only the `nProbe` nearest
+    * lists. Centroids here are a deterministic sample of the corpus
+    * (every step-th id, normalized) — a k-means refinement would slot in
+    * without changing the plan shape. Index side = equi-join on
+    * centroid id; probe side explodes to nProbe rows. At scale the
+    * centroid table is broadcast once and posting lists are the
+    * partitioning scheme of the stored index. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 3,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val normed = vecs(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+          .as("vn"))
+    // deterministic centroid sample: the nCentroids smallest vec_ids
+    val centroids = normed.orderBy(col("vec_id")).limit(nCentroids)
+      .as[(Long, Array[Double])].collect().map(_._2)
+    def dots: Column = array(centroids.toIndexedSeq.map(c =>
+      dotProduct(col("vn"), typedlit(c.toSeq))): _*)
+    // index side: each vector in exactly one posting list (argmax dot)
+    val indexed = normed.withColumn("dots", dots)
+      .withColumn("bucket",
+        expr("array_position(dots, array_max(dots))").cast("long"))
+      .select(col("vec_id").as("id_b"), col("vn").as("vb"), col("bucket"))
+    // probe side: nProbe nearest centroids per query vector
+    val probed = normed.withColumn("dots", dots)
+      .withColumn("bucket", explode(expr(
+        s"""transform(
+           |  slice(array_sort(zip_with(dots, sequence(1, ${centroids.length}),
+           |    (d, i) -> struct(-d AS nd, i AS idx))), 1, $nProbe),
+           |  s -> CAST(s.idx AS BIGINT))""".stripMargin)))
+      .select(col("vec_id").as("id_a"), col("vn").as("va"), col("bucket"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    probed.join(indexed, Seq("bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), dotProduct(col("va"), col("vb")).as("c"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("c")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"), col("rank"))
       .orderBy(col("id_a"), col("rank"))
   }
 

@@ -64,6 +64,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "kernel and declarative paths must produce identical neighbors")
   }
 
+  test("IVF ANN recall beats random bucketing; structure is valid") {
+    val exact = Similarity.annBruteforce(spark, sf, k = 3)
+      .select(col("id_a"), col("id_b"))
+    val ivf = Similarity.annIvf(spark, sf, k = 3)
+    assert(ivf.count() > 0)
+    assert(ivf.filter(col("id_a") === col("id_b")).count() == 0)
+    val hit = ivf.select(col("id_a"), col("id_b"))
+      .join(exact, Seq("id_a", "id_b"), "left_semi").count()
+    val recall = hit.toDouble / exact.count()
+    info(f"IVF recall@3 = $recall%.3f")
+    assert(recall >= 0.3, f"IVF recall too low: $recall%.3f")
+  }
+
   test("LSH ANN is a valid approximation: subset semantics + recall report") {
     val exact = Similarity.annBruteforce(spark, sf, k = 3)
       .select(col("id_a"), col("id_b"))

@@ -27,6 +27,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaSql.exceptAll(viaStub).count() == 0)
   }
 
+  test("resize stage yields fixed-shape grids regardless of payload size") {
+    val r = Multimodal.resized(spark, sf, side = 8)
+    assert(r.count() == graft.sources.Tables.documents(spark, sf).count())
+    val shapes = r.select(col("width"), col("height"),
+      size(col("pixels")).as("n")).distinct().collect()
+    assert(shapes.length == 1)
+    assert(shapes.head.getInt(0) == 8 && shapes.head.getInt(2) == 64)
+  }
+
+  test("frame sampling is bounded and offsets are stride-aligned") {
+    val f = Multimodal.frames(spark, sf, stride = 64, maxFrames = 8)
+    assert(f.count() > 0)
+    assert(f.groupBy("doc_id").count()
+      .filter(col("count") > 8).count() == 0, "frame fan-out must be bounded")
+    assert(f.filter(col("offset") % 64 =!= 0).count() == 0)
+    assert(f.filter(length(col("frame_md5")) =!= 32).count() == 0)
+  }
+
   test("media features feed the ANN path end-to-end") {
     val nn = Multimodal.mediaNeighbors(spark, sf, k = 2)
     val nDocs = graft.sources.Tables.documents(spark, sf).count()
