@@ -139,13 +139,16 @@ object Similarity {
       .as[(Long, Array[Double])].collect().map(_._2)
     def dots: Column = array(centroids.toIndexedSeq.map(c =>
       dotProduct(col("vn"), typedlit(c.toSeq))): _*)
+    // centroid distances evaluated ONCE; both the posting-list side and
+    // the probe side derive from this materialized assignment
+    val assigned = normed.withColumn("dots", dots).localCheckpoint()
     // index side: each vector in exactly one posting list (argmax dot)
-    val indexed = normed.withColumn("dots", dots)
+    val indexed = assigned
       .withColumn("bucket",
         expr("array_position(dots, array_max(dots))").cast("long"))
       .select(col("vec_id").as("id_b"), col("vn").as("vb"), col("bucket"))
     // probe side: nProbe nearest centroids per query vector
-    val probed = normed.withColumn("dots", dots)
+    val probed = assigned
       .withColumn("bucket", explode(expr(
         s"""transform(
            |  slice(array_sort(zip_with(dots, sequence(1, ${centroids.length}),
