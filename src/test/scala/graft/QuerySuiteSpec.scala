@@ -41,6 +41,23 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("no silent duplicate keys in the queries/oracle source maps") {
+    // a duplicated literal key collapses silently in a Map — compare the
+    // source text's key counts against the runtime Map sizes
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")))
+    val qBlock = src.substring(src.indexOf("def queries"), src.indexOf("def oracleSql"))
+    val oBlock = src.substring(src.indexOf("def oracleSql"))
+    val keyRe = "\"(q[a-z0-9_]+)\" ->".r
+    val qKeys = keyRe.findAllMatchIn(qBlock).map(_.group(1)).toSeq
+    val oKeys = keyRe.findAllMatchIn(oBlock).map(_.group(1)).toSeq
+    def dups(ks: Seq[String]) = ks.groupBy(identity).filter(_._2.size > 1).keys
+    assert(qKeys.distinct.size == qKeys.size, s"duplicate query keys: ${dups(qKeys)}")
+    assert(oKeys.distinct.size == oKeys.size, s"duplicate oracle keys: ${dups(oKeys)}")
+    assert(SparkEntry.queries.size == qKeys.size)
+    assert(SparkEntry.oracleSql.size == oKeys.size)
+  }
+
   test("q1 aggregates are consistent with a direct recount") {
     val df = SparkEntry.queries("q1_pricing_agg")(spark, sf)
     val total = df.agg(org.apache.spark.sql.functions.sum("count_order"))

@@ -10,7 +10,8 @@ class ScaleStrategySpec extends AnyFunSuite {
 
   private val joinQueries = Seq("q1_pricing_agg", "q3_join_agg",
     "q5_multijoin", "q_status_pivot", "q_semi_join", "q_anti_join",
-    "q_asof_join", "q13_custdist", "q18_large_volume", "q20_nested_exists")
+    "q_asof_join", "q_asof_join_native", "q13_custdist",
+    "q18_large_volume", "q20_nested_exists", "q_full_outer")
 
   test("all join queries match under forced sort-merge strategy") {
     val defaults = joinQueries.map(q =>
