@@ -56,7 +56,7 @@ class ExtensionsIOSpec extends AnyFunSuite {
   test("round-trip csv/json/parquet preserves values with explicit schema") {
     val dir = Files.createTempDirectory("graft-io").toString
     val src = Tables.nation(spark, sf)
-    for (fmt <- Seq("parquet", "csv", "json")) {
+    for (fmt <- Seq("parquet", "orc", "csv", "json")) {
       val opts = if (fmt == "csv") Map("header" -> "true") else Map.empty[String, String]
       FormatIO.write(src, fmt, s"$dir/$fmt", mode = SaveMode.Overwrite, options = opts)
       val back = FormatIO.read(spark, fmt, s"$dir/$fmt",
@@ -64,6 +64,23 @@ class ExtensionsIOSpec extends AnyFunSuite {
       assert(back.count() == src.count(), s"$fmt row count")
       assert(back.exceptAll(src).count() == 0, s"$fmt contents")
     }
+  }
+
+  test("malformed csv rows drop under DROPMALFORMED, fail under FAILFAST") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-bad").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/rows.csv"),
+      "1,alpha\n2,beta\nnot_a_number,gamma\n3,delta\n")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val dropped = FormatIO.read(spark, "csv", s"$dir/rows.csv",
+      schema = Some(schema), options = Map("mode" -> "DROPMALFORMED"))
+    // collect, not count: CSV count() skips parsing entirely, so
+    // malformed rows are only dropped when columns are materialized
+    assert(dropped.collect().length == 3, "malformed row must be dropped")
+    val strict = FormatIO.read(spark, "csv", s"$dir/rows.csv",
+      schema = Some(schema), options = Map("mode" -> "FAILFAST"))
+    intercept[org.apache.spark.SparkException] { strict.collect() }
   }
 
   test("partitioned write prunes partitions at read") {
