@@ -137,6 +137,11 @@ object Similarity {
     // deterministic centroid sample: the nCentroids smallest vec_ids
     val centroids = normed.orderBy(col("vec_id")).limit(nCentroids)
       .as[(Long, Array[Double])].collect().map(_._2)
+    if (centroids.isEmpty) {
+      // empty corpus → empty result with the operator's schema
+      return normed.select(col("vec_id").as("id_a"), col("vec_id").as("id_b"),
+        lit(0.0).as("cosine"), lit(0L).as("rank")).limit(0)
+    }
     def dots: Column = array(centroids.toIndexedSeq.map(c =>
       dotProduct(col("vn"), typedlit(c.toSeq))): _*)
     // centroid distances evaluated ONCE; both the posting-list side and
