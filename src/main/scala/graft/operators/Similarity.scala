@@ -128,15 +128,37 @@ object Similarity {
     * centroid table is broadcast once and posting lists are the
     * partitioning scheme of the stored index. */
   def annIvf(spark: SparkSession, dir: String, k: Int = 3,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 1): DataFrame = {
     import spark.implicits._
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
         expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
           .as("vn"))
-    // deterministic centroid sample: the nCentroids smallest vec_ids
-    val centroids = normed.orderBy(col("vec_id")).limit(nCentroids)
+    // deterministic seed centroids (smallest vec_ids), then Lloyd
+    // refinement: assign → per-bucket mean → renormalize. Each round is
+    // one distributed aggregation; only K×dim doubles reach the driver.
+    var centroids = normed.orderBy(col("vec_id")).limit(nCentroids)
       .as[(Long, Array[Double])].collect().map(_._2)
+    for (_ <- 0 until kmeansIters if centroids.nonEmpty) {
+      val dotsIter = array(centroids.toIndexedSeq.map(c =>
+        dotProduct(col("vn"), typedlit(c.toSeq))): _*)
+      val means = normed.withColumn("dots", dotsIter)
+        .withColumn("bucket", expr("array_position(dots, array_max(dots))"))
+        .select(col("bucket"), posexplode(col("vn")).as(Seq("pos", "x")))
+        .groupBy(col("bucket"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("bucket"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("c"))
+        .as[(Long, Array[Double])].collect().toMap
+      centroids = centroids.indices.map { i =>
+        means.get(i + 1L) match { // array_position is 1-based
+          case Some(m) =>
+            val norm = math.sqrt(m.map(x => x * x).sum)
+            if (norm == 0.0) centroids(i) else m.map(_ / norm)
+          case None => centroids(i) // empty bucket keeps its centroid
+        }
+      }.toArray
+    }
     if (centroids.isEmpty) {
       // empty corpus → empty result with the operator's schema
       return normed.select(col("vec_id").as("id_a"), col("vec_id").as("id_b"),
