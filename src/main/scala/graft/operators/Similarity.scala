@@ -137,6 +137,10 @@ object Similarity {
     // deterministic seed centroids (smallest vec_ids), then Lloyd
     // refinement: assign → per-bucket mean → renormalize. Each round is
     // one distributed aggregation; only K×dim doubles reach the driver.
+    // avg() partial-sum order varies with partitioning, so centroids
+    // carry ~1e-16 noise across runs — assignment flips only when a
+    // vector's top-two centroid margins are inside that epsilon
+    // (audited bit-stable across thread counts at test SFs).
     var centroids = normed.orderBy(col("vec_id")).limit(nCentroids)
       .as[(Long, Array[Double])].collect().map(_._2)
     for (_ <- 0 until kmeansIters if centroids.nonEmpty) {
