@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import java.sql.Timestamp
 
 /** Structured Streaming topologies (SURVEY §2d) — the streaming twins of
@@ -91,6 +91,41 @@ object Streams {
           state.update(merged)
           merged
       }
+  }
+
+  /** The same last-write-wins state on the Spark 4 arbitrary-state API
+    * (`transformWithState` + StatefulProcessor + ValueState, RocksDB
+    * state store): typed named state, TTL support, timers — the
+    * forward-looking replacement for mapGroupsWithState. */
+  class LatestStatusProcessor extends StatefulProcessor[Long, Event, UserStatus] {
+    @transient private var state: ValueState[UserStatus] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserStatus]("latest",
+        Encoders.product[UserStatus], TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserStatus] = {
+      val latestInBatch = rows.reduceOption { (a, b) =>
+        if (b.ts.after(a.ts) || (b.ts.equals(a.ts) && b.event_id > a.event_id)) b else a
+      }
+      val prior = if (state.exists) Some(state.get()) else None
+      val merged = (prior, latestInBatch) match {
+        case (Some(s), Some(e)) if e.ts.after(s.last_ts) ||
+          (e.ts.equals(s.last_ts) && e.event_id > s.last_event_id) =>
+          UserStatus(userId, e.event_id, e.event_type, e.ts)
+        case (Some(s), _) => s
+        case (None, Some(e)) => UserStatus(userId, e.event_id, e.event_type, e.ts)
+        case (None, None) => UserStatus(userId, -1L, "none", new Timestamp(0L))
+      }
+      state.update(merged)
+      Iterator.single(merged)
+    }
+  }
+
+  def latestStatusTws(spark: SparkSession, events: Dataset[Event]): Dataset[UserStatus] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new LatestStatusProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Stateful gap sessionization: a session closes after 30 minutes of

@@ -172,6 +172,35 @@ class StreamingSpec extends AnyFunSuite {
       Set("win_start", "win_end", "event_type", "n", "total_value"))
   }
 
+  test("transformWithState latest-status matches mapGroupsWithState semantics") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = Streams.latestStatusTws(sp, input.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      input.addData(
+        Event(1, ts(1), 10, "signup", 0.0),
+        Event(2, ts(5), 10, "purchase", 9.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(3), 10, "click", 1.0)) // older: must not win
+      q.processAllAvailable()
+      val last = sp.sql(
+        "SELECT last_status FROM tws_out ORDER BY last_ts DESC LIMIT 1")
+        .head.getString(0)
+      q.stop()
+      assert(last == "purchase")
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stateful sessionization closes sessions after the gap timeout") {
     val sp = spark
     import sp.implicits._
