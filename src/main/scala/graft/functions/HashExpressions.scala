@@ -11,7 +11,10 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native Catalyst expressions for the dedup/similarity operators
   * (SURVEY §2e). These run inside Tungsten rows — no Scala-UDF
   * serialization boundary — and the scalar ones participate in
-  * whole-stage codegen.
+  * whole-stage codegen. The computational kernels live as static
+  * methods on [[ExprRuntime]], shared verbatim by interpreted
+  * `nullSafeEval` and generated (Janino) code — no per-row Expression
+  * allocation on either path.
   */
 object HashExpressions {
 
@@ -43,36 +46,8 @@ object HashExpressions {
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    val tally = new Array[Int](64)
-    var start = 0
-    var i = 0
-    val n = bytes.length
-    while (i <= n) {
-      val isSpace = i == n || bytes(i) == ' ' || bytes(i) == '\n' ||
-        bytes(i) == '\t' || bytes(i) == '\r'
-      if (isSpace) {
-        if (i > start) {
-          val h = HashExpressions.fnv1a64(bytes, start, i)
-          var j = 0
-          while (j < 64) {
-            if (((h >>> j) & 1L) == 1L) tally(j) += 1 else tally(j) -= 1
-            j += 1
-          }
-        }
-        start = i + 1
-      }
-      i += 1
-    }
-    var fp = 0L
-    var j = 0
-    while (j < 64) {
-      if (tally(j) > 0) fp |= (1L << j)
-      j += 1
-    }
-    java.lang.Long.valueOf(fp)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(ExprRuntime.simhash64(input.asInstanceOf[UTF8String]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.ExprRuntime.simhash64($c)")
@@ -103,30 +78,9 @@ case class RollingShingles(child: Expression, kExpr: Expression)
   override def left: Expression = child
   override def right: Expression = kExpr
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any, kAny: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    val k = kAny.asInstanceOf[Int]
-    val n = bytes.length
-    if (n < k) return new GenericArrayData(Array.empty[Long])
-    val B = 1000000007L
-    var pow = 1L // B^(k-1)
-    var i = 1
-    while (i < k) { pow *= B; i += 1 }
-    val out = new java.util.TreeSet[java.lang.Long]()
-    var h = 0L
-    i = 0
-    while (i < n) {
-      h = h * B + (bytes(i) & 0xffL)
-      if (i >= k) h -= pow * B * (bytes(i - k) & 0xffL)
-      if (i >= k - 1) out.add(h)
-      i += 1
-    }
-    val arr = new Array[Long](out.size)
-    val it = out.iterator()
-    var j = 0
-    while (it.hasNext) { arr(j) = it.next(); j += 1 }
-    new GenericArrayData(arr)
-  }
+  override def nullSafeEval(input: Any, kAny: Any): Any =
+    ExprRuntime.rollingShingles(input.asInstanceOf[UTF8String],
+      kAny.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (c, k) => s"graft.functions.ExprRuntime.rollingShingles($c, $k)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): RollingShingles =
@@ -140,20 +94,9 @@ case class RollingShingles(child: Expression, kExpr: Expression)
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var nx = 0.0; var ny = 0.0
-    var i = 0
-    while (i < n) {
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
-      dot += xi * yi; nx += xi * xi; ny += yi * yi
-      i += 1
-    }
-    if (nx == 0.0 || ny == 0.0) 0.0
-    else dot / (math.sqrt(nx) * math.sqrt(ny))
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(ExprRuntime.cosineSimilarity(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprRuntime.cosineSimilarity($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
@@ -166,15 +109,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0
-    var i = 0
-    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
-    java.lang.Double.valueOf(dot)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(ExprRuntime.dotProduct(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprRuntime.dotProduct($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
@@ -193,29 +130,9 @@ case class MinHashSignature(child: Expression, kExpr: Expression)
   override def left: Expression = child
   override def right: Expression = kExpr
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def nullSafeEval(input: Any, kAny: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val k = kAny.asInstanceOf[Int]
-    val n = arr.numElements()
-    val mins = Array.fill[Long](k)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val s = arr.getLong(i)
-      var j = 0
-      while (j < k) {
-        // splitmix64 finalizer over (shingle ^ per-permutation seed)
-        var h = s ^ (0x9e3779b97f4a7c15L * (j + 1))
-        h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
-        h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
-        h = h ^ (h >>> 31)
-        if (h < mins(j)) mins(j) = h
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
-  }
+  override def nullSafeEval(input: Any, kAny: Any): Any =
+    ExprRuntime.minhashSignature(input.asInstanceOf[ArrayData],
+      kAny.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (c, k) => s"graft.functions.ExprRuntime.minhashSignature($c, $k)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSignature =
@@ -256,20 +173,110 @@ object ZOrder2 {
   def morton(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
 }
 
-/** Static runtime entry points referenced from generated (Janino) code.
-  * A separate object: companion-object forwarders would collide with the
-  * case classes' inherited `eval(InternalRow)` and never get a static
+/** Static computational kernels, the single source of truth for both
+  * evaluation paths: the case classes' `nullSafeEval` delegates here and
+  * generated (Janino) code calls the same static forwarders — hot loops
+  * allocate nothing per row on either path. A separate object (not
+  * companions): companion-object forwarders would collide with the case
+  * classes' inherited `eval(InternalRow)` and never get a static
   * forwarder, breaking whole-stage codegen compilation.
   */
 object ExprRuntime {
-  def simhash64(s: UTF8String): Long =
-    SimHash64(null).nullSafeEval(s).asInstanceOf[Long]
-  def rollingShingles(s: UTF8String, k: Int): ArrayData =
-    RollingShingles(null, null).nullSafeEval(s, k).asInstanceOf[ArrayData]
-  def cosineSimilarity(a: ArrayData, b: ArrayData): Double =
-    CosineSimilarity(null, null).nullSafeEval(a, b).asInstanceOf[Double]
-  def dotProduct(a: ArrayData, b: ArrayData): Double =
-    DotProduct(null, null).nullSafeEval(a, b).asInstanceOf[Double]
-  def minhashSignature(a: ArrayData, k: Int): ArrayData =
-    MinHashSignature(null, null).nullSafeEval(a, k).asInstanceOf[ArrayData]
+
+  def simhash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val tally = new Array[Int](64)
+    var start = 0
+    var i = 0
+    val n = bytes.length
+    while (i <= n) {
+      val isSpace = i == n || bytes(i) == ' ' || bytes(i) == '\n' ||
+        bytes(i) == '\t' || bytes(i) == '\r'
+      if (isSpace) {
+        if (i > start) {
+          val h = HashExpressions.fnv1a64(bytes, start, i)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) tally(j) += 1 else tally(j) -= 1
+            j += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (tally(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  def rollingShingles(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val B = 1000000007L
+    var pow = 1L // B^(k-1)
+    var i = 1
+    while (i < k) { pow *= B; i += 1 }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var h = 0L
+    i = 0
+    while (i < n) {
+      h = h * B + (bytes(i) & 0xffL)
+      if (i >= k) h -= pow * B * (bytes(i - k) & 0xffL)
+      if (i >= k - 1) out.add(h)
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  def cosineSimilarity(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = a.getDouble(i); val yi = b.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  def dotProduct(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    dot
+  }
+
+  def minhashSignature(a: ArrayData, k: Int): ArrayData = {
+    val n = a.numElements()
+    val mins = Array.fill[Long](k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = a.getLong(i)
+      var j = 0
+      while (j < k) {
+        // splitmix64 finalizer over (shingle ^ per-permutation seed)
+        var h = s ^ (0x9e3779b97f4a7c15L * (j + 1))
+        h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+        h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+        h = h ^ (h >>> 31)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
 }

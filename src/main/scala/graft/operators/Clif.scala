@@ -32,12 +32,15 @@ object Clif {
 
   /** Status pivot matrix (state.py:145-179): site × status counts.
     * Nations play the sites, order status plays the run status. Explicit
-    * pivot values keep the plan static (no driver-side distinct scan). */
+    * pivot values keep the plan static (no driver-side distinct scan).
+    * Only nation (a true fixed-cardinality dim) carries a broadcast hint;
+    * customer scales with the data, so AQE owns that join strategy —
+    * broadcast at small SF, shuffle at 100 TB. */
   def statusPivot(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir).select("o_custkey", "o_orderstatus")
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
-    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
@@ -114,12 +117,13 @@ object Clif {
   }
 
   /** Dashboard completion-rate aggregation (workflow.md:66-77): share of
-    * each status per site. */
+    * each status per site. Customer is scale-variable — no broadcast
+    * hint; AQE picks broadcast vs shuffle from runtime stats. */
   def completionRate(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir).select("o_custkey", "o_orderstatus")
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
-    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_orders"),

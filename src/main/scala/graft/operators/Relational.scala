@@ -30,7 +30,11 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  /** TPC-H Q3-shaped: customer ⋈ orders ⋈ lineitem, filter, agg, top-N. */
+  /** TPC-H Q3-shaped: customer ⋈ orders ⋈ lineitem, filter, agg, top-N.
+    * Customer scales with SF, so it carries no broadcast hint: AQE
+    * broadcasts the filtered side while it fits and degrades to a
+    * shuffle join gracefully at 100× — an explicit hint would override
+    * both the threshold and AQE and OOM the executors instead. */
   def joinAgg(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
@@ -41,14 +45,17 @@ object Relational {
       .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
-  /** TPC-H Q5-shaped star join: all dims broadcast, one fact shuffle. */
+  /** TPC-H Q5-shaped star join. Broadcast hints only on the
+    * fixed-cardinality dims (nation: 25 rows, region: 5 rows, forever);
+    * customer and supplier grow with SF, so AQE chooses their join
+    * strategy — broadcast while small, shuffle hash/sort-merge at scale. */
   def multiJoin(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     val nation = Tables.nation(spark, dir)
@@ -57,9 +64,9 @@ object Relational {
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
       .join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
+      .join(cust, ord("o_custkey") === cust("c_custkey") &&
         sup("s_nationkey") === cust("c_nationkey"))
       .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))

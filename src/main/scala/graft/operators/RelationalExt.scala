@@ -153,14 +153,16 @@ object RelationalExt {
       .orderBy(col("o_orderkey"))
   }
 
-  /** TPC-H Q20 shape: nested EXISTS chain as cascaded semi joins. */
+  /** TPC-H Q20 shape: nested EXISTS chain as cascaded semi joins. The
+    * filtered part set scales with SF, so no broadcast hint — AQE
+    * broadcasts the semi-join side while it fits and shuffles beyond. */
   def nestedExists(spark: SparkSession, dir: String): DataFrame = {
     val parts = Tables.part(spark, dir)
       .filter(col("p_name").contains("a")).select("p_partkey")
     val li96 = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
       .select("l_suppkey", "l_partkey")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
     Tables.supplier(spark, dir)
       .join(li96, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_suppkey"), col("s_name"))

@@ -51,6 +51,12 @@ object GraftFunctionRegistry {
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
     ("dot_product", info("dot_product",
       "dot_product(a, b) - dot product over double arrays"),
-      (es: Seq[Expression]) => DotProduct(es(0), es(1)))
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("minhash_signature", info("minhash_signature",
+      "minhash_signature(shingles, k) - k-permutation MinHash signature"),
+      (es: Seq[Expression]) => MinHashSignature(es(0), es(1))),
+    ("zorder2", info("zorder2",
+      "zorder2(a, b) - 2-D Z-order (Morton) interleave of two longs"),
+      (es: Seq[Expression]) => ZOrder2(es(0), es(1)))
   )
 }

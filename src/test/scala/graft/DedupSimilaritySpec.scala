@@ -62,6 +62,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kernel.length == declarative.length)
     assert(kernel.sameElements(declarative),
       "kernel and declarative paths must produce identical neighbors")
+    // sharded path: force several bounded index shards (the 100 TB shape
+    // — no single collect may exceed maxShardRows) and require the same
+    // bit-exact result after the per-shard top-k union + global re-rank
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    val shardRows = math.max(1L, n / 3).toInt // ≥3 shards
+    val sharded = Similarity.annBruteforceKernel(spark, sf, k = 3,
+      maxShardRows = shardRows).collect()
+    assert(sharded.sameElements(declarative),
+      "sharded kernel must stay bit-equal to the declarative baseline")
   }
 
   test("IVF ANN recall beats random bucketing; structure is valid") {

@@ -28,6 +28,25 @@ class ExtensionsIOSpec extends AnyFunSuite {
     assert(row.getAs[Int]("n_shingles") > 0)
   }
 
+  test("minhash_signature and zorder2 are callable from SQL") {
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_mh")
+    val row = spark.sql(
+      """SELECT size(minhash_signature(rolling_shingles(text, 5), 16)) AS sig_len,
+        |  zorder2(2L, 3L) AS z
+        |FROM docs_mh LIMIT 1""".stripMargin).head
+    assert(row.getAs[Int]("sig_len") == 16)
+    // bits of 2 (0b10) land on even positions, bits of 3 (0b11) on odd:
+    // interleave(a=2,b=3) = 0b1110 = 14
+    assert(row.getAs[Long]("z") == graft.functions.ZOrder2.morton(2L, 3L))
+    // SQL path agrees with the DataFrame-API path on real data
+    val sqlFp = spark.sql(
+      "SELECT doc_id, minhash_signature(rolling_shingles(text, 5), 8) AS sig FROM docs_mh")
+    val dfFp = Tables.documents(spark, sf).select(col("doc_id"),
+      graft.functions.HashExpressions.minhashSignature(
+        graft.functions.HashExpressions.rollingShingles(col("text"), 5), 8).as("sig"))
+    assert(sqlFp.exceptAll(dfFp).count() == 0)
+  }
+
   test("cosine_similarity in SQL matches self-similarity = 1") {
     spark.read.parquet(s"$sf/embeddings.parquet")
       .createOrReplaceTempView("emb")

@@ -28,12 +28,41 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
-  test("star joins broadcast their dimension sides") {
+  test("star joins broadcast their dimension sides at small SF") {
     for (q <- Seq("q5_multijoin", "q_status_pivot", "q_completion_rate")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), s"$q lost its broadcast join")
       assert(!plan.contains("SortMergeJoin"), s"$q degraded to SMJ at test SF")
     }
+  }
+
+  /** Only true fixed-cardinality dims (nation, region) may carry an
+    * explicit broadcast hint: with the auto-threshold disabled, those
+    * stay broadcast while every scale-variable join (customer, supplier,
+    * orders, lineitem) must fall back to a shuffle join. A lingering
+    * hint on customer/supplier would keep them broadcast here and OOM a
+    * real cluster at 100× — that is exactly what this test catches. */
+  test("broadcast hints are confined to fixed-cardinality dims") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- Seq("q3_join_agg", "q5_multijoin", "q_status_pivot",
+        "q_completion_rate")) {
+        val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+        val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+        val hintedDims = q match {
+          case "q5_multijoin" => 2 // nation + region
+          case "q3_join_agg" => 0 // no fixed dims in the query
+          case _ => 1 // nation
+        }
+        assert(nBroadcast == hintedDims,
+          s"$q: $nBroadcast broadcast joins under disabled threshold, " +
+            s"expected $hintedDims (hinted fixed dims only) — a hint is " +
+            "forcing a scale-variable table to broadcast")
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"$q: expected shuffle join for the scale-variable side")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
   test("filters reach the parquet scans") {

@@ -13,6 +13,18 @@ class ScaleStrategySpec extends AnyFunSuite {
     "q_asof_join", "q_asof_join_native", "q13_custdist",
     "q18_large_volume", "q20_nested_exists", "q_full_outer")
 
+  /** Queries whose big-table joins carry no broadcast hint: with the
+    * auto-threshold disabled their plans MUST contain a shuffle join.
+    * (Explicit `broadcast()` hints ignore the threshold, so this set is
+    * exactly the scale-variable-join queries — a query that stayed
+    * all-broadcast here would mean a hint crept back onto customer or
+    * supplier and the parity test below proves nothing for it.) */
+  // (q_asof_join is absent: the custom as-of merge is a union+window
+  // with no join node, so there is nothing to degrade)
+  private val mustShuffleJoin = Seq("q3_join_agg", "q5_multijoin",
+    "q_status_pivot", "q13_custdist", "q18_large_volume",
+    "q20_nested_exists", "q_full_outer")
+
   test("all join queries match under forced sort-merge strategy") {
     val defaults = joinQueries.map(q =>
       q -> SparkEntry.queries(q)(spark, sf).collect()).toMap
@@ -20,7 +32,14 @@ class ScaleStrategySpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       joinQueries.foreach { q =>
-        val smj = SparkEntry.queries(q)(spark, sf).collect()
+        val df = SparkEntry.queries(q)(spark, sf)
+        if (mustShuffleJoin.contains(q)) {
+          val plan = df.queryExecution.executedPlan.toString
+          assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+            s"$q: broadcast disabled but no shuffle join in plan — a forced " +
+              "broadcast() hint on a scale-variable table is overriding the conf")
+        }
+        val smj = df.collect()
         assert(smj.sameElements(defaults(q)),
           s"$q differs between broadcast and shuffle join strategies")
       }
