@@ -67,7 +67,9 @@ object SparkEntry {
     "q_json_extract" -> (Temporal.jsonExtract _),
     // §2a reference-derived
     "q_meta_extract" -> (Clif.metaExtract _),
+    "q_meta_typed" -> (Clif.metaTyped _),
     "q_status_pivot" -> (Clif.statusPivot _),
+    "q_status_matrix" -> (Clif.statusMatrix _),
     "q_latest_status" -> (Clif.latestStatus _),
     "q_incomplete_sites" -> (Clif.incompleteSites _),
     "q_mention_rollup" -> (Clif.mentionRollup _),
@@ -467,6 +469,45 @@ object SparkEntry {
         | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words_approx
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q_meta_typed" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  '{"project_name": "proj_' || doc_id || '", "description": "' ||
+        |    split_part(text, ' ', 1) || '", "tables": "' || lang || ' , ' ||
+        |    source || ' ; events"}' AS j
+        | FROM documents)
+        |SELECT doc_id,
+        | json_extract_string(j, '$.project_name') AS project_name,
+        | json_extract_string(j, '$.description') AS description,
+        | list_transform(string_split_regex(json_extract_string(j, '$.tables'),
+        |   '[,;]'), x -> trim(x)) AS tables_required
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+    "q_status_matrix" ->
+      """WITH latest AS (
+        | SELECT n_name, o_orderpriority, o_orderstatus FROM (
+        |  SELECT n_name, o_orderpriority, o_orderstatus,
+        |   row_number() OVER (PARTITION BY n_name, o_orderpriority
+        |     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey) t
+        | WHERE rn = 1)
+        |SELECT n.n_name,
+        | coalesce(max(CASE WHEN l.o_orderpriority = '1-URGENT'
+        |   THEN l.o_orderstatus END), '❓') AS p1_urgent,
+        | coalesce(max(CASE WHEN l.o_orderpriority = '2-HIGH'
+        |   THEN l.o_orderstatus END), '❓') AS p2_high,
+        | coalesce(max(CASE WHEN l.o_orderpriority = '3-MEDIUM'
+        |   THEN l.o_orderstatus END), '❓') AS p3_medium,
+        | coalesce(max(CASE WHEN l.o_orderpriority = '4-NOT SPECIFIED'
+        |   THEN l.o_orderstatus END), '❓') AS p4_not_specified,
+        | coalesce(max(CASE WHEN l.o_orderpriority = '5-LOW'
+        |   THEN l.o_orderstatus END), '❓') AS p5_low
+        |FROM nation n
+        |LEFT JOIN latest l ON n.n_name = l.n_name
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
     "q_status_pivot" ->
       """SELECT n_name,
         | count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,

@@ -51,6 +51,84 @@ object Clif {
       .orderBy(col("n_name"))
   }
 
+  /** Dense latest-status matrix (state.py:157-179 `status_table`): the
+    * reference's most characteristic output — rows = ALL sites from the
+    * site registry, cols = ALL projects from the project registry, cell
+    * = the LATEST reported status for that combo, with a default fill
+    * for combos that never reported. Composition: registry-dims cross
+    * join (dims only — |sites|×|projects| rows, tiny at any corpus
+    * scale) → left join on the per-combo argmax of the fact table →
+    * coalesce(default) → static-value pivot. The fact-side argmax is the
+    * only scale-bearing stage: one keyed window over the fact shuffle.
+    * Nations play the site registry; order priority plays the project
+    * registry (TPC-H's five fixed priorities — a registry literal, like
+    * the reference's project list); order status plays the run status. */
+  def statusMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val projects = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW").toDF("project")
+    val sites = Tables.nation(spark, dir).select(col("n_name"))
+    val ord = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderpriority", "o_orderstatus", "o_orderdate",
+        "o_orderkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val w = Window.partitionBy(col("n_name"), col("o_orderpriority"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val latest = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("n_name"), col("o_orderpriority").as("project"),
+        col("o_orderstatus").as("latest_status"))
+    // dense grid: every registry combo, reported or not
+    val grid = sites.crossJoin(broadcast(projects))
+    grid.join(latest, Seq("n_name", "project"), "left")
+      .withColumn("latest_status", coalesce(col("latest_status"), lit("❓")))
+      .groupBy(col("n_name"))
+      .pivot("project", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW"))
+      .agg(first(col("latest_status")))
+      .select(col("n_name"), col("1-URGENT").as("p1_urgent"),
+        col("2-HIGH").as("p2_high"), col("3-MEDIUM").as("p3_medium"),
+        col("4-NOT SPECIFIED").as("p4_not_specified"),
+        col("5-LOW").as("p5_low"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Typed metadata-struct extraction (metadata.py:33-45, :63-66): each
+    * document's sidecar metadata JSON is parsed with an EXPLICIT schema
+    * into a typed struct, and the tables clause is split on `[,;]` with
+    * per-element trim into `tables_required: array<string>` — the
+    * reference's yaml/json → {project_name, description,
+    * tables_required[]} contract. The sidecar content is assembled here
+    * from document fields (at 100 TB it would arrive as a real column
+    * from reading the metadata.json sidecars); the parse itself —
+    * from_json with a declared schema, no schema inference — is the
+    * scale-relevant part: inference would need an extra pass over the
+    * corpus. */
+  def metaTyped(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("project_name", StringType),
+      StructField("description", StringType),
+      StructField("tables", StringType)))
+    Tables.documents(spark, dir)
+      .withColumn("metadata_json", concat(
+        lit("{\"project_name\": \"proj_"), col("doc_id"),
+        lit("\", \"description\": \""), split(col("text"), " ").getItem(0),
+        lit("\", \"tables\": \""), col("lang"), lit(" , "), col("source"),
+        lit(" ; events\"}")))
+      .select(col("doc_id"),
+        from_json(col("metadata_json"), schema).as("meta"))
+      .select(col("doc_id"),
+        col("meta.project_name").as("project_name"),
+        col("meta.description").as("description"),
+        expr("transform(split(meta.tables, '[,;]'), x -> trim(x))")
+          .as("tables_required"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Last-write-wins status (state.py:141-143, app.py:623-634): the
     * latest event per user. Deterministic via (ts, event_id) ordering. */
   def latestStatus(spark: SparkSession, dir: String): DataFrame = {

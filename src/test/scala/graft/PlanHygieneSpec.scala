@@ -12,9 +12,11 @@ class PlanHygieneSpec extends AnyFunSuite {
 
   // q_source_similarity pairs per-GROUP sketches (|groups| rows, not
   // |docs|), so its nested loop is over the tiny aggregated side
+  // q_status_matrix's cross join is dims-only (site registry × project
+  // registry — |sites|×|projects| rows at any corpus scale)
   private val nestedLoopAllowed = Set(
     "q_embed_neardup", "q_ann_bruteforce", "q_set_ops", "q_source_similarity",
-    "q_media_neighbors")
+    "q_media_neighbors", "q_status_matrix")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>

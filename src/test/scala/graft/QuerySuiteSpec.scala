@@ -100,6 +100,47 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(df.filter(col("n_events") <= 0).count() == 0)
   }
 
+  test("status_matrix is dense: one row per registry site, no null cells, " +
+    "unreported combos default-filled") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q_status_matrix")(spark, sf)
+    val nSites = graft.sources.Tables.nation(spark, sf).count()
+    assert(df.count() == nSites, "matrix must cover every registry site")
+    val cells = df.columns.filter(_ != "n_name")
+    assert(cells.length == 5, "one column per registry project")
+    for (c <- cells)
+      assert(df.filter(col(c).isNull).count() == 0, s"null cell in $c")
+    // cells are either a real status or the explicit default fill
+    val legal = Set("F", "O", "P", "❓")
+    for (c <- cells) {
+      val vals = df.select(col(c)).distinct().collect().map(_.getString(0)).toSet
+      assert(vals.subsetOf(legal), s"$c carries unexpected values: $vals")
+    }
+    // a site with no orders at all must still appear, fully default-filled
+    val reported = SparkEntry.queries("q_status_pivot")(spark, sf)
+      .select(col("n_name"))
+    val silent = df.join(reported, Seq("n_name"), "left_anti")
+    silent.collect().foreach { r =>
+      cells.zipWithIndex.foreach { case (c, i) =>
+        assert(r.getString(r.fieldIndex(c)) == "❓",
+          s"site ${r.getString(0)} never reported but $c is not default")
+      }
+    }
+  }
+
+  test("meta_typed: explicit-schema struct parse with split+trim table list") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q_meta_typed")(spark, sf)
+    assert(df.count() == graft.sources.Tables.documents(spark, sf).count())
+    assert(df.schema("tables_required").dataType.typeName == "array")
+    // the [,;] split yields exactly 3 elements here, all trimmed
+    assert(df.filter(size(col("tables_required")) =!= 3).count() == 0)
+    val untrimmed = df.filter(
+      exists(col("tables_required"), x => x =!= trim(x))).count()
+    assert(untrimmed == 0, "tables_required entries must be trimmed")
+    assert(df.filter(!col("project_name").startsWith("proj_")).count() == 0)
+  }
+
   test("category_append: no duplicate dict values, new flagged correctly") {
     val df = SparkEntry.queries("q_category_append")(spark, sf)
     assert(df.count() == df.select("dict_value").distinct().count())
