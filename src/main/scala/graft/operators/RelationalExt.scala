@@ -210,20 +210,45 @@ object RelationalExt {
           "'custkey', CAST(o_custkey AS DOUBLE)) AS (metric, value)")
       .orderBy(col("o_orderkey"), col("metric"))
 
-  /** Gap detection over a key sequence (islands-and-gaps). The global
-    * ordered window is fine at audit scale; a 100 TB run range-
-    * partitions the keys and stitches partition boundaries. */
-  def keyGaps(spark: SparkSession, dir: String): DataFrame = {
+  /** Gap detection over a key sequence (islands-and-gaps) — the 100 TB
+    * plan: range-partition the keys, find gaps with a PER-PARTITION
+    * window (parallel — no single-partition shuffle of the key space),
+    * then stitch partition boundaries with a second pass over the
+    * per-partition (min, max) table, which has one row per partition
+    * regardless of data volume. Range partitioning is order-preserving
+    * across partition ids, so "previous partition's max vs this
+    * partition's min" is exactly the set of gaps the local windows
+    * can't see. */
+  def gapsOf(keys: DataFrame, keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("o_orderkey"))
-    Tables.orders(spark, dir)
-      .select(col("o_orderkey")).distinct()
-      .withColumn("prev", lag(col("o_orderkey"), 1).over(w))
-      .filter(col("o_orderkey") - col("prev") > 1)
-      .select(col("prev"), col("o_orderkey").as("next_key"),
-        (col("o_orderkey") - col("prev") - 1).as("gap_size"))
-      .orderBy(col("prev"))
+    val k = col(keyCol)
+    val parts = keys.select(k).distinct()
+      .repartitionByRange(k) // spark.sql.shuffle.partitions ranges
+      .withColumn("pid", spark_partition_id())
+      // pid is consumed by two branches (local gaps + bounds) — pin the
+      // partitioning so both see identical ids
+      .localCheckpoint()
+    val wLocal = Window.partitionBy(col("pid")).orderBy(k)
+    val intra = parts
+      .withColumn("prev", lag(k, 1).over(wLocal))
+      .filter(k - col("prev") > 1)
+      .select(col("prev"), k.as("next_key"),
+        (k - col("prev") - 1).as("gap_size"))
+    val bounds = parts.groupBy(col("pid"))
+      .agg(min(k).as("mn"), max(k).as("mx"))
+    // one row per partition: this window is single-partition by design
+    // and bounded by the partition COUNT, not the data
+    val wBounds = Window.orderBy(col("pid"))
+    val inter = bounds
+      .withColumn("prev_mx", lag(col("mx"), 1).over(wBounds))
+      .filter(col("mn") - col("prev_mx") > 1)
+      .select(col("prev_mx").as("prev"), col("mn").as("next_key"),
+        (col("mn") - col("prev_mx") - 1).as("gap_size"))
+    intra.unionByName(inter).orderBy(col("prev"))
   }
+
+  def keyGaps(spark: SparkSession, dir: String): DataFrame =
+    gapsOf(Tables.orders(spark, dir), "o_orderkey")
 
   /** Statistical aggregates: correlation, covariance, dispersion. */
   def statsAgg(spark: SparkSession, dir: String): DataFrame =

@@ -21,10 +21,28 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  /** Row-count fence for the O(n²) exact baselines: they exist as recall
+    * references for the LSH/IVF scale paths and must not be pointed at a
+    * large corpus by accident — at 100 TB an all-pairs join is a
+    * non-terminating query, not a slow one. Raise
+    * `graft.exactBaseline.maxRows` (session conf) deliberately to
+    * override. */
+  private def fenceExactBaseline(spark: SparkSession, df: DataFrame,
+      op: String): Unit = {
+    val limit = spark.conf.getOption("graft.exactBaseline.maxRows")
+      .map(_.toLong).getOrElse(1000000L)
+    val n = df.count()
+    require(n <= limit,
+      s"$op is an O(n²) exact baseline fenced at $limit rows (input has $n); " +
+        "use annLsh/annIvf/annBruteforceKernel as the scale path, or set " +
+        "graft.exactBaseline.maxRows to override deliberately")
+  }
+
   /** All near-duplicate pairs above a cosine threshold. The O(n²) pair
     * stage computes a dot product only: vectors are unit-normalized once
     * in the scan projection (3× fewer flops per pair). */
   def embedNeardup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    fenceExactBaseline(spark, vecs(spark, dir), "embedNeardup")
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
         expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
@@ -44,6 +62,7 @@ object Similarity {
     * mirrored for per-vector ranking. Rank on the raw double
     * (engine-stable), round only for output. */
   def annBruteforce(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    fenceExactBaseline(spark, vecs(spark, dir), "annBruteforce")
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
         expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")

@@ -48,6 +48,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(df(1) > 0 && df(1) <= 32)
   }
 
+  test("O(n²) exact baselines are fenced: refuse oversized inputs unless " +
+    "the override conf is set deliberately") {
+    spark.conf.set("graft.exactBaseline.maxRows", "10")
+    try {
+      intercept[IllegalArgumentException] {
+        Similarity.annBruteforce(spark, sf, k = 3)
+      }
+      intercept[IllegalArgumentException] {
+        Similarity.embedNeardup(spark, sf)
+      }
+    } finally spark.conf.unset("graft.exactBaseline.maxRows")
+    // with the fence at its default, the test corpus passes
+    assert(Similarity.annBruteforce(spark, sf, k = 3).count() > 0)
+  }
+
   test("brute-force ANN: k rows per vector, self excluded, cosine in [-1,1]") {
     val ann = Similarity.annBruteforce(spark, sf, k = 3)
     val n = graft.sources.Tables.embeddings(spark, sf).count()

@@ -69,6 +69,29 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(total == raw)
   }
 
+  test("approx_count_distinct tracks exact distinct counts within 2%") {
+    import org.apache.spark.sql.functions._
+    // pins the sketch semantics the DuckDB oracle can't hash-check:
+    // HLL++ at rsd=0.01 must stay within 2% of the exact count per group
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val approx = SparkEntry.queries("q_approx_distinct")(spark, dir)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val exact = graft.sources.Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("p"),
+          countDistinct(col("l_orderkey")).as("o"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(approx.keySet == exact.keySet)
+      for ((flag, (p, o)) <- exact) {
+        val (ap, ao) = approx(flag)
+        assert(math.abs(ap - p).toDouble / p <= 0.02,
+          s"$dir $flag parts: approx $ap vs exact $p")
+        assert(math.abs(ao - o).toDouble / o <= 0.02,
+          s"$dir $flag orders: approx $ao vs exact $o")
+      }
+    }
+  }
+
   test("approx percentile sketch tracks the exact percentile within 5%") {
     import org.apache.spark.sql.functions._
     val row = graft.sources.Tables.lineitem(spark, sf)
@@ -150,5 +173,41 @@ class QuerySuiteSpec extends AnyFunSuite {
     val df = SparkEntry.queries("q_federated_union")(spark, sf)
     val n = graft.sources.Tables.customer(spark, sf).count()
     assert(df.count() == n)
+  }
+
+  test("key gaps: range-partitioned stitch equals global window on gappy " +
+    "keys, stable under high partition counts, data window is keyed") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // synthetic gappy sequence: drop multiples of 7 and a long run
+    val keys = spark.range(0, 2000)
+      .filter(col("id") % 7 =!= 0 && !(col("id") >= 500 && col("id") < 600))
+      .select(col("id").as("k"))
+    // single-window reference (the formulation the scale path replaced)
+    val wg = Window.orderBy(col("k"))
+    val reference = keys.withColumn("prev", lag(col("k"), 1).over(wg))
+      .filter(col("k") - col("prev") > 1)
+      .select(col("prev"), col("k").as("next_key"),
+        (col("k") - col("prev") - 1).as("gap_size"))
+      .orderBy(col("prev")).collect()
+    val stitched = graft.operators.RelationalExt.gapsOf(keys, "k").collect()
+    assert(stitched.sameElements(reference),
+      "stitched gaps must equal the global-window reference")
+    // the answer must not depend on how many ranges the keys split into
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val high = graft.operators.RelationalExt.gapsOf(keys, "k").collect()
+      assert(high.sameElements(reference),
+        "gaps must be partition-count invariant")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    // plan hygiene: the data-bearing window is keyed by partition id
+    // (the checkpoint truncates lineage, so look for the pid-keyed
+    // window spec); only the one-row-per-partition bounds window is
+    // global
+    val plan = graft.operators.RelationalExt.gapsOf(keys, "k")
+      .queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(pid#".r.findFirstIn(plan).isDefined,
+      s"scale path must window per range partition:\n$plan")
   }
 }
