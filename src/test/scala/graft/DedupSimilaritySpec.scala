@@ -98,7 +98,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .join(exact, Seq("id_a", "id_b"), "left_semi").count()
     val recall = hit.toDouble / exact.count()
     info(f"IVF recall@3 = $recall%.3f")
-    assert(recall >= 0.4, f"IVF recall too low: $recall%.3f")
+    // recall floor for the shipped defaults (nProbe/nCentroids = 8/16
+    // probe budget): 0.81 measured at sf0.1 via graft.tools.IvfSweep;
+    // floor set with margin for SF-dependent noise
+    assert(recall >= 0.75, f"IVF recall regressed below floor: $recall%.3f")
   }
 
   test("LSH ANN is a valid approximation: subset semantics + recall report") {
