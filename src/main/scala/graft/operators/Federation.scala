@@ -28,18 +28,26 @@ object Federation {
   /** Per-site run status board (state.py:145-179 as an aggregation):
     * one row per site with rows produced and success flag — the engine
     * twin of the ✅/🛠/❌ dashboard. Failures don't abort the federation;
-    * they surface as ❌ rows. */
+    * they surface as ❌ rows. Per-site jobs are submitted CONCURRENTLY
+    * (Spark's scheduler interleaves them), so board latency is the
+    * slowest site, not the sum over the consortium. */
   def statusBoard(spark: SparkSession, sites: Seq[Site],
       query: (SparkSession, String) => DataFrame): DataFrame = {
     import spark.implicits._
-    val rows = sites.map { s =>
-      try {
-        val n = query(spark, s.dir).count()
-        (s.name, n, "completed")
-      } catch {
-        case e: Exception => (s.name, 0L, s"failed: ${e.getClass.getSimpleName}")
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = sites.map { s =>
+      Future {
+        try {
+          val n = query(spark, s.dir).count()
+          (s.name, n, "completed")
+        } catch {
+          case e: Exception => (s.name, 0L, s"failed: ${e.getClass.getSimpleName}")
+        }
       }
     }
+    val rows = futures.map(Await.result(_, Duration.Inf))
     rows.toDF("site", "n_rows", "status")
   }
 }

@@ -90,24 +90,30 @@ object TextAnalysis {
 
   /** Repetition-based quality filter (Gopher/RefinedWeb-style): share of
     * the document occupied by its most frequent token, and distinct
-    * token ratio. High top-token share = boilerplate/spam signal. */
-  def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    * token ratio. High top-token share = boilerplate/spam signal.
+    * Computed in ONE row-local pass: sort the token array, then a
+    * single `aggregate` fold tracks (current run, longest run, distinct
+    * count) — zero shuffle (the explode + double-groupBy formulation
+    * shuffles one row per TOKEN, i.e. ~corpus word count). O(n log n)
+    * per document, embarrassingly parallel across the corpus. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("acc", expr(
+        """aggregate(array_sort(toks),
+          |  struct(CAST(NULL AS STRING) AS prev, 0L AS run,
+          |         0L AS maxr, 0L AS nd),
+          |  (a, x) -> struct(x,
+          |    IF(x <=> a.prev, a.run + 1L, 1L),
+          |    GREATEST(a.maxr, IF(x <=> a.prev, a.run + 1L, 1L)),
+          |    a.nd + IF(x <=> a.prev, 0L, 1L)))""".stripMargin))
       .select(col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-    val counts = toks.groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("c"))
-    counts.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tokens"),
-        max(col("c")).as("top_tok_count"),
-        count(lit(1)).as("n_distinct"))
-      .select(col("doc_id"), col("n_tokens"),
-        round(col("top_tok_count").cast("double") / col("n_tokens"), 4)
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(col("acc.maxr").cast("double") / size(col("toks")), 4)
           .as("top_tok_share"),
-        round(col("n_distinct").cast("double") / col("n_tokens"), 4)
+        round(col("acc.nd").cast("double") / size(col("toks")), 4)
           .as("distinct_ratio"))
       .orderBy(col("doc_id"))
-  }
 
   /** Document-length histogram: 50-char buckets — the corpus-shape
     * profile every pipeline run reports. */
