@@ -97,6 +97,9 @@ object SparkEntry {
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_doc_histogram" -> (TextAnalysis.lengthHistogram _),
     "q_hash_split" -> (Sampling.splitCounts _),
+    "q_stratified_sample" -> (Sampling.stratifiedSample _),
+    "q_contamination" -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
+    "q_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "q_corpus_pipeline" -> ((s: SparkSession, d: String) => Pipeline.curateCorpus(s, d)),
     // §2c multimodal plumbing
@@ -709,6 +712,41 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY split, lang""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER)
+        |      < (CASE WHEN lang = 'en' THEN 128.0 ELSE 64.0 END)
+        |ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      """WITH toks AS (
+        | SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS t
+        | FROM documents),
+        |grams AS (
+        | SELECT doc_id, source,
+        |  unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 4, 0)),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS g
+        | FROM toks),
+        |train AS (SELECT DISTINCT g FROM grams WHERE source <> 'src0'),
+        |eval_g AS (SELECT doc_id, g FROM grams WHERE source = 'src0')
+        |SELECT e.doc_id,
+        | count(*) AS n_grams,
+        | count(t.g) AS n_contaminated,
+        | round(CAST(count(t.g) AS DOUBLE) / count(*), 4) AS contamination_share
+        |FROM eval_g e LEFT JOIN train t ON e.g = t.g
+        |GROUP BY e.doc_id
+        |ORDER BY e.doc_id""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        | FROM documents),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c) AS n FROM vocab)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | round(avg(ln(CAST(c AS DOUBLE) / n)), 4) AS avg_logprob
+        |FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_doc_histogram" ->
       """SELECT CAST(floor(length(text) / 50) * 50 AS BIGINT) AS len_bucket,
         | count(*) AS n_docs

@@ -35,4 +35,30 @@ object Sampling {
   def stratified(df: DataFrame, strataCol: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** DETERMINISTIC stratified sampling: per-stratum fraction applied by
+    * content-hash threshold (first two hex digits of md5(key) as a
+    * uniform draw over 0..255), so membership is a pure function of the
+    * key — reproducible across engines/runs/cluster sizes, and stable
+    * under corpus growth, which rng-based sampleBy cannot give. A row
+    * joins the sample iff its draw < fraction(stratum)·256. */
+  def stratifiedHash(df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
+    val draw = conv(substring(md5(col(keyCol).cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    val threshold = fractions.foldLeft(lit(default * 256)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(f * 256)).otherwise(acc)
+    }
+    df.filter(draw < threshold)
+  }
+
+  /** Stratified-sample audit query: deterministic per-language sample
+    * (en kept at 50%, others at 25%) — emits the sampled ids so the
+    * oracle check is membership-exact, not just count-close. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedHash(Tables.documents(spark, dir), "doc_id", "lang",
+      Map("en" -> 0.5), default = 0.25)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
 }

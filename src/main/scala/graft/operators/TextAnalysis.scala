@@ -131,4 +131,60 @@ object TextAnalysis {
       .select(col("doc_id"),
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  /** Benchmark-contamination detection (the decontamination step every
+    * serious training pipeline runs before training): for each document
+    * of the held-out eval source, the share of its distinct token
+    * n-grams that appear anywhere in the training side of the corpus.
+    * Plan shape at 100 TB: the train-gram distinct is the one heavy
+    * shuffle (inherent — it IS the decontamination index); the eval
+    * side is benchmark-sized, so AQE broadcasts it into the final join
+    * and the runtime bloom filter built from it prunes the train-gram
+    * stream. N-grams are generated row-locally (no token explode
+    * before the distinct). */
+  def contamination(spark: SparkSession, dir: String,
+      evalSource: String = "src0", n: Int = 5): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokensCol.as("t"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(when(size(col("t")) >= n,
+          expr(s"transform(sequence(1, size(t) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(t, i, $n)))"))
+          .otherwise(array().cast("array<string>")))).as("g"))
+    val train = grams.filter(col("source") =!= evalSource)
+      .select(col("g")).distinct()
+      .withColumn("hit", lit(1))
+    val evalG = grams.filter(col("source") === evalSource)
+      .select(col("doc_id"), col("g"))
+    evalG.join(train, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("hit")).as("n_contaminated"),
+        round(count(col("hit")).cast("double") / count(lit(1)), 4)
+          .as("contamination_share"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unigram log-probability scoring (CCNet-style language-model-lite
+    * quality signal): score each document by the mean log corpus
+    * frequency of its tokens — spammy/templated text scores high,
+    * rare-garbage text scores low. Two-stage plan: stage 1 builds the
+    * unigram table (one token-level shuffle — the vocabulary build);
+    * stage 2 rescans the corpus and joins tokens to the vocab, which
+    * AQE broadcasts while it fits (real vocabularies cap via min-count
+    * pruning). The corpus total rides along as a 1-row broadcast rather
+    * than a driver round-trip. */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokensCol).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("n"))
+    toks.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c").cast("double") / col("n"))), 4)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -119,6 +119,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(approx.count() > 0)
   }
 
+  test("contamination: shares bounded, counts consistent, overlap detected") {
+    val c = TextAnalysis.contamination(spark, sf)
+    assert(c.count() > 0)
+    assert(c.filter(col("n_contaminated") > col("n_grams")).count() == 0)
+    assert(c.filter(col("contamination_share") < 0.0 ||
+      col("contamination_share") > 1.0).count() == 0)
+    // the synthetic corpus shares vocabulary across sources, so SOME
+    // eval grams must hit the train index — a dead detector returns 0
+    assert(c.agg(sum(col("n_contaminated"))).head.getLong(0) > 0,
+      "contamination detector found zero overlap on an overlapping corpus")
+  }
+
+  test("stratified hash sample: deterministic, fractions tracked per stratum") {
+    val s1 = graft.operators.Sampling.stratifiedSample(spark, sf).collect()
+    val s2 = graft.operators.Sampling.stratifiedSample(spark, sf).collect()
+    assert(s1.sameElements(s2), "hash sampling must be deterministic")
+    val total = graft.sources.Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s1.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    for ((lang, n) <- total; if n >= 50) {
+      val expected = if (lang == "en") 0.5 else 0.25
+      val got = kept.getOrElse(lang, 0L).toDouble / n
+      assert(math.abs(got - expected) < 0.15,
+        f"$lang sampled $got%.2f, expected ~$expected")
+    }
+  }
+
+  test("unigram logprob: negative scores, rare-token docs score lower") {
+    val lp = TextAnalysis.unigramLogprob(spark, sf)
+    assert(lp.count() > 0)
+    assert(lp.filter(col("avg_logprob") >= 0.0).count() == 0,
+      "log probabilities must be negative")
+  }
+
   test("dedup clusters: labels are cluster minima, pairs share labels") {
     val labels = Dedup.dedupClusters(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
