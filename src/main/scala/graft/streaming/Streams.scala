@@ -128,6 +128,51 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+  case class DocVerdict(doc_id: Long, fingerprint: Long, is_dup: Boolean)
+
+  /** Streaming content-dedup processor: keyed by the 64-bit SimHash of
+    * the normalized text, ValueState remembers the first doc_id that
+    * carried each fingerprint — with a TTL so the dedup horizon (and
+    * therefore state size) is bounded by ingest rate × window, not by
+    * stream lifetime. Emits a verdict row per document (keep/dup)
+    * instead of silently dropping, so the dup stream is itself
+    * observable — the streaming twin of `q_dedup_exact` /
+    * `q_fingerprint`. */
+  class FingerprintDedupProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, Doc, DocVerdict] {
+    @transient private var seen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen_doc", Encoders.scalaLong,
+        if (ttl == null) TTLConfig.NONE else new TTLConfig(ttl))
+    override def handleInputRows(fp: Long, rows: Iterator[Doc],
+        timers: TimerValues): Iterator[DocVerdict] = {
+      val batch = rows.toSeq.sortBy(_.doc_id)
+      val out = Seq.newBuilder[DocVerdict]
+      batch.foreach { d =>
+        if (seen.exists()) out += DocVerdict(d.doc_id, fp, is_dup = true)
+        else { seen.update(d.doc_id); out += DocVerdict(d.doc_id, fp, is_dup = false) }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming near-identical suppression on content fingerprint. */
+  def fingerprintDedupStream(spark: SparkSession, docs: Dataset[Doc],
+      ttl: java.time.Duration = java.time.Duration.ofHours(24)): Dataset[DocVerdict] = {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    // ProcessingTime mode is required whenever a TTL is set (it is the
+    // TTL clock); with ttl=null the state is unbounded and TimeMode.None
+    // suffices. Update output: each verdict is final on arrival — no
+    // watermark to wait on before emitting.
+    val timeMode = if (ttl == null) TimeMode.None() else TimeMode.ProcessingTime()
+    docs.groupByKey(d => graft.functions.ExprRuntime.simhash64(
+        UTF8String.fromString(d.text.toLowerCase.trim.replaceAll("\\s+", " "))))
+      .transformWithState(new FingerprintDedupProcessor(ttl),
+        timeMode, OutputMode.Update())
+  }
+
   /** Stateful gap sessionization: a session closes after 30 minutes of
     * silence (event-time timeout), emitting one row per closed session. */
   def sessionizeStream(spark: SparkSession, events: Dataset[Event]): Dataset[UserSession] = {

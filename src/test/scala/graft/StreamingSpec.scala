@@ -201,6 +201,61 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming fingerprint dedup: first doc kept, later content " +
+    "duplicates flagged across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Streams.Doc]
+      val q = Streams.fingerprintDedupStream(sp, input.toDS(), ttl = null)
+        .writeStream.format("memory").queryName("fp_dedup_out")
+        .outputMode("update").start()
+      input.addData(
+        Streams.Doc(1, ts(1), "alpha beta gamma"),
+        Streams.Doc(2, ts(2), "totally different words here"),
+        Streams.Doc(3, ts(3), "  Alpha   BETA gamma ")) // normalized dup of 1
+      q.processAllAvailable()
+      input.addData(
+        Streams.Doc(4, ts(4), "alpha beta gamma"), // dup across batches
+        Streams.Doc(5, ts(5), "yet another novel document"))
+      q.processAllAvailable()
+      val out = sp.sql("SELECT doc_id, is_dup FROM fp_dedup_out")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      q.stop()
+      assert(out == Map(1L -> false, 2L -> false, 3L -> true,
+        4L -> true, 5L -> false),
+        s"unexpected verdicts: $out")
+      // TTL path smoke: with a TTL the query runs in ProcessingTime mode,
+      // whose timers keep scheduling micro-batches — processAllAvailable
+      // never quiesces, so poll the sink with a deadline instead
+      val input2 = MemoryStream[Streams.Doc]
+      val q2 = Streams.fingerprintDedupStream(sp, input2.toDS(),
+        ttl = java.time.Duration.ofHours(1))
+        .writeStream.format("memory").queryName("fp_dedup_ttl_out")
+        .outputMode("update").start()
+      input2.addData(
+        Streams.Doc(11, ts(1), "ttl path one"),
+        Streams.Doc(12, ts(2), "ttl path one"))
+      val deadline = System.currentTimeMillis() + 120000
+      var rows = Array.empty[org.apache.spark.sql.Row]
+      while (rows.length < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        rows = sp.sql("SELECT doc_id, is_dup FROM fp_dedup_ttl_out").collect()
+      }
+      q2.stop()
+      val ttlOut = rows.map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(ttlOut == Map(11L -> false, 12L -> true),
+        s"TTL path verdicts wrong or timed out: $ttlOut")
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stateful sessionization closes sessions after the gap timeout") {
     val sp = spark
     import sp.implicits._
