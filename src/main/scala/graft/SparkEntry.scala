@@ -67,7 +67,7 @@ object SparkEntry {
     "q_json_extract" -> (Temporal.jsonExtract _),
     // §2a reference-derived
     "q_meta_extract" -> (Clif.metaExtract _),
-    "q_meta_typed" -> (Clif.metaTyped _),
+    "q_meta_typed" -> (Clif.metaTypedOracle _),
     "q_status_pivot" -> (Clif.statusPivot _),
     "q_status_matrix" -> (Clif.statusMatrix _),
     "q_latest_status" -> (Clif.latestStatus _),
@@ -482,8 +482,9 @@ object SparkEntry {
         |SELECT doc_id,
         | json_extract_string(j, '$.project_name') AS project_name,
         | json_extract_string(j, '$.description') AS description,
-        | list_transform(string_split_regex(json_extract_string(j, '$.tables'),
-        |   '[,;]'), x -> trim(x)) AS tables_required
+        | array_to_string(list_transform(
+        |   string_split_regex(json_extract_string(j, '$.tables'), '[,;]'),
+        |   x -> trim(x)), '|') AS tables_required
         |FROM m
         |ORDER BY doc_id""".stripMargin,
     "q_status_matrix" ->

@@ -129,6 +129,14 @@ object Clif {
       .orderBy(col("doc_id"))
   }
 
+  /** Oracle-surface form of [[metaTyped]]: identical parse, with the
+    * typed array serialized to a canonical delimited string at the
+    * output edge only — array cells don't hash portably across engines
+    * (same convention as the array-function battery). */
+  def metaTypedOracle(spark: SparkSession, dir: String): DataFrame =
+    metaTyped(spark, dir)
+      .withColumn("tables_required", array_join(col("tables_required"), "|"))
+
   /** Last-write-wins status (state.py:141-143, app.py:623-634): the
     * latest event per user. Deterministic via (ts, event_id) ordering. */
   def latestStatus(spark: SparkSession, dir: String): DataFrame = {

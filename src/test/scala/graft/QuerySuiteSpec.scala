@@ -153,15 +153,22 @@ class QuerySuiteSpec extends AnyFunSuite {
 
   test("meta_typed: explicit-schema struct parse with split+trim table list") {
     import org.apache.spark.sql.functions._
-    val df = SparkEntry.queries("q_meta_typed")(spark, sf)
-    assert(df.count() == graft.sources.Tables.documents(spark, sf).count())
-    assert(df.schema("tables_required").dataType.typeName == "array")
+    // typed library surface: real array<string> column
+    val typed = graft.operators.Clif.metaTyped(spark, sf)
+    assert(typed.count() == graft.sources.Tables.documents(spark, sf).count())
+    assert(typed.schema("tables_required").dataType.typeName == "array")
     // the [,;] split yields exactly 3 elements here, all trimmed
-    assert(df.filter(size(col("tables_required")) =!= 3).count() == 0)
-    val untrimmed = df.filter(
+    assert(typed.filter(size(col("tables_required")) =!= 3).count() == 0)
+    val untrimmed = typed.filter(
       exists(col("tables_required"), x => x =!= trim(x))).count()
     assert(untrimmed == 0, "tables_required entries must be trimmed")
-    assert(df.filter(!col("project_name").startsWith("proj_")).count() == 0)
+    assert(typed.filter(!col("project_name").startsWith("proj_")).count() == 0)
+    // oracle surface: same data, array serialized to a canonical string
+    val q = SparkEntry.queries("q_meta_typed")(spark, sf)
+    assert(q.schema("tables_required").dataType.typeName == "string")
+    val joined = typed.withColumn("tables_required",
+      array_join(col("tables_required"), "|"))
+    assert(q.exceptAll(joined).count() == 0)
   }
 
   test("category_append: no duplicate dict values, new flagged correctly") {
