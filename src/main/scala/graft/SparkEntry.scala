@@ -70,6 +70,7 @@ object SparkEntry {
     "q_meta_typed" -> (Clif.metaTypedOracle _),
     "q_status_pivot" -> (Clif.statusPivot _),
     "q_status_matrix" -> (Clif.statusMatrix _),
+    "q_poc_registry" -> (Clif.pocRegistry _),
     "q_latest_status" -> (Clif.latestStatus _),
     "q_incomplete_sites" -> (Clif.incompleteSites _),
     "q_mention_rollup" -> (Clif.mentionRollup _),
@@ -487,6 +488,20 @@ object SparkEntry {
         |   x -> trim(x)), '|') AS tables_required
         |FROM m
         |ORDER BY doc_id""".stripMargin,
+    "q_poc_registry" ->
+      """WITH latest AS (
+        | SELECT o_custkey, o_orderpriority FROM (
+        |  SELECT o_custkey, o_orderpriority,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t
+        | WHERE rn = 1)
+        |SELECT n_name AS site, c_custkey AS poc_id,
+        | coalesce(o_orderpriority, 'General') AS assignment
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN latest ON c_custkey = o_custkey
+        |ORDER BY site, poc_id""".stripMargin,
     "q_status_matrix" ->
       """WITH latest AS (
         | SELECT n_name, o_orderpriority, o_orderstatus FROM (

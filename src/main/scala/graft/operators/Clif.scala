@@ -137,6 +137,29 @@ object Clif {
     metaTyped(spark, dir)
       .withColumn("tables_required", array_join(col("tables_required"), "|"))
 
+  /** Two-level POC registry (state.py:92-113 `set_poc` /
+    * `get_poc_assignments`): user → site membership with per-user
+    * project assignment, where the LATEST set_poc wins and users with
+    * no explicit project fall back to "General". Engine form: the site
+    * dimension joined to a per-user argmax over the assignment fact,
+    * missing assignments coalesced to the default — last-write-wins
+    * upsert composed with default fill, one keyed window shuffle. */
+  def pocRegistry(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val latest = Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderpriority"))
+    cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(latest, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("n_name").as("site"), col("c_custkey").as("poc_id"),
+        coalesce(col("o_orderpriority"), lit("General")).as("assignment"))
+      .orderBy(col("site"), col("poc_id"))
+  }
+
   /** Last-write-wins status (state.py:141-143, app.py:623-634): the
     * latest event per user. Deterministic via (ts, event_id) ordering. */
   def latestStatus(spark: SparkSession, dir: String): DataFrame = {

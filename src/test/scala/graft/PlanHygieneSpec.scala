@@ -69,6 +69,32 @@ class PlanHygieneSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  /** The custom expressions must PARTICIPATE in whole-stage codegen, not
+    * silently fall back to interpreted projection — a fallback would
+    * break the fused-loop performance story on every hot path that uses
+    * them (LSH bucketing, simhash banding, candidate scoring). */
+  test("native expressions stay inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.{ProjectExec, SparkPlan, WholeStageCodegenExec}
+    import graft.functions.HashExpressions._
+    val df = graft.sources.Tables.documents(spark, sf).select(
+      simhash64(org.apache.spark.sql.functions.col("text")).as("fp"),
+      minhashSignature(rollingShingles(
+        org.apache.spark.sql.functions.col("text"), 5), 16).as("sig"))
+    val plan = df.queryExecution.executedPlan
+    val spans = plan.collect { case w: WholeStageCodegenExec => w }
+    assert(spans.nonEmpty, s"no codegen span in:\n$plan")
+    // every ProjectExec must sit under a WholeStageCodegenExec — an
+    // interpreted project above/next to the spans means a fallback
+    def interpretedProjects(p: SparkPlan): Int = p match {
+      case _: WholeStageCodegenExec => 0
+      case proj: ProjectExec => 1 + proj.children.map(interpretedProjects).sum
+      case other => other.children.map(interpretedProjects).sum
+    }
+    assert(interpretedProjects(plan) == 0,
+      s"interpreted projection outside codegen:\n$plan")
+    df.collect() // and the generated code must actually compile + run
+  }
+
   test("filters reach the parquet scans") {
     for ((q, pushed) <- Seq(
       "q1_pricing_agg" -> "LessThanOrEqual(l_shipdate",
