@@ -108,14 +108,16 @@ object Dedup {
           .withColumnRenamed("label", "n_label"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("n_label")).as("n_label"))
+      // the convergence flag is computed inside the update projection —
+      // a separate labels⋈updated diff would cost one more full shuffle
+      // join per round
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("n_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("n_label"), col("label"))).as("label"),
+          (coalesce(col("n_label"), col("label")) < col("label")).as("chg"))
         .localCheckpoint()
-      val changed = updated.join(labels.withColumnRenamed("label", "old"),
-          Seq("doc_id"))
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = updated
+      val changed = updated.filter(col("chg")).limit(1).count()
+      labels = updated.select(col("doc_id"), col("label"))
       converged = changed == 0
       i += 1
     }
