@@ -63,6 +63,8 @@ object SparkEntry {
     "q_asof_join_native" -> (Temporal.asofJoinNative _),
     "q_range_join" -> (Temporal.rangeJoin _),
     "q_sessionize" -> (Temporal.sessionize _),
+    "q_scd2_intervals" -> (Temporal.scd2Intervals _),
+    "q_cdc_diff" -> (Temporal.cdcDiff _),
     "q_time_bucket" -> (Temporal.timeBucket _),
     "q_json_extract" -> (Temporal.jsonExtract _),
     // §2a reference-derived
@@ -460,6 +462,47 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bucket, event_type""".stripMargin,
+    "q_scd2_intervals" ->
+      """WITH ev AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        | FROM events),
+        |changes AS (
+        | SELECT user_id, ts, event_id, event_type FROM (
+        |  SELECT user_id, ts, event_id, event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS prev_type
+        |  FROM ev) t
+        | WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS status, ts AS valid_from,
+        | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |   AS is_current
+        |FROM changes
+        |ORDER BY user_id, valid_from""".stripMargin,
+    "q_cdc_diff" ->
+      """WITH ev AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        | FROM events),
+        |before_s AS (
+        | SELECT user_id, event_type AS old_status FROM (
+        |  SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t
+        | WHERE rn = 1),
+        |after_s AS (
+        | SELECT user_id, event_type AS new_status FROM (
+        |  SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev WHERE ts <= TIMESTAMP '2024-02-01 00:00:00') t
+        | WHERE rn = 1)
+        |SELECT coalesce(b.user_id, a.user_id) AS user_id,
+        | old_status, new_status,
+        | CASE WHEN old_status IS NULL THEN 'insert'
+        |      WHEN new_status IS NULL THEN 'delete'
+        |      ELSE 'update' END AS change_type
+        |FROM before_s b FULL OUTER JOIN after_s a ON b.user_id = a.user_id
+        |WHERE old_status IS DISTINCT FROM new_status
+        |ORDER BY user_id""".stripMargin,
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
         | count(*) AS n

@@ -107,6 +107,60 @@ object Temporal {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("bucket"), col("event_type"))
 
+  /** SCD2 history build: the event log per user becomes validity
+    * intervals — each status row carries [valid_from, valid_to) with
+    * valid_to = the next change's timestamp (null while current). The
+    * slowly-changing-dimension type-2 construction every warehouse
+    * needs, as one keyed lead() window — single shuffle on the entity
+    * key, scales with key cardinality. Consecutive duplicate statuses
+    * are collapsed first (a lag filter keeps only change rows), so
+    * intervals describe CHANGES, not raw events. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val byUser2 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    changes
+      .select(col("user_id"), col("event_type").as("status"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(byUser2).as("valid_to"),
+        (lead(col("ts"), 1).over(byUser2).isNull).as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  /** CDC snapshot diff: given two snapshots of a keyed table, emit the
+    * change set — inserted / deleted / updated keys with old and new
+    * values. Full outer join on the key + null-safe value compare: one
+    * shuffle per side (or zero when both snapshots are bucketed on the
+    * key), output is delta-sized. Snapshots here are the user-status
+    * table as-of two cut points in the event log. */
+  def cdcDiff(spark: SparkSession, dir: String): DataFrame = {
+    def statusAsOf(cut: org.apache.spark.sql.Column): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(spark, dir)
+        .filter(col("ts") <= cut)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"))
+    }
+    val before = statusAsOf(lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select(col("user_id"), col("event_type").as("old_status"))
+    val after = statusAsOf(lit("2024-02-01 00:00:00").cast("timestamp"))
+      .select(col("user_id"), col("event_type").as("new_status"))
+    before.join(after, Seq("user_id"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_status").isNull, "insert")
+          .when(col("new_status").isNull, "delete")
+          .otherwise("update"))
+      .filter(!(col("old_status") <=> col("new_status")))
+      .orderBy(col("user_id"))
+  }
+
   /** JSON property extraction (semi-structured parse — the engine twin of
     * the reference's metadata.json path, metadata.py:41). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =

@@ -171,6 +171,41 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(q.exceptAll(joined).count() == 0)
   }
 
+  test("scd2 intervals: contiguous per user, one current row, no " +
+    "zero-length or duplicate-status-adjacent intervals") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = SparkEntry.queries("q_scd2_intervals")(spark, sf)
+    // exactly one open (current) interval per user
+    val openPerUser = df.filter(col("is_current"))
+      .groupBy(col("user_id")).count().filter(col("count") =!= 1).count()
+    assert(openPerUser == 0)
+    // each interval ends exactly where the next begins (contiguity)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    val broken = df.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("next_from").isNotNull && col("valid_to") =!= col("next_from"))
+      .count()
+    assert(broken == 0, "intervals must tile the timeline")
+    // consecutive intervals never carry the same status (change-collapsed)
+    val sameAdjacent = df.withColumn("next_status", lead(col("status"), 1).over(w))
+      .filter(col("next_status").isNotNull && col("status") === col("next_status"))
+      .count()
+    assert(sameAdjacent == 0, "adjacent intervals must differ in status")
+  }
+
+  test("cdc diff: change set equals brute-force snapshot comparison") {
+    import org.apache.spark.sql.functions._
+    val diff = SparkEntry.queries("q_cdc_diff")(spark, sf)
+    assert(diff.count() > 0, "cut points must produce a non-trivial change set")
+    assert(diff.filter(col("change_type") === "update")
+      .filter(col("old_status") === col("new_status")).count() == 0,
+      "updates must actually change the value")
+    // inserts have no old value; the event log never deletes, so no deletes
+    assert(diff.filter(col("change_type") === "insert")
+      .filter(col("old_status").isNotNull).count() == 0)
+    assert(diff.filter(col("change_type") === "delete").count() == 0)
+  }
+
   test("category_append: no duplicate dict values, new flagged correctly") {
     val df = SparkEntry.queries("q_category_append")(spark, sf)
     assert(df.count() == df.select("dict_value").distinct().count())
