@@ -9,9 +9,10 @@ class ScaleStrategySpec extends AnyFunSuite {
   import TestSpark._
 
   private val joinQueries = Seq("q1_pricing_agg", "q3_join_agg",
-    "q5_multijoin", "q_status_pivot", "q_semi_join", "q_anti_join",
-    "q_asof_join", "q_asof_join_native", "q13_custdist",
-    "q18_large_volume", "q20_nested_exists", "q_full_outer")
+    "q5_multijoin", "q_status_pivot", "q_status_matrix", "q_poc_registry",
+    "q_semi_join", "q_anti_join", "q_asof_join", "q_asof_join_native",
+    "q13_custdist", "q18_large_volume", "q20_nested_exists", "q_full_outer",
+    "q_cdc_diff", "q_contamination", "q_unigram_logprob")
 
   /** Queries whose big-table joins carry no broadcast hint: with the
     * auto-threshold disabled their plans MUST contain a shuffle join.
@@ -22,8 +23,9 @@ class ScaleStrategySpec extends AnyFunSuite {
   // (q_asof_join is absent: the custom as-of merge is a union+window
   // with no join node, so there is nothing to degrade)
   private val mustShuffleJoin = Seq("q3_join_agg", "q5_multijoin",
-    "q_status_pivot", "q13_custdist", "q18_large_volume",
-    "q20_nested_exists", "q_full_outer")
+    "q_status_pivot", "q_status_matrix", "q_poc_registry", "q13_custdist",
+    "q18_large_volume", "q20_nested_exists", "q_full_outer", "q_cdc_diff",
+    "q_contamination")
 
   test("all join queries match under forced sort-merge strategy") {
     val defaults = joinQueries.map(q =>
