@@ -13,8 +13,10 @@ object PlanAudit {
     val spark = GraftSession.getOrCreate()
     val sb = new StringBuilder
     val names = Seq("q1_pricing_agg", "q3_join_agg", "q5_multijoin",
-      "q_status_pivot", "q_asof_join", "q_sessionize", "q_dedup_minhash",
-      "q_ann_lsh", "q_json_extract", "q_topk_group", "q_time_bucket")
+      "q_status_pivot", "q_status_matrix", "q_poc_registry", "q_asof_join",
+      "q_sessionize", "q_scd2_intervals", "q_cdc_diff", "q_dedup_minhash",
+      "q_ann_lsh", "q_contamination", "q_unigram_logprob", "q_json_extract",
+      "q_topk_group", "q_time_bucket")
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n========== $name ==========\n")
