@@ -57,6 +57,14 @@ object SparkEntry {
     "q_quality_profile" -> (Quality.qualityProfile _),
     "q_upsert_latest" -> (Quality.upsertLatest _),
     "q_incremental_agg" -> (Incremental.incrementalAgg _),
+    "q_skew_salted_agg" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      Skew.saltedAgg(Tables.lineitem(s, d).select("l_returnflag", "l_quantity"),
+        "l_returnflag", "l_quantity")
+        .select(col("l_returnflag"), round(col("value_sum"), 2).as("value_sum"),
+          col("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
     "q_source_similarity" -> (Quality.sourceSimilarity _),
     // §2b temporal
     "q_asof_join" -> (Temporal.asofJoin _),
@@ -462,6 +470,12 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bucket, event_type""".stripMargin,
+    "q_skew_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS value_sum,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_scd2_intervals" ->
       """WITH ev AS (
         | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type

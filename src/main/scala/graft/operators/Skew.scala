@@ -30,4 +30,21 @@ object Skew {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("key"))
       .limit(topN)
+
+  /** Two-stage salted aggregation: when one group dominates (a single
+    * reducer melts), aggregate (key, salt) first — spreading the hot
+    * key's rows over `salt` reducers — then merge the partials per key.
+    * Decomposable aggregates only (sum/count/min/max); the result is
+    * EXACTLY the plain groupBy (oracle-checked via q_skew_salted_agg).
+    * Salt from a row hash, not rand(): deterministic plan, no
+    * re-execution hazard under task retries. */
+  def saltedAgg(df: DataFrame, key: String, valueCol: String,
+      salt: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(salt)))
+    salted.groupBy(col(key), col("_salt"))
+      .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
+      .groupBy(col(key))
+      .agg(sum(col("_psum")).as("value_sum"), sum(col("_pcnt")).as("n_rows"))
+  }
 }

@@ -56,6 +56,20 @@ class FederationSkewSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("salted two-stage aggregation equals the plain groupBy") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf).select("l_returnflag", "l_quantity")
+    val plain = li.groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("value_sum"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag")).collect()
+    val salted = Skew.saltedAgg(li, "l_returnflag", "l_quantity", salt = 13)
+      .select(col("l_returnflag"), round(col("value_sum"), 2).as("value_sum"),
+        col("n_rows"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(salted.sameElements(plain))
+  }
+
   test("hash split is deterministic and stable under corpus growth") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, sf)
