@@ -165,31 +165,20 @@ object Similarity {
     * centroid id; probe side explodes to nProbe rows. At scale the
     * centroid table is broadcast once and posting lists are the
     * partitioning scheme of the stored index. */
-  /* Defaults are measured, not guessed (graft.tools.IvfSweep at sf0.1):
-   * recall@3 vs exact = 0.54 at nProbe=4, 0.81 at nProbe=8 (+iters=3),
-   * 0.94 at nProbe=12. The shipped probe budget is nProbe/nCentroids =
-   * 8/16 of the posting lists, the knee that clears 80% on the
-   * synthetic embeddings — which are near-random (recall tracks the
-   * probe FRACTION almost alone; k-means adds only ~+2pt). Real
-   * clustered embeddings reach the same recall at much smaller
-   * fractions; the parameters are per-call tunable either way. */
-  def annIvf(spark: SparkSession, dir: String, k: Int = 3,
-      nCentroids: Int = 16, nProbe: Int = 8, kmeansIters: Int = 3): DataFrame = {
+  /** K-means centroid training (shared by the in-memory operator and
+    * the persisted-index builder): deterministic seed centroids
+    * (smallest vec_ids), then Lloyd refinement — assign → per-bucket
+    * vector-sum → renormalize. Each round is ONE map-side-combined
+    * aggregation via the VectorSum native aggregate (K buffers of dim
+    * doubles per map partition — no posexplode, whose shuffle volume
+    * would be dim× the row count); only K×dim doubles reach the
+    * driver. Partial-sum order varies with partitioning, so centroids
+    * carry ~1e-16 noise across runs — assignment flips only when a
+    * vector's top-two centroid margins are inside that epsilon
+    * (audited bit-stable across thread counts at test SFs). */
+  private def trainCentroids(spark: SparkSession, normed: DataFrame,
+      nCentroids: Int, kmeansIters: Int): Array[Array[Double]] = {
     import spark.implicits._
-    val normed = vecs(spark, dir)
-      .select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("vn"))
-    // deterministic seed centroids (smallest vec_ids), then Lloyd
-    // refinement: assign → per-bucket vector-sum → renormalize. Each
-    // round is ONE map-side-combined aggregation via the VectorSum
-    // native aggregate (K buffers of dim doubles per map partition —
-    // no posexplode, whose shuffle volume would be dim× the row
-    // count); only K×dim doubles reach the driver. Partial-sum order
-    // varies with partitioning, so centroids carry ~1e-16 noise across
-    // runs — assignment flips only when a vector's top-two centroid
-    // margins are inside that epsilon (audited bit-stable across
-    // thread counts at test SFs).
     var centroids = normed.orderBy(col("vec_id")).limit(nCentroids)
       .as[(Long, Array[Double])].collect().map(_._2)
     val dim = centroids.headOption.map(_.length).getOrElse(0)
@@ -212,6 +201,25 @@ object Similarity {
         }
       }.toArray
     }
+    centroids
+  }
+
+  /* Defaults are measured, not guessed (graft.tools.IvfSweep at sf0.1):
+   * recall@3 vs exact = 0.54 at nProbe=4, 0.81 at nProbe=8 (+iters=3),
+   * 0.94 at nProbe=12. The shipped probe budget is nProbe/nCentroids =
+   * 8/16 of the posting lists, the knee that clears 80% on the
+   * synthetic embeddings — which are near-random (recall tracks the
+   * probe FRACTION almost alone; k-means adds only ~+2pt). Real
+   * clustered embeddings reach the same recall at much smaller
+   * fractions; the parameters are per-call tunable either way. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 3,
+      nCentroids: Int = 16, nProbe: Int = 8, kmeansIters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val normed = vecs(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+          .as("vn"))
+    val centroids = trainCentroids(spark, normed, nCentroids, kmeansIters)
     if (centroids.isEmpty) {
       // empty corpus → empty result with the operator's schema
       return normed.select(col("vec_id").as("id_a"), col("vec_id").as("id_b"),
@@ -240,6 +248,74 @@ object Similarity {
     // nProbe bucket ids are distinct, so a (query, index) pair can match
     // at most once — no pair-dedup aggregation needed (unlike LSH,
     // where a pair can surface from several tables)
+    probed.join(indexed, Seq("bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), dotProduct(col("va"), col("vb")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"), col("rank"))
+      .orderBy(col("id_a"), col("rank"))
+  }
+
+  /** Persist an IVF index: centroids to a small table, posting lists to
+    * a table BUCKETED (and sorted) by posting-list id — the stored
+    * layout IS the partitioning scheme, so every later probe joins
+    * shuffle-free on the index side. Build once over the corpus, probe
+    * many times; at 100 TB this converts the per-query index shuffle
+    * into a one-time write. */
+  def buildIvfIndex(spark: SparkSession, dir: String, name: String,
+      nCentroids: Int = 16, kmeansIters: Int = 3, nBuckets: Int = 8): Unit = {
+    import spark.implicits._
+    val normed = vecs(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+          .as("vn"))
+    val centroids = trainCentroids(spark, normed, nCentroids, kmeansIters)
+    centroids.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c) }.toSeq
+      .toDF("bucket", "centroid")
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_centroids")
+    val dots = array(centroids.toIndexedSeq.map(c =>
+      dotProduct(col("vn"), typedlit(c.toSeq))): _*)
+    val postings = normed.withColumn("dots", dots)
+      .withColumn("bucket",
+        expr("array_position(dots, array_max(dots))").cast("long"))
+      .select(col("vec_id").as("id_b"), col("vn").as("vb"), col("bucket"))
+    graft.sources.FormatIO.writeBucketed(postings, s"${name}_postings",
+      "bucket", nBuckets, sortCol = Some("bucket"))
+  }
+
+  /** Probe a persisted IVF index: centroids load as K×dim doubles (a
+    * broadcast-sized read), the query side explodes to its nProbe
+    * nearest lists, and the candidate join hits the bucketed posting
+    * table without shuffling it. Same scoring/ranking as [[annIvf]] —
+    * bit-equal when probing the index's own corpus with the same
+    * parameters (spec-checked). */
+  def probeIvfIndex(spark: SparkSession, name: String, dir: String,
+      k: Int = 3, nProbe: Int = 8): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.table(s"${name}_centroids")
+      .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
+    if (centroids.isEmpty)
+      return vecs(spark, dir).select(col("vec_id").as("id_a"),
+        col("vec_id").as("id_b"), lit(0.0).as("cosine"), lit(0L).as("rank"))
+        .limit(0)
+    val dots = array(centroids.toIndexedSeq.map(c =>
+      dotProduct(col("vn"), typedlit(c.toSeq))): _*)
+    val probed = vecs(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+          .as("vn"))
+      .withColumn("dots", dots)
+      .withColumn("bucket", explode(expr(
+        s"""transform(
+           |  slice(array_sort(zip_with(dots, sequence(1, ${centroids.length}),
+           |    (d, i) -> struct(-d AS nd, i AS idx))), 1, $nProbe),
+           |  s -> CAST(s.idx AS BIGINT))""".stripMargin)))
+      .select(col("vec_id").as("id_a"), col("vn").as("va"), col("bucket"))
+    val indexed = spark.table(s"${name}_postings")
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
     probed.join(indexed, Seq("bucket"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"), dotProduct(col("va"), col("vb")).as("cos"))

@@ -137,6 +137,23 @@ class ExtensionsIOSpec extends AnyFunSuite {
     assert(zf <= rf, s"z-order must not scatter matches more than random ($zf vs $rf)")
   }
 
+  test("persisted IVF index: probe matches the in-memory operator and " +
+    "reads the bucketed posting-list layout") {
+    import graft.operators.Similarity
+    Similarity.buildIvfIndex(spark, sf, "ivf_idx",
+      nCentroids = 16, kmeansIters = 3, nBuckets = 4)
+    val probe = Similarity.probeIvfIndex(spark, "ivf_idx", sf, k = 3, nProbe = 8)
+    val direct = Similarity.annIvf(spark, sf, k = 3)
+    assert(probe.collect().sameElements(direct.collect()),
+      "probing the stored index must reproduce the in-memory operator")
+    // the stored layout must actually be used: the posting-list scan
+    // reports its bucketing, so the index side joins without a shuffle
+    val formatted = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("Bucketed: true"),
+      s"index scan must use the bucket layout:\n$formatted")
+  }
+
   test("bucketed table join plans without a shuffle on the bucket key") {
     FormatIO.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_custkey", 4)
     FormatIO.writeBucketed(Tables.customer(spark, sf), "customer_b", "c_custkey", 4)
