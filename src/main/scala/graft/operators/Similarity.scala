@@ -325,6 +325,48 @@ object Similarity {
       .orderBy(col("id_a"), col("rank"))
   }
 
+  /** Sample-based nProbe auto-tuning: estimate recall@k on a
+    * deterministic query sample (smallest `sampleN` vec_ids) by
+    * comparing IVF hits against the exact neighbors OF THE SAMPLE ONLY
+    * — the exact side is sampleN × corpus, linear in the corpus, never
+    * all-pairs — and return the smallest nProbe whose estimated recall
+    * clears the target. The 100 TB form of "pick the probe budget":
+    * measure on a bounded sample, apply to the fleet. */
+  def tuneNProbe(spark: SparkSession, dir: String, targetRecall: Double = 0.8,
+      k: Int = 3, nCentroids: Int = 16, kmeansIters: Int = 3,
+      sampleN: Int = 200): Int = {
+    val sample = vecs(spark, dir).orderBy(col("vec_id")).limit(sampleN)
+      .select(col("vec_id").as("id_a"),
+        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+          .as("va"))
+      .localCheckpoint()
+    val corpus = vecs(spark, dir)
+      .select(col("vec_id").as("id_b"),
+        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+          .as("vb"))
+    // exact top-k of the sample queries only: |sample| × corpus scores
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    val exact = sample.crossJoin(corpus)
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), dotProduct(col("va"), col("vb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val exactN = exact.count().toDouble
+    val sampleIds = sample.select(col("id_a")).localCheckpoint()
+    var probe = 1
+    while (probe < nCentroids) {
+      val hits = annIvf(spark, dir, k, nCentroids, probe, kmeansIters)
+        .join(sampleIds, Seq("id_a"), "left_semi")
+        .select(col("id_a"), col("id_b"))
+        .join(exact, Seq("id_a", "id_b"), "left_semi").count()
+      if (exactN == 0.0 || hits / exactN >= targetRecall) return probe
+      probe += 1
+    }
+    nCentroids
+  }
+
   /** Deterministic pseudo-random unit hyperplanes (seeded, plan-time
     * literal — data-independent, identical on every executor). */
   private def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {

@@ -104,6 +104,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.75, f"IVF recall regressed below floor: $recall%.3f")
   }
 
+  test("nProbe auto-tuner returns a probe budget that meets the target") {
+    val target = 0.7
+    val probe = Similarity.tuneNProbe(spark, sf, targetRecall = target,
+      sampleN = 100)
+    info(s"tuned nProbe = $probe")
+    assert(probe >= 1 && probe <= 16)
+    // the tuned budget must actually deliver the target on full recall
+    val exact = Similarity.annBruteforce(spark, sf, k = 3)
+      .select(col("id_a"), col("id_b"))
+    val ivf = Similarity.annIvf(spark, sf, k = 3, nProbe = probe)
+      .select(col("id_a"), col("id_b"))
+    val recall = ivf.join(exact, Seq("id_a", "id_b"), "left_semi").count()
+      .toDouble / exact.count()
+    info(f"recall at tuned probe = $recall%.3f")
+    assert(recall >= target - 0.1,
+      f"tuned budget underdelivers: $recall%.3f vs target $target")
+  }
+
   test("LSH ANN is a valid approximation: subset semantics + recall report") {
     val exact = Similarity.annBruteforce(spark, sf, k = 3)
       .select(col("id_a"), col("id_b"))

@@ -252,4 +252,23 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert("windowspecdefinition\\(pid#".r.findFirstIn(plan).isDefined,
       s"scale path must window per range partition:\n$plan")
   }
+
+  test("key gaps: randomized key sets match the global-window reference") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(7L)
+    for (trial <- 1 to 3) {
+      val kept = (0 until 500).filter(_ => rng.nextDouble() < 0.6).map(_.toLong)
+      import spark.implicits._
+      val keys = kept.toDF("k")
+      val wg = Window.orderBy(col("k"))
+      val reference = keys.withColumn("prev", lag(col("k"), 1).over(wg))
+        .filter(col("k") - col("prev") > 1)
+        .select(col("prev"), col("k").as("next_key"),
+          (col("k") - col("prev") - 1).as("gap_size"))
+        .orderBy(col("prev")).collect()
+      val stitched = graft.operators.RelationalExt.gapsOf(keys, "k").collect()
+      assert(stitched.sameElements(reference), s"trial $trial diverged")
+    }
+  }
 }
