@@ -50,4 +50,25 @@ object Federation {
     val rows = futures.map(Await.result(_, Duration.Inf))
     rows.toDF("site", "n_rows", "status")
   }
+
+  /** Federated distinct counting via MERGEABLE sketches: each site
+    * builds an HLL sketch of its keys locally (one pass, no raw keys
+    * leave the site — the privacy shape a consortium needs), the
+    * binary sketches union centrally, and the estimate comes off the
+    * merged sketch. Exact distinct across sites would shuffle the full
+    * key universe to one place; sketch size is KB regardless of
+    * cardinality. Uses Spark's DataSketches HLL functions
+    * (hll_sketch_agg / hll_union_agg / hll_sketch_estimate). */
+  def federatedDistinct(spark: SparkSession, sites: Seq[Site],
+      table: String, keyCol: String): DataFrame = {
+    val perSite = sites.map { s =>
+      graft.sources.Tables.load(spark, s.dir, table)
+        .agg(expr(s"hll_sketch_agg($keyCol)").as("sketch"))
+        .withColumn("site", lit(s.name))
+    }.reduce(_ unionByName _)
+    perSite.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sketch))").cast("long")
+        .as("approx_distinct"),
+      count(lit(1)).as("n_sites"))
+  }
 }

@@ -56,6 +56,21 @@ class FederationSkewSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("federated sketch-union distinct tracks the exact cross-site count") {
+    import org.apache.spark.sql.functions._
+    // two "sites" = the same test dir twice: distinct keys overlap 100%,
+    // which is exactly what a naive per-site sum would double-count
+    val sites = Seq(Federation.Site("a", sf), Federation.Site("b", sf))
+    val row = Federation.federatedDistinct(spark, sites, "orders", "o_custkey")
+      .head
+    val approx = row.getLong(0)
+    assert(row.getLong(1) == 2L)
+    val exact = Tables.orders(spark, sf)
+      .select(countDistinct(col("o_custkey"))).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.03,
+      s"sketch union estimate $approx vs exact $exact")
+  }
+
   test("salted two-stage aggregation equals the plain groupBy") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf).select("l_returnflag", "l_quantity")
