@@ -276,12 +276,20 @@ object Similarity {
       .toDF("bucket", "centroid")
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_centroids")
-    val dots = array(centroids.toIndexedSeq.map(c =>
-      dotProduct(col("vn"), typedlit(c.toSeq))): _*)
-    val postings = normed.withColumn("dots", dots)
-      .withColumn("bucket",
-        expr("array_position(dots, array_max(dots))").cast("long"))
-      .select(col("vec_id").as("id_b"), col("vn").as("vb"), col("bucket"))
+    // empty corpus → empty index with the right schema (array() of zero
+    // dot columns would otherwise feed array_max)
+    val postings =
+      if (centroids.isEmpty)
+        normed.select(col("vec_id").as("id_b"), col("vn").as("vb"),
+          lit(0L).as("bucket")).limit(0)
+      else {
+        val dots = array(centroids.toIndexedSeq.map(c =>
+          dotProduct(col("vn"), typedlit(c.toSeq))): _*)
+        normed.withColumn("dots", dots)
+          .withColumn("bucket",
+            expr("array_position(dots, array_max(dots))").cast("long"))
+          .select(col("vec_id").as("id_b"), col("vn").as("vb"), col("bucket"))
+      }
     graft.sources.FormatIO.writeBucketed(postings, s"${name}_postings",
       "bucket", nBuckets, sortCol = Some("bucket"))
   }

@@ -22,6 +22,22 @@ class EmptyInputSpec extends AnyFunSuite {
     dir
   }
 
+  test("library surface outside the queries map survives empty inputs") {
+    import org.apache.spark.sql.functions._
+    // sharded kernel, IVF index build+probe, tuner, gap stitch: all must
+    // run to zero rows (or a sane default) on an empty corpus
+    assert(graft.operators.Similarity
+      .annBruteforceKernel(spark, emptyDir).count() == 0)
+    graft.operators.Similarity.buildIvfIndex(spark, emptyDir, "ivf_empty")
+    assert(graft.operators.Similarity
+      .probeIvfIndex(spark, "ivf_empty", emptyDir).count() == 0)
+    assert(graft.operators.Similarity
+      .tuneNProbe(spark, emptyDir, targetRecall = 0.8) >= 1)
+    import spark.implicits._
+    assert(graft.operators.RelationalExt
+      .gapsOf(Seq.empty[Long].toDF("k"), "k").count() == 0)
+  }
+
   test("every query runs to completion on an empty dataset") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
