@@ -109,6 +109,7 @@ object SparkEntry {
     "q_doc_histogram" -> (TextAnalysis.lengthHistogram _),
     "q_hash_split" -> (Sampling.splitCounts _),
     "q_stratified_sample" -> (Sampling.stratifiedSample _),
+    "q_sequence_pack" -> ((s: SparkSession, d: String) => Sampling.sequencePack(s, d)),
     "q_contamination" -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
     "q_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
@@ -789,6 +790,20 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER)
         |      < (CASE WHEN lang = 'en' THEN 128.0 ELSE 64.0 END)
+        |ORDER BY doc_id""".stripMargin,
+    "q_sequence_pack" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+        |    AS n_tokens,
+        |  doc_id % 32 AS bucket
+        | FROM documents)
+        |SELECT doc_id, n_tokens,
+        | bucket * 1000000 + CAST(floor((sum(n_tokens) OVER (
+        |   PARTITION BY bucket ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 512)
+        |   AS BIGINT) AS pack_id
+        |FROM toks
         |ORDER BY doc_id""".stripMargin,
     "q_contamination" ->
       """WITH toks AS (

@@ -61,4 +61,38 @@ object Sampling {
       Map("en" -> 0.5), default = 0.25)
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
+
+  /** Sequence packing for training batches: assign documents to packs
+    * of ~`budget` tokens. Docs are spread over hash buckets (so packing
+    * parallelizes — each bucket packs independently, which is the 100 TB
+    * shape: bucket count scales with the cluster, the window inside a
+    * bucket is a keyed running sum, never global), ordered
+    * deterministically within the bucket, and cut greedily at the
+    * running-token-sum boundary: pack = floor((prefix_sum − 1)/budget).
+    * A document longer than the budget nominally owns an overflowing
+    * pack — the greedy contract (splitting is the tokenizer's job).
+    * Deterministic: membership is a pure function of doc_id order. */
+  def sequencePack(spark: SparkSession, dir: String,
+      budget: Long = 512L, nBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets.toLong)))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        col("bucket") * lit(1000000L) + floor((col("cum") - 1) / budget))
+      .select(col("doc_id"), col("n_tokens"), col("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pack-level audit of [[sequencePack]]: docs and tokens per pack. */
+  def packAudit(spark: SparkSession, dir: String): DataFrame =
+    sequencePack(spark, dir)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+      .orderBy(col("pack_id"))
 }

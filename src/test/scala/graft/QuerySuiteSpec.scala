@@ -171,6 +171,30 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(q.exceptAll(joined).count() == 0)
   }
 
+  test("sequence packing: packs respect the token budget except " +
+    "single-oversize docs; assignment is deterministic") {
+    import org.apache.spark.sql.functions._
+    val budget = 512L
+    val packs = graft.operators.Sampling.packAudit(spark, sf)
+    // greedy floor-cut invariant: a pack spans at most (budget + its
+    // largest member) tokens — the straddling doc is the only slack
+    val offenders = packs
+      .join(graft.operators.Sampling.sequencePack(spark, sf)
+        .groupBy(col("pack_id")).agg(max(col("n_tokens")).as("max_doc")),
+        Seq("pack_id"))
+      .filter(col("pack_tokens") >= lit(budget) + col("max_doc"))
+      .count()
+    assert(offenders == 0,
+      "pack exceeded the greedy bound budget + max member size")
+    // deterministic across runs
+    val a = graft.operators.Sampling.sequencePack(spark, sf).collect()
+    val b = graft.operators.Sampling.sequencePack(spark, sf).collect()
+    assert(a.sameElements(b))
+    // every doc lands in exactly one pack
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(a.length == n)
+  }
+
   test("scd2 intervals: contiguous per user, one current row, no " +
     "zero-length or duplicate-status-adjacent intervals") {
     import org.apache.spark.sql.functions._
