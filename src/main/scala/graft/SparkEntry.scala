@@ -115,7 +115,14 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "q_corpus_pipeline" -> ((s: SparkSession, d: String) => Pipeline.curateCorpus(s, d)),
     // §2c multimodal plumbing
-    "q_multimodal_meta" -> (Multimodal.mediaMeta _)
+    "q_multimodal_meta" -> (Multimodal.mediaMeta _),
+    // §2c search / retrieval
+    "q_inverted_index" -> ((s: SparkSession, d: String) => Search.invertedIndex(s, d)),
+    "q_tfidf" -> ((s: SparkSession, d: String) => Search.tfidfTopTerms(s, d)),
+    "q_bm25" -> ((s: SparkSession, d: String) => Search.bm25Search(s, d)),
+    // §2c mixture + vocab induction
+    "q_source_mix" -> ((s: SparkSession, d: String) => Sampling.sourceMix(s, d)),
+    "q_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -807,7 +814,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q_contamination" ->
       """WITH toks AS (
-        | SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS t
+        | SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS t
         | FROM documents),
         |grams AS (
         | SELECT doc_id, source,
@@ -826,7 +833,7 @@ object SparkEntry {
         |ORDER BY e.doc_id""".stripMargin,
     "q_unigram_logprob" ->
       """WITH toks AS (
-        | SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        | SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
         | FROM documents),
         |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
         |tot AS (SELECT sum(c) AS n FROM vocab)
@@ -848,6 +855,104 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height,
         | md5(text) AS content_md5
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_inverted_index" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        | FROM documents),
+        |tf AS (
+        | SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+        | FROM toks GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT tok, doc_id, tf,
+        |        row_number() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS rn
+        | FROM tf),
+        |agg AS (
+        | SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        | FROM tf GROUP BY tok),
+        |heads AS (
+        | SELECT tok,
+        |        string_agg(doc_id || ':' || tf, ',' ORDER BY rn) AS postings_head
+        | FROM ranked WHERE rn <= 5 GROUP BY tok)
+        |SELECT a.tok, a.df, a.cf, h.postings_head
+        |FROM agg a JOIN heads h USING (tok)
+        |WHERE a.df >= 5
+        |ORDER BY a.tok""".stripMargin,
+    "q_tfidf" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        | FROM documents),
+        |tf AS (
+        | SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        | FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (
+        | SELECT tf.doc_id, tf.tok,
+        |        round(tf.tf * ln(n.n_docs / df.df), 6) AS score_r
+        | FROM tf JOIN df USING (tok) CROSS JOIN n),
+        |ranked AS (
+        | SELECT doc_id, tok, score_r,
+        |        CAST(row_number() OVER (
+        |          PARTITION BY doc_id ORDER BY score_r DESC, tok) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT doc_id, tok, round(score_r, 4) AS tfidf, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    "q_bm25" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        | FROM documents),
+        |lens AS (
+        | SELECT doc_id,
+        |        CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS dl
+        | FROM documents),
+        |stats AS (
+        | SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+        |tf AS (
+        | SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+        | FROM toks WHERE tok IN ('data', 'model', 'spark') GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |idf AS (
+        | SELECT tok, ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) AS idf,
+        |        s.avgdl AS avgdl
+        | FROM df CROSS JOIN stats s),
+        |scored AS (
+        | SELECT tf.doc_id,
+        |        idf.idf * (tf.tf * 2.2)
+        |          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / idf.avgdl)) AS term_score
+        | FROM tf JOIN idf USING (tok) JOIN lens l ON tf.doc_id = l.doc_id)
+        |SELECT doc_id, round(sum(term_score), 4) AS bm25,
+        |       count(*) AS n_terms_matched
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 20""".stripMargin,
+    "q_source_mix" ->
+      """WITH w(domain, w) AS (VALUES
+        |  ('en', 0.4), ('zh', 0.2), ('de', 0.2), ('es', 0.1), ('fr', 0.1)),
+        |counts AS (
+        | SELECT lang AS domain, CAST(count(*) AS DOUBLE) AS n
+        | FROM documents GROUP BY lang),
+        |j AS (SELECT c.domain, c.n, w.w FROM counts c JOIN w USING (domain)),
+        |cap AS (SELECT min(n / w) AS cap FROM j),
+        |rates AS (
+        | SELECT domain, least(1.0, w * cap.cap / n) AS rate
+        | FROM j CROSS JOIN cap)
+        |SELECT d.doc_id, d.lang AS domain
+        |FROM documents d JOIN rates r ON d.lang = r.domain
+        |WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) AS INTEGER)
+        |      < r.rate * 256
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH toks AS (
+        | SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |pairs AS (
+        | SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |   i -> concat_ws(' ', t[i], t[i+1]))) AS pair
+        | FROM toks)
+        |SELECT pair, count(*) AS n FROM pairs
+        |GROUP BY pair
+        |ORDER BY n DESC, pair
+        |LIMIT 50""".stripMargin
   )
 }

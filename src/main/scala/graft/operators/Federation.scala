@@ -28,27 +28,50 @@ object Federation {
   /** Per-site run status board (state.py:145-179 as an aggregation):
     * one row per site with rows produced and success flag — the engine
     * twin of the ✅/🛠/❌ dashboard. Failures don't abort the federation;
-    * they surface as ❌ rows. Per-site jobs are submitted CONCURRENTLY
-    * (Spark's scheduler interleaves them), so board latency is the
-    * slowest site, not the sum over the consortium. */
+    * they surface as ❌ rows — and so do HANGS: each site is awaited
+    * against a shared deadline, and a site that blows it becomes a
+    * `failed: Timeout` row instead of blocking the board forever (an
+    * unresponsive site is the failure mode federation exists to
+    * survive). Per-site jobs run CONCURRENTLY on a dedicated pool sized
+    * to the site count — blocking Spark actions never occupy the global
+    * pool, and site concurrency isn't capped at the CPU count. Board
+    * latency is min(slowest site, timeout), not the consortium sum. */
   def statusBoard(spark: SparkSession, sites: Seq[Site],
-      query: (SparkSession, String) => DataFrame): DataFrame = {
+      query: (SparkSession, String) => DataFrame,
+      timeout: scala.concurrent.duration.FiniteDuration =
+        scala.concurrent.duration.Duration(10, "min")): DataFrame = {
     import spark.implicits._
-    import scala.concurrent.{Await, Future, ExecutionContext}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val futures = sites.map { s =>
-      Future {
-        try {
-          val n = query(spark, s.dir).count()
-          (s.name, n, "completed")
-        } catch {
-          case e: Exception => (s.name, 0L, s"failed: ${e.getClass.getSimpleName}")
+    import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, sites.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = sites.map { s =>
+        Future {
+          blocking {
+            try {
+              val n = query(spark, s.dir).count()
+              (s.name, n, "completed")
+            } catch {
+              case e: Exception => (s.name, 0L, s"failed: ${e.getClass.getSimpleName}")
+            }
+          }
         }
       }
-    }
-    val rows = futures.map(Await.result(_, Duration.Inf))
-    rows.toDF("site", "n_rows", "status")
+      // one shared deadline: jobs run concurrently, so the total wait is
+      // bounded by `timeout`, not sites × timeout
+      val deadline = System.nanoTime() + timeout.toNanos
+      val rows = futures.zip(sites).map { case (f, s) =>
+        val remaining = math.max(0L, deadline - System.nanoTime())
+        try Await.result(f,
+          scala.concurrent.duration.Duration.fromNanos(remaining))
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            (s.name, 0L, "failed: Timeout")
+        }
+      }
+      rows.toDF("site", "n_rows", "status")
+    } finally pool.shutdown() // timed-out threads finish in background; pool reclaims
   }
 
   /** Federated distinct counting via MERGEABLE sketches: each site

@@ -89,6 +89,42 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Domain-mixing resampler (the "data mixture" step of a training
+    * pipeline): given target mix WEIGHTS per domain, downsample each
+    * domain so the surviving corpus matches the target proportions as
+    * closely as downsampling allows. The scarcest domain relative to
+    * its weight binds the total (cap = min n_d/w_d — no upsampling);
+    * every domain then keeps rate_d = w_d·cap/n_d of its rows via the
+    * same content-hash draw as [[stratifiedHash]], so membership is a
+    * pure function of the key: reproducible across engines and stable
+    * under corpus growth. Plan shape: one tiny per-domain count (the
+    * only shuffle), rates broadcast back, acceptance is a row-local
+    * predicate — 100 TB cost = one scan. Domains missing from the
+    * weight map are excluded (the mix DEFINES the kept domains). */
+  def sourceMix(spark: SparkSession, dir: String,
+      weights: Map[String, Double] = Map("en" -> 0.4, "zh" -> 0.2,
+        "de" -> 0.2, "es" -> 0.1, "fr" -> 0.1),
+      domainCol: String = "lang"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wCol = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, v)) => when(col(domainCol) === k, lit(v)).otherwise(acc)
+    }
+    val counts = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .withColumn("w", wCol)
+      .filter(col("w").isNotNull)
+    val cap = counts.agg(min(col("n") / col("w")).as("cap"))
+    val rates = counts.crossJoin(broadcast(cap))
+      .withColumn("rate", least(lit(1.0), col("w") * col("cap") / col("n")))
+      .select(col(domainCol), col("rate"))
+    val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    docs.join(broadcast(rates), Seq(domainCol))
+      .filter(draw < col("rate") * 256)
+      .select(col("doc_id"), col(domainCol).as("domain"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pack-level audit of [[sequencePack]]: docs and tokens per pack. */
   def packAudit(spark: SparkSession, dir: String): DataFrame =
     sequencePack(spark, dir)

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Full-text retrieval operators over `documents` (SURVEY §2c search
+  * family): inverted-index build, TF-IDF term weighting, BM25 keyword
+  * ranking. The retrieval stack a training-data pipeline needs for
+  * corpus exploration, near-benchmark mining, and quality-weighted
+  * sampling.
+  *
+  * Plan shapes at 100 TB:
+  *  - index build: ONE token-level shuffle to (tok, doc) partial counts
+  *    (map-side combined), then a tok-keyed window + aggregation that
+  *    reuse the same hash partitioning — posting lists come out
+  *    grouped by term, which IS the layout a stored index wants.
+  *  - probes (BM25): the query-term filter is pushed BELOW the token
+  *    shuffle, so only postings of matched terms move; document-length
+  *    norms ride from a corpus-sized but column-pruned side; per-term
+  *    IDF is a handful of rows, broadcast.
+  */
+object Search {
+
+  private def tokensCol: Column = split(lower(trim(col("text"))), "\\s+")
+
+  /** Per-(term, doc) token frequencies — the posting-list fact every
+    * operator here derives from. One shuffle, map-side combined. */
+  private def termFreqs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokensCol).as("tok"))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Inverted-index build: per term, document frequency, collection
+    * frequency, and the head of the posting list (top-5 docs by tf,
+    * serialized — arrays stay off the oracle surface). The window and
+    * the final aggregation both key on `tok`, so they reuse the
+    * (tok, doc) shuffle's partitioning — the whole build is one
+    * token-level shuffle plus one tok-level exchange. */
+  def invertedIndex(spark: SparkSession, dir: String, minDf: Long = 5L): DataFrame = {
+    val w = Window.partitionBy(col("tok")).orderBy(col("tf").desc, col("doc_id"))
+    termFreqs(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") <= 5,
+              struct(col("rn").as("rn"),
+                concat_ws(":", col("doc_id"), col("tf")).as("p"))))),
+            x => x.getField("p")),
+          ",").as("postings_head"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("tok"))
+  }
+
+  /** TF-IDF top terms: each document's 3 most distinctive terms by
+    * tf · ln(N/df). Ranked on the ROUNDED score (6dp) with a term
+    * tiebreak — cross-engine ulp noise in `ln` can't flip a rank.
+    * The doc-count N rides as a 1-row broadcast, df joins on the
+    * tok-partitioned postings (no extra shuffle before the doc-keyed
+    * ranking exchange). */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = termFreqs(spark, dir)
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_r").desc, col("tok"))
+    tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_r",
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("tok"), round(col("score_r"), 4).as("tfidf"),
+        col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** BM25 keyword search: rank documents against a bag of query terms
+    * with the classic Robertson/Sparck-Jones scoring
+    * (k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))).
+    * The term filter sits BELOW the token shuffle — only postings of
+    * query terms are ever shuffled, so probe cost scales with the
+    * match volume, not the corpus. Doc-length norms come from a
+    * column-pruned length scan; per-term IDF is |terms| rows. */
+  def bm25Search(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("data", "model", "spark"),
+      topN: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lens = docs.select(col("doc_id"), size(tokensCol).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    // postings of query terms only — the isin filter pushes below the
+    // (tok, doc) aggregation's shuffle
+    val tf = docs.select(col("doc_id"), explode(tokensCol).as("tok"))
+      .filter(col("tok").isInCollection(terms))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = df.crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .select(col("tok"), col("idf"), col("avgdl"))
+    val scored = tf
+      .join(broadcast(idf), Seq("tok"))
+      .join(lens, Seq("doc_id"))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * (k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("term_score")), 4).as("bm25"),
+        count(lit(1)).as("n_terms_matched"))
+    scored
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topN)
+  }
+}

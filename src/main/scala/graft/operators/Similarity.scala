@@ -108,8 +108,15 @@ object Similarity {
     val total = normed.count()
     val nShards = math.max(1L, (total + maxShardRows - 1) / maxShardRows).toInt
     val perShard = (0 until nShards).map { s =>
-      // bounded collect: one shard of the index, never the full table
-      val index = normed.filter(pmod(col("vec_id"), lit(nShards)) === s).collect()
+      // bounded collect: one shard of the index, never the full table.
+      // Shard on a HASH of the id, not the raw id: pmod(vec_id, n) lets
+      // structured id distributions (all-even, fixed-stride) concentrate
+      // far more than maxShardRows into one shard — exactly the driver
+      // blow-up the sharding exists to prevent. Shards are only a
+      // partition of the index, so results are unchanged.
+      val index = normed
+        .filter(pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === s)
+        .collect()
       val bcIds = spark.sparkContext.broadcast(index.map(_._1))
       val bcVecs = spark.sparkContext.broadcast(index.map(_._2))
       normed.mapPartitions { rows =>
@@ -214,7 +221,6 @@ object Similarity {
    * fractions; the parameters are per-call tunable either way. */
   def annIvf(spark: SparkSession, dir: String, k: Int = 3,
       nCentroids: Int = 16, nProbe: Int = 8, kmeansIters: Int = 3): DataFrame = {
-    import spark.implicits._
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
         expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
@@ -225,21 +231,34 @@ object Similarity {
       return normed.select(col("vec_id").as("id_a"), col("vec_id").as("id_b"),
         lit(0.0).as("cosine"), lit(0L).as("rank")).limit(0)
     }
-    def dots: Column = array(centroids.toIndexedSeq.map(c =>
+    val dots: Column = array(centroids.toIndexedSeq.map(c =>
       dotProduct(col("vn"), typedlit(c.toSeq))): _*)
     // centroid distances evaluated ONCE; both the posting-list side and
     // the probe side derive from this materialized assignment
     val assigned = normed.withColumn("dots", dots).localCheckpoint()
+    ivfTopK(assigned, centroids.length, nProbe, k)
+  }
+
+  /** IVF candidate-join + exact-rerank over a materialized centroid
+    * assignment (`vec_id, vn, dots`). Shared by [[annIvf]] and
+    * [[tuneNProbe]] so tuning evaluates probe budgets against ONE
+    * trained assignment instead of re-running Lloyd per candidate.
+    * `probeIds` restricts the probe side (left-semi on vec_id) BEFORE
+    * the posting-list join — a query's candidates depend only on its own
+    * probes, so sample results are identical to the full run's. */
+  private def ivfTopK(assigned: DataFrame, nLists: Int, nProbe: Int, k: Int,
+      probeIds: Option[DataFrame] = None): DataFrame = {
     // index side: each vector in exactly one posting list (argmax dot)
     val indexed = assigned
       .withColumn("bucket",
         expr("array_position(dots, array_max(dots))").cast("long"))
       .select(col("vec_id").as("id_b"), col("vn").as("vb"), col("bucket"))
     // probe side: nProbe nearest centroids per query vector
-    val probed = assigned
+    val probed = probeIds.fold(assigned)(ids =>
+        assigned.join(ids, Seq("vec_id"), "left_semi"))
       .withColumn("bucket", explode(expr(
         s"""transform(
-           |  slice(array_sort(zip_with(dots, sequence(1, ${centroids.length}),
+           |  slice(array_sort(zip_with(dots, sequence(1, $nLists),
            |    (d, i) -> struct(-d AS nd, i AS idx))), 1, $nProbe),
            |  s -> CAST(s.idx AS BIGINT))""".stripMargin)))
       .select(col("vec_id").as("id_a"), col("vn").as("va"), col("bucket"))
@@ -343,15 +362,22 @@ object Similarity {
   def tuneNProbe(spark: SparkSession, dir: String, targetRecall: Double = 0.8,
       k: Int = 3, nCentroids: Int = 16, kmeansIters: Int = 3,
       sampleN: Int = 200): Int = {
-    val sample = vecs(spark, dir).orderBy(col("vec_id")).limit(sampleN)
-      .select(col("vec_id").as("id_a"),
+    val normed = vecs(spark, dir)
+      .select(col("vec_id"),
         expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("va"))
+          .as("vn"))
+    // ONE Lloyd training + ONE materialized assignment; every candidate
+    // probe budget is evaluated against it (centroids are identical
+    // across budgets, so retraining per candidate would be pure waste)
+    val centroids = trainCentroids(spark, normed, nCentroids, kmeansIters)
+    if (centroids.isEmpty) return 1
+    val dots: Column = array(centroids.toIndexedSeq.map(c =>
+      dotProduct(col("vn"), typedlit(c.toSeq))): _*)
+    val assigned = normed.withColumn("dots", dots).localCheckpoint()
+    val sample = assigned.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("vec_id").as("id_a"), col("vn").as("va"))
       .localCheckpoint()
-    val corpus = vecs(spark, dir)
-      .select(col("vec_id").as("id_b"),
-        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("vb"))
+    val corpus = assigned.select(col("vec_id").as("id_b"), col("vn").as("vb"))
     // exact top-k of the sample queries only: |sample| × corpus scores
     val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
     val exact = sample.crossJoin(corpus)
@@ -362,11 +388,12 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
       .localCheckpoint()
     val exactN = exact.count().toDouble
-    val sampleIds = sample.select(col("id_a")).localCheckpoint()
+    val sampleIds = sample.select(col("id_a").as("vec_id")).localCheckpoint()
     var probe = 1
     while (probe < nCentroids) {
-      val hits = annIvf(spark, dir, k, nCentroids, probe, kmeansIters)
-        .join(sampleIds, Seq("id_a"), "left_semi")
+      // probe side restricted to the sample BEFORE the candidate join —
+      // each tuning job is sample-sized, not corpus-sized
+      val hits = ivfTopK(assigned, centroids.length, probe, k, Some(sampleIds))
         .select(col("id_a"), col("id_b"))
         .join(exact, Seq("id_a", "id_b"), "left_semi").count()
       if (exactN == 0.0 || hits / exactN >= targetRecall) return probe

@@ -165,6 +165,23 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merge-candidate counting — step 1 of byte-pair/wordpiece vocab
+    * induction: frequency of every ADJACENT token pair, top-N by count.
+    * Pairs are generated row-locally (no pre-explode self-join — the
+    * adjacency is an array transform inside the scan), so the only
+    * shuffle is the pair-count aggregation, map-side combined. The
+    * size(t) >= 2 guard matters: Spark's sequence(1, 0) counts DOWN, so
+    * an unguarded single-token doc would emit a phantom pair. */
+  def bpePairs(spark: SparkSession, dir: String, topN: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .select(tokensCol.as("t"))
+      .select(explode(when(size(col("t")) >= 2, expr(
+        "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', t[i-1], t[i]))"))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topN)
+
   /** Unigram log-probability scoring (CCNet-style language-model-lite
     * quality signal): score each document by the mean log corpus
     * frequency of its tokens — spammy/templated text scores high,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import java.sql.Timestamp
 
 /** Structured Streaming topologies (SURVEY §2d) — the streaming twins of
@@ -131,12 +131,23 @@ object Streams {
   /** Streaming upsert sink — the foreachBatch MERGE pattern without a
     * lakehouse format: each micro-batch reduces to one latest row per
     * key, merges with the existing parquet snapshot (old ∪ new →
-    * keyed argmax), and atomically rewrites it. The read side is
-    * materialized (localCheckpoint) before the overwrite so the
-    * rewrite never races its own input. Idempotent per batch: a
-    * replayed batch re-derives the same snapshot, which is what makes
-    * foreachBatch + overwrite exactly-once at the sink. Snapshot size =
-    * key cardinality, not stream length. */
+    * keyed argmax), and promotes the result via staging + rename so a
+    * complete snapshot copy exists on disk at every instant:
+    *
+    *   write merged → `<path>.staging` (reads the live snapshot — a
+    *   different path, so the write never races its own input and no
+    *   copy needs to live only in executor memory), then swap:
+    *   snapshot → `<path>.backup`, staging → snapshot, drop backup.
+    *
+    * A crash at any point leaves a full copy at snapshot, staging, or
+    * backup; the next batch finishes the interrupted swap before
+    * reading. Only a genuinely-absent first-batch snapshot is treated
+    * as empty — any other read failure (permissions, transient FS
+    * errors, corrupt footers) propagates and fails the batch rather
+    * than silently discarding accumulated state. Idempotent per batch:
+    * a replayed batch re-derives the same snapshot, which is what makes
+    * foreachBatch exactly-once at the sink. Snapshot size = key
+    * cardinality, not stream length. */
   def upsertSink(events: DataFrame, snapshotPath: String,
       checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
@@ -144,6 +155,14 @@ object Streams {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
+        import org.apache.hadoop.fs.Path
+        val snap = new Path(snapshotPath)
+        val staging = new Path(snapshotPath + ".staging")
+        val backup = new Path(snapshotPath + ".backup")
+        val fs = snap.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        // Finish an interrupted swap: staging (newest) wins over backup.
+        if (!fs.exists(snap) && fs.exists(staging)) fs.rename(staging, snap)
+        if (!fs.exists(snap) && fs.exists(backup)) fs.rename(backup, snap)
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts").desc, col("event_id").desc)
@@ -152,12 +171,17 @@ object Streams {
           .filter(col("_rn") === 1).drop("_rn")
         val batchLatest = latestOf(batch
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+        // Missing path = first batch → empty; every other failure rethrows.
         val old =
-          try sp.read.parquet(snapshotPath).localCheckpoint()
-          catch { case _: Exception => batchLatest.limit(0) }
+          if (fs.exists(snap)) sp.read.parquet(snapshotPath)
+          else batchLatest.limit(0)
         latestOf(old.unionByName(batchLatest))
-          .localCheckpoint() // materialize BEFORE overwriting the source path
-          .write.mode("overwrite").parquet(snapshotPath)
+          .write.mode("overwrite").parquet(staging.toString)
+        if (fs.exists(backup)) fs.delete(backup, true)
+        if (fs.exists(snap)) fs.rename(snap, backup)
+        fs.rename(staging, snap)
+        fs.delete(backup, true)
+        ()
       }
       .start()
 
@@ -204,6 +228,69 @@ object Streams {
         UTF8String.fromString(d.text.toLowerCase.trim.replaceAll("\\s+", " "))))
       .transformWithState(new FingerprintDedupProcessor(ttl),
         timeMode, OutputMode.Update())
+  }
+
+  case class BandDoc(band_id: Int, band_sig: Long, doc_id: Long)
+  case class CandidatePair(doc_a: Long, doc_b: Long, band_id: Int)
+
+  /** Streaming MinHash-LSH index maintenance (the streaming twin of
+    * `Dedup.minhashPairs`): each arriving document's 32-permutation
+    * MinHash signature is banded exactly like the batch operator
+    * (8 bands × 4 rows, xxhash64 over the slice), and every band bucket
+    * keeps the doc_ids it has seen in ListState. A new document landing
+    * in a non-empty bucket emits a candidate pair against each resident
+    * — the incremental form of the batch band equi-join, with state
+    * partitioned by (band_id, band_sig) so bucket lookups never shuffle
+    * the index. `maxBucket` caps residents per bucket: a degenerate
+    * bucket (boilerplate shingles) would otherwise grow candidate
+    * volume quadratically — the streaming analogue of the batch path's
+    * banding-bounded candidate count. A pair colliding in several bands
+    * surfaces once per band (carrying band_id); downstream consumers
+    * dedup exactly like the batch `.distinct()`. */
+  class MinHashIndexProcessor(maxBucket: Int)
+      extends StatefulProcessor[(Int, Long), BandDoc, CandidatePair] {
+    @transient private var bucket: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bucket = getHandle.getListState[Long]("bucket", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandDoc],
+        timers: TimerValues): Iterator[CandidatePair] = {
+      val residents = scala.collection.mutable.ArrayBuffer.empty[Long]
+      bucket.get().foreach(residents += _)
+      val out = Seq.newBuilder[CandidatePair]
+      rows.toSeq.sortBy(_.doc_id).foreach { d =>
+        if (!residents.contains(d.doc_id) && residents.size < maxBucket) {
+          residents.foreach { r =>
+            out += CandidatePair(math.min(r, d.doc_id),
+              math.max(r, d.doc_id), d.band_id)
+          }
+          bucket.appendValue(d.doc_id)
+          residents += d.doc_id
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Maintain a near-dup candidate index over a document stream. */
+  def minhashIndexStream(spark: SparkSession, docs: Dataset[Doc],
+      maxBucket: Int = 64): Dataset[CandidatePair] = {
+    import spark.implicits._
+    import graft.functions.HashExpressions.{minhashSignature, rollingShingles}
+    val banded = docs.toDF()
+      .select(col("doc_id"),
+        rollingShingles(
+          regexp_replace(lower(trim(col("text"))), "\\s+", " "), 8).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minhashSignature(col("shingles"), 32))
+      .withColumn("band", explode(expr(
+        "transform(sequence(0, 7), b -> struct(CAST(b AS INT) AS band_id, " +
+          "xxhash64(slice(sig, b * 4 + 1, 4)) AS band_sig))")))
+      .select(col("band.band_id"), col("band.band_sig"), col("doc_id"))
+      .as[BandDoc]
+    banded.groupByKey(bd => (bd.band_id, bd.band_sig))
+      .transformWithState(new MinHashIndexProcessor(maxBucket),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Stateful gap sessionization: a session closes after 30 minutes of

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Search
+import graft.sources.Tables
+
+/** Semantics of the retrieval family (inverted index / TF-IDF / BM25)
+  * beyond the DuckDB oracle: structural invariants a correct search
+  * stack must hold on real data. */
+class SearchSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("inverted index: df/cf consistent, posting heads bounded and sorted") {
+    val idx = Search.invertedIndex(spark, sf, minDf = 2L).collect()
+    assert(idx.nonEmpty)
+    idx.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val cf = r.getAs[Long]("cf")
+      assert(df >= 2L)
+      assert(cf >= df, "collection freq must be >= doc freq")
+      val head = r.getAs[String]("postings_head").split(",")
+      assert(head.length <= 5 && head.length == math.min(df, 5L))
+      // head is sorted by tf desc (doc asc tiebreak) — tf is the suffix
+      val tfs = head.map(_.split(":")(1).toLong)
+      assert(tfs.sameElements(tfs.sortBy(-(_: Long))),
+        s"posting head not tf-ordered: ${head.mkString(",")}")
+    }
+  }
+
+  test("inverted index df matches an independent distinct-doc count") {
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"),
+        col("doc_id"))
+    val expected = toks.distinct().groupBy("tok").count()
+      .filter(col("count") >= 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Search.invertedIndex(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("df")).toMap
+    assert(got == expected)
+  }
+
+  test("tfidf: at most k terms per doc, rank ordered by score desc") {
+    val rows = Search.tfidfTopTerms(spark, sf, k = 3).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length.toLong))
+      val scores = sorted.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"scores not descending: ${scores.mkString(",")}")
+    }
+  }
+
+  test("bm25: hits contain a query term, scores descending, topN bounded") {
+    val terms = Seq("data", "model", "spark")
+    val hits = Search.bm25Search(spark, sf, terms, topN = 20).collect()
+    assert(hits.nonEmpty && hits.length <= 20)
+    val scores = hits.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val hitIds = hits.map(_.getAs[Long]("doc_id")).toSet
+    val withTerm = Tables.documents(spark, sf)
+      .select(col("doc_id"))
+      .filter(arrays_overlap(split(lower(trim(col("text"))), "\\s+"),
+        typedlit(terms)))
+      .collect().map(_.getLong(0)).toSet
+    assert(hitIds.subsetOf(withTerm),
+      s"docs without any query term ranked: ${hitIds -- withTerm}")
+    hits.foreach { r =>
+      val m = r.getAs[Long]("n_terms_matched")
+      assert(m >= 1L && m <= terms.length)
+    }
+  }
+}

@@ -283,6 +283,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming MinHash index emits candidate pairs for near-dup " +
+    "arrivals across micro-batches, none for unrelated docs") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dupText = "the quick brown fox jumps over the lazy dog again and again"
+      val input = MemoryStream[Streams.Doc]
+      val q = Streams.minhashIndexStream(sp, input.toDS())
+        .writeStream.format("memory").queryName("mh_idx_out")
+        .outputMode("append").start()
+      input.addData(
+        Streams.Doc(1, ts(1), dupText),
+        Streams.Doc(2, ts(2), dupText), // identical → collides in all bands
+        Streams.Doc(3, ts(3), "completely unrelated content about spark physical plans"))
+      q.processAllAvailable()
+      input.addData(
+        Streams.Doc(4, ts(4), dupText)) // dup arriving later: index remembers
+      q.processAllAvailable()
+      val pairs = sp.sql("SELECT DISTINCT doc_a, doc_b FROM mh_idx_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      q.stop()
+      assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+        s"unexpected candidate pairs: $pairs")
+      // no self pairs, ordered pairs only
+      assert(pairs.forall { case (a, b) => a < b })
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stateful sessionization closes sessions after the gap timeout") {
     val sp = spark
     import sp.implicits._
