@@ -34,11 +34,17 @@ object Bench {
     // the harness can't parse.
     val budget = 1650
     val sorted = results.toSeq.sortBy(-_._2)
+    // Locale-pinned formatting: the f interpolator uses the JVM default
+    // locale, and a comma decimal separator would make the line invalid
+    // JSON — format with Locale.ROOT so the harness parse never depends
+    // on the host locale.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def render(entries: Seq[(String, Double)], omitted: Int): String = {
-      val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val extra = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$extra,"sf":"$sfDir"}"""
     }
     var line = render(sorted, 0)
     var keep = sorted.size

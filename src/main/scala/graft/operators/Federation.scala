@@ -42,19 +42,31 @@ object Federation {
         scala.concurrent.duration.Duration(10, "min")): DataFrame = {
     import spark.implicits._
     import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+    // Daemon threads: an abandoned site thread must never keep the JVM
+    // alive at exit.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, sites.size))
+      math.max(1, sites.size),
+      (r: Runnable) => {
+        val t = new Thread(r); t.setDaemon(true); t
+      })
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val runId = java.util.UUID.randomUUID().toString
+    def groupOf(s: Site) = s"graft-statusboard-$runId-${s.name}"
     try {
       val futures = sites.map { s =>
         Future {
           blocking {
             try {
+              // Job group is thread-local: tag this site's jobs so a
+              // deadline miss can CANCEL them, not just stop waiting —
+              // a hung site must not keep burning cluster resources.
+              spark.sparkContext.setJobGroup(groupOf(s),
+                s"statusBoard site=${s.name}", interruptOnCancel = true)
               val n = query(spark, s.dir).count()
               (s.name, n, "completed")
             } catch {
               case e: Exception => (s.name, 0L, s"failed: ${e.getClass.getSimpleName}")
-            }
+            } finally spark.sparkContext.clearJobGroup()
           }
         }
       }
@@ -67,11 +79,12 @@ object Federation {
           scala.concurrent.duration.Duration.fromNanos(remaining))
         catch {
           case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(groupOf(s))
             (s.name, 0L, "failed: Timeout")
         }
       }
       rows.toDF("site", "n_rows", "status")
-    } finally pool.shutdown() // timed-out threads finish in background; pool reclaims
+    } finally pool.shutdownNow() // cancel + interrupt anything abandoned
   }
 
   /** Federated distinct counting via MERGEABLE sketches: each site

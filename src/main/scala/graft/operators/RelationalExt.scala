@@ -236,11 +236,18 @@ object RelationalExt {
         (k - col("prev") - 1).as("gap_size"))
     val bounds = parts.groupBy(col("pid"))
       .agg(min(k).as("mn"), max(k).as("mx"))
-    // one row per partition: this window is single-partition by design
-    // and bounded by the partition COUNT, not the data
-    val wBounds = Window.orderBy(col("pid"))
+    // one row per partition: this stitch is single-partition by design
+    // and bounded by the partition COUNT, not the data. Declare that
+    // explicitly — repartition(1) + spark_partition_id() gives the
+    // window a real (non-foldable) partition key, so the plan carries
+    // no accidental-global window (a literal key would be folded away
+    // and re-trigger the WindowExec scale warning).
+    val wBounds = Window.partitionBy(col("_stitch")).orderBy(col("pid"))
     val inter = bounds
+      .repartition(1)
+      .withColumn("_stitch", spark_partition_id())
       .withColumn("prev_mx", lag(col("mx"), 1).over(wBounds))
+      .drop("_stitch")
       .filter(col("mn") - col("prev_mx") > 1)
       .select(col("prev_mx").as("prev"), col("mn").as("next_key"),
         (col("mn") - col("prev_mx") - 1).as("gap_size"))

@@ -160,9 +160,17 @@ object Streams {
         val staging = new Path(snapshotPath + ".staging")
         val backup = new Path(snapshotPath + ".backup")
         val fs = snap.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        // Hadoop FileSystem.rename/delete signal failure by RETURNING
+        // false, not throwing — an unchecked false here would let the
+        // batch "succeed" without publishing the merged snapshot. Fail
+        // the batch instead so the engine retries it.
+        def renameOrFail(from: Path, to: Path): Unit =
+          require(fs.rename(from, to), s"rename $from -> $to failed")
+        def deleteOrFail(p: Path): Unit =
+          require(fs.delete(p, true), s"delete $p failed")
         // Finish an interrupted swap: staging (newest) wins over backup.
-        if (!fs.exists(snap) && fs.exists(staging)) fs.rename(staging, snap)
-        if (!fs.exists(snap) && fs.exists(backup)) fs.rename(backup, snap)
+        if (!fs.exists(snap) && fs.exists(staging)) renameOrFail(staging, snap)
+        if (!fs.exists(snap) && fs.exists(backup)) renameOrFail(backup, snap)
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts").desc, col("event_id").desc)
@@ -177,10 +185,10 @@ object Streams {
           else batchLatest.limit(0)
         latestOf(old.unionByName(batchLatest))
           .write.mode("overwrite").parquet(staging.toString)
-        if (fs.exists(backup)) fs.delete(backup, true)
-        if (fs.exists(snap)) fs.rename(snap, backup)
-        fs.rename(staging, snap)
-        fs.delete(backup, true)
+        if (fs.exists(backup)) deleteOrFail(backup)
+        if (fs.exists(snap)) renameOrFail(snap, backup)
+        renameOrFail(staging, snap)
+        if (fs.exists(backup)) deleteOrFail(backup)
         ()
       }
       .start()
@@ -241,12 +249,16 @@ object Streams {
     * in a non-empty bucket emits a candidate pair against each resident
     * — the incremental form of the batch band equi-join, with state
     * partitioned by (band_id, band_sig) so bucket lookups never shuffle
-    * the index. `maxBucket` caps residents per bucket: a degenerate
+    * the index. `maxBucket` caps RESIDENTS per bucket: a degenerate
     * bucket (boilerplate shingles) would otherwise grow candidate
     * volume quadratically — the streaming analogue of the batch path's
-    * banding-bounded candidate count. A pair colliding in several bands
-    * surfaces once per band (carrying band_id); downstream consumers
-    * dedup exactly like the batch `.distinct()`. */
+    * banding-bounded candidate count. Arrivals at a full bucket still
+    * emit pairs against the capped residents (no recall loss vs. the
+    * batch band equi-join for those pairs) — only their own membership
+    * is dropped, bounding per-arrival candidate volume at `maxBucket`.
+    * A pair colliding in several bands surfaces once per band (carrying
+    * band_id); downstream consumers dedup exactly like the batch
+    * `.distinct()`. */
   class MinHashIndexProcessor(maxBucket: Int)
       extends StatefulProcessor[(Int, Long), BandDoc, CandidatePair] {
     @transient private var bucket: ListState[Long] = _
@@ -259,13 +271,17 @@ object Streams {
       bucket.get().foreach(residents += _)
       val out = Seq.newBuilder[CandidatePair]
       rows.toSeq.sortBy(_.doc_id).foreach { d =>
-        if (!residents.contains(d.doc_id) && residents.size < maxBucket) {
+        if (!residents.contains(d.doc_id)) {
           residents.foreach { r =>
             out += CandidatePair(math.min(r, d.doc_id),
               math.max(r, d.doc_id), d.band_id)
           }
-          bucket.appendValue(d.doc_id)
-          residents += d.doc_id
+          // cap applies to MEMBERSHIP only: a full bucket still yields
+          // candidates against its residents, it just stops growing
+          if (residents.size < maxBucket) {
+            bucket.appendValue(d.doc_id)
+            residents += d.doc_id
+          }
         }
       }
       out.result().iterator

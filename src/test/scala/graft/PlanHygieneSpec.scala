@@ -14,13 +14,13 @@ class PlanHygieneSpec extends AnyFunSuite {
   // |docs|), so its nested loop is over the tiny aggregated side
   // q_status_matrix's cross join is dims-only (site registry × project
   // registry — |sites|×|projects| rows at any corpus scale);
-  // q_unigram_logprob / q_tfidf / q_bm25 cross-join a 1-row broadcast
-  // (corpus-total / doc-count / avgdl scalars attached lazily instead of
-  // a driver round trip)
+  // q_unigram_logprob / q_tfidf / q_bm25 / q_source_mix cross-join a
+  // 1-row broadcast (corpus-total / doc-count / avgdl / mix-cap scalars
+  // attached lazily instead of a driver round trip)
   private val nestedLoopAllowed = Set(
     "q_embed_neardup", "q_ann_bruteforce", "q_set_ops", "q_source_similarity",
     "q_media_neighbors", "q_status_matrix", "q_unigram_logprob",
-    "q_tfidf", "q_bm25")
+    "q_tfidf", "q_bm25", "q_source_mix")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>

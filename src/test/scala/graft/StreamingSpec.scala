@@ -318,6 +318,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming MinHash index: arrivals at a FULL bucket still emit " +
+    "pairs against residents (cap bounds membership, not recall)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dupText = "the quick brown fox jumps over the lazy dog again and again"
+      val input = MemoryStream[Streams.Doc]
+      val q = Streams.minhashIndexStream(sp, input.toDS(), maxBucket = 1)
+        .writeStream.format("memory").queryName("mh_full_out")
+        .outputMode("append").start()
+      input.addData(Streams.Doc(1, ts(1), dupText))
+      q.processAllAvailable()
+      // bucket is now at cap (1 resident). Later dups must STILL pair
+      // with the resident — only their own membership is dropped.
+      input.addData(Streams.Doc(2, ts(2), dupText))
+      q.processAllAvailable()
+      input.addData(Streams.Doc(3, ts(3), dupText))
+      q.processAllAvailable()
+      val pairs = sp.sql("SELECT DISTINCT doc_a, doc_b FROM mh_full_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      q.stop()
+      // (2,3) is absent by design: neither joined the full bucket
+      assert(pairs == Set((1L, 2L), (1L, 3L)),
+        s"full-bucket arrivals lost recall vs residents: $pairs")
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stateful sessionization closes sessions after the gap timeout") {
     val sp = spark
     import sp.implicits._
