@@ -122,7 +122,13 @@ object SparkEntry {
     "q_bm25" -> ((s: SparkSession, d: String) => Search.bm25Search(s, d)),
     // §2c mixture + vocab induction
     "q_source_mix" -> ((s: SparkSession, d: String) => Sampling.sourceMix(s, d)),
-    "q_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d))
+    "q_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
+    // §2c span-level dedup + gates + embedding storage
+    "q_segment_dedup" -> ((s: SparkSession, d: String) => Dedup.segmentDedup(s, d)),
+    "q_dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
+    "q_quality_gate" -> ((s: SparkSession, d: String) => TextAnalysis.qualityGate(s, d)),
+    "q_embed_quantize" -> (Similarity.embedQuantize _),
+    "q_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -953,6 +959,77 @@ object SparkEntry {
         |SELECT pair, count(*) AS n FROM pairs
         |GROUP BY pair
         |ORDER BY n DESC, pair
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+    "q_segment_dedup" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |seg AS (
+        | SELECT doc_id, i AS seg_idx,
+        |        array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS seg
+        | FROM t, LATERAL (SELECT unnest(generate_series(0,
+        |   CAST(ceil(len(toks) / 8.0) AS INT) - 1)) AS i)
+        | WHERE len(toks) > 0),
+        |k AS (
+        | SELECT doc_id, seg_idx, seg,
+        |        row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS kept
+        | FROM seg)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_idx), '')
+        |         AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dup_spans" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |g AS (
+        | SELECT DISTINCT doc_id, array_to_string(toks[i:(i+7)], ' ') AS gram
+        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i)
+        | WHERE len(toks) >= 8),
+        |d AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+        |       round(sum(CASE WHEN d.n_docs >= 2 THEN 1.0 ELSE 0.0 END) / count(*), 4)
+        |         AS dup_share
+        |FROM g JOIN d USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q_quality_gate" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS n_tok,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> list_contains(['the','a','and','of','to','in','is','for'], x))) AS DOUBLE) AS n_stop,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS n_punct,
+        |  CAST(length(text) AS DOUBLE) AS len
+        | FROM documents),
+        |scored AS (
+        | SELECT doc_id, lang,
+        |  round(least(len / 500.0, 1.0) * 0.4
+        |    + least(n_stop / n_tok * 4.0, 1.0) * 0.4
+        |    + (1.0 - least(n_punct / len * 10.0, 1.0)) * 0.2, 4) AS quality
+        | FROM t),
+        |thr AS (
+        | SELECT lang, quantile_cont(CAST(quality AS DOUBLE), 0.25) AS thr
+        | FROM scored GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.quality, round(t.thr, 4) AS lang_thr
+        |FROM scored s JOIN thr t USING (lang)
+        |WHERE s.quality >= t.thr
+        |ORDER BY s.doc_id""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        | FROM embeddings),
+        |s AS (
+        | SELECT vec_id, vd,
+        |        list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale
+        | FROM e)
+        |SELECT vec_id, round(scale, 6) AS scale_r,
+        |  array_to_string(list_transform(vd, x -> CAST(CASE WHEN scale = 0
+        |    THEN 0 ELSE floor(x / scale + 0.5) END AS BIGINT)), ',') AS q8,
+        |  round(list_max(list_transform(vd, x -> abs(CASE WHEN scale = 0
+        |    THEN 0 ELSE floor(x / scale + 0.5) END * scale - x))), 6) AS max_err
+        |FROM s ORDER BY vec_id""".stripMargin
   )
 }

@@ -147,4 +147,77 @@ object Dedup {
       .filter(col("hamming") <= 8)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Normalized whitespace tokens (single-space split after collapsing
+    * runs — the exact tokenization the DuckDB oracles mirror). */
+  private def normToks: org.apache.spark.sql.Column =
+    split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+
+  /** C4-style SEGMENT-level dedup (Raffel et al. 2020 dedup lines;
+    * token streams without line breaks generalize to fixed k-token
+    * segments): every document splits into consecutive `segTokens`-token
+    * segments, and only the globally FIRST occurrence of each distinct
+    * segment survives — first = smallest (doc_id, position), which also
+    * drops intra-document repeats. Emits per-doc segment counts plus the
+    * cleaned text (surviving segments in original order).
+    *
+    * Scale shape: segment generation is row-local (one scan); the
+    * first-occurrence choice is one window over the segment key (row
+    * volume = segments ≈ tokens/k, partitioned by segment hash — no
+    * skew beyond genuinely duplicated boilerplate, which is exactly
+    * what AQE skew splitting handles); the per-doc rollup reuses one
+    * more shuffle on doc_id. Nothing is quadratic; memory per task is
+    * one segment group. */
+  def segmentDedup(spark: SparkSession, dir: String,
+      segTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"), normToks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST(ceil(size(toks) / $segTokens.0) AS INT) - 1), " +
+          s"i -> array_join(slice(toks, i * $segTokens + 1, $segTokens), ' '))")))
+      .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+    val w = Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
+    segs
+      .withColumn("kept", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_segments"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg")), " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Duplicate-span share (the signal behind exact-substring dedup, Lee
+    * et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better"): per document, the share of its DISTINCT sliding `n`-token
+    * grams that occur in at least 2 distinct documents. High share =
+    * the doc is largely assembled from corpus-repeated spans.
+    *
+    * Scale shape: gram generation is row-local; one distinct on
+    * (doc_id, gram), one gram-keyed count, one gram-keyed join back
+    * (reuses the count's partitioning), one doc rollup — all linear in
+    * token volume, no pair enumeration anywhere. */
+  def dupSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docGrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), normToks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), " +
+          s"i -> array_join(slice(toks, i + 1, $n), ' '))")).as("gram"))
+      .distinct()
+    val gramDocs = docGrams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs")) // post-distinct: count == distinct docs
+    docGrams.join(gramDocs, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"),
+        round(sum(when(col("n_docs") >= 2, 1.0).otherwise(0.0))
+          / count(lit(1)), 4).as("dup_share"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -56,6 +56,30 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** File-based ingest: media arriving as raw FILES (the usual shape —
+    * an object-store prefix of images/audio) enters through the
+    * `binaryFile` source and joins the exact same batched decode
+    * stages as the table path. doc_id derives deterministically from
+    * the file path (xxhash64), so re-ingest is idempotent and the id
+    * is stable across clusters. */
+  def ingestFiles(spark: SparkSession, path: String,
+      glob: Option[String] = None): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.sources.FormatIO.readBinaryFiles(spark, path, glob)
+      .select(xxhash64(col("path")).as("doc_id"), col("content").as("media"))
+      .as[MediaRow]
+  }
+
+  /** binaryFile directory → decoded metadata, end to end. */
+  def mediaMetaFromFiles(spark: SparkSession, path: String,
+      glob: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    ingestFiles(spark, path, glob)
+      .mapPartitions(StubDecoder.decodeBatch _)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   case class MediaFeature(doc_id: Long, feature: Array[Double])
   case class ResizedMedia(doc_id: Long, width: Int, height: Int,
       pixels: Array[Double])

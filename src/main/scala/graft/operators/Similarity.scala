@@ -451,4 +451,90 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"), col("rank"))
       .orderBy(col("id_a"), col("rank"))
   }
+
+  /** Symmetric int8 quantization of the embedding column — the storage/
+    * bandwidth step of an embedding pipeline (4× smaller than float32,
+    * 8× smaller than float64, with per-vector scale preserved so cosine
+    * ranking survives dequantization). Per vector: scale = max|x|/127,
+    * q_i = floor(x_i/scale + 0.5) ∈ [-127, 127]; the all-zero vector
+    * degenerates to scale 0 / all-zero codes. Entirely row-local (zero
+    * shuffles — the 100 TB cost is one scan), and every arithmetic step
+    * is pinned to double IEEE ops (`floor(x + 0.5)`, never a
+    * locale/engine-dependent rounding mode) so the oracle reproduces the
+    * codes bit-for-bit. Codes serialize to a CSV string at the query
+    * edge (arrays stay off the oracle surface; the typed array lives on
+    * the library API). */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+      .withColumn("scale",
+        expr("array_max(transform(vd, x -> abs(x)))") / 127.0)
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        expr("array_join(transform(vd, x -> CAST(CASE WHEN scale = 0 " +
+          "THEN 0 ELSE floor(x / scale + 0.5) END AS BIGINT)), ',')")
+          .as("q8"),
+        round(expr("array_max(transform(vd, x -> abs(CASE WHEN scale = 0 " +
+          "THEN 0D ELSE floor(x / scale + 0.5) END * scale - x)))"), 6)
+          .as("max_err"))
+      .orderBy(col("vec_id"))
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    * k-means cluster the embeddings, then prune near-duplicates ONLY
+    * within each cluster — the cluster assignment replaces the O(n²)
+    * global pair scan with per-cluster work bounded by cluster size.
+    * Within a cluster, members are visited in vec_id order and each is
+    * either kept (no kept member has cosine > tau with it) or pruned,
+    * recording the kept representative that shadowed it — deterministic
+    * greedy, so results are reproducible and spec-checkable.
+    *
+    * Scale shape: Lloyd iterations are map-side-combined VectorSum
+    * aggregations (shuffle = K×dim doubles per partition); assignment is
+    * row-local against K broadcast centroids; the prune is one shuffle
+    * on cluster_id with per-task memory = cluster size × dim. At 100 TB
+    * K scales with the corpus (the paper uses n/K ≈ constant cluster
+    * size); a degenerate giant cluster should be sub-split by
+    * re-clustering its members before pruning — K here is per-call. */
+  def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.9,
+      nCentroids: Int = 16, kmeansIters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val normed = vecs(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+          .as("vn"))
+    val centroids = trainCentroids(spark, normed, nCentroids, kmeansIters)
+    if (centroids.isEmpty) {
+      return normed.select(col("vec_id"), lit(0L).as("cluster_id"),
+        lit(true).as("kept"), col("vec_id").as("rep_id")).limit(0)
+    }
+    val dots: Column = array(centroids.toIndexedSeq.map(c =>
+      dotProduct(col("vn"), typedlit(c.toSeq))): _*)
+    normed
+      .withColumn("dots", dots)
+      .withColumn("cluster_id",
+        expr("array_position(dots, array_max(dots))").cast("long"))
+      .select(col("cluster_id"), col("vec_id"), col("vn"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cid, it) =>
+        val members = it.toArray.sortBy(_._2)
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        val out = Seq.newBuilder[(Long, Long, Boolean, Long)]
+        members.foreach { case (_, id, v) =>
+          kept.find { case (_, kv) =>
+            var s = 0.0; var i = 0
+            while (i < kv.length) { s += kv(i) * v(i); i += 1 }
+            s > tau
+          } match {
+            case Some((repId, _)) => out += ((id, cid, false, repId))
+            case None => kept += ((id, v)); out += ((id, cid, true, id))
+          }
+        }
+        out.result().iterator
+      }
+      .toDF("vec_id", "cluster_id", "kept", "rep_id")
+      .orderBy(col("vec_id"))
+  }
 }

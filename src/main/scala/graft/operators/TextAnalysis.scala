@@ -25,6 +25,22 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** The composite quality score (length, stopword share, punctuation
+    * density), rounded to 4 decimals so both engines rank identical
+    * values — shared by [[qualityScore]] and [[qualityGate]]. */
+  private def qualityCol: Column = {
+    val nTok = size(tokensCol).cast("double")
+    val nStop = size(filter(tokensCol,
+      t => t.isInCollection(stopwords))).cast("double")
+    val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
+    val len = length(col("text")).cast("double")
+    round(
+      least(len / lit(500.0), lit(1.0)) * lit(0.4)
+        + least(nStop / nTok * lit(4.0), lit(1.0)) * lit(0.4)
+        + (lit(1.0) - least(nPunct / len * lit(10.0), lit(1.0))) * lit(0.2),
+      4)
+  }
+
   /** Quality scoring: length, punctuation density, stopword share — the
     * standard cheap pre-filters of a training-data pipeline. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
@@ -38,11 +54,29 @@ object TextAnalysis {
         round(nStop / nTok, 4).as("stopword_ratio"),
         round(nPunct / len, 4).as("punct_ratio"),
         round(len / nTok, 4).as("avg_token_len"),
-        round(
-          least(len / lit(500.0), lit(1.0)) * lit(0.4)
-            + least(nStop / nTok * lit(4.0), lit(1.0)) * lit(0.4)
-            + (lit(1.0) - least(nPunct / len * lit(10.0), lit(1.0))) * lit(0.2),
-          4).as("quality"))
+        qualityCol.as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Percentile quality gate: keep documents scoring at or above their
+    * language's exact `pct` quantile — the relative (per-stratum)
+    * variant of a fixed-threshold quality filter, so a verbose language
+    * never crowds out a terse one. Thresholds are one tiny per-language
+    * exact-percentile aggregate (|langs| rows → broadcast), the gate
+    * itself is a row-local comparison: at 100 TB this is one scan plus
+    * a KB-sized broadcast. Exact (interpolated) percentile, not a
+    * sketch: the kept-set boundary must be deterministic for the oracle
+    * and for reproducible corpus builds. */
+  def qualityGate(spark: SparkSession, dir: String,
+      pct: Double = 0.25): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), qualityCol.as("quality"))
+    val thresholds = scored.groupBy(col("lang"))
+      .agg(percentile(col("quality"), lit(pct)).as("thr"))
+    scored.join(broadcast(thresholds), Seq("lang"))
+      .filter(col("quality") >= col("thr"))
+      .select(col("doc_id"), col("lang"), col("quality"),
+        round(col("thr"), 4).as("lang_thr"))
       .orderBy(col("doc_id"))
   }
 

@@ -60,4 +60,25 @@ object FormatIO {
     sortCol.foreach(c => w = w.sortBy(c))
     w.saveAsTable(table)
   }
+
+  /** Raw-file ingest via the `binaryFile` source — the front door for
+    * multimodal payloads (images/audio/video land as files, not rows).
+    * Yields (path, modificationTime, length, content) with the payload
+    * as an opaque binary column, ready for
+    * `Multimodal`'s batched decode stages. `maxBytes` guards the
+    * executor: binaryFile loads each file whole into one row, so a
+    * stray multi-GB object must be filtered BEFORE the content is
+    * materialized — the length predicate pushes down to the file
+    * listing (filesystem metadata), not a content read. `glob` prunes
+    * by name pattern the same way. */
+  def readBinaryFiles(spark: SparkSession, path: String,
+      glob: Option[String] = None,
+      maxBytes: Long = 512L * 1024 * 1024,
+      recursive: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    var r = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", recursive.toString)
+    glob.foreach(g => r = r.option("pathGlobFilter", g))
+    r.load(path).filter(col("length") <= maxBytes)
+  }
 }

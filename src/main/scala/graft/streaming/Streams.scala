@@ -35,6 +35,24 @@ object Streams {
         col("window.end").as("win_end"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Declarative session windows via the built-in `session_window`
+    * (dynamic gap-merged windows maintained by the engine's session
+    * state store — no hand-rolled state): the twin of
+    * [[sessionizeStream]] without custom processor code, for the
+    * common case where per-session output is just an aggregate.
+    * Watermark closes (finalizes) a session once event time passes
+    * session_end + gap, which also prunes its state. */
+  def sessionWindowAgg(events: DataFrame,
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact-dedup on event_id within the watermark horizon. */
   def dedupStream(events: DataFrame): DataFrame =
     events

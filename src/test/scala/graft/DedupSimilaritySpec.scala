@@ -226,4 +226,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // reuse predicate logic through a temp view of the same shape
     df.createOrReplaceTempView("documents_tmp")
   }
+
+  test("semantic dedup: greedy prune is valid — every pruned vector has " +
+    "a kept same-cluster rep above tau, kept set is tau-separated") {
+    val tau = 0.95
+    val out = Similarity.semanticDedup(spark, sf, tau = tau).collect()
+    assert(out.nonEmpty)
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getBoolean(2), r.getLong(3))).toMap
+    // structural invariants
+    byId.foreach { case (id, (cluster, kept, rep)) =>
+      if (kept) assert(rep == id, s"kept $id must be its own rep")
+      else {
+        val (repCluster, repKept, _) = byId(rep)
+        assert(repKept, s"pruned $id points at non-kept rep $rep")
+        assert(repCluster == cluster, s"rep $rep of $id is in another cluster")
+        assert(rep < id, s"greedy order violated: rep $rep >= pruned $id")
+      }
+    }
+    // similarity invariants against the actual unit vectors
+    import spark.implicits._
+    val vn = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(cast(embedding AS array<double>), " +
+          "x -> x / sqrt(aggregate(cast(embedding AS array<double>), 0D, (acc, y) -> acc + y * y)))"))
+      .as[(Long, Array[Double])].collect().toMap
+    def cos(a: Long, b: Long): Double =
+      vn(a).zip(vn(b)).map { case (x, y) => x * y }.sum
+    out.filter(!_.getBoolean(2)).foreach { r =>
+      assert(cos(r.getLong(0), r.getLong(3)) > tau,
+        s"pruned ${r.getLong(0)} not within tau of rep ${r.getLong(3)}")
+    }
+    // kept members of one cluster are pairwise tau-separated
+    out.filter(_.getBoolean(2)).groupBy(_.getLong(1)).foreach { case (_, ms) =>
+      val ids = ms.map(_.getLong(0)).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        assert(cos(ids(i), ids(j)) <= tau,
+          s"kept ${ids(i)}, ${ids(j)} exceed tau in the same cluster")
+    }
+    // deterministic
+    val again = Similarity.semanticDedup(spark, sf, tau = tau).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }

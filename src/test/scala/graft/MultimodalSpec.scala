@@ -55,4 +55,38 @@ class MultimodalSpec extends AnyFunSuite {
     // unit-normalized non-negative features → cosine in [0, 1]
     assert(nn.filter(col("cosine") < 0.0).count() == 0)
   }
+
+  test("binaryFile ingest: files → opaque binary rows → decode, with " +
+    "glob and size guards applied at the listing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-binfiles")
+    val payloads = Map("a.img" -> "payload-alpha", "b.img" -> "payload-beta-longer",
+      "skip.txt" -> "not-media")
+    payloads.foreach { case (name, body) =>
+      java.nio.file.Files.write(dir.resolve(name),
+        body.getBytes("UTF-8"))
+    }
+    val rows = graft.sources.FormatIO
+      .readBinaryFiles(spark, dir.toString, glob = Some("*.img"))
+      .collect()
+    assert(rows.length == 2, "glob must prune non-matching files")
+    assert(rows.forall(_.schema.fieldNames.toSet ==
+      Set("path", "modificationTime", "length", "content")))
+    // size guard: a 1-byte cap filters everything without reading content
+    assert(graft.sources.FormatIO.readBinaryFiles(spark, dir.toString,
+      glob = Some("*.img"), maxBytes = 1L).count() == 0)
+    // end-to-end decode: md5 of the decoded row equals md5 of the file bytes
+    val meta = Multimodal.mediaMetaFromFiles(spark, dir.toString,
+      glob = Some("*.img")).collect()
+    assert(meta.length == 2)
+    val md5s = meta.map(_.getAs[String]("content_md5")).toSet
+    val expected = payloads.view.filterKeys(_.endsWith(".img")).values.map { b =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(b.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.toSet
+    assert(md5s == expected, "decoded md5 must match the raw file bytes")
+    // deterministic ids from paths: re-ingest is idempotent
+    val again = Multimodal.mediaMetaFromFiles(spark, dir.toString,
+      glob = Some("*.img")).collect()
+    assert(meta.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }

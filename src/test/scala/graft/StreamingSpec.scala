@@ -352,6 +352,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("session_window aggregation merges gap-close events and finalizes " +
+    "when the watermark passes") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.sessionWindowAgg(input.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("swin_out")
+      .outputMode("append").start()
+    // user 10: two events 5 min apart (one session); user 20: one event
+    input.addData(
+      Streams.Event(1, ts(1), 10, "click", 1.0),
+      Streams.Event(2, ts(6), 10, "view", 2.0),
+      Streams.Event(3, ts(2), 20, "click", 5.0))
+    q.processAllAvailable()
+    // push event time far forward so the watermark finalizes the sessions
+    input.addData(Streams.Event(9, tsH(5, 0), 99, "click", 0.0))
+    q.processAllAvailable()
+    val rows = sp.sql(
+      "SELECT user_id, n_events, total_value FROM swin_out ORDER BY user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    assert(rows.toSet == Set((10L, 2L, 3.0), (20L, 1L, 5.0)),
+      s"unexpected finalized sessions: ${rows.mkString(", ")}")
+  }
+
   test("stateful sessionization closes sessions after the gap timeout") {
     val sp = spark
     import sp.implicits._
