@@ -178,14 +178,16 @@ object SparkEntry {
         |ORDER BY o_custkey, rn""".stripMargin,
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        | round(sum(l_quantity) OVER w, 2) AS running_qty,
-        | round(l_quantity - coalesce(lag(l_quantity, 1) OVER w2, 0.0), 2) AS qty_delta
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_qty,
+        | CAST(CAST(l_quantity AS DECIMAL(12,2))
+        |   - coalesce(lag(CAST(l_quantity AS DECIMAL(12,2)), 1) OVER w2,
+        |              CAST(0.0 AS DECIMAL(12,2))) AS DOUBLE) AS qty_delta
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
-        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         | w2 AS (PARTITION BY l_suppkey
-        |   ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q_topk_group" ->
       """SELECT p_brand, p_partkey, p_retailprice, rk FROM (

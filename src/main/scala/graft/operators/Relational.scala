@@ -86,17 +86,28 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
-  /** Window running total + lag delta per supplier over ship time. */
+  /** Window running total + lag delta per supplier over ship time.
+    * The running sum accumulates in DECIMAL, not double: engines
+    * evaluate running windows with different association orders (e.g.
+    * segment trees whose layout varies with thread partitioning), so a
+    * double running sum is not even deterministic run-to-run at the
+    * rounding boundary — exact decimal arithmetic is, on every engine.
+    * The window ordering carries l_quantity as a final tiebreak: the
+    * synthetic lineitem contains duplicate (orderkey, linenumber) rows,
+    * and a non-total ORDER BY leaves tied-row order engine- and even
+    * run-dependent (observed in DuckDB under parallel evaluation). */
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+    val qty = col("l_quantity").cast("decimal(12,2)")
     Tables.lineitem(spark, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        round(sum(col("l_quantity")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
-          .as("running_qty"),
-        round(col("l_quantity") -
-          coalesce(lag(col("l_quantity"), 1).over(w), lit(0.0)), 2).as("qty_delta"))
+        sum(qty).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_qty"),
+        (qty - coalesce(lag(qty, 1).over(w), lit(0.0).cast("decimal(12,2)")))
+          .cast("double").as("qty_delta"))
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
