@@ -26,13 +26,16 @@ object Dedup {
   private val SHINGLE = 8 // char n-gram width
 
   /** doc_id + shingle-hash set (normalized text, char 8-grams). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  private def shingledOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         rollingShingles(
           regexp_replace(lower(trim(col("text"))), "\\s+", " "), SHINGLE)
           .as("shingles"))
       .filter(size(col("shingles")) > 0)
+
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingledOf(Tables.documents(spark, dir))
 
   /** doc_id (+payload cols) exploded to (band_id, band_sig) bucket keys. */
   private def banded(df: DataFrame): DataFrame =
@@ -145,6 +148,46 @@ object Dedup {
         hammingDistance(col("fp_a"), col("fp_b")).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Persisted MinHash band index — the batch-incremental form of
+    * near-dup dedup (the batch twin of the streaming
+    * `MinHashIndexProcessor`). The corpus's band buckets are written
+    * BUCKETED BY a hash of the band key, so probing a batch of NEW
+    * documents is an equi-join that shuffles only the (small) arrival
+    * batch: the index side reads co-located, no corpus reshuffle per
+    * ingest wave. At 100 TB this is the difference between "dedup the
+    * new crawl against the corpus" costing O(new batch) and costing
+    * O(corpus). */
+  def buildMinhashIndex(spark: SparkSession, dir: String, name: String,
+      nBuckets: Int = 8): Unit = {
+    val bands = banded(shingled(spark, dir))
+      .select(col("doc_id"), col("band_id"), col("band_sig"))
+      .withColumn("band_key", xxhash64(col("band_id"), col("band_sig")))
+    graft.sources.FormatIO.writeBucketed(bands, s"${name}_bands",
+      "band_key", nBuckets, sortCol = Some("band_key"))
+  }
+
+  /** Probe the persisted band index with a batch of documents
+    * (`doc_id`, `text`): emits candidate near-dup pairs (probe doc,
+    * index doc) exactly as the batch band equi-join would — joining on
+    * the full (band_key, band_id, band_sig) key keeps semantics
+    * hash-collision-free while letting the bucketed layout satisfy the
+    * index side without an Exchange. Probing the index's own corpus
+    * reproduces `minhashPairs` (spec-checked). */
+  def probeMinhashIndex(spark: SparkSession, name: String,
+      newDocs: DataFrame): DataFrame = {
+    val probe = banded(shingledOf(newDocs))
+      .select(col("doc_id"), col("band_id"), col("band_sig"))
+      .withColumn("band_key", xxhash64(col("band_id"), col("band_sig")))
+    val index = spark.table(s"${name}_bands")
+      .withColumnRenamed("doc_id", "idx_doc")
+    probe.join(index, Seq("band_key", "band_id", "band_sig"))
+      .filter(col("doc_id") =!= col("idx_doc"))
+      .select(least(col("doc_id"), col("idx_doc")).as("doc_a"),
+        greatest(col("doc_id"), col("idx_doc")).as("doc_b"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

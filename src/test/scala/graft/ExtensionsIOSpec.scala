@@ -154,6 +154,23 @@ class ExtensionsIOSpec extends AnyFunSuite {
       s"index scan must use the bucket layout:\n$formatted")
   }
 
+  test("persisted MinHash band index: probing its own corpus reproduces " +
+    "minhashPairs; the index side reads bucketed, probe side shuffles") {
+    import graft.operators.Dedup
+    Dedup.buildMinhashIndex(spark, sf, "mh_idx", nBuckets = 4)
+    val probeDocs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val probed = Dedup.probeMinhashIndex(spark, "mh_idx", probeDocs)
+    val direct = Dedup.minhashPairs(spark, sf)
+    assert(probed.collect().sameElements(direct.collect()),
+      "probing the stored index must reproduce the batch band equi-join")
+    // incremental shape: index co-located via its bucket layout — only
+    // the (new-batch) probe side may shuffle for the join
+    val formatted = probed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("Bucketed: true"),
+      s"index scan must use the bucket layout:\n$formatted")
+  }
+
   test("bucketed table join plans without a shuffle on the bucket key") {
     FormatIO.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_custkey", 4)
     FormatIO.writeBucketed(Tables.customer(spark, sf), "customer_b", "c_custkey", 4)
