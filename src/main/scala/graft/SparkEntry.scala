@@ -128,7 +128,8 @@ object SparkEntry {
     "q_dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
     "q_quality_gate" -> ((s: SparkSession, d: String) => TextAnalysis.qualityGate(s, d)),
     "q_embed_quantize" -> (Similarity.embedQuantize _),
-    "q_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d))
+    "q_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
+    "q_embed_pca" -> ((s: SparkSession, d: String) => Embeddings.pcaProject(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(

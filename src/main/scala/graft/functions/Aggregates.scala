@@ -147,6 +147,70 @@ case class VectorSum(child: Expression, dim: Int,
   override def prettyName: String = "vector_sum"
 }
 
+/** One-pass upper-triangular sum of outer products Σ x·xᵀ — the moment
+  * matrix a distributed PCA/covariance needs, as a map-side-combinable
+  * aggregate. The buffer is dim(dim+1)/2 doubles (the symmetric half),
+  * accumulated straight off `ArrayData` with no per-row matrix
+  * allocation; shuffle volume is one buffer per partition per group,
+  * never rows × dim². */
+case class OuterProductSum(child: Expression, dim: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]] {
+  import org.apache.spark.sql.types.DoubleType
+
+  private val size = dim * (dim + 1) / 2
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](size)
+
+  override def update(buf: Array[Double],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), dim)
+      var i = 0
+      var k = 0
+      while (i < n) {
+        val xi = arr.getDouble(i)
+        var j = 0
+        while (j <= i) { buf(k) += xi * arr.getDouble(j); j += 1; k += 1 }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < size) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Double]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * size)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(size)(bb.getDouble())
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): OuterProductSum =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): OuterProductSum =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): OuterProductSum = copy(child = cs.head)
+  override def prettyName: String = "outer_product_sum"
+}
+
 object Aggregates {
   /** Column form of GroupMinHash for DataFrame aggregations. */
   def groupMinhash(sig: Column, k: Int = 32): Column =
@@ -155,4 +219,8 @@ object Aggregates {
   /** Column form of VectorSum for DataFrame aggregations. */
   def vectorSum(v: Column, dim: Int): Column =
     toCol(VectorSum(toExpr(v), dim).toAggregateExpression())
+
+  /** Column form of OuterProductSum for DataFrame aggregations. */
+  def outerProductSum(v: Column, dim: Int): Column =
+    toCol(OuterProductSum(toExpr(v), dim).toAggregateExpression())
 }

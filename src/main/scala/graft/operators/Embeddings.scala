@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.HashExpressions.dotProduct
+import graft.sources.Tables
+
+/** Distributed linear algebra over the embedding column: one-pass
+  * moment aggregation → driver-side eigensolve → broadcast projection.
+  *
+  * The scale contract mirrors IVF's centroid step: the ONLY driver-side
+  * state is dim-bounded (a dim×dim covariance, like K×dim centroids),
+  * never corpus-bounded. The corpus is touched twice — one
+  * map-side-combined aggregation (shuffle = one dim(dim+1)/2 buffer per
+  * partition), one row-local projection scan — so 100 TB cost is two
+  * scans and a KB-sized shuffle.
+  */
+object Embeddings {
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vd"))
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (the
+    * textbook rotation method — public-domain numerics). Returns
+    * (eigenvalues, eigenvectors-as-rows) sorted by eigenvalue
+    * descending, each vector sign-canonicalized so results are
+    * deterministic across runs and platforms. Driver cost O(dim³ ×
+    * sweeps) — microseconds at embedding dims. */
+  private[graft] def jacobiEigen(m: Array[Array[Double]],
+      maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm: Double = {
+      var s = 0.0
+      for (i <- 0 until n; j <- 0 until n if i != j) s += a(i)(j) * a(i)(j)
+      math.sqrt(s)
+    }
+    var sweep = 0
+    while (sweep < maxSweeps && offNorm > 1e-11) {
+      for (p <- 0 until n - 1; q <- p + 1 until n if math.abs(a(p)(q)) > 1e-14) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (i <- 0 until n) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+        }
+        for (i <- 0 until n) {
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = c * api - s * aqi
+          a(q)(i) = s * api + c * aqi
+        }
+        for (i <- 0 until n) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => -a(i)(i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { k =>
+      val col = Array.tabulate(n)(i => v(i)(k))
+      // sign canon: the largest-|x| component is positive
+      val pivot = col.indices.maxBy(i => math.abs(col(i)))
+      if (col(pivot) < 0.0) col.map(-_) else col
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** Fit PCA: returns (mean, eigenvalues desc, components-as-rows).
+    * One aggregation job over the corpus; everything else is dim-bounded
+    * driver arithmetic. */
+  def pcaFit(spark: SparkSession, dir: String,
+      dim: Int = 64): (Array[Double], Array[Double], Array[Array[Double]]) = {
+    val agg = vecs(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Aggregates.vectorSum(col("vd"), dim).as("s"),
+        graft.functions.Aggregates.outerProductSum(col("vd"), dim).as("op"))
+      .head()
+    val n = agg.getLong(0)
+    if (n < 2) return (new Array[Double](dim), new Array[Double](dim),
+      Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0))
+    val s = agg.getSeq[Double](1).toArray
+    val op = agg.getSeq[Double](2).toArray
+    val mu = s.map(_ / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var k = 0
+    for (i <- 0 until dim; j <- 0 to i) {
+      val c = (op(k) - n * mu(i) * mu(j)) / (n - 1).toDouble
+      cov(i)(j) = c; cov(j)(i) = c
+      k += 1
+    }
+    val (vals, comps) = jacobiEigen(cov)
+    (mu, vals, comps)
+  }
+
+  /** Project every embedding onto the top `r` principal components.
+    * The projection ships as r literal direction vectors plus r scalar
+    * offsets inside the plan (broadcast-equivalent, no join): row cost
+    * is r fused dot products. Output carries the per-component
+    * explained-variance share so downstream consumers can pick r. */
+  def pcaProject(spark: SparkSession, dir: String, r: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val (mu, vals, comps) = pcaFit(spark, dir, dim)
+    val total = math.max(vals.map(math.max(_, 0.0)).sum, 1e-300)
+    val explained = vals.take(r).map(v => math.max(v, 0.0) / total).sum
+    val pcCols: Seq[Column] = (0 until math.min(r, dim)).map { k =>
+      val comp = comps(k)
+      val offset = comp.zip(mu).map { case (c, m) => c * m }.sum
+      round(dotProduct(col("vd"), typedlit(comp.toSeq)) - lit(offset), 6)
+    }
+    vecs(spark, dir)
+      .select(col("vec_id"), array(pcCols: _*).as("pc"),
+        round(lit(explained), 6).as("var_explained"))
+      .orderBy(col("vec_id"))
+  }
+}

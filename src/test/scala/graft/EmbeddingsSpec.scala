@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Embeddings
+
+/** Distributed PCA: moment aggregation + driver eigensolve +
+  * broadcast-literal projection. No oracle can hash-check an
+  * eigenbasis (sign/rotation freedom), so the spec pins the linear
+  * algebra itself. */
+class EmbeddingsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dim = 64
+
+  test("jacobi eigensolver: orthonormal basis, descending eigenvalues, " +
+    "reconstructs the matrix") {
+    // small symmetric matrix with known structure
+    val rng = new scala.util.Random(7)
+    val b = Array.fill(6, 6)(rng.nextGaussian())
+    val m = Array.tabulate(6, 6)((i, j) =>
+      (0 until 6).map(k => b(i)(k) * b(j)(k)).sum) // B·Bᵀ: symmetric PSD
+    val (vals, vecs) = Embeddings.jacobiEigen(m)
+    assert(vals.sliding(2).forall(p => p(0) >= p(1) - 1e-9), "descending")
+    assert(vals.forall(_ >= -1e-9), "PSD input must give nonneg eigenvalues")
+    for (i <- 0 until 6; j <- 0 until 6) {
+      val dot = (0 until 6).map(k => vecs(i)(k) * vecs(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8,
+        s"eigenvectors not orthonormal at ($i,$j): $dot")
+    }
+    // Σ λ_k v_k v_kᵀ == M
+    for (i <- 0 until 6; j <- 0 until 6) {
+      val rec = (0 until 6).map(k => vals(k) * vecs(k)(i) * vecs(k)(j)).sum
+      assert(math.abs(rec - m(i)(j)) < 1e-7, s"reconstruction off at ($i,$j)")
+    }
+  }
+
+  test("pca fit: component variances match eigenvalues, total variance " +
+    "preserved, projections deterministic") {
+    val (mu, vals, comps) = Embeddings.pcaFit(spark, sf, dim)
+    assert(vals.take(8).forall(_ > 0.0))
+    // total variance: Σ eigenvalues == Σ per-coordinate sample variance
+    val data = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = data.length
+    val totalVar = (0 until dim).map { d =>
+      val m = data.map(_(d)).sum / n
+      data.map(x => (x(d) - m) * (x(d) - m)).sum / (n - 1)
+    }.sum
+    assert(math.abs(vals.sum - totalVar) / totalVar < 1e-8,
+      s"eigenvalue sum ${vals.sum} != total variance $totalVar")
+    // sample variance along component k equals eigenvalue k
+    for (k <- 0 until 3) {
+      val proj = data.map(x =>
+        (0 until dim).map(d => (x(d) - mu(d)) * comps(k)(d)).sum)
+      val pm = proj.sum / n
+      val pv = proj.map(p => (p - pm) * (p - pm)).sum / (n - 1)
+      assert(math.abs(pv - vals(k)) / vals(k) < 1e-6,
+        s"component $k variance $pv != eigenvalue ${vals(k)}")
+    }
+    // determinism: a second fit is bit-identical
+    val (mu2, vals2, comps2) = Embeddings.pcaFit(spark, sf, dim)
+    assert(mu.sameElements(mu2) && vals.sameElements(vals2) &&
+      comps.zip(comps2).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("pca projection query: r coords per vector, explained variance " +
+    "in (0,1], matches the driver-side projection") {
+    val out = Embeddings.pcaProject(spark, sf, r = 4, dim = dim).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getSeq[Double](1).length == 4))
+    val ve = out.head.getDouble(2)
+    assert(ve > 0.0 && ve <= 1.0)
+    // cross-check one row against the driver-side linear algebra
+    val (mu, _, comps) = Embeddings.pcaFit(spark, sf, dim)
+    val first = out.minBy(_.getLong(0))
+    val raw = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === first.getLong(0))
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val expect = (0 until 4).map { k =>
+      val p = (0 until dim).map(d => (raw(d) - mu(d)) * comps(k)(d)).sum
+      math.round(p * 1e6) / 1e6
+    }
+    val got = first.getSeq[Double](1)
+    expect.zip(got).foreach { case (e, g) =>
+      assert(math.abs(e - g) < 2e-6, s"projection mismatch: $e vs $g")
+    }
+  }
+}
