@@ -27,8 +27,9 @@ object TextAnalysis {
 
   /** The composite quality score (length, stopword share, punctuation
     * density), rounded to 4 decimals so both engines rank identical
-    * values — shared by [[qualityScore]] and [[qualityGate]]. */
-  private def qualityCol: Column = {
+    * values — shared by [[qualityScore]], [[qualityGate]] and the
+    * streaming curation topology (`Streams.curationStream`). */
+  private[graft] def qualityCol: Column = {
     val nTok = size(tokensCol).cast("double")
     val nStop = size(filter(tokensCol,
       t => t.isInCollection(stopwords))).cast("double")

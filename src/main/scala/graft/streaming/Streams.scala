@@ -259,6 +259,24 @@ object Streams {
   case class BandDoc(band_id: Int, band_sig: Long, doc_id: Long)
   case class CandidatePair(doc_a: Long, doc_b: Long, band_id: Int)
 
+  /** Streaming corpus curation — the streaming twin of
+    * `Pipeline.curateCorpus`'s front half, composed from the existing
+    * stages: a row-local quality gate (same rounded score as the batch
+    * `q_quality_score` / `q_quality_gate`) drops junk BEFORE it ever
+    * touches state, then the fingerprint dedup processor issues
+    * keep/dup verdicts with TTL-bounded state. Ordering the cheap
+    * stateless filter first is the scale move: state size and shuffle
+    * volume scale with the SURVIVING rate, not the raw ingest rate. */
+  def curationStream(spark: SparkSession, docs: Dataset[Doc],
+      minQuality: Double = 0.3,
+      ttl: java.time.Duration = java.time.Duration.ofHours(24)): Dataset[DocVerdict] = {
+    import spark.implicits._
+    val gated = docs.toDF()
+      .filter(graft.operators.TextAnalysis.qualityCol >= minQuality)
+      .as[Doc]
+    fingerprintDedupStream(spark, gated, ttl)
+  }
+
   /** Streaming MinHash-LSH index maintenance (the streaming twin of
     * `Dedup.minhashPairs`): each arriving document's 32-permutation
     * MinHash signature is banded exactly like the batch operator

@@ -283,6 +283,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming curation: quality gate drops junk before state, dedup " +
+    "verdicts only for survivors") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val good = "the quick brown fox jumps over the lazy dog and runs for the hills"
+      val junk = "!!!???###"
+      val input = MemoryStream[Streams.Doc]
+      val q = Streams.curationStream(sp, input.toDS(), ttl = null)
+        .writeStream.format("memory").queryName("cur_out")
+        .outputMode("update").start()
+      input.addData(
+        Streams.Doc(1, ts(1), good),
+        Streams.Doc(2, ts(2), junk),  // fails the quality gate
+        Streams.Doc(3, ts(3), good))  // dup of 1
+      q.processAllAvailable()
+      val rows = sp.sql("SELECT doc_id, is_dup FROM cur_out").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      q.stop()
+      assert(rows == Map(1L -> false, 3L -> true),
+        s"junk must never reach the dedup state, dup must be flagged: $rows")
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming MinHash index emits candidate pairs for near-dup " +
     "arrivals across micro-batches, none for unrelated docs") {
     val sp = spark
