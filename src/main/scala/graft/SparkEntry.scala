@@ -129,7 +129,8 @@ object SparkEntry {
     "q_quality_gate" -> ((s: SparkSession, d: String) => TextAnalysis.qualityGate(s, d)),
     "q_embed_quantize" -> (Similarity.embedQuantize _),
     "q_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
-    "q_embed_pca" -> ((s: SparkSession, d: String) => Embeddings.pcaProject(s, d))
+    "q_embed_pca" -> ((s: SparkSession, d: String) => Embeddings.pcaProject(s, d)),
+    "q_bloom_semi" -> (Relational.bloomSemi _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1033,6 +1034,11 @@ object SparkEntry {
         |    THEN 0 ELSE floor(x / scale + 0.5) END AS BIGINT)), ',') AS q8,
         |  round(list_max(list_transform(vd, x -> abs(CASE WHEN scale = 0
         |    THEN 0 ELSE floor(x / scale + 0.5) END * scale - x))), 6) AS max_err
-        |FROM s ORDER BY vec_id""".stripMargin
+        |FROM s ORDER BY vec_id""".stripMargin,
+    "q_bloom_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin
   )
 }

@@ -223,4 +223,23 @@ object Aggregates {
   /** Column form of OuterProductSum for DataFrame aggregations. */
   def outerProductSum(v: Column, dim: Int): Column =
     toCol(OuterProductSum(toExpr(v), dim).toAggregateExpression())
+
+  /** The engine's internal bloom-filter machinery (what AQE's runtime
+    * row-level filtering uses), surfaced as explicit functions — for
+    * the pipelines where the planner can't inject it itself (manual
+    * semi-join pruning mid-pipeline, cross-stage prefilters). `keyHash`
+    * must be an xxhash64 long on BOTH build and probe side. */
+  def bloomFilterAgg(keyHash: Column, estItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    toCol(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(toExpr(keyHash), Literal(estItems), Literal(numBits))
+      .toAggregateExpression())
+  }
+
+  /** Membership probe against a [[bloomFilterAgg]] sketch — false
+    * positives possible (rate set by numBits/estItems), false negatives
+    * never. */
+  def mightContain(bloom: Column, keyHash: Column): Column =
+    toCol(org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(toExpr(bloom), toExpr(keyHash)))
 }

@@ -132,6 +132,22 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** The same semi-join through explicit bloom pruning
+    * (`Skew.bloomSemiJoin`): identical result — oracle-identical to
+    * [[semiJoin]] — but probe rows drop row-locally behind a broadcast
+    * bloom BEFORE the join shuffle. The 100 TB shape for "build side
+    * too big to broadcast as rows, tiny as bits". */
+  def bloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    val open = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+      .select("o_custkey")
+    Skew.bloomSemiJoin(
+        Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
+        open, "c_custkey", "o_custkey",
+        estItems = 200000L, numBits = 1L << 21)
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Left-anti join (NOT EXISTS): customers with no orders at all. */
   def antiJoin(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir).select("o_custkey")

@@ -47,4 +47,28 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("_psum")).as("value_sum"), sum(col("_pcnt")).as("n_rows"))
   }
+
+  /** Bloom-pruned semi-join — the manual form of the runtime row-level
+    * filter, for when the build side is too big to BROADCAST as rows
+    * but its BLOOM isn't (a billion keys broadcast as a few MB of
+    * bits), or the planner can't see the opportunity (the probe filter
+    * belongs several stages upstream of the join). The bloom rides as
+    * a scalar subquery (might_contain requires a constant or scalar
+    * subquery bloom — never a per-row column); probe rows drop
+    * ROW-LOCALLY before the shuffle, so shuffle volume scales with the
+    * MATCH rate plus the false-positive rate — and the final left-semi
+    * join keeps the result EXACT (false positives die there; false
+    * negatives cannot exist). */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      estItems: Long = 4000000L, numBits: Long = 33554432L): DataFrame = {
+    import graft.functions.Aggregates
+    val bloom = dim
+      .agg(Aggregates.bloomFilterAgg(xxhash64(col(dimKey)), estItems, numBits)
+        .as("_bf"))
+    fact
+      .filter(Aggregates.mightContain(bloom.scalar(), xxhash64(col(factKey))))
+      .join(dim.select(col(dimKey)).distinct(),
+        col(factKey) === col(dimKey), "left_semi")
+  }
 }

@@ -114,6 +114,25 @@ class FederationSkewSpec extends AnyFunSuite {
     assert(byLang("es") == es, "1.0-fraction stratum must be complete")
   }
 
+  test("bloom semi-join equals the plain semi-join and prunes before " +
+    "the join") {
+    import graft.operators.{Relational, Skew}
+    val plain = Relational.semiJoin(spark, sf).collect()
+    val bloomed = Relational.bloomSemi(spark, sf)
+    assert(bloomed.collect().sameElements(plain),
+      "bloom pruning must not change semi-join results")
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom probe must appear in the physical plan:\n$plan")
+    // degenerate build side: empty dim → empty result, no crash
+    val empty = Skew.bloomSemiJoin(
+      graft.sources.Tables.customer(spark, sf).select(col("c_custkey")),
+      graft.sources.Tables.orders(spark, sf)
+        .filter(col("o_orderkey") < 0).select(col("o_custkey")),
+      "c_custkey", "o_custkey")
+    assert(empty.count() == 0)
+  }
+
   test("heavy hitters finds the dominant keys") {
     val hh = Skew.heavyHitters(Tables.lineitem(spark, sf), col("l_returnflag"), 3)
     val rows = hh.collect()
