@@ -57,6 +57,33 @@ object GraftFunctionRegistry {
       (es: Seq[Expression]) => MinHashSignature(es(0), es(1))),
     ("zorder2", info("zorder2",
       "zorder2(a, b) - 2-D Z-order (Morton) interleave of two longs"),
-      (es: Seq[Expression]) => ZOrder2(es(0), es(1)))
+      (es: Seq[Expression]) => ZOrder2(es(0), es(1))),
+    // Aggregates register as plain expressions too — the analyzer wraps
+    // an AggregateFunction in AggregateExpression at use sites, exactly
+    // as the built-in registry does for sum/min/max.
+    ("group_minhash", info("group_minhash",
+      "group_minhash(sig, k) - union of k-permutation MinHash sketches per group"),
+      (es: Seq[Expression]) => GroupMinHash(es(0),
+        es(1).eval().asInstanceOf[Int])),
+    ("vector_sum", info("vector_sum",
+      "vector_sum(v, dim) - element-wise sum of double arrays"),
+      (es: Seq[Expression]) => VectorSum(es(0),
+        es(1).eval().asInstanceOf[Int])),
+    ("outer_product_sum", info("outer_product_sum",
+      "outer_product_sum(v, dim) - upper-triangular sum of outer products"),
+      (es: Seq[Expression]) => OuterProductSum(es(0),
+        es(1).eval().asInstanceOf[Int])),
+    // The engine-internal bloom pair, surfaced under graft names so SQL
+    // can build/probe blooms without the DataFrame bridge.
+    ("graft_bloom_agg", info("graft_bloom_agg",
+      "graft_bloom_agg(xxhash64_key, est_items, num_bits) - bloom filter sketch"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es(0), es(1), es(2))),
+    ("graft_might_contain", info("graft_might_contain",
+      "graft_might_contain(bloom, xxhash64_key) - bloom membership probe"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(es(0), es(1)))
   )
 }

@@ -47,6 +47,32 @@ class ExtensionsIOSpec extends AnyFunSuite {
     assert(sqlFp.exceptAll(dfFp).count() == 0)
   }
 
+  test("aggregates and bloom functions are callable from SQL") {
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_agg")
+    // group_minhash / vector_sum / outer_product_sum resolve as
+    // aggregate functions (analyzer wraps them at the use site)
+    val mh = spark.sql(
+      """SELECT lang, size(group_minhash(
+        |  minhash_signature(rolling_shingles(text, 8), 16), 16)) AS k
+        |FROM docs_agg GROUP BY lang""".stripMargin).collect()
+    assert(mh.nonEmpty && mh.forall(_.getAs[Int]("k") == 16))
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .createOrReplaceTempView("emb_agg")
+    val vs = spark.sql(
+      """SELECT size(vector_sum(cast(embedding AS array<double>), 64)) AS d,
+        |       size(outer_product_sum(cast(embedding AS array<double>), 4)) AS t
+        |FROM emb_agg""".stripMargin).head
+    assert(vs.getAs[Int]("d") == 64 && vs.getAs[Int]("t") == 10)
+    // bloom build + probe end-to-end in SQL: members always hit
+    val miss = spark.sql(
+      """WITH bf AS (SELECT graft_bloom_agg(xxhash64(doc_id), 1000L, 8192L) AS b
+        |            FROM docs_agg)
+        |SELECT count(*) AS missed FROM docs_agg
+        |WHERE NOT graft_might_contain((SELECT b FROM bf), xxhash64(doc_id))"""
+        .stripMargin).head.getAs[Long]("missed")
+    assert(miss == 0, "bloom must have no false negatives")
+  }
+
   test("cosine_similarity in SQL matches self-similarity = 1") {
     spark.read.parquet(s"$sf/embeddings.parquet")
       .createOrReplaceTempView("emb")
