@@ -130,7 +130,8 @@ object SparkEntry {
     "q_embed_quantize" -> (Similarity.embedQuantize _),
     "q_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "q_embed_pca" -> ((s: SparkSession, d: String) => Embeddings.pcaProject(s, d)),
-    "q_bloom_semi" -> (Relational.bloomSemi _)
+    "q_bloom_semi" -> (Relational.bloomSemi _),
+    "q_bpe_train" -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -217,6 +217,66 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair"))
       .limit(topN)
 
+  /** BPE merge TRAINING (vocab induction steps 1..N; [[bpePairs]] is a
+    * single step's count): N rounds of "count adjacent pairs, adopt the
+    * most frequent as a merge, rewrite the corpus". Each round is one
+    * map-side-combined pair count (shuffle ~ |distinct pairs|) plus a
+    * ROW-LOCAL rewrite — the left-to-right non-overlapping merge is a
+    * fold over the token array (`aggregate` HOF carrying (out, pending)
+    * state), so the rewrite costs a scan, never a shuffle. Intermediate
+    * corpora localCheckpoint so round R's plan doesn't replay rounds
+    * 1..R-1 (a cluster deployment would checkpoint(dir)). Pairs are
+    * tracked STRUCTURALLY as (left, right) — merged tokens contain
+    * separators, so a concatenated pair string cannot be split back.
+    * Ties break on (left, right) text for cross-run determinism.
+    * Returns the learned merge table (rank, left, right, freq) — the
+    * vocabulary artifact a tokenizer consumes. */
+  def bpeTrain(spark: SparkSession, dir: String,
+      nMerges: Int = 5): DataFrame = {
+    import spark.implicits._
+    var corpus = Tables.documents(spark, dir)
+      .select(tokensCol.as("t")).localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 1L
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val top = corpus
+        .select(explode(when(size(col("t")) >= 2, expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(t[i-1] AS l, t[i] AS r))"))
+          .otherwise(expr("CAST(array() AS array<struct<l:string,r:string>>)")))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < 2) exhausted = true
+      else {
+        val a = top.head.getString(0)
+        val b = top.head.getString(1)
+        val freq = top.head.getLong(2)
+        merges += ((rank, a, b, freq))
+        val aLit = a.replace("\\", "\\\\").replace("'", "\\'")
+        val bLit = b.replace("\\", "\\\\").replace("'", "\\'")
+        // fold: pending token + output; (pending==a && t==b) emits the
+        // merged token and clears pending — left-to-right, non-overlapping
+        corpus = corpus.select(expr(
+          s"""aggregate(t,
+             |  struct(CAST(array() AS array<string>) AS out, CAST(NULL AS string) AS pend),
+             |  (s, x) -> CASE
+             |    WHEN s.pend = '$aLit' AND x = '$bLit'
+             |      THEN struct(array_append(s.out, '$aLit $bLit') AS out, CAST(NULL AS string) AS pend)
+             |    WHEN s.pend IS NULL THEN struct(s.out AS out, x AS pend)
+             |    ELSE struct(array_append(s.out, s.pend) AS out, x AS pend) END,
+             |  s -> CASE WHEN s.pend IS NULL THEN s.out
+             |            ELSE array_append(s.out, s.pend) END)""".stripMargin)
+          .as("t")).localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.result().toDF("rank", "left", "right", "freq").orderBy(col("rank"))
+  }
+
   /** Unigram log-probability scoring (CCNet-style language-model-lite
     * quality signal): score each document by the mean log corpus
     * frequency of its tokens — spammy/templated text scores high,

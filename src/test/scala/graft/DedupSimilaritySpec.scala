@@ -227,6 +227,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     df.createOrReplaceTempView("documents_tmp")
   }
 
+  test("bpe training: learns the planted merges in order, rewrite is " +
+    "left-to-right non-overlapping, deterministic") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Seq((0L, "a b a b a b", "en", "s0", 11L), (1L, "a b c", "en", "s0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = TextAnalysis.bpeTrain(spark, dir, nMerges = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,b) wins with 4 ("a b a b a b" counts it 3×, "a b c" 1×);
+    // round 2: the merged corpus [[ab ab ab],[ab c]] pairs (ab,ab) 2×;
+    // round 3: nothing repeats → training stops early
+    assert(merges.toSeq == Seq((1L, "a", "b", 4L), (2L, "a b", "a b", 2L)),
+      s"unexpected merge table: ${merges.mkString(", ")}")
+    val again = TextAnalysis.bpeTrain(spark, dir, nMerges = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.sameElements(again))
+    // real corpus: full budget of merges, nonincreasing frequencies
+    val real = TextAnalysis.bpeTrain(spark, sf, nMerges = 3).collect()
+    assert(real.length == 3)
+    assert(real.map(_.getLong(3)).sliding(2).forall(p => p(0) >= p(1)),
+      "merge frequencies should not increase across rounds")
+  }
+
   test("semantic dedup: greedy prune is valid — every pruned vector has " +
     "a kept same-cluster rep above tau, kept set is tau-separated") {
     val tau = 0.95
