@@ -36,6 +36,16 @@ class EmptyInputSpec extends AnyFunSuite {
     import spark.implicits._
     assert(graft.operators.RelationalExt
       .gapsOf(Seq.empty[Long].toDF("k"), "k").count() == 0)
+    // round-4 off-map surface
+    graft.operators.Dedup.buildMinhashIndex(spark, emptyDir, "mh_empty")
+    assert(graft.operators.Dedup.probeMinhashIndex(spark, "mh_empty",
+      graft.sources.Tables.documents(spark, emptyDir)).count() == 0)
+    val (_, vals, comps) = graft.operators.Embeddings.pcaFit(spark, emptyDir)
+    assert(vals.length == 64 && comps.length == 64)
+    assert(graft.operators.Skew.bloomSemiJoin(
+      graft.sources.Tables.documents(spark, emptyDir).select(col("doc_id")),
+      graft.sources.Tables.documents(spark, emptyDir).select(col("doc_id").as("k")),
+      "doc_id", "k").count() == 0)
   }
 
   test("every query runs to completion on an empty dataset") {

@@ -12,7 +12,10 @@ class ScaleStrategySpec extends AnyFunSuite {
     "q5_multijoin", "q_status_pivot", "q_status_matrix", "q_poc_registry",
     "q_semi_join", "q_anti_join", "q_asof_join", "q_asof_join_native",
     "q13_custdist", "q18_large_volume", "q20_nested_exists", "q_full_outer",
-    "q_cdc_diff", "q_contamination", "q_unigram_logprob")
+    "q_cdc_diff", "q_contamination", "q_unigram_logprob",
+    // round-4 join queries: percentile-threshold gate, bloom-pruned
+    // semi, span-share join, mix-rate join
+    "q_quality_gate", "q_bloom_semi", "q_dup_spans", "q_source_mix")
 
   /** Queries whose big-table joins carry no broadcast hint: with the
     * auto-threshold disabled their plans MUST contain a shuffle join.
