@@ -256,25 +256,49 @@ object TextAnalysis {
         val b = top.head.getString(1)
         val freq = top.head.getLong(2)
         merges += ((rank, a, b, freq))
-        val aLit = a.replace("\\", "\\\\").replace("'", "\\'")
-        val bLit = b.replace("\\", "\\\\").replace("'", "\\'")
-        // fold: pending token + output; (pending==a && t==b) emits the
-        // merged token and clears pending — left-to-right, non-overlapping
-        corpus = corpus.select(expr(
-          s"""aggregate(t,
-             |  struct(CAST(array() AS array<string>) AS out, CAST(NULL AS string) AS pend),
-             |  (s, x) -> CASE
-             |    WHEN s.pend = '$aLit' AND x = '$bLit'
-             |      THEN struct(array_append(s.out, '$aLit $bLit') AS out, CAST(NULL AS string) AS pend)
-             |    WHEN s.pend IS NULL THEN struct(s.out AS out, x AS pend)
-             |    ELSE struct(array_append(s.out, s.pend) AS out, x AS pend) END,
-             |  s -> CASE WHEN s.pend IS NULL THEN s.out
-             |            ELSE array_append(s.out, s.pend) END)""".stripMargin)
-          .as("t")).localCheckpoint()
+        corpus = corpus.select(mergeFold("t", a, b).as("t")).localCheckpoint()
         rank += 1
       }
     }
     merges.result().toDF("rank", "left", "right", "freq").orderBy(col("rank"))
+  }
+
+  /** The left-to-right non-overlapping merge of adjacent (a, b) token
+    * pairs as a row-local fold: `aggregate` HOF carrying (out, pending)
+    * state — (pending==a && t==b) emits the merged token and clears
+    * pending. Shared by [[bpeTrain]] (one merge per round) and
+    * [[bpeApply]] (replay of a learned table). */
+  private def mergeFold(tokCol: String, a: String, b: String): Column = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val (aLit, bLit) = (esc(a), esc(b))
+    expr(
+      s"""aggregate($tokCol,
+         |  struct(CAST(array() AS array<string>) AS out, CAST(NULL AS string) AS pend),
+         |  (s, x) -> CASE
+         |    WHEN s.pend = '$aLit' AND x = '$bLit'
+         |      THEN struct(array_append(s.out, '$aLit $bLit') AS out, CAST(NULL AS string) AS pend)
+         |    WHEN s.pend IS NULL THEN struct(s.out AS out, x AS pend)
+         |    ELSE struct(array_append(s.out, s.pend) AS out, x AS pend) END,
+         |  s -> CASE WHEN s.pend IS NULL THEN s.out
+         |            ELSE array_append(s.out, s.pend) END)""".stripMargin)
+  }
+
+  /** Tokenizer APPLY: replay a learned merge table (rank order) over a
+    * document set — the inference half of [[bpeTrain]]. All merges are
+    * row-local fold rewrites composed into ONE lazy projection chain
+    * (no checkpoint, no shuffle, no iteration over data — N merges cost
+    * one scan with N fused rewrites); at 100 TB this is a single
+    * embarrassingly-parallel pass. Applying the table bpeTrain learned
+    * to bpeTrain's own corpus reproduces the trainer's final rewritten
+    * corpus (spec-checked). */
+  def bpeApply(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokensCol.as("t"))
+    val applied = merges.foldLeft(toks) { case (df, (a, b)) =>
+      df.select(col("doc_id"), mergeFold("t", a, b).as("t"))
+    }
+    applied.select(col("doc_id"),
+      size(col("t")).cast("long").as("n_tokens"),
+      col("t").as("tokens"))
   }
 
   /** Unigram log-probability scoring (CCNet-style language-model-lite

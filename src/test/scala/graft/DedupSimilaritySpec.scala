@@ -249,6 +249,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(real.length == 3)
     assert(real.map(_.getLong(3)).sliding(2).forall(p => p(0) >= p(1)),
       "merge frequencies should not increase across rounds")
+    // APPLY replays the learned table: on the training corpus it must
+    // leave no adjacent pair equal to a learned merge (all were merged)
+    val table = real.map(r => (r.getString(1), r.getString(2))).toSeq
+    val applied = TextAnalysis.bpeApply(
+      graft.sources.Tables.documents(spark, sf), table)
+    val learned = table.map { case (a, b) => s"$a $b" }.toSet
+    val leftover = applied
+      .select(explode(when(size(col("tokens")) >= 2, expr(
+        "transform(sequence(1, size(tokens) - 1), " +
+          "i -> concat_ws(' ', tokens[i-1], tokens[i]))"))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .filter(col("pair").isInCollection(learned))
+      .count()
+    assert(leftover == 0,
+      "after apply, no learned merge pair may remain adjacent")
+    // toy corpus: applying the learned merges reproduces the hand-traced
+    // final corpus of the trainer
+    val toyApplied = TextAnalysis.bpeApply(
+      graft.sources.Tables.documents(spark, dir),
+      merges.map(m => (m._2, m._3)).toSeq)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    assert(toyApplied(0L) == Seq("a b a b", "a b"))
+    assert(toyApplied(1L) == Seq("a b", "c"))
   }
 
   test("semantic dedup: greedy prune is valid — every pruned vector has " +
