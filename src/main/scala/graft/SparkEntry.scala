@@ -131,7 +131,8 @@ object SparkEntry {
     "q_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "q_embed_pca" -> ((s: SparkSession, d: String) => Embeddings.pcaProject(s, d)),
     "q_bloom_semi" -> (Relational.bloomSemi _),
-    "q_bpe_train" -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d))
+    "q_bpe_train" -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
+    "q_stratified_topn" -> ((s: SparkSession, d: String) => Sampling.stratifiedTopNSample(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1040,6 +1041,13 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q_stratified_topn" ->
+      """SELECT doc_id, lang FROM (
+        | SELECT doc_id, lang, row_number() OVER (
+        |   PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents) t
+        |WHERE rk <= 20
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -62,6 +62,32 @@ object Sampling {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Exact-N per-stratum sample: where [[stratifiedHash]] gives a
+    * deterministic RATE (membership stable under growth), this gives a
+    * deterministic SIZE — rank rows inside each stratum by the md5 of
+    * their key (a uniform, engine-reproducible order) and keep the
+    * first `n`. The eval-set/holdout shape: "exactly 1000 docs per
+    * language, reproducibly". One keyed window shuffle; skew bounded by
+    * stratum size. Unlike rate draws, membership shifts as the corpus
+    * grows (rank is relative) — that's the contract of a fixed-size
+    * draw, documented here deliberately. */
+  def stratifiedTopN(df: DataFrame, keyCol: String, strataCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n)
+      .drop("_rk")
+  }
+
+  /** Audit query: exactly 20 docs per language, deterministic. */
+  def stratifiedTopNSample(spark: SparkSession, dir: String,
+      n: Int = 20): DataFrame =
+    stratifiedTopN(Tables.documents(spark, dir), "doc_id", "lang", n)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   /** Sequence packing for training batches: assign documents to packs
     * of ~`budget` tokens. Docs are spread over hash buckets (so packing
     * parallelizes — each bucket packs independently, which is the 100 TB

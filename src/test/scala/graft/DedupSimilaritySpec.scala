@@ -165,6 +165,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("stratified top-N: exactly min(n, stratum) rows, deterministic") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val n = 20
+    val s1 = graft.operators.Sampling.stratifiedTopN(docs, "doc_id", "lang", n)
+    val s2 = graft.operators.Sampling.stratifiedTopN(docs, "doc_id", "lang", n)
+    assert(s1.collect().map(_.toString).sorted
+      .sameElements(s2.collect().map(_.toString).sorted),
+      "fixed-size draw must be deterministic")
+    val strata = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val drawn = s1.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, total) <- strata)
+      assert(drawn.getOrElse(lang, 0L) == math.min(n.toLong, total),
+        s"$lang drew ${drawn.getOrElse(lang, 0L)}, stratum has $total")
+  }
+
   test("unigram logprob: negative scores, rare-token docs score lower") {
     val lp = TextAnalysis.unigramLogprob(spark, sf)
     assert(lp.count() > 0)
