@@ -132,7 +132,9 @@ object SparkEntry {
     "q_embed_pca" -> ((s: SparkSession, d: String) => Embeddings.pcaProject(s, d)),
     "q_bloom_semi" -> (Relational.bloomSemi _),
     "q_bpe_train" -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
-    "q_stratified_topn" -> ((s: SparkSession, d: String) => Sampling.stratifiedTopNSample(s, d))
+    "q_stratified_topn" -> ((s: SparkSession, d: String) => Sampling.stratifiedTopNSample(s, d)),
+    "q_weighted_sample" -> ((s: SparkSession, d: String) => Sampling.weightedSampleDocs(s, d)),
+    "q_interval_overlap" -> (Temporal.intervalOverlap _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1048,6 +1050,55 @@ object SparkEntry {
         |   PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         | FROM documents) t
         |WHERE rk <= 20
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH toks AS (
+        | SELECT doc_id, lang,
+        |  greatest(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT),
+        |           1) AS n_tokens
+        | FROM documents),
+        |keyed AS (
+        | SELECT doc_id, lang, n_tokens,
+        |  round(ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+        |              AS BIGINT) + 0.5) / 4503599627370496.0)
+        |        / n_tokens, 9) AS es_key
+        | FROM toks)
+        |SELECT doc_id, lang, n_tokens FROM (
+        | SELECT * FROM keyed ORDER BY es_key DESC, doc_id LIMIT 100) t
+        |ORDER BY doc_id""".stripMargin,
+    "q_interval_overlap" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        | FROM events),
+        |flagged AS (
+        | SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        | FROM e),
+        |sess AS (
+        | SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM flagged),
+        |sessions AS (
+        | SELECT user_id, session_id, min(ts) AS sess_start, max(ts) AS sess_end
+        | FROM sess GROUP BY user_id, session_id),
+        |errh AS (
+        | SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+        |        count(*) AS n_errors
+        | FROM events WHERE event_type = 'error' GROUP BY 1),
+        |inc AS (
+        | SELECT * FROM errh
+        | WHERE n_errors > (SELECT avg(n_errors) * 1.5 FROM errh)),
+        |cov AS (
+        | SELECT user_id, session_id,
+        |  unnest(generate_series(date_trunc('hour', sess_start),
+        |                         date_trunc('hour', sess_end),
+        |                         INTERVAL 1 HOUR)) AS bucket
+        | FROM sessions)
+        |SELECT i.w_start, i.n_errors, count(*) AS n_sessions,
+        | count(DISTINCT c.user_id) AS n_users
+        |FROM cov c JOIN inc i ON c.bucket = i.w_start
+        |GROUP BY i.w_start, i.n_errors
+        |ORDER BY i.w_start""".stripMargin
   )
 }

@@ -88,6 +88,42 @@ object Sampling {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis 2006): each row draws u ∈ (0,1) and ranks by u^(1/w) —
+    * the top-n ranks are an exact weighted draw. We rank by the
+    * monotone-equivalent ln(u)/w (no pow), with u derived from the
+    * row's content hash (13 md5 hex digits → 52 bits, exact in a
+    * double), so the draw is a pure function of the key: reproducible
+    * across engines, runs and cluster sizes. The key is rounded to 9
+    * decimals (kills cross-engine ln ulp noise, cf. q_tfidf) and ties
+    * break on the key column. Plan shape: row-local key computation +
+    * `orderBy.limit(n)` — Spark plans the global top-n as
+    * TakeOrderedAndProject (per-partition heap, driver merge of n·P
+    * rows), never a global sort. The returned frame keeps `es_key`
+    * for auditability. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
+      .cast("double") + lit(0.5)) / lit(math.pow(16.0, 13))
+    df.withColumn("es_key",
+        round(log(u) / col(weightCol).cast("double"), 9))
+      .orderBy(col("es_key").desc, col(keyCol))
+      .limit(n)
+  }
+
+  /** Audit query: 100 docs drawn with probability ∝ token count (the
+    * "sample training docs proportional to length" shape). */
+  def weightedSampleDocs(spark: SparkSession, dir: String,
+      n: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        greatest(size(split(lower(trim(col("text"))), "\\s+")).cast("long"),
+          lit(1L)).as("n_tokens"))
+    weightedSample(docs, "doc_id", "n_tokens", n)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence packing for training batches: assign documents to packs
     * of ~`budget` tokens. Docs are spread over hash buckets (so packing
     * parallelizes — each bucket packs independently, which is the 100 TB

@@ -77,6 +77,43 @@ object Temporal {
       .orderBy(col("p_id"))
   }
 
+  /** Interval-overlap join WITHOUT an equi key, made scale-safe by
+    * bucketization. The naive plan for `a.start < b.end AND a.end >=
+    * b.start` is a nested-loop join — O(|a|·|b|) and the classic 100 TB
+    * killer for interval workloads. Instead each session interval is
+    * EXPLODED into the hour buckets it covers and joined to the
+    * (one-bucket-wide) incident windows on bucket equality — a plain
+    * hash/sort-merge equi-join whose cost is candidate volume, not the
+    * cross product. Because each incident window is exactly one bucket
+    * wide, bucket membership IS the overlap predicate (trunc(start) <=
+    * h <= trunc(end) ⇔ [start,end] ∩ [h,h+1h) nonempty) — no residual
+    * filter, no dedup. Explode factor = interval span / bucket width,
+    * bounded by session length.
+    *
+    * Incident windows are hours whose error count exceeds 1.5× the mean
+    * hourly error count — a RELATIVE threshold, so selectivity holds at
+    * any scale factor. The threshold is a 1-row broadcast. */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val errHours = Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(date_trunc("hour", col("ts")).as("w_start"))
+      .agg(count(lit(1)).as("n_errors"))
+    val thresh = errHours.agg((avg(col("n_errors")) * 1.5).as("thresh"))
+    val incidents = errHours.crossJoin(broadcast(thresh))
+      .filter(col("n_errors") > col("thresh"))
+      .select(col("w_start"), col("n_errors"))
+    val covered = sessionize(spark, dir)
+      .select(col("user_id"), col("session_id"),
+        explode(sequence(date_trunc("hour", col("sess_start")),
+          date_trunc("hour", col("sess_end")),
+          expr("INTERVAL 1 HOUR"))).as("bucket"))
+    covered.join(incidents, col("bucket") === col("w_start"))
+      .groupBy(col("w_start"), col("n_errors"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("w_start"))
+  }
+
   /** Gap-based sessionization: a >30-minute silence starts a new session.
     * lag + cumulative-sum window; one shuffle on user_id. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {

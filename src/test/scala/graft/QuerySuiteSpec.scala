@@ -295,4 +295,58 @@ class QuerySuiteSpec extends AnyFunSuite {
       assert(stitched.sameElements(reference), s"trial $trial diverged")
     }
   }
+
+  test("interval overlap: bucketized equi-join equals the naive " +
+    "non-equi join") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Temporal.intervalOverlap(spark, sf).collect()
+    // naive reference: the overlap predicate as a raw non-equi join
+    // (nested-loop planned — fine at test scale, the thing the operator
+    // exists to avoid at 100 TB)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val errHours = ev.filter(col("event_type") === "error")
+      .groupBy(date_trunc("hour", col("ts")).as("w_start"))
+      .agg(count(lit(1)).as("n_errors"))
+    val thresh = errHours.agg(avg(col("n_errors")) * 1.5).head.getDouble(0)
+    val inc = errHours.filter(col("n_errors") > thresh)
+    val naive = graft.operators.Temporal.sessionize(spark, sf)
+      .select(col("user_id"), col("sess_start"), col("sess_end"))
+      .join(inc,
+        col("sess_start") < col("w_start") + expr("INTERVAL 1 HOUR") &&
+        col("sess_end") >= col("w_start"))
+      .groupBy(col("w_start"), col("n_errors"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("w_start")).collect()
+    assert(out.nonEmpty, "no incident windows at test scale")
+    assert(out.map(_.toString).toSeq == naive.map(_.toString).toSeq)
+  }
+
+  test("weighted sample: matches a driver-side reimplementation of the " +
+    "Efraimidis-Spirakis draw; deterministic") {
+    import org.apache.spark.sql.functions._
+    val n = 20
+    val got = graft.operators.Sampling.weightedSampleDocs(spark, sf, n)
+      .collect().map(_.getLong(0))
+    val again = graft.operators.Sampling.weightedSampleDocs(spark, sf, n)
+      .collect().map(_.getLong(0))
+    assert(got.sameElements(again), "draw must be deterministic")
+    // independent reimplementation: md5 -> u -> round9(ln(u)/w) rank
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def esKey(id: Long, text: String): Double = {
+      val w = math.max(text.trim.toLowerCase.split("\\s+").length, 1)
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / math.pow(16.0, 13)
+      BigDecimal(math.log(u) / w)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = docs.map { case (id, t) => (id, esKey(id, t)) }
+      .sortBy { case (id, k) => (-k, id) }.take(n).map(_._1).sorted
+    assert(got.sorted.sameElements(expected),
+      "TakeOrdered top-n must equal the driver-side E-S ranking")
+  }
 }
