@@ -221,10 +221,14 @@ object Similarity {
    * fractions; the parameters are per-call tunable either way. */
   def annIvf(spark: SparkSession, dir: String, k: Int = 3,
       nCentroids: Int = 16, nProbe: Int = 8, kmeansIters: Int = 3): DataFrame = {
+    // materialized ONCE: every Lloyd iteration (and the final assignment)
+    // re-reads this working set — without the checkpoint each iteration
+    // would rescan parquet and renormalize, iters× the corpus at 100 TB
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
         expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
           .as("vn"))
+      .localCheckpoint()
     val centroids = trainCentroids(spark, normed, nCentroids, kmeansIters)
     if (centroids.isEmpty) {
       // empty corpus → empty result with the operator's schema
@@ -285,10 +289,13 @@ object Similarity {
   def buildIvfIndex(spark: SparkSession, dir: String, name: String,
       nCentroids: Int = 16, kmeansIters: Int = 3, nBuckets: Int = 8): Unit = {
     import spark.implicits._
+    // materialized once — Lloyd iterations + the posting-list write all
+    // re-read this working set (see annIvf)
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
         expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
           .as("vn"))
+      .localCheckpoint()
     val centroids = trainCentroids(spark, normed, nCentroids, kmeansIters)
     centroids.zipWithIndex
       .map { case (c, i) => ((i + 1).toLong, c) }.toSeq
@@ -362,10 +369,12 @@ object Similarity {
   def tuneNProbe(spark: SparkSession, dir: String, targetRecall: Double = 0.8,
       k: Int = 3, nCentroids: Int = 16, kmeansIters: Int = 3,
       sampleN: Int = 200): Int = {
+    // materialized once — Lloyd iterations re-read it (see annIvf)
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
         expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
           .as("vn"))
+      .localCheckpoint()
     // ONE Lloyd training + ONE materialized assignment; every candidate
     // probe budget is evaluated against it (centroids are identical
     // across budgets, so retraining per candidate would be pure waste)
@@ -500,10 +509,13 @@ object Similarity {
   def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.9,
       nCentroids: Int = 16, kmeansIters: Int = 2): DataFrame = {
     import spark.implicits._
+    // materialized once — Lloyd iterations + the final assignment pass
+    // all re-read this working set (see annIvf)
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
         expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
           .as("vn"))
+      .localCheckpoint()
     val centroids = trainCentroids(spark, normed, nCentroids, kmeansIters)
     if (centroids.isEmpty) {
       return normed.select(col("vec_id"), lit(0L).as("cluster_id"),
