@@ -134,7 +134,8 @@ object SparkEntry {
     "q_bpe_train" -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
     "q_stratified_topn" -> ((s: SparkSession, d: String) => Sampling.stratifiedTopNSample(s, d)),
     "q_weighted_sample" -> ((s: SparkSession, d: String) => Sampling.weightedSampleDocs(s, d)),
-    "q_interval_overlap" -> (Temporal.intervalOverlap _)
+    "q_interval_overlap" -> (Temporal.intervalOverlap _),
+    "q_dup_centrality" -> (Graph.dupCentrality _)
   )
 
   def oracleSql: Map[String, String] = Map(

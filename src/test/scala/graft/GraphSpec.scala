@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank power iteration: closed-form star graph, mass
+  * conservation, determinism of the rounded centrality query. */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("pagerank: star graph matches the closed form") {
+    // undirected star, center 0, k leaves: the fixed point solves to
+    //   pr(center) = (1-d)(1+dk)/(1-d^2),  pr(leaf) = (1-d) + d*pr(center)/k
+    val k = 5
+    val d = 0.85
+    val edges = (1 to k).map(i => (0L, i.toLong)).toDF("s", "t")
+    val pr = graft.operators.Graph.pagerank(edges, "s", "t", d, iters = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cExpect = (1 - d) * (1 + d * k) / (1 - d * d)
+    val lExpect = (1 - d) + d * cExpect / k
+    assert(math.abs(pr(0L) - cExpect) < 0.05,
+      s"center ${pr(0L)} vs closed form $cExpect")
+    (1 to k).foreach { i =>
+      assert(math.abs(pr(i.toLong) - lExpect) < 0.05,
+        s"leaf ${pr(i.toLong)} vs closed form $lExpect")
+    }
+    // rank mass is conserved: sum = node count (no dangling nodes in a
+    // symmetrized graph)
+    assert(math.abs(pr.values.sum - (k + 1)) < 1e-6)
+  }
+
+  test("pagerank: ranks bounded below by (1-d), degree drives order") {
+    // path 0-1-2-3-4 plus hub 2 connected to 5,6: node 2 has max degree
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L),
+      (2L, 6L)).toDF("s", "t")
+    val pr = graft.operators.Graph.pagerank(edges, "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.values.forall(_ >= 0.15 - 1e-9))
+    assert(pr(2L) == pr.values.max, "highest-degree node must rank first")
+  }
+
+  test("dup centrality: deterministic, covers exactly the pair-graph " +
+    "nodes, hubs outrank leaves") {
+    val a = graft.operators.Graph.dupCentrality(spark, sf).collect()
+    val b = graft.operators.Graph.dupCentrality(spark, sf).collect()
+    assert(a.sameElements(b), "rounded centrality must be deterministic")
+    val pairs = graft.operators.Dedup.minhashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    assert(a.map(_.getLong(0)).sorted.sameElements(nodes),
+      "centrality must cover exactly the candidate-graph nodes")
+    if (nodes.nonEmpty) {
+      val deg = pairs.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val cent = a.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val maxDegNode = deg.maxBy { case (id, dg) => (dg, -id) }._1
+      val minDeg = deg.values.min
+      // the busiest node must outrank any degree-minimal node
+      deg.collect { case (id, dg) if dg == minDeg => id }.foreach { leaf =>
+        assert(cent(maxDegNode) >= cent(leaf),
+          s"hub $maxDegNode must outrank minimal-degree $leaf")
+      }
+    }
+  }
+}
