@@ -98,9 +98,11 @@ object Temporal {
       .filter(col("event_type") === "error")
       .groupBy(date_trunc("hour", col("ts")).as("w_start"))
       .agg(count(lit(1)).as("n_errors"))
-    val thresh = errHours.agg((avg(col("n_errors")) * 1.5).as("thresh"))
-    val incidents = errHours.crossJoin(broadcast(thresh))
-      .filter(col("n_errors") > col("thresh"))
+    // the relative threshold rides as a scalar subquery (one tiny
+    // subquery stage), not a 1-row broadcast join — keeps the main plan
+    // free of nested-loop operators
+    val thresh = errHours.agg((avg(col("n_errors")) * 1.5).as("thresh")).scalar()
+    val incidents = errHours.filter(col("n_errors") > thresh)
       .select(col("w_start"), col("n_errors"))
     val covered = sessionize(spark, dir)
       .select(col("user_id"), col("session_id"),
