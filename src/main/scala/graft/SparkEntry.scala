@@ -135,7 +135,10 @@ object SparkEntry {
     "q_stratified_topn" -> ((s: SparkSession, d: String) => Sampling.stratifiedTopNSample(s, d)),
     "q_weighted_sample" -> ((s: SparkSession, d: String) => Sampling.weightedSampleDocs(s, d)),
     "q_interval_overlap" -> (Temporal.intervalOverlap _),
-    "q_dup_centrality" -> (Graph.dupCentrality _)
+    "q_dup_centrality" -> (Graph.dupCentrality _),
+    "q_funnel" -> ((s: SparkSession, d: String) => Behavioral.funnel(s, d)),
+    "q_retention" -> ((s: SparkSession, d: String) => Behavioral.retention(s, d)),
+    "q_anomaly_score" -> ((s: SparkSession, d: String) => Behavioral.anomalyScore(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1100,6 +1103,60 @@ object SparkEntry {
         | count(DISTINCT c.user_id) AS n_users
         |FROM cov c JOIN inc i ON c.bucket = i.w_start
         |GROUP BY i.w_start, i.n_errors
-        |ORDER BY i.w_start""".stripMargin
+        |ORDER BY i.w_start""".stripMargin,
+    "q_funnel" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (
+        | SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_signup
+        | FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        | SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_view
+        | FROM events e JOIN s1 USING (user_id)
+        | WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) > s1.t_signup
+        | GROUP BY e.user_id),
+        |s3 AS (
+        | SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        | FROM events e JOIN s2 USING (user_id)
+        | WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t_view
+        | GROUP BY e.user_id)
+        |SELECT u.user_id,
+        | CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |           WHEN s2.user_id IS NOT NULL THEN 2
+        |           WHEN s1.user_id IS NOT NULL THEN 1
+        |           ELSE 0 END AS BIGINT) AS stages_reached,
+        | s1.t_signup, s2.t_view, s3.t_purchase
+        |FROM users u
+        |LEFT JOIN s1 USING (user_id)
+        |LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+    "q_retention" ->
+      """WITH ev AS (
+        | SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+        | FROM events),
+        |cohorts AS (
+        | SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, week FROM ev)
+        |SELECT c.cohort_week,
+        | CAST(datediff('day', c.cohort_week, a.week) / 7 AS BIGINT)
+        |   AS week_offset,
+        | count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohorts c USING (user_id)
+        |WHERE datediff('day', c.cohort_week, a.week) / 7 <= 8
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_anomaly_score" ->
+      """WITH hourly AS (
+        | SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket, n,
+        | CASE WHEN count(n) OVER w >= 12 AND stddev_samp(n) OVER w > 0
+        |  THEN round((n - avg(n) OVER w) / stddev_samp(n) OVER w, 6)
+        | END AS z
+        |FROM hourly
+        |WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_type, bucket""".stripMargin
   )
 }

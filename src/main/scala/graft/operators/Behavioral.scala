@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Behavioral / product-analytics operators over the event log: funnel
+  * progression, cohort retention, and windowed anomaly scoring. All
+  * three are one-or-two-shuffle plans keyed on user or (type, bucket) —
+  * no global windows, no self-joins proportional to the event volume.
+  */
+object Behavioral {
+
+  /** Ordered funnel progression per user: how far through
+    * `stages` (e.g. signup → view → purchase) each user advanced,
+    * where stage k+1 must occur strictly AFTER the first completion of
+    * stage k. Plan shape is ONE shuffle: events group to their user,
+    * are sorted row-locally (sort_array over (ts, event_id, type)
+    * structs — collect_list order is nondeterministic, the sort pins
+    * it), and a single `aggregate` fold walks the timeline advancing
+    * the stage cursor. The per-user state is the event list — bounded
+    * by per-user activity, the same contract as sessionization; the
+    * staged-self-join alternative costs |stages| shuffles of the full
+    * log. Fold semantics equal the staged-min semantics (first
+    * stage-k+1 event after the first stage-k completion IS the minimum
+    * such timestamp), which is what the DuckDB oracle computes. */
+  def funnel(spark: SparkSession, dir: String,
+      stages: Seq[String] = Seq("signup", "view", "purchase")): DataFrame = {
+    val k = stages.length
+    val stageArr = array(stages.map(lit): _*)
+    val folded = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type").as("etype")))).as("evs"))
+      .withColumn("stage_ts",
+        aggregate(col("evs"),
+          expr("CAST(array() AS array<timestamp>)"),
+          (acc, e) => when(size(acc) < k &&
+              e.getField("etype") === element_at(stageArr, size(acc) + 1),
+            concat(acc, array(e.getField("ts")))).otherwise(acc)))
+    val stageCols = stages.zipWithIndex.map { case (s, i) =>
+      element_at(col("stage_ts"), i + 1).as(s"t_$s")
+    }
+    folded.select(col("user_id") +:
+        size(col("stage_ts")).cast("long").as("stages_reached") +:
+        stageCols: _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** Cohort retention: users cohorted by the week of their first event;
+    * for each (cohort week, week offset) the count of cohort members
+    * active in that week. Two aggregations (first-week per user,
+    * distinct user-weeks) joined on user — every shuffle is keyed on
+    * user or the small (cohort, offset) pair, nothing global. Offsets
+    * capped at `maxWeeks` so the output stays dimension-sized. */
+  def retention(spark: SparkSession, dir: String,
+      maxWeeks: Int = 8): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val active = ev.distinct()
+    active.join(cohorts, Seq("user_id"))
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+      .filter(col("week_offset") <= maxWeeks)
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Windowed anomaly score: hourly event counts per type, z-scored
+    * against the trailing 24 buckets of the SAME type (a keyed window —
+    * partition count scales with |types|, each partition is a
+    * time-ordered bucket series, never the raw log). Buckets with fewer
+    * than `minTrailing` trailing observations or zero variance emit a
+    * null score instead of a spurious one. Scores are rounded so
+    * cross-engine float noise can't flip the output. */
+  def anomalyScore(spark: SparkSession, dir: String,
+      minTrailing: Int = 12): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("mu", avg(col("n")).over(w))
+      .withColumn("sigma", stddev_samp(col("n")).over(w))
+      .withColumn("n_trailing", count(col("n")).over(w))
+      .withColumn("z",
+        when(col("n_trailing") >= minTrailing && col("sigma") > 0,
+          round((col("n") - col("mu")) / col("sigma"), 6)))
+      .select(col("event_type"), col("bucket"), col("n"), col("z"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Funnel / retention / anomaly invariants at sf0.001. */
+class BehavioralSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("funnel: stage timestamps strictly increase, reached count " +
+    "equals the non-null prefix") {
+    val f = graft.operators.Behavioral.funnel(spark, sf)
+    assert(f.count() > 0)
+    // strict ordering wherever two consecutive stages completed
+    assert(f.filter(col("t_view") <= col("t_signup")).count() == 0)
+    assert(f.filter(col("t_purchase") <= col("t_view")).count() == 0)
+    // stages_reached == number of non-null stage columns, and the
+    // non-nulls form a prefix (no stage skipped)
+    val bad = f.filter(
+      col("stages_reached") =!=
+        (col("t_signup").isNotNull.cast("long") +
+         col("t_view").isNotNull.cast("long") +
+         col("t_purchase").isNotNull.cast("long")) ||
+      (col("t_view").isNotNull && col("t_signup").isNull) ||
+      (col("t_purchase").isNotNull && col("t_view").isNull)).count()
+    assert(bad == 0, "stage columns must be a strictly-ordered prefix")
+  }
+
+  test("funnel: fold result equals the staged-min self-join reference") {
+    val fold = graft.operators.Behavioral.funnel(spark, sf)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "view").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val ref = ev.select(col("user_id")).distinct()
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (col("t1").isNotNull.cast("long") + col("t2").isNotNull.cast("long") +
+          col("t3").isNotNull.cast("long")).as("stages_reached"),
+        col("t1").as("t_signup"), col("t2").as("t_view"),
+        col("t3").as("t_purchase"))
+      .orderBy(col("user_id"))
+    assert(fold.collect().map(_.toString)
+      .sameElements(ref.collect().map(_.toString)),
+      "one-shuffle fold must equal the |stages|-shuffle staged joins")
+  }
+
+  test("retention: offset zero covers the whole cohort, activity never " +
+    "exceeds cohort size") {
+    val r = graft.operators.Behavioral.retention(spark, sf).collect()
+    assert(r.nonEmpty)
+    val cohortSize = r.filter(_.getLong(1) == 0L)
+      .map(x => x.getTimestamp(0) -> x.getLong(2)).toMap
+    // every user is active in their own first week by definition
+    r.foreach { row =>
+      val size = cohortSize(row.getTimestamp(0))
+      assert(row.getLong(2) <= size,
+        s"cohort ${row.getTimestamp(0)} offset ${row.getLong(1)}: " +
+          s"${row.getLong(2)} > cohort size $size")
+    }
+  }
+
+  test("anomaly score: deterministic, scores finite, nulls only from " +
+    "short or flat trailing windows") {
+    val a = graft.operators.Behavioral.anomalyScore(spark, sf)
+    val rows = a.collect()
+    assert(rows.sameElements(
+      graft.operators.Behavioral.anomalyScore(spark, sf).collect()))
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite)
+    }
+    // the first 12 buckets of every series must be null-scored
+    val firstNonNull = a
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("bucket"))))
+      .filter(col("z").isNotNull && col("rk") <= 12).count()
+    assert(firstNonNull == 0, "scores inside the warmup prefix must be null")
+  }
+}
