@@ -138,7 +138,8 @@ object SparkEntry {
     "q_dup_centrality" -> (Graph.dupCentrality _),
     "q_funnel" -> ((s: SparkSession, d: String) => Behavioral.funnel(s, d)),
     "q_retention" -> ((s: SparkSession, d: String) => Behavioral.retention(s, d)),
-    "q_anomaly_score" -> ((s: SparkSession, d: String) => Behavioral.anomalyScore(s, d))
+    "q_anomaly_score" -> ((s: SparkSession, d: String) => Behavioral.anomalyScore(s, d)),
+    "q_heavy_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.heavyTokens(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1157,6 +1158,16 @@ object SparkEntry {
         |FROM hourly
         |WINDOW w AS (PARTITION BY event_type ORDER BY bucket
         |  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
-        |ORDER BY event_type, bucket""".stripMargin
+        |ORDER BY event_type, bucket""".stripMargin,
+    "q_heavy_tokens" ->
+      """WITH toks AS (
+        | SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        | FROM documents),
+        |tot AS (SELECT lang, count(*) AS n FROM toks GROUP BY lang),
+        |cnt AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY lang, tok)
+        |SELECT c.lang, c.tok, c.cnt
+        |FROM cnt c JOIN tot t USING (lang)
+        |WHERE c.cnt * 51 > t.n
+        |ORDER BY c.lang, c.cnt DESC, c.tok""".stripMargin
   )
 }

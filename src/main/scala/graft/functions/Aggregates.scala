@@ -211,6 +211,109 @@ case class OuterProductSum(child: Expression, dim: Int,
   override def prettyName: String = "outer_product_sum"
 }
 
+/** Misra–Gries heavy-hitter summary (capacity k) as a mergeable
+  * TypedImperativeAggregate. update() is the classic stream step
+  * (insert / count / decrement-all when full); merge() is the
+  * Mergeable-Summaries merge (Agarwal et al. 2012): add counters
+  * pointwise, then subtract the (k+1)-largest count and drop
+  * non-positives — the combined summary keeps the MG guarantee, so the
+  * aggregate map-side combines like any sum. Guarantees over a group of
+  * n rows: every item with true frequency > n/(k+1) is present, and
+  * each reported count undercounts by at most n/(k+1). Buffer is ≤ k
+  * string counters — constant memory per group, independent of
+  * cardinality; the exact groupBy-count alternative shuffles every
+  * distinct item. Counter VALUES are arrival/merge-order dependent (as
+  * in any MG sketch) — only the recall/undercount guarantee is stable —
+  * so pipelines needing deterministic output recount the sketch's
+  * candidates exactly (see TextAnalysis.heavyTokens: sketch finds, an
+  * exact second pass confirms; the guarantee makes the recall loss
+  * provably zero). Emitted entries sort (count desc, item asc). */
+case class HeavyHitters(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.HashMap[String, Long]] {
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  type Buf = scala.collection.mutable.HashMap[String, Long]
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): Buf =
+    scala.collection.mutable.HashMap.empty[String, Long]
+
+  override def update(buf: Buf,
+      input: org.apache.spark.sql.catalyst.InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.toString
+      buf.get(s) match {
+        case Some(c) => buf(s) = c + 1
+        case None if buf.size < k => buf(s) = 1L
+        case None =>
+          // decrement-all; drop zeroed counters (classic MG step)
+          val dead = List.newBuilder[String]
+          buf.foreach { case (key, c) =>
+            if (c == 1L) dead += key else buf(key) = c - 1
+          }
+          dead.result().foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach { case (key, c) => a(key) = a.getOrElse(key, 0L) + c }
+    if (a.size > k) {
+      // subtract the (k+1)-largest count from everything, keep positives
+      val cut = a.values.toArray.sortBy(-_).apply(k)
+      val dead = List.newBuilder[String]
+      a.foreach { case (key, c) =>
+        if (c - cut <= 0L) dead += key else a(key) = c - cut
+      }
+      dead.result().foreach(a.remove)
+    }
+    a
+  }
+
+  override def eval(buf: Buf): Any = {
+    val rows = buf.toArray.sortBy { case (item, c) => (-c, item) }
+      .map { case (item, c) =>
+        new GenericInternalRow(
+          Array[Any](UTF8String.fromString(item), c)): Any
+      }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (key, c) => out.writeUTF(key); out.writeLong(c) }
+    out.flush(); bos.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    (0 until n).foreach { _ => val key = in.readUTF(); buf(key) = in.readLong() }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): HeavyHitters =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): HeavyHitters =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): HeavyHitters = copy(child = cs.head)
+  override def prettyName: String = "heavy_hitters"
+}
+
 object Aggregates {
   /** Column form of GroupMinHash for DataFrame aggregations. */
   def groupMinhash(sig: Column, k: Int = 32): Column =
@@ -223,6 +326,10 @@ object Aggregates {
   /** Column form of OuterProductSum for DataFrame aggregations. */
   def outerProductSum(v: Column, dim: Int): Column =
     toCol(OuterProductSum(toExpr(v), dim).toAggregateExpression())
+
+  /** Column form of HeavyHitters for DataFrame aggregations. */
+  def heavyHitters(item: Column, k: Int): Column =
+    toCol(HeavyHitters(toExpr(item), k).toAggregateExpression())
 
   /** The engine's internal bloom-filter machinery (what AQE's runtime
     * row-level filtering uses), surfaced as explicit functions — for

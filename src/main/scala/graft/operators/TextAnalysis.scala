@@ -323,4 +323,32 @@ object TextAnalysis {
           .as("avg_logprob"))
       .orderBy(col("doc_id"))
   }
+
+  /** Heavy tokens per language by sketch-then-recount: a Misra–Gries
+    * summary ([[graft.functions.HeavyHitters]], constant memory per
+    * group, map-side combined) finds CANDIDATE tokens; an exact second
+    * pass recounts only those candidates (broadcast semi-join — the
+    * recount groupBy shuffles candidate hits, never the full distinct
+    * vocabulary) and keeps tokens with frequency > n/(k+1). The MG
+    * recall guarantee makes the two-pass result provably EQUAL to the
+    * exact all-tokens computation — which is what the DuckDB oracle
+    * runs — while the sketch pass is what survives a 100 TB vocabulary.
+    * The threshold compares integers (cnt·(k+1) > n): no float
+    * boundary. */
+  def heavyTokens(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokensCol).as("tok"))
+    val sketch = toks.groupBy(col("lang"))
+      .agg(graft.functions.Aggregates.heavyHitters(col("tok"), k).as("hh"),
+        count(lit(1)).as("n"))
+    val candidates = sketch
+      .select(col("lang"), col("n"), explode(col("hh")).as("e"))
+      .select(col("lang"), col("n"), col("e.item").as("tok"))
+    toks.join(broadcast(candidates), Seq("lang", "tok"))
+      .groupBy(col("lang"), col("tok"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .select(col("lang"), col("tok"), col("cnt"))
+      .orderBy(col("lang"), col("cnt").desc, col("tok"))
+  }
 }

@@ -73,6 +73,10 @@ object GraftFunctionRegistry {
       "outer_product_sum(v, dim) - upper-triangular sum of outer products"),
       (es: Seq[Expression]) => OuterProductSum(es(0),
         es(1).eval().asInstanceOf[Int])),
+    ("heavy_hitters", info("heavy_hitters",
+      "heavy_hitters(item, k) - Misra-Gries heavy-hitter summary of capacity k"),
+      (es: Seq[Expression]) => HeavyHitters(es(0),
+        es(1).eval().asInstanceOf[Int])),
     // The engine-internal bloom pair, surfaced under graft names so SQL
     // can build/probe blooms without the DataFrame bridge.
     ("graft_bloom_agg", info("graft_bloom_agg",

@@ -72,4 +72,70 @@ class AggregatesSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(typed == sql)
   }
+
+  private def hhMap(data: Seq[String], k: Int, parts: Int): Map[String, Long] = {
+    import spark.implicits._
+    data.toDF("x").repartition(parts)
+      .agg(Aggregates.heavyHitters(col("x"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("heavy hitters: exact when cardinality fits the sketch") {
+    val rng = new scala.util.Random(11L)
+    val small = (1 to 2000).map(_ => s"v${rng.nextInt(8)}")
+    val exact = small.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(hhMap(small, 50, 7) == exact,
+      "with distinct <= k the sketch must degenerate to exact counts")
+  }
+
+  test("heavy hitters: Misra-Gries guarantees hold under pressure " +
+    "across partitioned merges") {
+    val rng = new scala.util.Random(23L)
+    val n = 20000
+    val k = 20
+    // skewed stream: half the mass on 5 hot items, the rest spread over
+    // a ~5000-item tail — distinct >> k, so decrements and merge cuts
+    // genuinely fire
+    val data = (1 to n).map { _ =>
+      if (rng.nextBoolean()) s"hot${rng.nextInt(5)}"
+      else s"tail${rng.nextInt(5000)}"
+    }
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 13)) {
+      val hh = hhMap(data, k, parts)
+      assert(hh.size <= k, s"summary exceeded capacity at parts=$parts")
+      val bound = n / (k + 1)
+      // recall: every item above the MG threshold is present
+      exact.filter { case (_, c) => c * (k + 1) > n }.keys.foreach { h =>
+        assert(hh.contains(h), s"lost heavy item $h at parts=$parts")
+      }
+      // counts never overcount and undercount by at most n/(k+1)
+      hh.foreach { case (item, c) =>
+        val t = exact(item)
+        assert(c <= t, s"overcounted $item: $c > $t at parts=$parts")
+        assert(t - c <= bound,
+          s"undercount of $item beyond n/(k+1): $t - $c > $bound")
+      }
+    }
+  }
+
+  test("heavy tokens: sketch-then-recount equals the exact computation") {
+    val got = graft.operators.TextAnalysis.heavyTokens(spark, sf)
+      .collect().map(_.toString)
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val tot = toks.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val exact = toks.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(tot, Seq("lang"))
+      .filter(col("cnt") * 51 > col("n"))
+      .select(col("lang"), col("tok"), col("cnt"))
+      .orderBy(col("lang"), col("cnt").desc, col("tok"))
+      .collect().map(_.toString)
+    assert(got.sameElements(exact),
+      "MG recall guarantee must make the two-pass result exact")
+  }
 }

@@ -63,6 +63,11 @@ class ExtensionsIOSpec extends AnyFunSuite {
         |       size(outer_product_sum(cast(embedding AS array<double>), 4)) AS t
         |FROM emb_agg""".stripMargin).head
     assert(vs.getAs[Int]("d") == 64 && vs.getAs[Int]("t") == 10)
+    // heavy_hitters resolves as an aggregate; capacity bounds the size
+    val hh = spark.sql(
+      """SELECT lang, size(heavy_hitters(text, 5)) AS s
+        |FROM docs_agg GROUP BY lang""".stripMargin).collect()
+    assert(hh.nonEmpty && hh.forall(_.getAs[Int]("s") <= 5))
     // bloom build + probe end-to-end in SQL: members always hit
     val miss = spark.sql(
       """WITH bf AS (SELECT graft_bloom_agg(xxhash64(doc_id), 1000L, 8192L) AS b
