@@ -146,6 +146,51 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class FunnelBuf(stamps: Seq[Timestamp])
+  case class FunnelProgress(user_id: Long, stages_reached: Int,
+      stage_ts: Seq[Timestamp])
+
+  /** Streaming funnel — the stateful twin of `Behavioral.funnel`: a
+    * per-user stage CURSOR (the completed-stage timestamp prefix) kept
+    * in ValueState; each micro-batch sorts its rows by event time and
+    * advances the cursor exactly like the batch fold. State per user is
+    * ≤ |stages| timestamps — bounded regardless of event volume, which
+    * is what lets the funnel run indefinitely where the batch operator
+    * would re-scan the log. Parity contract (spec-proved): equal to the
+    * batch fold whenever stage-advancing events arrive in event-time
+    * order across batches; a stage event arriving LATE (behind an
+    * already-passed cursor position) is dropped rather than rewinding
+    * state — the standard streaming-funnel caveat, corrected by a batch
+    * backfill. */
+  class FunnelProcessor(stages: Seq[String])
+      extends StatefulProcessor[Long, Event, FunnelProgress] {
+    @transient private var state: ValueState[FunnelBuf] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelBuf]("funnel",
+        Encoders.product[FunnelBuf], TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[FunnelProgress] = {
+      var stamps: Vector[Timestamp] =
+        if (state.exists) state.get().stamps.toVector else Vector.empty
+      rows.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (stamps.length < stages.length &&
+            e.event_type == stages(stamps.length) &&
+            (stamps.isEmpty || e.ts.after(stamps.last)))
+          stamps = stamps :+ e.ts
+      }
+      state.update(FunnelBuf(stamps))
+      Iterator.single(FunnelProgress(userId, stamps.length, stamps))
+    }
+  }
+
+  def funnelStream(spark: SparkSession, events: Dataset[Event],
+      stages: Seq[String] = Seq("signup", "view", "purchase")): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(stages),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming upsert sink — the foreachBatch MERGE pattern without a
     * lakehouse format: each micro-batch reduces to one latest row per
     * key, merges with the existing parquet snapshot (old ∪ new →

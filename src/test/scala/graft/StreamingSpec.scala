@@ -431,4 +431,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.getAs[Long]("n_events") == 2L)
     assert(s.getAs[Double]("total_value") == 3.0)
   }
+
+  test("streaming funnel equals the batch fold when events arrive in " +
+    "event-time order; late stage events never rewind the cursor") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the real event log, in event-time order, split across 3 batches
+      val all = graft.sources.Tables.events(sp, sf)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      val input = MemoryStream[Event]
+      val q = Streams.funnelStream(sp, input.toDS())
+        .writeStream.format("memory").queryName("funnel_out")
+        .outputMode("update").start()
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val batch = graft.operators.Behavioral.funnel(sp, sf).collect()
+      assert(batch.nonEmpty)
+      // a late stage event behind an advanced cursor must be dropped,
+      // not rewind or re-advance it — feed one through the live query
+      val victim = batch.filter(_.getLong(1) >= 2L).head.getLong(0)
+      input.addData(Event(10000000L, ts(1), victim, "signup", 0.0))
+      q.processAllAvailable()
+      // last emitted progress per user == final cursor
+      val streamed = sp.sql("SELECT * FROM funnel_out").collect()
+        .groupBy(_.getLong(0))
+        .map { case (u, rows) => u -> rows.last }
+      q.stop()
+      batch.foreach { b =>
+        val u = b.getLong(0)
+        val s = streamed(u)
+        assert(s.getInt(1).toLong == b.getLong(1),
+          s"user $u: stream reached ${s.getInt(1)}, batch ${b.getLong(1)}")
+        val streamTs = s.getSeq[Timestamp](2)
+        val batchTs = Seq(2, 3, 4).map(i => b.get(i))
+          .takeWhile(_ != null).map(_.asInstanceOf[Timestamp])
+        assert(streamTs == batchTs,
+          s"user $u: stream stamps $streamTs vs batch $batchTs")
+      }
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
