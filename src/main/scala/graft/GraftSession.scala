@@ -26,6 +26,10 @@ object GraftSession {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // managed tables (bucketed adjacency/index layouts) land in tmp,
+      // not a ./spark-warehouse directory next to the driver
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 
   def getOrCreate(): SparkSession = {

@@ -20,44 +20,57 @@ object Graph {
     * from rank ≡ 1 so ranks sum to the node count (no dangling mass in
     * a symmetrized graph — every node has deg ≥ 1).
     *
-    * Per-iteration plan: ranks ⋈ adjacency on src (both sides
-    * hash-partitioned on the same key; the adjacency is checkpointed so
-    * its blocks are reused every round) then a map-side-combined
-    * groupBy(dst) sum. State per node is one double — 100 TB cost is
-    * iters × (one join + one agg shuffle) over edge volume, the
-    * textbook distributed PageRank shape. A fixed iteration count keeps
-    * the job graph deterministic; float summation order still varies
-    * with partitioning, so callers that need cross-run stability round
-    * the emitted rank (see [[dupCentrality]]). LocalCheckpoint bounds
+    * The adjacency (with degrees) is staged ONCE as a table bucketed +
+    * sorted by src — the stored layout IS the partitioning, so every
+    * iteration's join reads the EDGE side shuffle-free and only the
+    * node-sized rank frame moves. This matters: localCheckpoint does
+    * not carry hash-partitioning into the logical plan (measured — the
+    * scan re-exchanges every round), so a checkpointed adjacency would
+    * re-shuffle the edge volume each iteration; the bucketed layout is
+    * what makes per-iteration cost O(nodes), the difference between a
+    * usable and unusable 100 TB PageRank. Per iteration: ranks exchange
+    * to the bucket layout, sort-merge join, then a map-side-combined
+    * groupBy(dst) sum. Fixed iteration count keeps the job graph
+    * deterministic; float summation order still varies with
+    * partitioning, so callers needing cross-run stability round the
+    * emitted rank (see [[dupCentrality]]). LocalCheckpoint bounds rank
     * lineage per round; cluster deployments would use checkpoint(dir).
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       damping: Double = 0.85, iters: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
     val sym = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges
         .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
       .distinct()
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val adj = sym.join(deg, Seq("src"))
+    val nBuckets = spark.sessionState.conf.numShufflePartitions
+    val adjTable = "graft_pr_adj_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    sym.join(deg, Seq("src"))
       .select(col("src"), col("dst"), col("deg"))
-      .localCheckpoint()
-    var ranks = adj.select(col("src").as("id")).distinct()
-      .withColumn("pr", lit(1.0))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val contribs = adj.join(ranks, col("src") === col("id"))
-        .select(col("dst"), (col("pr") / col("deg")).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("in"))
-        .select(col("dst").as("id"), col("in"))
-      ranks = ranks.select(col("id"))
-        .join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(1.0 - damping) +
-            lit(damping) * coalesce(col("in"), lit(0.0))).as("pr"))
+      .write.bucketBy(nBuckets, "src").sortBy("src")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(adjTable)
+    try {
+      val adj = spark.table(adjTable)
+      var ranks = adj.select(col("src").as("id")).distinct()
+        .withColumn("pr", lit(1.0))
         .localCheckpoint()
-    }
-    ranks
+      for (_ <- 1 to iters) {
+        val contribs = adj.join(ranks, col("src") === col("id"))
+          .select(col("dst"), (col("pr") / col("deg")).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("in"))
+          .select(col("dst").as("id"), col("in"))
+        ranks = ranks.select(col("id"))
+          .join(contribs, Seq("id"), "left")
+          .select(col("id"),
+            (lit(1.0 - damping) +
+              lit(damping) * coalesce(col("in"), lit(0.0))).as("pr"))
+          .localCheckpoint() // eager: ranks no longer depend on adj
+      }
+      ranks
+    } finally spark.sql(s"DROP TABLE IF EXISTS $adjTable")
   }
 
   /** Duplication-graph centrality: PageRank over the MinHash near-dup
