@@ -15,7 +15,11 @@ class ScaleStrategySpec extends AnyFunSuite {
     "q_cdc_diff", "q_contamination", "q_unigram_logprob",
     // round-4 join queries: percentile-threshold gate, bloom-pruned
     // semi, span-share join, mix-rate join
-    "q_quality_gate", "q_bloom_semi", "q_dup_spans", "q_source_mix")
+    "q_quality_gate", "q_bloom_semi", "q_dup_spans", "q_source_mix",
+    // round-4 continuation: cohort join, bucketized interval join,
+    // sketch-recount join, iterative rank-adjacency joins
+    "q_retention", "q_interval_overlap", "q_heavy_tokens",
+    "q_dup_centrality")
 
   /** Queries whose big-table joins carry no broadcast hint: with the
     * auto-threshold disabled their plans MUST contain a shuffle join.
@@ -28,7 +32,11 @@ class ScaleStrategySpec extends AnyFunSuite {
   private val mustShuffleJoin = Seq("q3_join_agg", "q5_multijoin",
     "q_status_pivot", "q_status_matrix", "q_poc_registry", "q13_custdist",
     "q18_large_volume", "q20_nested_exists", "q_full_outer", "q_cdc_diff",
-    "q_contamination")
+    "q_contamination", "q_retention", "q_interval_overlap")
+  // (q_dup_centrality sits in joinQueries for RESULT parity only: its
+  // iteration joins execute eagerly behind localCheckpoint, so the
+  // returned frame's plan is a checkpoint scan with no join node to
+  // assert on)
 
   test("all join queries match under forced sort-merge strategy") {
     val defaults = joinQueries.map(q =>
