@@ -430,4 +430,57 @@ object Streams {
           }
       }
   }
+
+  case class TokenEvent(key: String, item: String, seq: Long)
+  case class MGState(items: Seq[String], counts: Seq[Long])
+  case class HeavyItem(key: String, item: String, cnt: Long)
+
+  /** Streaming Misra–Gries heavy hitters per key — the stateful twin of
+    * [[graft.functions.HeavyHitters]]: ValueState carries the ≤k
+    * counters per key; each micro-batch replays its rows (sorted by
+    * `seq`, so the stream order is explicit and batch-boundary-
+    * independent) through the same MG update step, then emits the
+    * current summary in update mode. State is bounded by k counters per
+    * key forever — the property that makes "trending items per key"
+    * runnable indefinitely; the MG guarantee (every item above
+    * n/(k+1) frequency present, counts undercounting by ≤ n/(k+1))
+    * holds at every prefix of the stream. */
+  class HeavyHittersProcessor(k: Int)
+      extends StatefulProcessor[String, TokenEvent, HeavyItem] {
+    @transient private var state: ValueState[MGState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[MGState]("mg",
+        Encoders.product[MGState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[TokenEvent],
+        timers: TimerValues): Iterator[HeavyItem] = {
+      val buf = scala.collection.mutable.HashMap.empty[String, Long]
+      if (state.exists) {
+        val s = state.get()
+        s.items.zip(s.counts).foreach { case (i, c) => buf(i) = c }
+      }
+      rows.toArray.sortBy(_.seq).foreach { e =>
+        buf.get(e.item) match {
+          case Some(c) => buf(e.item) = c + 1
+          case None if buf.size < k => buf(e.item) = 1L
+          case None =>
+            val dead = List.newBuilder[String]
+            buf.foreach { case (i, c) =>
+              if (c == 1L) dead += i else buf(i) = c - 1
+            }
+            dead.result().foreach(buf.remove)
+        }
+      }
+      val sorted = buf.toSeq.sortBy { case (i, c) => (-c, i) }
+      state.update(MGState(sorted.map(_._1), sorted.map(_._2)))
+      sorted.iterator.map { case (i, c) => HeavyItem(key, i, c) }
+    }
+  }
+
+  def heavyHittersStream(spark: SparkSession, tokens: Dataset[TokenEvent],
+      k: Int = 8): Dataset[HeavyItem] = {
+    import spark.implicits._
+    tokens.groupByKey(_.key)
+      .transformWithState(new HeavyHittersProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

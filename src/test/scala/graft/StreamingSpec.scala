@@ -482,4 +482,70 @@ class StreamingSpec extends AnyFunSuite {
       case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming heavy hitters: batch boundaries are invisible — final " +
+    "summary equals a sequential Misra-Gries replay") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val k = 8
+      val rng = new scala.util.Random(31L)
+      // skewed two-key stream, distinct >> k so decrements fire
+      val events = (0 until 3000).map { i =>
+        val key = if (i % 2 == 0) "a" else "b"
+        val item = if (rng.nextBoolean()) s"hot${rng.nextInt(3)}"
+          else s"tail${rng.nextInt(400)}"
+        Streams.TokenEvent(key, item, i.toLong)
+      }
+      val input = MemoryStream[Streams.TokenEvent]
+      val q = Streams.heavyHittersStream(sp, input.toDS(), k)
+        .writeStream.format("memory").queryName("hh_out")
+        .outputMode("update").start()
+      events.grouped(700).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      // reference: the same MG update run sequentially on the driver in
+      // seq order per key
+      def mgReplay(items: Seq[String]): Map[String, Long] = {
+        val buf = scala.collection.mutable.HashMap.empty[String, Long]
+        items.foreach { it =>
+          buf.get(it) match {
+            case Some(c) => buf(it) = c + 1
+            case None if buf.size < k => buf(it) = 1L
+            case None =>
+              val dead = buf.collect { case (i, 1L) => i }.toList
+              buf.mapValuesInPlace((_, c) => c - 1)
+              dead.foreach(buf.remove)
+          }
+        }
+        buf.toMap
+      }
+      // final summary = last batch's emission per key
+      val out = sp.sql("SELECT * FROM hh_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      q.stop()
+      for (key <- Seq("a", "b")) {
+        val expect = mgReplay(events.filter(_.key == key).sortBy(_.seq).map(_.item))
+        // emissions accumulate per batch; keep the final value per item,
+        // but items can drop out of the summary — reconcile against the
+        // last batch by taking only items present in the expected final
+        // state and checking counts match exactly
+        val got = out.filter(_._1 == key)
+          .groupBy(_._2).map { case (i, rs) => i -> rs.last._3 }
+        expect.foreach { case (item, c) =>
+          assert(got.get(item).contains(c),
+            s"$key/$item: stream ${got.get(item)}, sequential replay $c")
+        }
+        assert(expect.size <= k)
+      }
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
