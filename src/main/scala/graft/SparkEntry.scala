@@ -139,7 +139,8 @@ object SparkEntry {
     "q_funnel" -> ((s: SparkSession, d: String) => Behavioral.funnel(s, d)),
     "q_retention" -> ((s: SparkSession, d: String) => Behavioral.retention(s, d)),
     "q_anomaly_score" -> ((s: SparkSession, d: String) => Behavioral.anomalyScore(s, d)),
-    "q_heavy_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.heavyTokens(s, d))
+    "q_heavy_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.heavyTokens(s, d)),
+    "q_approx_percentiles" -> ((s: SparkSession, d: String) => RelationalExt.approxPercentiles(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -41,6 +41,24 @@ object RelationalExt {
         round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
       .orderBy(col("l_returnflag"))
 
+  /** Approximate percentiles via the engine's mergeable quantile sketch
+    * (`percentile_approx`, rank error ≤ 1/accuracy) — the 100 TB
+    * companion to the exact [[percentiles]]: the sketch map-side
+    * combines, so the shuffle carries one bounded summary per partition
+    * instead of sorting the value column. Sketch output is
+    * engine-specific → rows-only driver check; the spec pins accuracy
+    * against the exact operator (approx value must lie within the
+    * ±1% rank neighborhood of the exact percentile). */
+  def approxPercentiles(spark: SparkSession, dir: String,
+      accuracy: Int = 1000): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"approx_percentile(l_extendedprice, 0.5, $accuracy)").as("ap50"),
+        expr(s"approx_percentile(l_extendedprice, 0.9, $accuracy)").as("ap90"),
+        expr(s"approx_percentile(l_extendedprice, 0.99, $accuracy)").as("ap99"))
+      .orderBy(col("l_returnflag"))
+
   /** INTERSECT / EXCEPT set semantics: building-segment customers that
     * do (intersect) and don't (except) also hold open orders. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
