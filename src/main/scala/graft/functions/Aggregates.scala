@@ -293,7 +293,12 @@ case class HeavyHitters(child: Expression, k: Int,
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (key, c) => out.writeUTF(key); out.writeLong(c) }
+    buf.foreach { case (key, c) =>
+      // length-prefixed UTF-8 (writeUTF caps at 64 KB — items can be
+      // whole documents when the aggregate is used over a text column)
+      val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
   override def deserialize(bytes: Array[Byte]): Buf = {
@@ -301,7 +306,11 @@ case class HeavyHitters(child: Expression, k: Int,
       new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
-    (0 until n).foreach { _ => val key = in.readUTF(); buf(key) = in.readLong() }
+    (0 until n).foreach { _ =>
+      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+      buf(new String(kb, java.nio.charset.StandardCharsets.UTF_8)) =
+        in.readLong()
+    }
     buf
   }
 

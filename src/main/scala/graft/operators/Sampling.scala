@@ -96,7 +96,10 @@ object Sampling {
     * double), so the draw is a pure function of the key: reproducible
     * across engines, runs and cluster sizes. The key is rounded to 9
     * decimals (kills cross-engine ln ulp noise, cf. q_tfidf) and ties
-    * break on the key column. Plan shape: row-local key computation +
+    * break on the key column. Weights must be strictly positive — a
+    * zero/negative weight inverts the ranking for that row (callers
+    * clamp, cf. [[weightedSampleDocs]]). Plan shape: row-local key
+    * computation +
     * `orderBy.limit(n)` — Spark plans the global top-n as
     * TakeOrderedAndProject (per-partition heap, driver merge of n·P
     * rows), never a global sort. The returned frame keeps `es_key`

@@ -121,6 +121,15 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy hitters: survives items larger than the 64KB writeUTF cap") {
+    import spark.implicits._
+    val big = "x" * 100000 // > 64 KB once UTF-8 encoded
+    val data = Seq.fill(30)(big) ++ Seq.fill(5)("small")
+    // repartition forces serialize/deserialize through the merge path
+    val out = hhMap(data, 4, 5)
+    assert(out(big) == 30L && out("small") == 5L)
+  }
+
   test("heavy tokens: sketch-then-recount equals the exact computation") {
     val got = graft.operators.TextAnalysis.heavyTokens(spark, sf)
       .collect().map(_.toString)
