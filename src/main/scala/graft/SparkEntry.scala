@@ -140,7 +140,13 @@ object SparkEntry {
     "q_retention" -> ((s: SparkSession, d: String) => Behavioral.retention(s, d)),
     "q_anomaly_score" -> ((s: SparkSession, d: String) => Behavioral.anomalyScore(s, d)),
     "q_heavy_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.heavyTokens(s, d)),
-    "q_approx_percentiles" -> ((s: SparkSession, d: String) => RelationalExt.approxPercentiles(s, d))
+    "q_approx_percentiles" -> ((s: SparkSession, d: String) => RelationalExt.approxPercentiles(s, d)),
+    "q_robust_outliers" -> ((s: SparkSession, d: String) => RelationalExt.robustOutliers(s, d)),
+    "q_char_entropy" -> (TextAnalysis.charEntropyProfile _),
+    "q_jaccard_prefix" -> ((s: SparkSession, d: String) => Dedup.jaccardPrefixJoin(s, d)),
+    "q_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
+    "q_vocab_coverage" -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
+    "q_bigram_logprob" -> ((s: SparkSession, d: String) => TextAnalysis.bigramLogprob(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1169,6 +1175,113 @@ object SparkEntry {
         |SELECT c.lang, c.tok, c.cnt
         |FROM cnt c JOIN tot t USING (lang)
         |WHERE c.cnt * 51 > t.n
-        |ORDER BY c.lang, c.cnt DESC, c.tok""".stripMargin
+        |ORDER BY c.lang, c.cnt DESC, c.tok""".stripMargin,
+    "q_jaccard_prefix" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> array_to_string(toks[i:(i+2)], ' '))) AS st
+        | FROM t WHERE len(toks) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+        |   / (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))), 4)
+        |   AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+        |   / (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_char_entropy" ->
+      """WITH ch AS (
+        | SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+        | FROM documents WHERE length(text) > 0),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+        |n AS (SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n FROM cnt GROUP BY doc_id)
+        |SELECT cnt.doc_id,
+        | CAST(max(n.n) AS BIGINT) AS n_chars,
+        | round(-sum((k / n.n) * log2(k / n.n)), 4) AS entropy_bits
+        |FROM cnt JOIN n USING (doc_id)
+        |GROUP BY cnt.doc_id
+        |ORDER BY cnt.doc_id""".stripMargin,
+    "q_robust_outliers" ->
+      """WITH med AS (
+        | SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        | FROM lineitem GROUP BY 1),
+        |dev AS (
+        | SELECT l.l_returnflag, l.l_extendedprice AS x, m.med,
+        |        abs(l.l_extendedprice - m.med) AS ad
+        | FROM lineitem l JOIN med m USING (l_returnflag)),
+        |mad AS (
+        | SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad
+        | FROM dev GROUP BY 1)
+        |SELECT d.l_returnflag, count(*) AS n,
+        | round(max(d.med), 4) AS median_r,
+        | round(max(m.mad), 4) AS mad_r,
+        | CAST(sum(CASE WHEN abs(0.6745 * (d.x - d.med) / nullif(m.mad, 0.0)) > 3.0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | round(max(abs(0.6745 * (d.x - d.med) / nullif(m.mad, 0.0))), 4) AS max_rz
+        |FROM dev d JOIN mad m USING (l_returnflag)
+        |GROUP BY d.l_returnflag
+        |ORDER BY d.l_returnflag""".stripMargin,
+    "q_pmi_collocations" ->
+      """WITH toks AS (
+        | SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |uni AS (
+        | SELECT tok, count(*) AS c
+        | FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+        |tt AS (SELECT CAST(sum(c) AS DOUBLE) AS t_tok FROM uni),
+        |pairs AS (
+        | SELECT t[i] AS l, t[i+1] AS r
+        | FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+        | WHERE len(t) >= 2),
+        |bi AS (SELECT l, r, count(*) AS n FROM pairs GROUP BY l, r),
+        |tp AS (SELECT CAST(sum(n) AS DOUBLE) AS t_pair FROM bi)
+        |SELECT b.l, b.r, b.n,
+        | round(ln((CAST(b.n AS DOUBLE) * t_tok * t_tok)
+        |   / (t_pair * CAST(ul.c AS DOUBLE) * CAST(ur.c AS DOUBLE))), 4) AS pmi
+        |FROM bi b JOIN uni ul ON b.l = ul.tok JOIN uni ur ON b.r = ur.tok
+        |CROSS JOIN tt CROSS JOIN tp
+        |WHERE b.n >= 5
+        |ORDER BY pmi DESC, l, r
+        |LIMIT 50""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        | FROM documents),
+        |vocab AS (
+        | SELECT tok, 1 AS in_vocab FROM (
+        |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        |  ORDER BY c DESC, tok LIMIT 100))
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        | count(*) - count(v.in_vocab) AS n_oov,
+        | round(CAST(count(*) - count(v.in_vocab) AS DOUBLE) / count(*), 4)
+        |   AS oov_rate
+        |FROM toks t LEFT JOIN vocab v USING (tok)
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "q_bigram_logprob" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        | FROM documents),
+        |db AS (
+        | SELECT doc_id, t[i] AS l, t[i+1] AS r
+        | FROM d, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+        | WHERE len(t) >= 2),
+        |bi AS (SELECT l, r, count(*) AS c_ab FROM db GROUP BY l, r),
+        |uni AS (
+        | SELECT tok, count(*) AS c
+        | FROM (SELECT unnest(t) AS tok FROM d) GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t_tok FROM uni)
+        |SELECT db.doc_id, count(*) AS n_bigrams,
+        | round(avg(ln(0.7 * (CAST(c_ab AS DOUBLE) / CAST(ul.c AS DOUBLE))
+        |   + (1.0 - 0.7) * (CAST(ur.c AS DOUBLE) / t_tok))), 4) AS avg_logprob
+        |FROM db JOIN bi USING (l, r)
+        |JOIN uni ul ON db.l = ul.tok JOIN uni ur ON db.r = ur.tok
+        |CROSS JOIN tot
+        |GROUP BY db.doc_id
+        |ORDER BY db.doc_id""".stripMargin
   )
 }

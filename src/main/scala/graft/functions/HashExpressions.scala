@@ -38,6 +38,7 @@ object HashExpressions {
   def dotProduct(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
   def minhashSignature(c: Column, k: Int): Column = toCol(MinHashSignature(toExpr(c), Literal(k)))
   def zorder2(a: Column, b: Column): Column = toCol(ZOrder2(toExpr(a), toExpr(b)))
+  def charEntropy(c: Column): Column = toCol(CharEntropy(toExpr(c)))
 }
 
 /** 64-bit SimHash over whitespace tokens: per token a 64-bit FNV hash
@@ -173,6 +174,24 @@ object ZOrder2 {
   def morton(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
 }
 
+/** Shannon entropy (bits) over a string's Unicode code-point
+  * distribution, in one pass: the low-entropy tail is keyboard-mash /
+  * binary-soup garbage, the high end is random-looking noise — the
+  * classic cheap "is this prose" gate a corpus pipeline runs alongside
+  * length/stopword filters. Computed natively so the per-row cost is a
+  * sort over the doc's code points (no explode → groupBy, whose shuffle
+  * volume would be one row per CHARACTER of the corpus).
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(ExprRuntime.charEntropy(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprRuntime.charEntropy($c)")
+  override protected def withNewChildInternal(c: Expression): CharEntropy = copy(c)
+  override def prettyName: String = "char_entropy"
+}
+
 /** Static computational kernels, the single source of truth for both
   * evaluation paths: the case classes' `nullSafeEval` delegates here and
   * generated (Janino) code calls the same static forwarders — hot loops
@@ -257,6 +276,39 @@ object ExprRuntime {
     var i = 0
     while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
     dot
+  }
+
+  /** Entropy in bits over code points: decode, sort, one run-length
+    * pass. Sorting fixes the summation order, so the result is
+    * bit-stable across partitionings and thread counts. */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    val len = str.length
+    if (len == 0) return 0.0
+    val cps = new Array[Int](str.codePointCount(0, len))
+    var i = 0
+    var j = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      cps(j) = cp
+      j += 1
+      i += Character.charCount(cp)
+    }
+    val n = cps.length
+    java.util.Arrays.sort(cps)
+    val ln2 = math.log(2.0)
+    var ent = 0.0
+    var runStart = 0
+    var k = 1
+    while (k <= n) {
+      if (k == n || cps(k) != cps(runStart)) {
+        val p = (k - runStart).toDouble / n
+        ent -= p * (math.log(p) / ln2)
+        runStart = k
+      }
+      k += 1
+    }
+    ent
   }
 
   def minhashSignature(a: ArrayData, k: Int): ArrayData = {

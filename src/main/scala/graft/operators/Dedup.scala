@@ -196,6 +196,70 @@ object Dedup {
   private def normToks: org.apache.spark.sql.Column =
     split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
 
+  /** EXACT Jaccard set-similarity self-join WITHOUT LSH, via prefix
+    * filtering (the SSJoin/PPJoin family — Chaudhuri et al. ICDE'06,
+    * Xiao et al. WWW'08): order every document's set of distinct
+    * `shingle`-token shingles by a global canonical order (ascending
+    * document frequency, rare shingles first), keep only each set's
+    * PREFIX of length |x| − ⌈τ·|x|⌉ + 1, and generate candidates from
+    * an equi-join on prefix shingles — any pair with J ≥ τ must share
+    * a prefix element, so recall is 1.0 BY CONSTRUCTION (not
+    * probabilistically, like MinHash banding); exact Jaccard on the
+    * candidates makes precision exact too. The result provably equals
+    * the O(n²) all-pairs join — which is what the DuckDB oracle runs,
+    * and what the parity spec checks against a naive Spark plan.
+    * Shingles (not raw tokens) are the set elements: on a
+    * small-vocabulary corpus single-token sets are near-identical
+    * across unrelated documents, while shingle sets only overlap on
+    * genuinely shared phrasing (same reason dupSpans works on grams).
+    *
+    * Scale shape: one shingle-level count builds the frequency order
+    * (output ~ distinct shingles → AQE broadcasts it back while it
+    * fits), one doc-keyed re-sort, then candidates come from an
+    * equi-join on prefix shingles — rare-first ordering makes prefix
+    * postings short, so candidate volume tracks genuinely-similar mass
+    * rather than n². The full sets join back doc-keyed for
+    * verification (they ride two hash joins, never the shingle
+    * explosion). The residual risk is a frequent shingle surviving
+    * into many prefixes (boilerplate) — exactly the skew AQE join
+    * splitting handles. */
+  def jaccardPrefixJoin(spark: SparkSession, dir: String,
+      tau: Double = 0.5, shingle: Int = 3): DataFrame = {
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"), normToks.as("toks"))
+      .filter(size(col("toks")) >= shingle)
+      .select(col("doc_id"), array_distinct(expr(
+        s"transform(sequence(1, size(toks) - ${shingle - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $shingle)))")).as("st"))
+    val dfreq = sets.select(explode(col("st")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // per-doc tokens re-ordered by (df asc, tok asc); prefix keeps the
+    // first |x| - ceil(tau*|x|) + 1 — the rarest tokens of each set
+    val prefixes = sets
+      .select(col("doc_id"), size(col("st")).as("sz"), explode(col("st")).as("tok"))
+      .join(dfreq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("sz")).as("sz"),
+        array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
+      .select(col("doc_id"),
+        explode(slice(col("ordered"), lit(1),
+          (col("sz") - ceil(lit(tau) * col("sz")) + 1).cast("int"))).as("p"))
+      .select(col("doc_id"), col("p.tok").as("tok"))
+    val cands = prefixes.select(col("doc_id").as("doc_a"), col("tok"))
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val j = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      (size(col("sa")) + size(col("sb")) -
+        size(array_intersect(col("sa"), col("sb"))))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("st").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("st").as("sb")), Seq("doc_b"))
+      .filter(j >= tau)
+      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** C4-style SEGMENT-level dedup (Raffel et al. 2020 dedup lines;
     * token streams without line breaks generalize to fixed k-token
     * segments): every document splits into consecutive `segTokens`-token

@@ -324,6 +324,135 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Character-entropy quality signal via the native [[
+    * graft.functions.CharEntropy]] expression: Shannon entropy (bits)
+    * of each document's code-point distribution, plus the ratio against
+    * the maximum possible at its alphabet size (entropy / log2(distinct
+    * chars)) — low raw entropy flags repeated-character garbage, a low
+    * ratio flags skewed keyboard-mash. One row-local codegen'd pass per
+    * document; the explode→groupBy formulation this replaces shuffles a
+    * row per CHARACTER of the corpus. */
+  def charEntropyProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.charEntropy
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        round(charEntropy(col("text")), 4).as("entropy_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pointwise-mutual-information collocations (the classic bigram
+    * association score behind phrase mining / tokenizer seeding):
+    * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) from the adjacent
+    * bigram distribution and p(a), p(b) from the unigram distribution.
+    * High-PMI pairs co-occur far more than their token frequencies
+    * predict — multiword expressions, not just frequent pairs (which is
+    * what raw [[bpePairs]] counts rank).
+    *
+    * Plan shape: bigrams are generated row-locally (same transform as
+    * bpePairs — no pre-explode self-join), so the corpus costs one
+    * token-level and one bigram-level map-side-combined count. The
+    * unigram joins hit a vocabulary-sized table (AQE broadcasts while
+    * it fits) and both totals ride as 1-row broadcasts. The min-count
+    * floor kills the unstable low-frequency tail — the standard PMI
+    * correction AND the thing that keeps the scored bigram table
+    * pruned at 100 TB. */
+  def pmiCollocations(spark: SparkSession, dir: String, minCount: Int = 5,
+      topN: Int = 50): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(tokensCol.as("t"))
+    val uni = toks.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totTok = uni.agg(sum(col("c")).cast("double").as("t_tok"))
+    val pairs = toks
+      .select(explode(when(size(col("t")) >= 2, expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(t[i-1] AS l, t[i] AS r))"))
+        .otherwise(expr("CAST(array() AS array<struct<l:string,r:string>>)")))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("n"))
+    val totPair = pairs.agg(sum(col("n")).cast("double").as("t_pair"))
+    // formula written as ONE quotient of products, mirrored verbatim in
+    // the oracle so both engines execute the identical IEEE op sequence
+    pairs.filter(col("n") >= minCount)
+      .join(uni.select(col("tok").as("l"), col("c").as("c_l")), Seq("l"))
+      .join(uni.select(col("tok").as("r"), col("c").as("c_r")), Seq("r"))
+      .crossJoin(broadcast(totTok)).crossJoin(broadcast(totPair))
+      .select(col("l"), col("r"), col("n"),
+        round(log(
+          (col("n").cast("double") * col("t_tok") * col("t_tok")) /
+            (col("t_pair") * col("c_l").cast("double") * col("c_r").cast("double"))),
+          4).as("pmi"))
+      .orderBy(col("pmi").desc, col("l"), col("r"))
+      .limit(topN)
+  }
+
+  /** Vocabulary-coverage / OOV-rate scoring: share of each document's
+    * tokens outside the top-`vocabSize` corpus vocabulary — the signal
+    * behind "will my tokenizer fragment this doc into bytes". The vocab
+    * is an aggregate + deterministic top-N (count desc, token asc), a
+    * fixed-size table broadcast into a row-local membership probe; the
+    * only corpus-sized shuffle is the vocabulary count itself. */
+  def vocabCoverage(spark: SparkSession, dir: String,
+      vocabSize: Int = 100): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokensCol).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (count(lit(1)) - count(col("in_vocab"))).as("n_oov"),
+        round((count(lit(1)) - count(col("in_vocab"))).cast("double")
+          / count(lit(1)), 4).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Interpolated bigram language-model scoring — the two-gram upgrade
+    * of [[unigramLogprob]] (CCNet uses a 5-gram KenLM; the interpolated
+    * bigram is the same signal class with the same plan shape): each
+    * document scores the mean over its bigram positions of
+    * ln( λ·P(b|a) + (1−λ)·P(b) ), P(b|a) = c(ab)/c(a), P(b) = c(b)/T.
+    * Interpolation (not backoff) keeps the score total and smooth —
+    * unseen bigrams can't occur when the model is trained on the scored
+    * corpus itself, but λ<1 still damps one-off bigram noise.
+    *
+    * Plan shape: ONE bigram-level count (map-side combined) builds the
+    * model; the scoring pass re-generates each doc's bigrams row-locally
+    * and equi-joins the model table on (l, r) — at 100 TB the model is
+    * min-count-pruned in practice and the join is the same
+    * vocabulary-join shape as unigram scoring; the unigram sides are
+    * broadcastable and the corpus total rides as a 1-row broadcast. */
+  def bigramLogprob(spark: SparkSession, dir: String,
+      lambda: Double = 0.7): DataFrame = {
+    val docBigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokensCol.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(t[i-1] AS l, t[i] AS r))")).as("p"))
+      .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+    val bi = docBigrams.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c_ab"))
+    val uni = Tables.documents(spark, dir)
+      .select(explode(tokensCol).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totTok = uni.agg(sum(col("c")).cast("double").as("t_tok"))
+    docBigrams
+      .join(bi, Seq("l", "r"))
+      .join(uni.select(col("tok").as("l"), col("c").as("c_l")), Seq("l"))
+      .join(uni.select(col("tok").as("r"), col("c").as("c_r")), Seq("r"))
+      .crossJoin(broadcast(totTok))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(
+          lit(lambda) * (col("c_ab").cast("double") / col("c_l").cast("double"))
+            + lit(1.0 - lambda) * (col("c_r").cast("double") / col("t_tok")))),
+          4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Heavy tokens per language by sketch-then-recount: a Misra–Gries
     * summary ([[graft.functions.HeavyHitters]], constant memory per
     * group, map-side combined) finds CANDIDATE tokens; an exact second

@@ -137,6 +137,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(approx.count() > 0)
   }
 
+  test("prefix-filter jaccard join equals the naive all-pairs join " +
+      "(recall 1.0 by construction, both scale factors)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val tau = 0.5
+      val fast = Dedup.jaccardPrefixJoin(spark, dir, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // naive reference: all pairs, exact jaccard over the same
+      // 3-token shingle sets, same threshold
+      val sets = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', slice(toks, i, 3)))")).as("st"))
+      val a = sets.select(col("doc_id").as("doc_a"), col("st").as("sa"))
+      val b = sets.select(col("doc_id").as("doc_b"), col("st").as("sb"))
+      val j = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        (size(col("sa")) + size(col("sb")) -
+          size(array_intersect(col("sa"), col("sb"))))
+      val naive = a.join(b, col("doc_a") < col("doc_b"))
+        .filter(j >= tau)
+        .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == naive,
+        s"prefix filter diverged at $dir: missing=${naive -- fast} extra=${fast -- naive}")
+      assert(naive.nonEmpty || dir.endsWith("0.001"),
+        "expected at least one qualifying pair at sf0.01")
+    }
+  }
+
   test("contamination: shares bounded, counts consistent, overlap detected") {
     val c = TextAnalysis.contamination(spark, sf)
     assert(c.count() > 0)

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+
+/** Semantic checks for the corpus-statistics scoring family (PMI
+  * collocations, vocabulary coverage, interpolated bigram LM) — the
+  * DuckDB oracle hash-checks the full result; these pin the semantics
+  * to independent recounts so a "both engines wrong the same way" bug
+  * can't hide behind the hash match.
+  */
+class TextStatsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("pmi: head pair's score reproduces from raw corpus counts") {
+    val res = TextAnalysis.pmiCollocations(spark, sf).collect()
+    assert(res.nonEmpty && res.length <= 50)
+    assert(res.forall(r => r.getLong(2) >= 5), "min-count floor violated")
+    // ranked descending on the rounded score
+    val scores = res.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // independent recount of the head pair from the raw corpus
+    val head = (res.head.getString(0), res.head.getString(1))
+    val n = res.head.getLong(2)
+    val pmi = res.head.getDouble(3)
+    val toks = Tables.documents(spark, sf)
+      .select(split(lower(trim(col("text"))), "\\s+").as("t"))
+    val totTok = toks.select(explode(col("t")).as("k")).count().toDouble
+    val cL = toks.select(explode(col("t")).as("k"))
+      .filter(col("k") === head._1).count().toDouble
+    val cR = toks.select(explode(col("t")).as("k"))
+      .filter(col("k") === head._2).count().toDouble
+    val totPair = toks.select((size(col("t")) - 1).as("m"))
+      .filter(col("m") > 0).agg(sum(col("m"))).head.getLong(0).toDouble
+    val expected = math.log((n * totTok * totTok) / (totPair * cL * cR))
+    assert(math.abs(pmi - expected) < 1e-3,
+      s"pmi($head) = $pmi, recount says $expected")
+  }
+
+  test("vocab coverage: totals add up and a full-vocab doc has zero OOV") {
+    val res = TextAnalysis.vocabCoverage(spark, sf)
+    val agg = res.agg(sum("n_tokens"), sum("n_oov")).head
+    val totalToks = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("k")).count()
+    assert(agg.getLong(0) == totalToks, "per-doc token counts must cover the corpus")
+    assert(agg.getLong(1) >= 0 && agg.getLong(1) <= agg.getLong(0))
+    // every rate is n_oov / n_tokens
+    val bad = res.filter(
+      abs(col("oov_rate") - round(col("n_oov") / col("n_tokens"), 4)) > 1e-9)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("char entropy: closed-form values and parity with an explode recount") {
+    import spark.implicits._
+    import graft.functions.HashExpressions.charEntropy
+    val probe = Seq("aaaa", "abcd", "aabb", "ab",
+      "the quick brown fox").toDF("text")
+    val got = probe.select(charEntropy(col("text"))).as[Double].collect()
+    assert(math.abs(got(0) - 0.0) < 1e-12, "single-symbol string has zero entropy")
+    assert(math.abs(got(1) - 2.0) < 1e-12, "4 uniform symbols = 2 bits")
+    assert(math.abs(got(2) - 1.0) < 1e-12, "2 uniform symbols = 1 bit")
+    assert(math.abs(got(3) - 1.0) < 1e-12)
+    // parity on real corpus text against the explode→groupBy formulation
+    val doc = Tables.documents(spark, sf).orderBy("doc_id").limit(1)
+      .select(col("text")).as[String].head()
+    val counts = doc.toSeq.groupBy(identity).map(_._2.size)
+    val n = doc.length.toDouble
+    val expected = -counts.map { c =>
+      val p = c / n; p * (math.log(p) / math.log(2.0))
+    }.sum
+    val native = TextAnalysis.charEntropyProfile(spark, sf)
+      .orderBy("doc_id").limit(1).select(col("entropy_bits")).as[Double].head()
+    assert(math.abs(native - expected) < 1e-4)
+  }
+
+  test("robust outliers: MAD profile reproduces from a driver recount") {
+    import spark.implicits._
+    val res = graft.operators.RelationalExt.robustOutliers(spark, sf).collect()
+    assert(res.nonEmpty)
+    val total = res.map(_.getLong(1)).sum
+    assert(total == Tables.lineitem(spark, sf).count())
+    // recount one group end-to-end on the driver (sf0.001 is small)
+    val grp = res.head.getString(0)
+    val xs = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === grp)
+      .select(col("l_extendedprice")).as[Double].collect().sorted
+    def medianOf(v: Array[Double]): Double = {
+      val m = v.length / 2
+      if (v.length % 2 == 1) v(m) else (v(m - 1) + v(m)) / 2.0
+    }
+    val med = medianOf(xs)
+    val mad = medianOf(xs.map(x => math.abs(x - med)).sorted)
+    assert(math.abs(res.head.getDouble(2) - med) < 1e-2, "median")
+    assert(math.abs(res.head.getDouble(3) - mad) < 1e-2, "mad")
+    val nOut = xs.count(x => math.abs(0.6745 * (x - med) / mad) > 3.0)
+    assert(res.head.getLong(4) == nOut, "outlier count")
+  }
+
+  test("bigram logprob: probabilities are proper and bigram totals match") {
+    val res = TextAnalysis.bigramLogprob(spark, sf)
+    assert(res.filter(col("avg_logprob") >= 0.0).count() == 0,
+      "interpolated bigram probability must be < 1 on a multi-token vocab")
+    val totBigrams = res.agg(sum("n_bigrams")).head.getLong(0)
+    val expected = Tables.documents(spark, sf)
+      .select((size(split(lower(trim(col("text"))), "\\s+")) - 1).as("m"))
+      .filter(col("m") > 0).agg(sum(col("m"))).head.getLong(0)
+    assert(totBigrams == expected,
+      s"scored $totBigrams bigram positions, corpus has $expected")
+  }
+}
