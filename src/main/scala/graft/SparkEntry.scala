@@ -99,6 +99,7 @@ object SparkEntry {
     "q_ann_kernel" -> ((s: SparkSession, d: String) => Similarity.annBruteforceKernel(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "q_ann_pca_lsh" -> ((s: SparkSession, d: String) => Similarity.annPcaLsh(s, d)),
     // §2c text analysis
     "q_token_count" -> (TextAnalysis.tokenCount _),
     "q_quality_score" -> (TextAnalysis.qualityScore _),

@@ -436,6 +436,17 @@ object Similarity {
       base.select(col("vec_id"), col("v"), lit(t).as("table_id"),
         bucketCol.as("bucket"))
     }.reduce(_ unionByName _)
+    lshTopK(tables, nPlanes, k, multiprobe)
+  }
+
+  /** Shared LSH candidate-join + exact-rerank tail over a bucketed table
+    * set (`vec_id, v, table_id, bucket`): multiprobe widens the query
+    * side to every 1-bit-flip bucket, candidates come from (table,
+    * bucket) equi-joins, exact cosine in the ORIGINAL space ranks them.
+    * Used by [[annLsh]] (buckets from full-space hyperplanes) and
+    * [[annPcaLsh]] (buckets from PCA-reduced-space hyperplanes). */
+  private def lshTopK(tables: DataFrame, nPlanes: Int, k: Int,
+      multiprobe: Boolean): DataFrame = {
     val probed =
       if (!multiprobe) tables
       else tables.select(col("vec_id"), col("v"), col("table_id"),
@@ -459,6 +470,40 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"), col("rank"))
       .orderBy(col("id_a"), col("rank"))
+  }
+
+  /** PCA-reduced LSH ANN: bucket in the top-`r` principal-component
+    * space instead of the raw 64-dim space, rerank candidates with
+    * exact full-space cosine. Two effects at scale: (a) hyperplane
+    * evaluation costs r dots instead of dim (the PCA projection itself
+    * ships as r literal directions — [[graft.operators.Embeddings]]'s
+    * dim-bounded fit, no corpus-sized driver state); (b) on real
+    * embeddings, variance concentrates in the leading components, so
+    * buckets split along directions where neighbors actually separate
+    * — fewer wasted probes than isotropic hyperplanes spending bits on
+    * noise dimensions. PCA also mean-centers the projection, which is
+    * what makes origin hyperplanes informative on non-centered inputs
+    * (the mediaNeighbors lesson). Recall is measured against the exact
+    * baseline in the spec, side by side with plain [[annLsh]]. */
+  def annPcaLsh(spark: SparkSession, dir: String, k: Int = 3, r: Int = 8,
+      nPlanes: Int = 8, nTables: Int = 4, multiprobe: Boolean = true,
+      dim: Int = 64): DataFrame = {
+    val (mu, _, comps) = Embeddings.pcaFit(spark, dir, dim)
+    val pcCols: Seq[Column] = (0 until math.min(r, dim)).map { i =>
+      val comp = comps(i)
+      val offset = comp.zip(mu).map { case (c, m) => c * m }.sum
+      dotProduct(col("v"), typedlit(comp.toSeq)) - lit(offset)
+    }
+    val base = vecs(spark, dir).withColumn("pc", array(pcCols: _*))
+    val tables = (0 until nTables).map { t =>
+      val planes = hyperplanes(math.min(r, dim), nPlanes, seed = 137L + t)
+      val bucketCol = planes.zipWithIndex.map { case (p, j) =>
+        when(dotProduct(col("pc"), typedlit(p)) > 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      base.select(col("vec_id"), col("v"), lit(t).as("table_id"),
+        bucketCol.as("bucket"))
+    }.reduce(_ unionByName _)
+    lshTopK(tables, nPlanes, k, multiprobe)
   }
 
   /** Symmetric int8 quantization of the embedding column — the storage/

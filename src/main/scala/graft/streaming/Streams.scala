@@ -483,4 +483,62 @@ object Streams {
       .transformWithState(new HeavyHittersProcessor(k),
         TimeMode.None(), OutputMode.Update())
   }
+
+  case class MomentState(n: Long, meanX: Double, meanY: Double,
+      m2x: Double, m2y: Double, cxy: Double)
+  case class MomentRow(event_type: String, n: Long, mean_value: Double,
+      var_value: Double, covar_vt: Double, corr_vt: Double)
+
+  /** Streaming running moments per key — online mean / variance /
+    * covariance / correlation of (value, event-time) via the bivariate
+    * Welford recurrence: constant state per key (six doubles), every
+    * prefix of the stream yields the exact same moments a batch
+    * `avg/var_samp/covar_samp/corr` computes over that prefix (the
+    * recurrences are algebraically identical to the two-pass formulas;
+    * only float associativity differs, which the parity spec bounds).
+    * Cov(value, t) is the trend signal: a drifting metric shows
+    * covariance against time long before a threshold alert fires.
+    * Rows replay in explicit (ts, event_id) order inside each batch so
+    * batch boundaries never change the fold order. */
+  class MomentsProcessor
+      extends StatefulProcessor[String, Event, MomentRow] {
+    @transient private var state: ValueState[MomentState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[MomentState]("moments",
+        Encoders.product[MomentState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: TimerValues): Iterator[MomentRow] = {
+      var s = if (state.exists) state.get()
+        else MomentState(0L, 0.0, 0.0, 0.0, 0.0, 0.0)
+      rows.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val x = e.value
+        val y = e.ts.getTime / 1000.0
+        val n1 = s.n + 1
+        val dx = x - s.meanX
+        val dy = y - s.meanY
+        val meanX = s.meanX + dx / n1
+        val meanY = s.meanY + dy / n1
+        s = MomentState(n1, meanX, meanY,
+          s.m2x + dx * (x - meanX),
+          s.m2y + dy * (y - meanY),
+          s.cxy + dx * (y - meanY))
+      }
+      state.update(s)
+      if (s.n < 2) Iterator.empty
+      else {
+        val varV = s.m2x / (s.n - 1)
+        val cov = s.cxy / (s.n - 1)
+        val denom = math.sqrt(s.m2x) * math.sqrt(s.m2y)
+        val corr = if (denom == 0.0) 0.0 else s.cxy / denom
+        Iterator.single(MomentRow(key, s.n, s.meanX, varV, cov, corr))
+      }
+    }
+  }
+
+  def momentsStream(spark: SparkSession, events: Dataset[Event]): Dataset[MomentRow] = {
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new MomentsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -137,6 +137,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(approx.count() > 0)
   }
 
+  test("PCA-reduced LSH: valid top-k shape, recall at least comparable " +
+      "to full-space LSH at the same probe budget") {
+    val exact = Similarity.annBruteforce(spark, sf, k = 3)
+      .select(col("id_a"), col("id_b"))
+    val total = exact.count()
+    val pca = Similarity.annPcaLsh(spark, sf, k = 3)
+    assert(pca.filter(col("rank") < 1 || col("rank") > 3).count() == 0)
+    assert(pca.filter(col("id_a") === col("id_b")).count() == 0)
+    val pcaRecall = pca.select(col("id_a"), col("id_b"))
+      .join(exact, Seq("id_a", "id_b"), "left_semi").count().toDouble / total
+    val lshRecall = Similarity.annLsh(spark, sf, k = 3)
+      .select(col("id_a"), col("id_b"))
+      .join(exact, Seq("id_a", "id_b"), "left_semi").count().toDouble / total
+    info(f"PCA-LSH recall@3 = $pcaRecall%.3f vs full-space LSH $lshRecall%.3f")
+    assert(pcaRecall >= 0.2, f"recall floor: $pcaRecall%.3f")
+    // the reduced space must not collapse recall vs the isotropic
+    // variant (these embeddings are near-random, so parity is the bar;
+    // clustered real embeddings are where the reduction wins)
+    assert(pcaRecall >= lshRecall - 0.15,
+      f"PCA bucketing lost too much recall: $pcaRecall%.3f vs $lshRecall%.3f")
+  }
+
   test("prefix-filter jaccard join equals the naive all-pairs join " +
       "(recall 1.0 by construction, both scale factors)") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {

@@ -548,4 +548,56 @@ class StreamingSpec extends AnyFunSuite {
       case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming moments: final per-key stats equal the batch " +
+    "avg/var_samp/covar_samp/corr over the whole log, across batch splits") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val all = graft.sources.Tables.events(sp, sf)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      val input = MemoryStream[Event]
+      val q = Streams.momentsStream(sp, input.toDS())
+        .writeStream.format("memory").queryName("mom_out")
+        .outputMode("update").start()
+      all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // batch reference over the identical value/time series
+      val batch = graft.sources.Tables.events(sp, sf)
+        .select(col("event_type"), col("value").as("x"),
+          (col("ts").cast("double")).as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), avg("x").as("mean_value"),
+          var_samp("x").as("var_value"),
+          covar_samp(col("x"), col("y")).as("covar_vt"),
+          corr(col("x"), col("y")).as("corr_vt"))
+        .collect()
+        .map(r => r.getString(0) -> r).toMap
+      val streamed = sp.sql("SELECT * FROM mom_out").collect()
+        .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.last }
+      q.stop()
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, s) =>
+        val b = batch(k)
+        assert(s.getLong(1) == b.getLong(1), s"$k n")
+        def close(i: Int, name: String): Unit = {
+          val (sv, bv) = (s.getDouble(i), b.getDouble(i))
+          assert(math.abs(sv - bv) <= 1e-6 * math.max(1.0, math.abs(bv)),
+            s"$k $name: stream $sv vs batch $bv")
+        }
+        close(2, "mean"); close(3, "var"); close(4, "covar"); close(5, "corr")
+      }
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
