@@ -11,8 +11,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional subset for local iteration (comma-separated names);
+    // the driver sets no filter and benches everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val queries = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // warmup pass: JIT + codegen caches + file-listing, untimed
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
     // steady state = min of two timed runs (absorbs GC/scheduler noise)
@@ -22,7 +27,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       name -> math.min(timeOnce(fn), timeOnce(fn))
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0

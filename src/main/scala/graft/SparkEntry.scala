@@ -143,6 +143,14 @@ object SparkEntry {
     "q_heavy_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.heavyTokens(s, d)),
     "q_approx_percentiles" -> ((s: SparkSession, d: String) => RelationalExt.approxPercentiles(s, d)),
     "q_robust_outliers" -> ((s: SparkSession, d: String) => RelationalExt.robustOutliers(s, d)),
+    "q4_priority_exists" -> (RelationalTpch.priorityExists _),
+    "q6_forecast_revenue" -> (RelationalTpch.forecastRevenue _),
+    "q7_volume_shipping" -> ((s: SparkSession, d: String) => RelationalTpch.volumeShipping(s, d)),
+    "q10_returned_items" -> (RelationalTpch.returnedItems _),
+    "q12_priority_case" -> (RelationalTpch.priorityCase _),
+    "q14_promo_share" -> (RelationalTpch.promoShare _),
+    "q19_disjunctive" -> (RelationalTpch.disjunctiveBands _),
+    "q22_dormant" -> (RelationalTpch.dormantCustomers _),
     "q_char_entropy" -> (TextAnalysis.charEntropyProfile _),
     "q_jaccard_prefix" -> ((s: SparkSession, d: String) => Dedup.jaccardPrefixJoin(s, d)),
     "q_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
@@ -1177,6 +1185,91 @@ object SparkEntry {
         |FROM cnt c JOIN tot t USING (lang)
         |WHERE c.cnt * 51 > t.n
         |ORDER BY c.lang, c.cnt DESC, c.tok""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |   (CAST('1.00' AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |   AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q12_priority_case" ->
+      """SELECT l_linestatus,
+        | sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS high_line_count,
+        | sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT round(100.0 *
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
+        |  sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_share_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |        AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |        AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q22_dormant" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        | count(*) AS numcust,
+        | round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "q_jaccard_prefix" ->
       """WITH t AS (
         | SELECT doc_id, string_split(

@@ -225,12 +225,30 @@ object Dedup {
     * splitting handles. */
   def jaccardPrefixJoin(spark: SparkSession, dir: String,
       tau: Double = 0.5, shingle: Int = 3): DataFrame = {
-    val sets = Tables.documents(spark, dir)
+    // The repartition BEFORE the shingle projection moves only raw
+    // text, then spreads the string-heavy shingle construction across
+    // every core — a small parquet input otherwise arrives as one scan
+    // task and the build runs single-threaded (at cluster scale many
+    // files make this a no-op cost-wise; locally it was the entire
+    // runtime). Kept as a PLAN (not checkpointed): Catalyst then sees
+    // the parquet-derived size estimate and plans the verify joins as
+    // broadcasts while the corpus fits — a localCheckpoint would hide
+    // the stats and force sort-merge joins that shuffle the shingle
+    // arrays (measured: the array shuffle WAS the query's runtime).
+    // The prefix pipeline below materializes its own token-level
+    // consumers, so the shingle build executes a bounded number of
+    // times, in parallel.
+    val setsPlan = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), normToks.as("toks"))
       .filter(size(col("toks")) >= shingle)
       .select(col("doc_id"), array_distinct(expr(
         s"transform(sequence(1, size(toks) - ${shingle - 1}), " +
           s"i -> concat_ws(' ', slice(toks, i, $shingle)))")).as("st"))
+    // the frequency/prefix pipeline reads the shingles twice → one
+    // materialized copy for that side only
+    val sets = setsPlan.localCheckpoint()
     val dfreq = sets.select(explode(col("st")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // per-doc tokens re-ordered by (df asc, tok asc); prefix keeps the
@@ -241,22 +259,49 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(max(col("sz")).as("sz"),
         array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
-      .select(col("doc_id"),
-        explode(slice(col("ordered"), lit(1),
-          (col("sz") - ceil(lit(tau) * col("sz")) + 1).cast("int"))).as("p"))
-      .select(col("doc_id"), col("p.tok").as("tok"))
-    val cands = prefixes.select(col("doc_id").as("doc_a"), col("tok"))
-      .join(prefixes.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(col("ordered"), lit(1),
+          (col("sz") - ceil(lit(tau) * col("sz")) + 1).cast("int"))))
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("pos"),
+        col("col.tok").as("tok"))
+      .localCheckpoint() // consumed by both sides of the candidate join
+    // two PPJoin prunes INSIDE the candidate join, before the distinct
+    // and before any set rides anywhere:
+    //  - length filter: J ≥ τ forces min(|A|,|B|) ≥ τ·max(|A|,|B|) —
+    //    kills short-doc × long-doc pairs sharing one boilerplate
+    //    prefix shingle
+    //  - positional filter: a shared prefix token at (1-based)
+    //    positions (i, j) bounds the overlap by 1 + min(|A|−i, |B|−j),
+    //    which must reach α = ⌈τ/(1+τ)·(|A|+|B|)⌉ (the overlap J ≥ τ
+    //    implies); a qualifying pair always passes via its FIRST
+    //    shared token, so occurrence-level pruning is lossless
+    val alphaNeeded =
+      ceil(lit(tau / (1.0 + tau)) * (col("sz_a") + col("sz_b")))
+    val cands = prefixes.select(col("doc_id").as("doc_a"),
+        col("sz").as("sz_a"), col("pos").as("pos_a"), col("tok"))
+      .join(prefixes.select(col("doc_id").as("doc_b"),
+        col("sz").as("sz_b"), col("pos").as("pos_b"), col("tok")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          lit(tau) * greatest(col("sz_a"), col("sz_b")) &&
+        (lit(1) + least(col("sz_a") - col("pos_a"),
+          col("sz_b") - col("pos_b"))) >= alphaNeeded)
       .select(col("doc_a"), col("doc_b")).distinct()
-    val j = size(array_intersect(col("sa"), col("sb"))).cast("double") /
-      (size(col("sa")) + size(col("sb")) -
-        size(array_intersect(col("sa"), col("sb"))))
+    // the intersection is computed ONCE per candidate (a naive
+    // `filter(j) … select(j)` re-evaluates array_intersect four times —
+    // it appears twice inside j and the expression isn't CSE'd across
+    // filter and project); j itself stays a single int division, the
+    // identical arithmetic the oracle runs
     cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("st").as("sa")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("st").as("sb")), Seq("doc_b"))
-      .filter(j >= tau)
-      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
+      .join(setsPlan.select(col("doc_id").as("doc_a"), col("st").as("sa")), Seq("doc_a"))
+      .join(setsPlan.select(col("doc_id").as("doc_b"), col("st").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        (size(col("sa")) + size(col("sb"))).as("szsum"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("szsum") - col("inter"))).as("j"))
+      .filter(col("j") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

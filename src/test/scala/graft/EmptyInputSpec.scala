@@ -46,6 +46,10 @@ class EmptyInputSpec extends AnyFunSuite {
       graft.sources.Tables.documents(spark, emptyDir).select(col("doc_id")),
       graft.sources.Tables.documents(spark, emptyDir).select(col("doc_id").as("k")),
       "doc_id", "k").count() == 0)
+    // round-4 continuation off-map surface
+    assert(graft.operators.Graph.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("s", "t"), "s", "t").count() == 0)
+    assert(graft.operators.Similarity.annPcaLsh(spark, emptyDir).count() == 0)
   }
 
   test("every query runs to completion on an empty dataset") {

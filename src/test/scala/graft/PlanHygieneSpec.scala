@@ -17,10 +17,14 @@ class PlanHygieneSpec extends AnyFunSuite {
   // q_unigram_logprob / q_tfidf / q_bm25 / q_source_mix cross-join a
   // 1-row broadcast (corpus-total / doc-count / avgdl / mix-cap scalars
   // attached lazily instead of a driver round trip)
+  // q_pmi_collocations / q_bigram_logprob / q22_dormant join 1-row
+  // broadcast scalars (corpus totals / screening threshold) — the same
+  // lazily-attached-scalar class as q_unigram_logprob
   private val nestedLoopAllowed = Set(
     "q_embed_neardup", "q_ann_bruteforce", "q_set_ops", "q_source_similarity",
     "q_media_neighbors", "q_status_matrix", "q_unigram_logprob",
-    "q_tfidf", "q_bm25", "q_source_mix")
+    "q_tfidf", "q_bm25", "q_source_mix",
+    "q_pmi_collocations", "q_bigram_logprob", "q22_dormant")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
@@ -101,9 +105,24 @@ class PlanHygieneSpec extends AnyFunSuite {
     for ((q, pushed) <- Seq(
       "q1_pricing_agg" -> "LessThanOrEqual(l_shipdate",
       "q3_join_agg" -> "EqualTo(c_mktsegment,BUILDING)",
-      "q_asof_join" -> "EqualTo(event_type,purchase)")) {
-      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      "q_asof_join" -> "EqualTo(event_type,purchase)",
+      // Q6's whole point: all three predicates at the scan
+      "q6_forecast_revenue" -> "GreaterThanOrEqual(l_shipdate",
+      "q6_forecast_revenue" -> "LessThan(l_quantity,24.0)",
+      "q10_returned_items" -> "EqualTo(l_returnflag,R)")) {
+      // formatted explain prints PushedFilters in full — the plan
+      // toString elides the list past ~100 chars
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert(plan.contains(pushed), s"$q: expected pushed filter $pushed")
+    }
+  }
+
+  test("top-N queries plan TakeOrderedAndProject, never a global sort") {
+    for (q <- Seq("q10_returned_items", "q3_join_agg", "q_weighted_sample")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q: expected TakeOrderedAndProject in:\n$plan")
     }
   }
 }

@@ -19,7 +19,13 @@ class ScaleStrategySpec extends AnyFunSuite {
     // round-4 continuation: cohort join, bucketized interval join,
     // sketch-recount join, iterative rank-adjacency joins
     "q_retention", "q_interval_overlap", "q_heavy_tokens",
-    "q_dup_centrality")
+    "q_dup_centrality",
+    // round-4 continuation, second batch: TPC-H shapes + the exact
+    // prefix-filter similarity join + corpus-statistics joins
+    "q4_priority_exists", "q7_volume_shipping", "q10_returned_items",
+    "q12_priority_case", "q14_promo_share", "q19_disjunctive",
+    "q22_dormant", "q_jaccard_prefix", "q_pmi_collocations",
+    "q_vocab_coverage", "q_bigram_logprob", "q_robust_outliers")
 
   /** Queries whose big-table joins carry no broadcast hint: with the
     * auto-threshold disabled their plans MUST contain a shuffle join.
@@ -32,7 +38,10 @@ class ScaleStrategySpec extends AnyFunSuite {
   private val mustShuffleJoin = Seq("q3_join_agg", "q5_multijoin",
     "q_status_pivot", "q_status_matrix", "q_poc_registry", "q13_custdist",
     "q18_large_volume", "q20_nested_exists", "q_full_outer", "q_cdc_diff",
-    "q_contamination", "q_retention", "q_interval_overlap")
+    "q_contamination", "q_retention", "q_interval_overlap",
+    "q4_priority_exists", "q7_volume_shipping", "q10_returned_items",
+    "q12_priority_case", "q14_promo_share", "q19_disjunctive",
+    "q22_dormant", "q_bigram_logprob")
   // (q_dup_centrality sits in joinQueries for RESULT parity only: its
   // iteration joins execute eagerly behind localCheckpoint, so the
   // returned frame's plan is a checkpoint scan with no join node to
