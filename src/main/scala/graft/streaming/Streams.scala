@@ -78,6 +78,32 @@ object Streams {
         col("v_ts") <= col("p_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the attribution twin of
+    * [[purchaseViewJoin]]: every purchase emits, view-attributed when
+    * a same-user view exists in the preceding hour, and with NULL view
+    * columns once the watermark passes the join window and proves no
+    * view can still arrive. Outer results are inherently DELAYED by
+    * the watermark: the engine may only emit the null row after event
+    * time has advanced past purchase_ts + window + watermark, which is
+    * the price of correctness under out-of-order arrival (emitting
+    * earlier could be contradicted by a late view). State stays
+    * watermark-bounded exactly as in the inner join. */
+  def purchaseViewJoinOuter(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "10 minutes")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "10 minutes")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"),
+      "left_outer")
+  }
+
   /** Stream-static enrichment join: the static dimension is read fresh
     * per micro-batch; broadcast keeps it shuffle-free. */
   def enrichWithUsers(events: DataFrame, userDim: DataFrame): DataFrame =

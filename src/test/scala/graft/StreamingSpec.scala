@@ -128,6 +128,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.head.getLong(0) == 2L && rows.head.getLong(1) == 1L)
   }
 
+  test("stream-stream LEFT OUTER join: matched purchases attribute, " +
+    "unmatched emit null views only after the watermark closes the window") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.purchaseViewJoinOuter(input.toDF())
+      .writeStream.format("memory").queryName("ss_outer_out")
+      .outputMode("append").start()
+    input.addData(
+      Event(1, ts(10), 10, "view", 1.0),
+      Event(2, ts(30), 10, "purchase", 9.0), // attributed to view 1
+      Event(3, ts(5), 11, "purchase", 5.0)) // no view -> null row later
+    q.processAllAvailable()
+    val early = sp.sql("SELECT p_id FROM ss_outer_out WHERE v_id IS NULL").count()
+    assert(early == 0,
+      "outer result emitted before the watermark could prove no view arrives")
+    // advance event time far past purchase 3's window + watermark:
+    // the engine must now emit the unmatched purchase with null views
+    input.addData(Event(99, tsH(5, 0), 12, "view", 0.0))
+    q.processAllAvailable()
+    input.addData(Event(100, tsH(6, 0), 12, "view", 0.0))
+    q.processAllAvailable()
+    val rows = sp.sql(
+      "SELECT p_id, v_id FROM ss_outer_out ORDER BY p_id").collect()
+    q.stop()
+    val matched = rows.filter(r => !r.isNullAt(1)).map(r => (r.getLong(0), r.getLong(1)))
+    val unmatched = rows.filter(_.isNullAt(1)).map(_.getLong(0))
+    assert(matched.toSeq == Seq((2L, 1L)), s"attribution wrong: ${matched.toSeq}")
+    assert(unmatched.contains(3L),
+      s"unmatched purchase 3 never emitted its null row: ${rows.mkString(",")}")
+  }
+
   test("stream-static broadcast enrichment joins the user dimension") {
     val sp = spark
     import sp.implicits._
