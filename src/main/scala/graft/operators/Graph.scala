@@ -143,6 +143,53 @@ object Graph {
       .select(col("id"), least(col("mv"), col("id")).as("component"))
   }
 
+  /** INCREMENTAL connected components — the batch-ingest companion of
+    * [[connectedComponents]] and the component-level twin of the
+    * persisted MinHash band index ([[Dedup.probeMinhashIndex]]): given
+    * the previous run's labels and the NEW edges an arrival batch
+    * introduced (e.g. index-probe candidate pairs), recompute only the
+    * components those edges touch. Untouched components pass through
+    * unread; each affected component is re-expressed as its star
+    * (member → root edges — labels ARE a converged star forest, which
+    * is what makes them a sufficient summary of the old graph), the
+    * stars union the new edges, and the alternating-star rewrite
+    * re-converges in O(log) rounds over AFFECTED nodes only. At 100 TB
+    * this is the difference between per-crawl-wave cost scaling with
+    * the wave's blast radius and scaling with the corpus.
+    *
+    * `oldLabels` is (id, component); returns the same shape covering
+    * every old node plus every node in `newEdges`. Parity with a full
+    * recompute over the union graph is spec-proved. */
+  def incrementalComponents(oldLabels: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val e = newEdges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val touched = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct()
+    // components whose membership the new edges can possibly change
+    val touchedComps = oldLabels
+      .join(touched, Seq("id"), "left_semi")
+      .select(col("component")).distinct()
+    val affected = oldLabels
+      .join(touchedComps, Seq("component"), "left_semi")
+    val untouched = oldLabels
+      .join(touchedComps, Seq("component"), "left_anti")
+    // star edges re-encode each affected component exactly
+    val starEdges = affected
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("u"), col("component").as("v"))
+    val merged = connectedComponents(
+      starEdges.unionByName(e), "u", "v")
+    // affected singletons with no new edge have no edge at all in the
+    // merged graph — they keep their (self) label
+    val silentSingletons = affected
+      .join(merged.select(col("id")), Seq("id"), "left_anti")
+    untouched.select(col("id"), col("component"))
+      .unionByName(merged.select(col("id"), col("component")))
+      .unionByName(silentSingletons.select(col("id"), col("component")))
+  }
+
   /** Duplication-graph centrality: PageRank over the MinHash near-dup
     * candidate graph. Documents that sit in the middle of large
     * duplication structures (boilerplate, templates, mirrored content)

@@ -67,6 +67,29 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental components equal a full recompute over the union " +
+      "graph; untouched components pass through") {
+    import graft.operators.Graph
+    // old graph: {0-1-2}, {10-11}, {20-21-22}, singleton 30 (isolated
+    // nodes carry self-labels, as dedupClusters emits them)
+    val oldEdges = Seq((0L, 1L), (1L, 2L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("s", "t")
+    val oldLabels = Graph.connectedComponents(oldEdges, "s", "t")
+      .unionByName(Seq((30L, 30L)).toDF("id", "component"))
+    // new edges: bridge {0..2} and {10,11}; attach brand-new node 40
+    // to 20's component; component {30} and nothing else touched
+    val newEdges = Seq((2L, 10L), (40L, 22L)).toDF("s", "t")
+    val inc = Graph.incrementalComponents(oldLabels, newEdges, "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Graph.connectedComponents(
+        oldEdges.unionByName(newEdges), "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap + (30L -> 30L)
+    assert(inc == full, s"incremental $inc vs full $full")
+    assert(inc(10L) == 0L && inc(11L) == 0L, "bridged component re-roots to 0")
+    assert(inc(40L) == 20L, "new node joins the existing component")
+    assert(inc(30L) == 30L, "silent singleton passes through")
+  }
+
   test("pagerank: ranks bounded below by (1-d), degree drives order") {
     // path 0-1-2-3-4 plus hub 2 connected to 5,6: node 2 has max degree
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L),
