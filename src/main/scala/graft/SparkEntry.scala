@@ -143,6 +143,9 @@ object SparkEntry {
     "q_heavy_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.heavyTokens(s, d)),
     "q_approx_percentiles" -> ((s: SparkSession, d: String) => RelationalExt.approxPercentiles(s, d)),
     "q_robust_outliers" -> ((s: SparkSession, d: String) => RelationalExt.robustOutliers(s, d)),
+    "q_variant_extract" -> (Modern.variantExtract _),
+    "q_month_spine" -> (Modern.monthSpine _),
+    "q_collation_group" -> (Modern.collationGroup _),
     "q4_priority_exists" -> (RelationalTpch.priorityExists _),
     "q6_forecast_revenue" -> (RelationalTpch.forecastRevenue _),
     "q7_volume_shipping" -> ((s: SparkSession, d: String) => RelationalTpch.volumeShipping(s, d)),
@@ -1185,6 +1188,35 @@ object SparkEntry {
         |FROM cnt c JOIN tot t USING (lang)
         |WHERE c.cnt * 51 > t.n
         |ORDER BY c.lang, c.cnt DESC, c.tok""".stripMargin,
+    "q_variant_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+        | round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS k_avg
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_month_spine" ->
+      """WITH RECURSIVE months AS (
+        | SELECT TIMESTAMP '1995-01-01 00:00:00' AS month_start
+        | UNION ALL
+        | SELECT month_start + INTERVAL 1 MONTH FROM months
+        | WHERE month_start < TIMESTAMP '2001-07-01 00:00:00'
+        |)
+        |SELECT m.month_start,
+        | count(o.o_orderkey) AS n_orders,
+        | round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
+        |FROM months m
+        |LEFT JOIN orders o
+        |  ON date_trunc('MONTH', o.o_orderdate) = m.month_start
+        |GROUP BY m.month_start
+        |ORDER BY m.month_start""".stripMargin,
+    "q_collation_group" ->
+      """SELECT lower(CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+        |   ELSE lower(c_mktsegment) END) AS segment,
+        | count(*) AS n_customers
+        |FROM customer
+        |GROUP BY 1
+        |ORDER BY segment""".stripMargin,
     "q4_priority_exists" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o

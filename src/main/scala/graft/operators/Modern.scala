@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Engine-capability surface that only exists on Spark 4: the VARIANT
+  * semi-structured type, recursive CTEs, and collation-aware
+  * comparison — each expressed as a real analytics pattern over the
+  * test tables (not a syntax demo), each with a DuckDB oracle.
+  */
+object Modern {
+
+  /** VARIANT-typed semi-structured extraction: `parse_json` converts
+    * the JSON payload to Spark 4's binary VARIANT encoding ONCE, then
+    * `variant_get` extracts typed paths without re-parsing — at 100 TB
+    * this replaces per-access string parsing (`get_json_object`, the
+    * `q_json_extract` twin) with parse-once/extract-many over a
+    * columnar binary encoding. Aggregates the extracted metric per
+    * event type. */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").cast("long")).as("k_sum"),
+        round(avg(col("k")), 4).as("k_avg"))
+      .orderBy(col("event_type"))
+
+  /** Recursive CTE month spine: generate the dense month series
+    * covering the order history RECURSIVELY (Spark 4 `WITH RECURSIVE`),
+    * then left-join monthly order counts so empty months appear as
+    * explicit zero rows — the canonical "dense calendar spine" pattern
+    * that a plain groupBy cannot produce (it silently drops empty
+    * buckets; downstream time-series models need the gaps). The
+    * recursion is bounded by the date range (driver-side fixpoint of
+    * ~80 rows, broadcast into the join). */
+  def monthSpine(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_ms")
+    spark.sql(
+      """WITH RECURSIVE months AS (
+        |  SELECT TIMESTAMP '1995-01-01 00:00:00' AS month_start
+        |  UNION ALL
+        |  SELECT month_start + INTERVAL 1 MONTH FROM months
+        |  WHERE month_start < TIMESTAMP '2001-07-01 00:00:00'
+        |)
+        |SELECT m.month_start,
+        |       count(o.o_orderkey) AS n_orders,
+        |       round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
+        |FROM months m
+        |LEFT JOIN orders_ms o
+        |  ON date_trunc('MONTH', o.o_orderdate) = m.month_start
+        |GROUP BY m.month_start
+        |ORDER BY m.month_start""".stripMargin)
+  }
+
+  /** Collation-aware grouping: mixed-case category values (the mess
+    * every federated ingest produces) grouped under the UTF8_LCASE
+    * collation — the engine-level form of "group case-insensitively"
+    * that keeps comparisons collation-correct inside the aggregation
+    * instead of lossy lower() rewrites scattered through queries. The
+    * output key is canonicalized to lowercase so the oracle (which
+    * groups by lower()) compares exactly. */
+  def collationGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+          .otherwise(lower(col("c_mktsegment"))).as("seg_mixed"))
+      .select(col("c_custkey"),
+        expr("seg_mixed COLLATE UTF8_LCASE").as("seg"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_customers"))
+      .select(lower(col("seg")).as("segment"), col("n_customers"))
+      .orderBy(col("segment"))
+}
