@@ -494,7 +494,11 @@ object Similarity {
       val offset = comp.zip(mu).map { case (c, m) => c * m }.sum
       dotProduct(col("v"), typedlit(comp.toSeq)) - lit(offset)
     }
+    // materialized once: every LSH table (and both join sides) reads
+    // the projected base — without the checkpoint the r-dot projection
+    // re-executes per union branch (2×nTables scans of it)
     val base = vecs(spark, dir).withColumn("pc", array(pcCols: _*))
+      .localCheckpoint()
     val tables = (0 until nTables).map { t =>
       val planes = hyperplanes(math.min(r, dim), nPlanes, seed = 137L + t)
       val bucketCol = planes.zipWithIndex.map { case (p, j) =>
