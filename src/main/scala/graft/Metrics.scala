@@ -31,6 +31,26 @@ object Metrics {
     }
   }
 
+  /** Attach named single-pass health counters to a DataFrame via the
+    * engine's `observe` API: the aggregates (row counts, null counts,
+    * gate-failure counts, …) are computed INSIDE the same job that
+    * materializes the frame — no second pass over the data, which at
+    * 100 TB is the difference between "metrics for free" and "metrics
+    * double the bill". Returns the observed frame plus the Observation
+    * handle; call `Metrics.observed(obs)` after an action to read the
+    * settled values. */
+  def withObservation(df: org.apache.spark.sql.DataFrame, name: String,
+      exprs: Seq[org.apache.spark.sql.Column])
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    (df.observe(obs, exprs.head, exprs.tail: _*), obs)
+  }
+
+  /** Blocking read of an Observation's metrics (the observed frame must
+    * have completed an action first). */
+  def observed(obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    obs.get
+
   /** Run `action` with a listener attached; returns (result, aggregated
     * task metrics for everything executed inside). */
   def withMetrics[T](spark: SparkSession)(action: => T): (T, RunMetrics) = {

@@ -116,6 +116,17 @@ class ExtensionsIOSpec extends AnyFunSuite {
     }
   }
 
+  test("round-trip XML (Spark 4 built-in source) preserves values") {
+    val dir = Files.createTempDirectory("graft-xml").toString
+    val src = Tables.nation(spark, sf)
+    FormatIO.write(src, "xml", s"$dir/xml", mode = SaveMode.Overwrite,
+      options = Map("rowTag" -> "nation"))
+    val back = FormatIO.read(spark, "xml", s"$dir/xml",
+      schema = Some(src.schema), options = Map("rowTag" -> "nation"))
+    assert(back.count() == src.count(), "xml row count")
+    assert(back.exceptAll(src).count() == 0, "xml contents")
+  }
+
   test("malformed csv rows drop under DROPMALFORMED, fail under FAILFAST") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft-bad").toString
