@@ -14,6 +14,12 @@ object Bench {
     // optional subset for local iteration (comma-separated names);
     // the driver sets no filter and benches everything
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // a typo'd name silently benching nothing would read as success —
+    // unknown names fail fast instead
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries in SPARK_GRAFT_ONLY: ${unknown.mkString(",")}")
+    }
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // warmup pass: JIT + codegen caches + file-listing, untimed

@@ -9,6 +9,11 @@ object Verify {
     // optional third arg: comma-separated query names — a fast local
     // iteration path; the driver passes two args and gets the full run
     val subset = args.lift(2).map(_.split(",").toSet)
+    subset.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown queries requested: ${unknown.mkString(",")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -21,6 +21,17 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** Conservative slack subtracted inside every prefix-filter pruning
+    * bound before ceil/compare: the VERIFY threshold compares doubles
+    * (J = inter/union as IEEE division vs the caller's tau double), so
+    * a bound computed with exact-real ceil can over-round against a
+    * pair the double-space verify accepts — e.g. tau = 0.07 on 100
+    * shingles: real-τ·100 = 7.0000000000000006 → ceil 8, but a pair
+    * with overlap 7 satisfies 7.0/100.0 >= 0.07 in double space.
+    * Loosening a prune only ADDS candidates (exactness comes from the
+    * verify step), so the epsilon is recall-safe at any tau. */
+  private val PruneEps = 1e-9
+
   private val K = 32 // minhash permutations
   private val BANDS = 8 // 8 bands x 4 rows
   private val SHINGLE = 8 // char n-gram width
@@ -261,7 +272,7 @@ object Dedup {
         array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
       .select(col("doc_id"), col("sz"),
         posexplode(slice(col("ordered"), lit(1),
-          (col("sz") - ceil(lit(tau) * col("sz")) + 1).cast("int"))))
+          (col("sz") - ceil(lit(tau) * col("sz") - lit(PruneEps)) + 1).cast("int"))))
       .select(col("doc_id"), col("sz"), (col("pos") + 1).as("pos"),
         col("col.tok").as("tok"))
       .localCheckpoint() // consumed by both sides of the candidate join
@@ -276,14 +287,14 @@ object Dedup {
     //    implies); a qualifying pair always passes via its FIRST
     //    shared token, so occurrence-level pruning is lossless
     val alphaNeeded =
-      ceil(lit(tau / (1.0 + tau)) * (col("sz_a") + col("sz_b")))
+      ceil(lit(tau / (1.0 + tau)) * (col("sz_a") + col("sz_b")) - lit(PruneEps))
     val cands = prefixes.select(col("doc_id").as("doc_a"),
         col("sz").as("sz_a"), col("pos").as("pos_a"), col("tok"))
       .join(prefixes.select(col("doc_id").as("doc_b"),
         col("sz").as("sz_b"), col("pos").as("pos_b"), col("tok")), Seq("tok"))
       .filter(col("doc_a") < col("doc_b") &&
         least(col("sz_a"), col("sz_b")).cast("double") >=
-          lit(tau) * greatest(col("sz_a"), col("sz_b")) &&
+          lit(tau) * greatest(col("sz_a"), col("sz_b")) - lit(PruneEps) &&
         (lit(1) + least(col("sz_a") - col("pos_a"),
           col("sz_b") - col("pos_b"))) >= alphaNeeded)
       .select(col("doc_a"), col("doc_b")).distinct()

@@ -100,6 +100,21 @@ object Embeddings {
     (mu, vals, comps)
   }
 
+  /** Unrounded projection columns for the top `r` components over the
+    * embedding column `inCol`: each is one fused dot against a literal
+    * direction minus the mean offset (mean-centering for free). The
+    * single source of truth for the projection arithmetic — consumed
+    * by [[pcaProject]] (rounded at the output edge) and by
+    * `Similarity.annPcaLsh` (raw, for LSH bucketing); a fix applied
+    * here reaches both. */
+  private[graft] def projectionCols(mu: Array[Double],
+      comps: Array[Array[Double]], r: Int, inCol: String): Seq[Column] =
+    (0 until math.min(r, comps.length)).map { k =>
+      val comp = comps(k)
+      val offset = comp.zip(mu).map { case (c, m) => c * m }.sum
+      dotProduct(col(inCol), typedlit(comp.toSeq)) - lit(offset)
+    }
+
   /** Project every embedding onto the top `r` principal components.
     * The projection ships as r literal direction vectors plus r scalar
     * offsets inside the plan (broadcast-equivalent, no join): row cost
@@ -110,11 +125,8 @@ object Embeddings {
     val (mu, vals, comps) = pcaFit(spark, dir, dim)
     val total = math.max(vals.map(math.max(_, 0.0)).sum, 1e-300)
     val explained = vals.take(r).map(v => math.max(v, 0.0) / total).sum
-    val pcCols: Seq[Column] = (0 until math.min(r, dim)).map { k =>
-      val comp = comps(k)
-      val offset = comp.zip(mu).map { case (c, m) => c * m }.sum
-      round(dotProduct(col("vd"), typedlit(comp.toSeq)) - lit(offset), 6)
-    }
+    val pcCols: Seq[Column] =
+      projectionCols(mu, comps, r, "vd").map(round(_, 6))
     vecs(spark, dir)
       .select(col("vec_id"), array(pcCols: _*).as("pc"),
         round(lit(explained), 6).as("var_explained"))

@@ -138,6 +138,13 @@ object Graph {
       prev = cur
       i += 1
     }
+    // a non-converged edge set would label nodes with NON-minima —
+    // fail loudly instead of returning silently wrong components (the
+    // worst-case round bound is polylog, so hitting maxIters means the
+    // caller under-budgeted, not that the answer is "close enough")
+    require(done,
+      s"connectedComponents did not converge within $maxIters alternations; " +
+        "raise maxIters")
     bothDirs(l).groupBy(col("u").as("id"))
       .agg(min(col("v")).as("mv"))
       .select(col("id"), least(col("mv"), col("id")).as("component"))
@@ -162,11 +169,14 @@ object Graph {
     * recompute over the union graph is spec-proved. */
   def incrementalComponents(oldLabels: DataFrame, newEdges: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {
-    val e = newEdges
+    val eRaw = newEdges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-    val touched = e.select(col("u").as("id"))
-      .union(e.select(col("v").as("id"))).distinct()
+    val e = eRaw.filter(col("u") =!= col("v"))
+    // touched nodes come from the RAW edges: a brand-new node whose
+    // only edges are self-loops still belongs in the output (as its
+    // own singleton component)
+    val touched = eRaw.select(col("u").as("id"))
+      .union(eRaw.select(col("v").as("id"))).distinct()
     // components whose membership the new edges can possibly change
     val touchedComps = oldLabels
       .join(touched, Seq("id"), "left_semi")
@@ -181,13 +191,19 @@ object Graph {
       .select(col("id").as("u"), col("component").as("v"))
     val merged = connectedComponents(
       starEdges.unionByName(e), "u", "v")
-    // affected singletons with no new edge have no edge at all in the
-    // merged graph — they keep their (self) label
+    // nodes touched only by self-loops never reach the merged graph
+    // (no real edge): previously-known ones keep their old label,
+    // brand-new ones self-label as singleton components
     val silentSingletons = affected
       .join(merged.select(col("id")), Seq("id"), "left_anti")
+    val newSingletons = touched
+      .join(oldLabels.select(col("id")), Seq("id"), "left_anti")
+      .join(merged.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
     untouched.select(col("id"), col("component"))
       .unionByName(merged.select(col("id"), col("component")))
       .unionByName(silentSingletons.select(col("id"), col("component")))
+      .unionByName(newSingletons)
   }
 
   /** Duplication-graph centrality: PageRank over the MinHash near-dup

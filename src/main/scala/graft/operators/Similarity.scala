@@ -489,11 +489,7 @@ object Similarity {
       nPlanes: Int = 8, nTables: Int = 4, multiprobe: Boolean = true,
       dim: Int = 64): DataFrame = {
     val (mu, _, comps) = Embeddings.pcaFit(spark, dir, dim)
-    val pcCols: Seq[Column] = (0 until math.min(r, dim)).map { i =>
-      val comp = comps(i)
-      val offset = comp.zip(mu).map { case (c, m) => c * m }.sum
-      dotProduct(col("v"), typedlit(comp.toSeq)) - lit(offset)
-    }
+    val pcCols: Seq[Column] = Embeddings.projectionCols(mu, comps, r, "v")
     // materialized once: every LSH table (and both join sides) reads
     // the projected base — without the checkpoint the r-dot projection
     // re-executes per union branch (2×nTables scans of it)

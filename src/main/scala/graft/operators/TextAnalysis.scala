@@ -14,6 +14,18 @@ object TextAnalysis {
 
   private def tokensCol: Column = split(lower(trim(col("text"))), "\\s+")
 
+  /** Row-local adjacent-bigram generation over a token-array column:
+    * (l, r) structs, empty for sub-2-token docs (the size guard
+    * matters: sequence(1, 0) counts DOWN, so an unguarded single-token
+    * doc would emit a phantom pair). The single source of truth for
+    * bigram generation — [[bpeTrain]], [[pmiCollocations]] and
+    * [[bigramLogprob]] all consume it. */
+  private def bigramStructs(tokCol: String): Column =
+    when(size(col(tokCol)) >= 2, expr(
+      s"transform(sequence(1, size($tokCol) - 1), " +
+        s"i -> struct($tokCol[i-1] AS l, $tokCol[i] AS r))"))
+      .otherwise(expr("CAST(array() AS array<struct<l:string,r:string>>)"))
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / single digits / punctuation marks). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -241,11 +253,7 @@ object TextAnalysis {
     var exhausted = false
     while (rank <= nMerges && !exhausted) {
       val top = corpus
-        .select(explode(when(size(col("t")) >= 2, expr(
-          "transform(sequence(1, size(t) - 1), " +
-            "i -> struct(t[i-1] AS l, t[i] AS r))"))
-          .otherwise(expr("CAST(array() AS array<struct<l:string,r:string>>)")))
-          .as("p"))
+        .select(explode(bigramStructs("t")).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
@@ -365,11 +373,7 @@ object TextAnalysis {
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val totTok = uni.agg(sum(col("c")).cast("double").as("t_tok"))
     val pairs = toks
-      .select(explode(when(size(col("t")) >= 2, expr(
-        "transform(sequence(1, size(t) - 1), " +
-          "i -> struct(t[i-1] AS l, t[i] AS r))"))
-        .otherwise(expr("CAST(array() AS array<struct<l:string,r:string>>)")))
-        .as("p"))
+      .select(explode(bigramStructs("t")).as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(count(lit(1)).as("n"))
     val totPair = pairs.agg(sum(col("n")).cast("double").as("t_pair"))
@@ -429,10 +433,7 @@ object TextAnalysis {
       lambda: Double = 0.7): DataFrame = {
     val docBigrams = Tables.documents(spark, dir)
       .select(col("doc_id"), tokensCol.as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t) - 1), " +
-          "i -> struct(t[i-1] AS l, t[i] AS r))")).as("p"))
+      .select(col("doc_id"), explode(bigramStructs("t")).as("p"))
       .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
     val bi = docBigrams.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c_ab"))
     val uni = Tables.documents(spark, dir)

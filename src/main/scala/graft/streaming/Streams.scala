@@ -538,7 +538,10 @@ object Streams {
         else MomentState(0L, 0.0, 0.0, 0.0, 0.0, 0.0)
       rows.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
         val x = e.value
-        val y = e.ts.getTime / 1000.0
+        // full microsecond precision: getTime truncates to whole ms,
+        // but the batch reference casts the µs-precision timestamp to
+        // double — parity requires the sub-ms component too
+        val y = e.ts.getTime / 1000.0 + (e.ts.getNanos % 1000000) / 1e9
         val n1 = s.n + 1
         val dx = x - s.meanX
         val dy = y - s.meanY
@@ -555,7 +558,9 @@ object Streams {
         val varV = s.m2x / (s.n - 1)
         val cov = s.cxy / (s.n - 1)
         val denom = math.sqrt(s.m2x) * math.sqrt(s.m2y)
-        val corr = if (denom == 0.0) 0.0 else s.cxy / denom
+        // zero variance → correlation is UNDEFINED: batch corr() yields
+        // NaN there, and parity means reproducing that, not masking it
+        val corr = if (denom == 0.0) Double.NaN else s.cxy / denom
         Iterator.single(MomentRow(key, s.n, s.meanX, varV, cov, corr))
       }
     }

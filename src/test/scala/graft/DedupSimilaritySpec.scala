@@ -160,9 +160,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("prefix-filter jaccard join equals the naive all-pairs join " +
-      "(recall 1.0 by construction, both scale factors)") {
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val tau = 0.5
+      "(recall 1.0 by construction, both scale factors, non-default tau)") {
+    // tau = 0.3 exercises the FP-boundary epsilon in the pruning
+    // bounds (0.5 is a power of two — exact in every float product)
+    for ((dir, tau) <- Seq(
+      ("/root/testdata/sf0.001", 0.5), ("/root/testdata/sf0.01", 0.5),
+      ("/root/testdata/sf0.001", 0.3), ("/root/testdata/sf0.01", 0.3))) {
       val fast = Dedup.jaccardPrefixJoin(spark, dir, tau)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       // naive reference: all pairs, exact jaccard over the same
@@ -184,7 +187,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
         .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(fast == naive,
-        s"prefix filter diverged at $dir: missing=${naive -- fast} extra=${fast -- naive}")
+        s"prefix filter diverged at $dir tau=$tau: " +
+          s"missing=${naive -- fast} extra=${fast -- naive}")
       assert(naive.nonEmpty || dir.endsWith("0.001"),
         "expected at least one qualifying pair at sf0.01")
     }

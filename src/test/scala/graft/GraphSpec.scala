@@ -88,6 +88,15 @@ class GraphSpec extends AnyFunSuite {
     assert(inc(10L) == 0L && inc(11L) == 0L, "bridged component re-roots to 0")
     assert(inc(40L) == 20L, "new node joins the existing component")
     assert(inc(30L) == 30L, "silent singleton passes through")
+    // a brand-new node whose only edge is a self-loop must still
+    // appear, as its own singleton component
+    val incLoop = Graph.incrementalComponents(oldLabels,
+        Seq((50L, 50L)).toDF("s", "t"), "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incLoop(50L) == 50L, "self-loop-only new node self-labels")
+    assert(incLoop - 50L ==
+      oldLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "everything else passes through unchanged")
   }
 
   test("pagerank: ranks bounded below by (1-d), degree drives order") {
