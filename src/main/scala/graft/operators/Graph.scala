@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * flat. The edge list (with degrees) is materialized once up front and
   * reused by every superstep — at 100 TB the adjacency is read from
   * memory/disk blocks each round, never recomputed from source.
-  * Complements [[Dedup.dedupClusters]] (min-label propagation /
-  * connected components) with a weighted-importance signal.
+  * Complements [[Dedup.dedupClusters]] (connected-component labels)
+  * with a weighted-importance signal.
   */
 object Graph {
 
@@ -81,8 +81,8 @@ object Graph {
     * re-hangs the smaller neighbors. The edge set converges to a
     * star forest (every node → its component root) in O(log n) rounds
     * even on DEEP components — a path of length n needs ~n rounds of
-    * min-label propagation ([[Dedup.dedupClusters]]'s shape, fine for
-    * shallow near-dup clusters) but only ~log n alternations here,
+    * min-label propagation ([[Dedup.propagationClusters]]'s shape,
+    * fine for shallow near-dup clusters) but only ~log n alternations,
     * which at 100 TB is the difference between 40 shuffles and 12 on
     * chain-shaped duplication structures (version histories, serial
     * crawl mirrors). Each half-round is one groupBy(min) + one

@@ -54,9 +54,12 @@ class GraphSpec extends AnyFunSuite {
     val viaStars = graft.operators.Graph.connectedComponents(
         graft.operators.Dedup.minhashPairs(spark, dir), "doc_a", "doc_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val viaProp = graft.operators.Dedup.dedupClusters(spark, dir)
+    // the INDEPENDENT min-label-propagation formulation (dedupClusters
+    // itself now delegates to the star rewrite, so comparing against it
+    // would be circular)
+    val viaProp = graft.operators.Dedup.propagationClusters(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // dedupClusters covers every doc (isolated docs label themselves);
+    // propagation covers every doc (isolated docs label themselves);
     // the star rewrite covers nodes with edges — compare on those, and
     // check the propagation kept isolated docs self-labeled
     viaStars.foreach { case (id, comp) =>
