@@ -572,4 +572,23 @@ object Streams {
       .transformWithState(new MomentsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Read a streaming query's STATE STORE as a batch DataFrame (the
+    * Spark 4 `statestore` data source): (key, value, partition_id)
+    * rows straight from the checkpoint — the ops path for "what is my
+    * streaming job holding right now" (debugging a hot key, auditing
+    * watermark-bounded state growth, backfilling from state) without
+    * stopping the job or adding instrumentation to it. `batchId`
+    * selects a historical snapshot; `operatorId`/`storeName` address
+    * multi-operator/multi-store queries (transformWithState exposes
+    * one store per state variable). */
+  def readStateStore(spark: SparkSession, checkpoint: String,
+      batchId: Option[Long] = None, operatorId: Int = 0,
+      storeName: Option[String] = None): DataFrame = {
+    var r = spark.read.format("statestore")
+      .option("operatorId", operatorId.toString)
+    batchId.foreach(b => r = r.option("batchId", b.toString))
+    storeName.foreach(s => r = r.option("storeName", s))
+    r.load(checkpoint)
+  }
 }

@@ -213,6 +213,25 @@ class ExtensionsIOSpec extends AnyFunSuite {
       s"index scan must use the bucket layout:\n$formatted")
   }
 
+  test("index probe shuffle volume scales with the arrival batch, not " +
+    "the corpus (the O(batch) incremental-dedup claim, measured)") {
+    import graft.operators.Dedup
+    Dedup.buildMinhashIndex(spark, sf, "mh_idx_vol", nBuckets = 4)
+    val corpusBands = spark.table("mh_idx_vol_bands").count()
+    val batch = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(10)
+      .localCheckpoint() // fence the batch prep out of the measurement
+    val (_, m) = Metrics.withMetrics(spark) {
+      Dedup.probeMinhashIndex(spark, "mh_idx_vol", batch).count()
+    }
+    // the probe side shuffles ~batch×bands rows (+ the candidate-pair
+    // dedup); the corpus band table must NOT re-shuffle — anything
+    // near corpusBands records means the bucketed layout was ignored
+    assert(m.shuffleRecordsWritten < corpusBands / 2,
+      s"probe shuffled ${m.shuffleRecordsWritten} records — " +
+        s"corpus has $corpusBands band rows; the index side is re-shuffling")
+  }
+
   test("bucketed table join plans without a shuffle on the bucket key") {
     FormatIO.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_custkey", 4)
     FormatIO.writeBucketed(Tables.customer(spark, sf), "customer_b", "c_custkey", 4)

@@ -582,6 +582,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("state-store reader: checkpointed window state matches the " +
+    "aggregation the query emitted") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val input = MemoryStream[Event]
+    val q = Streams.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("sr_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    input.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 10, "click", 1.0),
+      Event(3, ts(7), 11, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    // the state store IS the aggregation's current buffer: read it as
+    // a batch frame and reconcile against the emitted rows
+    val state = Streams.readStateStore(sp, ckpt)
+      .select(col("key.window.start").as("ws"),
+        col("key.event_type").as("event_type"),
+        col("value.count").as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val emitted = sp.sql(
+      "SELECT win_start, event_type, n FROM sr_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(state == emitted,
+      s"state $state differs from emitted aggregation $emitted")
+    assert(state.values.sum == 3L, "state accounts for every input event")
+  }
+
   test("streaming moments: final per-key stats equal the batch " +
     "avg/var_samp/covar_samp/corr over the whole log, across batch splits") {
     val sp = spark
