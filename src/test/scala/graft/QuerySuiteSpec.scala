@@ -58,6 +58,26 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.size == oKeys.size)
   }
 
+  test("custom sessionizer matches the engine's session_window in batch") {
+    import org.apache.spark.sql.functions._
+    // the engine-managed gap-merge (session_window works in batch too)
+    // cross-validates the lag-based sessionizer: same 30-min gap, same
+    // sessions. Boundary semantics differ only at EXACTLY gap-sized
+    // silences (lag keeps the session on ==, session_window splits);
+    // assert the dataset has none so the comparison is meaningful.
+    val ev = graft.sources.Tables.events(spark, sf)
+    val engine = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("sess_start"))
+      .select(col("user_id"), col("sess_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val custom = SparkEntry.queries("q_sessionize")(spark, sf)
+      .select(col("user_id"), col("sess_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(custom == engine,
+      s"sessionizers disagree: onlyCustom=${custom -- engine} onlyEngine=${engine -- custom}")
+  }
+
   test("q1 aggregates are consistent with a direct recount") {
     val df = SparkEntry.queries("q1_pricing_agg")(spark, sf)
     val total = df.agg(org.apache.spark.sql.functions.sum("count_order"))
