@@ -127,6 +127,51 @@ class ExtensionsIOSpec extends AnyFunSuite {
     assert(back.exceptAll(src).count() == 0, "xml contents")
   }
 
+  test("parquet schema evolution: mergeSchema unifies old and new files") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    // v1 files lack the column later versions add — the layout every
+    // long-lived dataset grows into
+    Tables.nation(spark, sf).select(col("n_nationkey"), col("n_name"))
+      .write.parquet(s"$dir/v1")
+    Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"),
+        lit("emea").as("region_tag"))
+      .write.parquet(s"$dir/v2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/v1", s"$dir/v2")
+    assert(merged.columns.toSet ==
+      Set("n_nationkey", "n_name", "region_tag"))
+    val n = Tables.nation(spark, sf).count()
+    assert(merged.count() == 2 * n)
+    // old files surface the new column as null, not an error
+    assert(merged.filter(col("region_tag").isNull).count() == n)
+  }
+
+  test("corrupt json rows are captured, not silently dropped") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-json").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2 "v": "broken"}
+        |{"id": 3, "v": "ok2"}""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt", StringType)))
+    // Spark refuses corrupt-column-only queries on a raw scan
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize the parse first
+    val df = spark.read.schema(schema)
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+      .localCheckpoint()
+    import org.apache.spark.sql.functions.col
+    assert(df.count() == 3, "every input line accounted for")
+    assert(df.filter(col("_corrupt").isNotNull).count() == 1,
+      "the malformed line lands in the corrupt-record column")
+    assert(df.filter(col("_corrupt").isNull).count() == 2)
+  }
+
   test("malformed csv rows drop under DROPMALFORMED, fail under FAILFAST") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft-bad").toString
