@@ -573,6 +573,27 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming near-dup detection against the PERSISTED MinHash band
+    * index ([[graft.operators.Dedup.buildMinhashIndex]]): each
+    * micro-batch of arriving documents probes the bucketed corpus
+    * index via `foreachBatch` and appends its candidate pairs to
+    * `outPath` — the streaming face of "dedup the new crawl against
+    * the corpus at O(batch) cost". The index side never reshuffles
+    * (bucket layout; proved by the batch metrics spec); per-batch cost
+    * scales with the batch. Complements [[minhashIndexStream]] (pure
+    * in-state index for self-contained streams) by checking arrivals
+    * against an EXISTING corpus. */
+  def indexProbeStream(spark: SparkSession, docs: DataFrame,
+      indexName: String, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.probeMinhashIndex(spark, indexName, batch)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** Read a streaming query's STATE STORE as a batch DataFrame (the
     * Spark 4 `statestore` data source): (key, value, partition_id)
     * rows straight from the checkpoint — the ops path for "what is my

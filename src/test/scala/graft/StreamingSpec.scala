@@ -582,6 +582,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming index probe: micro-batched arrivals find the same " +
+    "near-dup candidates as one batch probe of the whole arrival set") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.operators.Dedup.buildMinhashIndex(sp, sf, "mh_stream_idx")
+    val arrivals = graft.sources.Tables.documents(sp, sf)
+      .select(col("doc_id"), col("text"))
+      .limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val out = java.nio.file.Files.createTempDirectory("graft-probe-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-probe-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.indexProbeStream(sp,
+      input.toDF().toDF("doc_id", "text"), "mh_stream_idx", out, ckpt)
+    arrivals.grouped(15).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = sp.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Dedup.probeMinhashIndex(sp, "mh_stream_idx",
+        graft.sources.Tables.documents(sp, sf)
+          .select(col("doc_id"), col("text")).limit(40))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streamed probe diverged: only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
+    assert(batch.nonEmpty, "expected candidates: the index contains the arrivals")
+  }
+
   test("state-store reader: checkpointed window state matches the " +
     "aggregation the query emitted") {
     val sp = spark
