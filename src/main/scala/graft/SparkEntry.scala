@@ -154,6 +154,16 @@ object SparkEntry {
     "q14_promo_share" -> (RelationalTpch.promoShare _),
     "q19_disjunctive" -> (RelationalTpch.disjunctiveBands _),
     "q22_dormant" -> (RelationalTpch.dormantCustomers _),
+    "q2_min_cost_supplier" -> (RelationalTpch.minCostSupplier _),
+    "q8_market_share" -> (RelationalTpch.marketShare _),
+    "q9_product_profit" -> (RelationalTpch.productProfit _),
+    "q11_important_parts" -> ((s: SparkSession, d: String) =>
+      RelationalTpch.importantParts(s, d)),
+    "q15_top_supplier" -> (RelationalTpch.topSupplier _),
+    "q16_supplier_counts" -> (RelationalTpch.supplierCounts _),
+    "q17_small_qty" -> (RelationalTpch.smallQtyRevenue _),
+    "q21_waiting_suppliers" -> (RelationalTpch.waitingSuppliers _),
+    "q_audience_overlap" -> (Federation.audienceOverlap _),
     "q_char_entropy" -> (TextAnalysis.charEntropyProfile _),
     "q_jaccard_prefix" -> ((s: SparkSession, d: String) => Dedup.jaccardPrefixJoin(s, d)),
     "q_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
@@ -1302,6 +1312,148 @@ object SparkEntry {
         |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |eligible AS (
+        | SELECT ps.l_partkey, s.s_acctbal, s.s_name, n.n_name
+        | FROM ps
+        | JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        | WHERE r.r_name = 'EUROPE')
+        |SELECT round(e.s_acctbal, 2) AS s_acctbal, e.s_name, e.n_name,
+        | p.p_partkey, p.p_name
+        |FROM part p JOIN eligible e ON p.p_partkey = e.l_partkey
+        |WHERE p.p_type = 'LARGE' AND p.p_size <= 10
+        |  AND e.s_acctbal = (SELECT min(e2.s_acctbal) FROM eligible e2
+        |                     WHERE e2.l_partkey = p.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | round(CAST(sum(CASE WHEN n1.n_name = 'NATION_5'
+        |     THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |       (CAST('1.00' AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |     ELSE CAST('0.00' AS DECIMAL(4,2)) END) AS DOUBLE) /
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |     (CAST('1.00' AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |     AS DOUBLE), 4) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND p_type = 'STANDARD' AND r_name = 'AFRICA'
+        |GROUP BY 1
+        |ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+        | CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |     (CAST('1.00' AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) -
+        |   CAST(p_retailprice AS DECIMAL(12,2)) *
+        |     CAST(l_quantity AS DECIMAL(4,1)) * CAST('0.1' AS DECIMAL(2,1)))
+        |   AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_parts" ->
+      """WITH scoped AS (
+        | SELECT l_partkey,
+        |  CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST('1.00' AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |    AS val
+        | FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | WHERE n_name = 'NATION_3'),
+        |pv AS (
+        | SELECT l_partkey, sum(val) AS part_val FROM scoped GROUP BY 1)
+        |SELECT l_partkey, CAST(part_val AS DOUBLE) AS part_value
+        |FROM pv
+        |WHERE part_val * (SELECT count(*) FROM pv) >
+        |  2 * (SELECT sum(part_val) FROM pv)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        | SELECT l_suppkey,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST('1.00' AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS total_revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        | CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_counts" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        | count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_qty" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |   AS DOUBLE) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p_brand = 'Brand#2' AND p_type = 'MEDIUM'
+        |  AND l_quantity < 0.2 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+        |                          WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_7'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+    // Exact because the KMV sketches are unsaturated at this scale (150
+    // distinct users < k=1024): the sketch holds the complete hash set,
+    // so estimate/intersect degrade to exact counts (see KmvSketch doc).
+    "q_audience_overlap" ->
+      """WITH au AS (SELECT DISTINCT event_type, user_id FROM events),
+        |cnt AS (SELECT event_type, count(*) AS c FROM au GROUP BY 1),
+        |inter AS (
+        | SELECT a.event_type AS ga, b.event_type AS gb, count(*) AS ov
+        | FROM au a JOIN au b
+        |   ON a.user_id = b.user_id AND a.event_type < b.event_type
+        | GROUP BY 1, 2)
+        |SELECT ca.event_type AS group_a, cb.event_type AS group_b,
+        | ca.c AS keys_a, cb.c AS keys_b,
+        | coalesce(i.ov, 0) AS overlap,
+        | round(CAST(coalesce(i.ov, 0) AS DOUBLE) /
+        |   (ca.c + cb.c - coalesce(i.ov, 0)), 4) AS jaccard
+        |FROM cnt ca JOIN cnt cb ON ca.event_type < cb.event_type
+        |LEFT JOIN inter i ON i.ga = ca.event_type AND i.gb = cb.event_type
+        |ORDER BY group_a, group_b""".stripMargin,
     "q_jaccard_prefix" ->
       """WITH t AS (
         | SELECT doc_id, string_split(

@@ -323,6 +323,108 @@ case class HeavyHitters(child: Expression, k: Int,
   override def prettyName: String = "heavy_hitters"
 }
 
+/** KMV (k-minimum-values / bottom-k theta) distinct sketch as a
+  * mergeable TypedImperativeAggregate: the buffer is the k smallest
+  * DISTINCT xxhash64 values of the group, kept in a TreeSet ordered by
+  * UNSIGNED magnitude (values are stored sign-flipped so natural
+  * ordering is unsigned ordering). merge = set union re-capped at k, so
+  * the aggregate map-side combines, and — unlike Misra–Gries counters —
+  * the result is ORDER-INDEPENDENT: the k smallest of a multiset do not
+  * depend on arrival or merge order, so output is deterministic across
+  * partitionings.
+  *
+  * Why this exists next to HLL (approx_count_distinct / the DataSketches
+  * hll_* family): HLL registers can only UNION. A KMV sketch supports
+  * set INTERSECTION and Jaccard estimation (Beyer et al. SIGMOD'07;
+  * the Jaccard/intersection estimators are the theta-sketch ones), which
+  * is the consortium question — "how many users/documents do sites A
+  * and B SHARE?" — answerable from KB-sized per-site sketches without
+  * raw keys ever leaving a site (the privacy shape of
+  * Federation.federatedDistinct, extended to overlaps).
+  *
+  * Exactness below saturation: while a group has < k distinct keys the
+  * sketch IS the full hash set, so every estimator downstream
+  * (Sketches.kmvEstimate / kmvIntersect / kmvUnion) returns EXACT
+  * counts — modulo 64-bit hash collisions (~n²/2⁶⁴) — which is what
+  * lets q_audience_overlap carry a DuckDB oracle.
+  *
+  * Emitted value: the sketch as a LongType array sorted unsigned-
+  * ascending (original hash values, not the flipped keys). */
+case class KmvSketch(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[Long]] {
+  require(k >= 2, s"kmv_sketch needs k >= 2, got $k")
+
+  type Buf = java.util.TreeSet[Long]
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Buf = new java.util.TreeSet[Long]()
+
+  override def update(buf: Buf,
+      input: org.apache.spark.sql.catalyst.InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      // sign-flip: natural (signed) order on flipped values == unsigned
+      // order on originals
+      val f = v.asInstanceOf[Long] ^ Long.MinValue
+      if (buf.size < k) { buf.add(f); () }
+      else if (f < buf.last()) {
+        if (buf.add(f)) { buf.pollLast(); () }
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    val it = b.iterator()
+    while (it.hasNext) {
+      val f = it.next()
+      if (a.size < k) { a.add(f); () }
+      else if (f < a.last()) { if (a.add(f)) { a.pollLast(); () } }
+      else { /* f can't be among the k smallest; TreeSet iterates
+              * ascending so every later b element is larger still */
+        return a
+      }
+    }
+    a
+  }
+
+  override def eval(buf: Buf): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next() ^ Long.MinValue; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): KmvSketch =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): KmvSketch =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): KmvSketch = copy(child = cs.head)
+  override def prettyName: String = "kmv_sketch"
+}
+
 object Aggregates {
   /** Column form of GroupMinHash for DataFrame aggregations. */
   def groupMinhash(sig: Column, k: Int = 32): Column =
@@ -358,4 +460,74 @@ object Aggregates {
   def mightContain(bloom: Column, keyHash: Column): Column =
     toCol(org.apache.spark.sql.catalyst.expressions
       .BloomFilterMightContain(toExpr(bloom), toExpr(keyHash)))
+
+  /** Column form of [[KmvSketch]]: bottom-k distinct sketch of `key`
+    * (hashed internally with xxhash64, the same hash the bloom pair
+    * uses). Estimators live in [[Sketches]]. */
+  def kmvSketch(key: Column, k: Int): Column =
+    toCol(KmvSketch(toExpr(org.apache.spark.sql.functions.xxhash64(key)), k)
+      .toAggregateExpression())
+}
+
+/** Estimators over [[KmvSketch]] arrays, built ENTIRELY from codegen'd
+  * built-in expressions (unsigned compares via sign-flip XOR, set ops
+  * via array_intersect/array_union, counting via the filter HOF) — no
+  * scalar UDF, no custom eval in the post-aggregation path.
+  *
+  * Estimator (Beyer et al. SIGMOD'07 / theta sketches): with θ = the
+  * k-th smallest hash mapped to (0,1], every estimate is
+  * |{h : h < θ}| / θ. An UNSATURATED sketch (< k values) has θ = 1 and
+  * holds the complete hash set, so estimates degrade to exact counts.
+  * For two-sketch ops, θ = min(θ_a, θ_b) — both sides are complete
+  * below the cut, so the intersection/union restricted to it is an
+  * unbiased sample of the true set. */
+object Sketches {
+  import org.apache.spark.sql.functions._
+
+  private val twoTo64 = 1.8446744073709552e19 // 2^64 as double
+
+  /** Signed-order key whose natural ordering equals unsigned order on
+    * the original hash. */
+  private def flip(c: Column): Column = c.bitwiseXOR(lit(Long.MinValue))
+
+  /** Flipped cut key: the k-th smallest hash, or unsigned +∞ when the
+    * sketch is unsaturated (every element is below the cut). */
+  private def flipCut(sk: Column, k: Int): Column =
+    when(size(sk) < k, lit(Long.MaxValue))
+      .otherwise(flip(element_at(sk, k)))
+
+  /** θ ∈ (0,1]: the cut as a fraction of the hash space. */
+  def theta(sk: Column, k: Int): Column =
+    when(size(sk) < k, lit(1.0))
+      .otherwise(flip(element_at(sk, k)).cast("double") / twoTo64 + 0.5)
+
+  private def countBelow(arr: Column, cut: Column): Column =
+    size(filter(arr, h => flip(h) < cut)).cast("double")
+
+  /** Estimated distinct count of the sketched group. Exact (as a whole
+    * number) while the group had < k distinct keys. */
+  def kmvEstimate(sk: Column, k: Int): Column =
+    countBelow(sk, flipCut(sk, k)) / theta(sk, k)
+
+  /** Estimated |A ∩ B| from two sketches built with the SAME k and the
+    * same key domain. */
+  def kmvIntersect(a: Column, b: Column, k: Int): Column = {
+    val cut = least(flipCut(a, k), flipCut(b, k))
+    countBelow(array_intersect(a, b), cut) / least(theta(a, k), theta(b, k))
+  }
+
+  /** Estimated |A ∪ B|. */
+  def kmvUnion(a: Column, b: Column, k: Int): Column = {
+    val cut = least(flipCut(a, k), flipCut(b, k))
+    countBelow(array_union(a, b), cut) / least(theta(a, k), theta(b, k))
+  }
+
+  /** Estimated Jaccard |A∩B|/|A∪B| — the ratio of the two counts under
+    * the SHARED cut (the θs cancel). Null when both sets are empty. */
+  def kmvJaccard(a: Column, b: Column, k: Int): Column = {
+    val cut = least(flipCut(a, k), flipCut(b, k))
+    val inter = countBelow(array_intersect(a, b), cut)
+    val uni = countBelow(array_union(a, b), cut)
+    when(uni === 0.0, lit(null).cast("double")).otherwise(inter / uni)
+  }
 }

@@ -107,4 +107,48 @@ object Federation {
         .as("approx_distinct"),
       count(lit(1)).as("n_sites"))
   }
+
+  /** Federated set-OVERLAP estimation — the question HLL cannot answer
+    * (HLL registers only union): "how many keys do groups A and B
+    * SHARE?". Each group builds a KMV bottom-k sketch of its keys (one
+    * map-side-combined aggregation; the sketch is ≤ k longs, raw keys
+    * never leave their partition/site), then the |groups|²-sized sketch
+    * table self-joins and every pair's intersection/union/Jaccard is
+    * estimated from the sketches alone — codegen'd array expressions,
+    * no second pass over the data. While a group holds < k distinct
+    * keys the sketch is the complete hash set and all counts are EXACT
+    * (q_audience_overlap's oracle relies on this); above k the error is
+    * the standard KMV ~1/√k. */
+  def groupOverlap(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int = 1024): DataFrame = {
+    import graft.functions.{Aggregates, Sketches}
+    val sk = df.groupBy(col(groupCol).as("g"))
+      .agg(Aggregates.kmvSketch(col(keyCol), k).as("sk"))
+    val a = sk.select(col("g").as("group_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("g").as("group_b"), col("sk").as("sk_b"))
+    // sketch table is |groups| rows — the pair join is broadcast-sized
+    // by construction, never data-sized
+    a.join(b, col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        Sketches.kmvEstimate(col("sk_a"), k).cast("long").as("keys_a"),
+        Sketches.kmvEstimate(col("sk_b"), k).cast("long").as("keys_b"),
+        Sketches.kmvIntersect(col("sk_a"), col("sk_b"), k).cast("long")
+          .as("overlap"),
+        round(Sketches.kmvJaccard(col("sk_a"), col("sk_b"), k), 4)
+          .as("jaccard"))
+  }
+
+  /** q_audience_overlap: pairwise user-audience overlap between event
+    * types — groupOverlap over events(event_type, user_id). k=4096
+    * exceeds the per-type distinct-user count at every verification
+    * scale (1.5k users at sf0.1), so every figure is exact and
+    * DuckDB-oracle-checkable; the SAME plan at 100 TB keeps sketch
+    * size (32 KB/group) and the pair join constant while accuracy
+    * degrades gracefully to ~1/√k. */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame =
+    groupOverlap(
+      graft.sources.Tables.events(spark, dir)
+        .select(col("event_type"), col("user_id")),
+      "event_type", "user_id", k = 4096)
+      .orderBy(col("group_a"), col("group_b"))
 }

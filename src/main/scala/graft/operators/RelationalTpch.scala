@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -15,8 +16,44 @@ import graft.sources.Tables
   * screening (q22). All are single declarative plans — Catalyst owns
   * join order, AQE owns strategy; the only hints anywhere remain the
   * fixed-cardinality nation/region dims (none needed here).
+  *
+  * The second block completes the remaining classic shapes (q2/q8/q9/
+  * q11/q15/q16/q17/q21) ADAPTED to the available schema: the testdata
+  * carries no `partsupp` table and no receipt/commit dates, so the
+  * part↔supplier relation is derived as `DISTINCT (l_partkey,
+  * l_suppkey)` from lineitem (exactly what partsupp records — who
+  * supplies what; at deployment scale this one-shuffle distinct would
+  * be materialized once as a bucketed table, see FormatIO.bucketed),
+  * `s_acctbal` stands in for `ps_supplycost` in min-cost ranking,
+  * `p_retailprice` anchors the profit formula, and "late" is
+  * `l_shipdate > o_orderdate + 60 days` in place of the
+  * receipt-vs-commit comparison. The optimizer/execution pattern each
+  * query exists to exercise — correlated min over a derived relation
+  * (q2), share-of-filtered-total by year (q8), multi-dim profit rollup
+  * (q9), HAVING-vs-scalar-subquery group screen (q11), argmax-by-
+  * scalar-subquery over an aggregated view (q15), NOT-IN screened
+  * count-distinct rollup (q16), correlated-average quantity gate
+  * (q17), and the exists/not-exists double correlation (q21) — is
+  * preserved unchanged.
   */
 object RelationalTpch {
+
+  /** Exact scale-4 decimal revenue term: price and discount are true
+    * 2-decimal values, so decimal casts recover them exactly and the
+    * product/sum is exact and order-independent across engines (the
+    * q10 lesson — float sums flip rounded cents with association
+    * order). Used by every new shape whose output or FILTER depends on
+    * a revenue sum. */
+  private def revenueDec: Column =
+    col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(BigDecimal("1.00")) - col("l_discount").cast("decimal(4,2)"))
+
+  /** The partsupp surrogate: who supplies what, derived from shipment
+    * history. One distinct (= one shuffle on the pair key); at scale
+    * this is materialized once as a bucketed table and reused. */
+  private def partSupp(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
 
   /** TPC-H Q4 shape: per-priority count of orders having at least one
     * lineitem shipped > 30 days after the order date — EXISTS as a
@@ -166,5 +203,234 @@ object RelationalTpch {
       .agg(count(lit(1)).as("numcust"),
         round(sum(col("c_acctbal")), 2).as("totacctbal"))
       .orderBy(col("c_nationkey"))
+  }
+
+  /** TPC-H Q2 shape: min-cost supplier — for each qualifying part, the
+    * EUROPE supplier(s) with the minimum account balance among those
+    * who supply it (correlated MIN over the derived part↔supplier
+    * relation). The correlated subquery becomes a keyed window min —
+    * one pass over the joined relation, no re-join against a second
+    * aggregate. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(spark, dir).filter(col("r_name") === "EUROPE")
+    val eligible = partSupp(spark, dir)
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_name"))
+    // equality against the window min selects an EXISTING double value,
+    // so the comparison is exact on both engines (no arithmetic on it)
+    p.join(eligible, col("p_partkey") === col("l_partkey"))
+      .withColumn("min_bal",
+        min(col("s_acctbal")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("s_acctbal") === col("min_bal"))
+      .select(round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"),
+        col("n_name"), col("p_partkey"), col("p_name"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q8 shape: national market share — NATION_5's slice of the
+    * AFRICA-customer STANDARD-part market by order year. Numerator and
+    * denominator live in ONE aggregation (conditional sum), exact
+    * decimal partials so the share boundary can't wobble with
+    * summation order; the ratio is rounded only at the edge. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val supNation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val custNation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val r = Tables.region(spark, dir).filter(col("r_name") === "AFRICA")
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supNation), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_5", revenueDec)
+          .otherwise(lit(BigDecimal("0.00")))).cast("double") /
+          sum(revenueDec).cast("double"), 4).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape: product-line profit by supplier nation and year.
+    * No ps_supplycost in the schema, so cost = 10% of retail price ×
+    * quantity — the SHAPE (profit expression spanning three tables,
+    * LIKE-filtered part dimension, nation × year rollup) is what
+    * matters. Exact decimal terms: retailprice is 2-decimal and
+    * quantity integral, so the scale-4 partials stay exact. */
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val amount = revenueDec -
+      col("p_retailprice").cast("decimal(12,2)") *
+        col("l_quantity").cast("decimal(4,1)") * lit(BigDecimal("0.1"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir)
+        .filter(col("p_name").like("%widget%")).select(col("p_partkey"),
+          col("p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape: important parts — group screen against a scalar
+    * derived from the SAME aggregation (keep parts whose value exceeds
+    * 2× the average part value; TPC-H's fixed fraction is 1/SF-scaled
+    * for the same reason — a constant fraction degenerates as part
+    * count grows, so the screen is expressed scale-free). The
+    * threshold rides as a broadcast scalar; the comparison is
+    * exact-decimal via cross-multiplication (sum × n_parts >
+    * 2 × total — no division anywhere), so group membership is
+    * deterministic across engines — the q10 midpoint lesson applied to
+    * a FILTER instead of an output. */
+  def importantParts(spark: SparkSession, dir: String,
+      nationName: String = "NATION_3"): DataFrame = {
+    val n = Tables.nation(spark, dir).filter(col("n_name") === nationName)
+      .select(col("n_nationkey"))
+    val scoped = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey"), revenueDec.as("val"))
+    val perPart = scoped.groupBy(col("l_partkey"))
+      .agg(sum(col("val")).as("part_val"))
+    val stats = perPart.agg(sum(col("part_val")).as("total"),
+      count(lit(1)).as("n_parts"))
+    perPart.join(broadcast(stats))
+      .filter(col("part_val") * col("n_parts") > col("total") * 2)
+      .select(col("l_partkey"),
+        col("part_val").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q15 shape: top supplier — revenue-per-supplier view over a
+    * quarter, then the supplier(s) whose revenue EQUALS the view's max
+    * (scalar subquery over an aggregate). Exact decimal sums make the
+    * argmax unambiguous; the max is matched by equality on the exact
+    * value, never on a rounded echo. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenueDec).as("total_revenue"))
+    val best = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    revenue.join(broadcast(best))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q16 shape: supplier counts per part attribute — NOT-IN
+    * screened (suppliers with negative balance stand in for the
+    * complaints LIKE), count(DISTINCT supplier) rolled up over brand ×
+    * type × size. The NOT IN is a left-anti against a tiny side; the
+    * distinct count shuffles once on the group key. */
+  def supplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    partSupp(spark, dir)
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q17 shape: small-quantity revenue — lines below 20% of
+    * their part's average quantity (correlated AVG becomes a keyed
+    * window average; quantities are integral doubles so the per-part
+    * mean is bit-identical on both engines). One row out. */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(Tables.part(spark, dir)
+        .filter(col("p_brand") === "Brand#2" && col("p_type") === "MEDIUM")
+        .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty",
+        avg(col("l_quantity")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double") / 7.0, 2).as("avg_yearly"))
+
+  /** TPC-H Q21 shape: suppliers who kept waiting — the double
+    * correlation. For NATION_7 suppliers' late lines (shipped > 60
+    * days after order) on finished multi-supplier orders: EXISTS
+    * another supplier on the order (left-semi), NOT EXISTS another
+    * LATE supplier on it (left-anti; the anti condition reads
+    * o_orderdate off the probe row — both joins keep their equi key,
+    * so neither degrades to a nested loop). */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val n = Tables.nation(spark, dir).filter(col("n_name") === "NATION_7")
+      .select(col("n_nationkey"))
+    val l1 = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(late)
+      .join(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+    val l2 = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("l2_orderkey"),
+        col("l_suppkey").as("l2_suppkey"))
+    val l3 = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("l3_orderkey"),
+        col("l_suppkey").as("l3_suppkey"),
+        col("l_shipdate").as("l3_shipdate"))
+    l1.join(l2, col("l2_orderkey") === col("l_orderkey") &&
+        col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("l3_orderkey") === col("l_orderkey") &&
+        col("l3_suppkey") =!= col("l_suppkey") &&
+        col("l3_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
   }
 }

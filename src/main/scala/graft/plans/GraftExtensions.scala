@@ -76,6 +76,10 @@ object GraftFunctionRegistry {
       "outer_product_sum(v, dim) - upper-triangular sum of outer products"),
       (es: Seq[Expression]) => OuterProductSum(es(0),
         es(1).eval().asInstanceOf[Int])),
+    ("kmv_sketch", info("kmv_sketch",
+      "kmv_sketch(xxhash64_key, k) - bottom-k distinct sketch (supports intersection, unlike HLL)"),
+      (es: Seq[Expression]) => KmvSketch(es(0),
+        es(1).eval().asInstanceOf[Int])),
     ("heavy_hitters", info("heavy_hitters",
       "heavy_hitters(item, k) - Misra-Gries heavy-hitter summary of capacity k"),
       (es: Seq[Expression]) => HeavyHitters(es(0),

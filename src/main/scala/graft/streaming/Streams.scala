@@ -573,6 +573,64 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class KeyedItem(key: String, item: String)
+  case class DistinctEstimate(key: String, estimate: Double, saturated: Boolean)
+
+  /** Streaming per-key DISTINCT estimation — the streaming twin of the
+    * batch `kmv_sketch` aggregate (graft.functions.KmvSketch), holding
+    * the same bottom-k sketch as ValueState: ≤ k longs per key FOREVER,
+    * regardless of stream length or key cardinality. Because the k
+    * smallest hashes of a multiset don't depend on arrival order, batch
+    * boundaries are invisible BY ALGEBRA (no replay-order discipline
+    * needed, unlike the MG processor): any split of the stream yields
+    * the state a single batch would, and the estimate at every prefix
+    * equals the batch aggregate over that prefix — exact (and emitted
+    * as a whole number) until the key exceeds k distinct items, ~1/√k
+    * relative error after. The same hash (xxhash64, seed 42) as the
+    * batch side, so persisted batch sketches and streaming state are
+    * interchangeable. */
+  class KmvDistinctProcessor(k: Int)
+      extends StatefulProcessor[String, KeyedItem, DistinctEstimate] {
+    @transient private var state: ValueState[Array[Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Array[Long]]("kmv",
+        Encoders.kryo[Array[Long]], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[KeyedItem],
+        timers: TimerValues): Iterator[DistinctEstimate] = {
+      // sign-flipped hashes: natural order == unsigned order (the same
+      // encoding the batch aggregate's TreeSet buffer uses)
+      val buf = new java.util.TreeSet[java.lang.Long]()
+      if (state.exists) state.get().foreach(buf.add(_))
+      rows.foreach { r =>
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(org.apache.spark.unsafe.types.UTF8String.fromString(r.item),
+            org.apache.spark.sql.types.StringType, 42L) ^ Long.MinValue
+        if (buf.size < k) { buf.add(h); () }
+        else if (h < buf.last()) { if (buf.add(h)) { buf.pollLast(); () } }
+      }
+      val arr = new Array[Long](buf.size)
+      val it = buf.iterator(); var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      state.update(arr)
+      val est =
+        if (arr.length < k) arr.length.toDouble
+        else {
+          // theta = unsigned(kth smallest) / 2^64; estimate = (k-1)/theta
+          val theta = (arr(k - 1).toDouble / 1.8446744073709552e19) + 0.5
+          (k - 1) / theta
+        }
+      Iterator.single(DistinctEstimate(key, est, arr.length >= k))
+    }
+  }
+
+  def distinctEstimateStream(spark: SparkSession, items: Dataset[KeyedItem],
+      k: Int = 256): Dataset[DistinctEstimate] = {
+    import spark.implicits._
+    items.groupByKey(_.key)
+      .transformWithState(new KmvDistinctProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming near-dup detection against the PERSISTED MinHash band
     * index ([[graft.operators.Dedup.buildMinhashIndex]]): each
     * micro-batch of arriving documents probes the bucketed corpus
@@ -591,6 +649,66 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.Dedup.probeMinhashIndex(spark, indexName, batch)
           .write.mode("append").parquet(outPath)
+      }
+      .start()
+
+  /** Streaming COMPONENT-LABEL maintenance — the label-level completion
+    * of the streaming dedup story: [[indexProbeStream]] turns arriving
+    * docs into candidate PAIRS; this stream folds an edge stream into a
+    * persistent (id, component) labels snapshot via
+    * `Graph.incrementalComponents`, so "which duplicate GROUP is this
+    * doc in" is answerable at any instant without a full recompute.
+    *
+    * Why foreachBatch and not transformWithState: connected components
+    * is a GLOBAL fixpoint — an edge arriving under one key can relabel
+    * nodes held under any other key, so per-key state (the
+    * transformWithState contract) cannot express the merge without
+    * funneling every edge through one key (a single-partition
+    * bottleneck by construction). Per-batch incremental CC keeps the
+    * work distributed AND bounded: each wave costs O(blast radius of
+    * the batch's edges), untouched components pass through unread —
+    * the same math as the batch ingest path, driven by the stream.
+    *
+    * The labels snapshot uses the [[upsertSink]] staging+swap protocol
+    * (a complete copy exists on disk at every instant; interrupted
+    * swaps self-heal; replayed batches re-derive the same snapshot, so
+    * the sink stays idempotent). */
+  def componentStream(edges: DataFrame, labelsPath: String,
+      checkpointPath: String, srcCol: String = "src", dstCol: String = "dst")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        import org.apache.hadoop.fs.Path
+        val snap = new Path(labelsPath)
+        val staging = new Path(labelsPath + ".staging")
+        val backup = new Path(labelsPath + ".backup")
+        val fs = snap.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        def renameOrFail(from: Path, to: Path): Unit =
+          require(fs.rename(from, to), s"rename $from -> $to failed")
+        def deleteOrFail(p: Path): Unit =
+          require(fs.delete(p, true), s"delete $p failed")
+        if (!fs.exists(snap) && fs.exists(staging)) renameOrFail(staging, snap)
+        if (!fs.exists(snap) && fs.exists(backup)) renameOrFail(backup, snap)
+        val old =
+          if (fs.exists(snap)) sp.read.parquet(labelsPath)
+          else sp.createDataFrame(
+            sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("component",
+                org.apache.spark.sql.types.LongType))))
+        graft.operators.Graph
+          .incrementalComponents(old, batch, srcCol, dstCol)
+          .write.mode("overwrite").parquet(staging.toString)
+        if (fs.exists(backup)) deleteOrFail(backup)
+        if (fs.exists(snap)) renameOrFail(snap, backup)
+        renameOrFail(staging, snap)
+        if (fs.exists(backup)) deleteOrFail(backup)
+        ()
       }
       .start()
 

@@ -147,4 +147,81 @@ class AggregatesSpec extends AnyFunSuite {
     assert(got.sameElements(exact),
       "MG recall guarantee must make the two-pass result exact")
   }
+
+  test("kmv sketch: exact below saturation, order-independent across partitionings") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => ("g", s"key_$i")).toDF("g", "k")
+    def sketch(parts: Int): Seq[Long] =
+      df.repartition(parts)
+        .groupBy("g").agg(Aggregates.kmvSketch(col("k"), 1024).as("sk"))
+        .select(graft.functions.Sketches.kmvEstimate(col("sk"), 1024).as("est"),
+          col("sk"))
+        .collect().map { r =>
+          assert(r.getDouble(0) == 500.0,
+            "unsaturated sketch must count exactly")
+          r.getSeq[Long](1)
+        }.head
+    val s1 = sketch(1)
+    val s16 = sketch(16)
+    assert(s1 == s16,
+      "the k smallest hashes are order-independent, so the sketch must be " +
+        "bit-identical under any partitioning")
+  }
+
+  test("kmv sketch: saturated estimate and intersection within KMV error bounds") {
+    import spark.implicits._
+    val n = 20000
+    // A = [0, 20000), B = [10000, 30000) → |A∩B| = 10000, |A∪B| = 30000
+    val a = (0 until n).map(i => ("a", s"user_$i"))
+    val b = (n / 2 until n / 2 + n).map(i => ("b", s"user_$i"))
+    val df = (a ++ b).toDF("g", "k")
+    val k = 256
+    val row = graft.operators.Federation.groupOverlap(df, "g", "k", k)
+      .collect().head
+    val (ka, kb, ov, jac) = (row.getLong(2), row.getLong(3), row.getLong(4),
+      row.getDouble(5))
+    // standard KMV relative error ~ 1/sqrt(k) ≈ 6%; assert 4 sigma
+    assert(math.abs(ka - n).toDouble / n < 0.25, s"keys_a=$ka")
+    assert(math.abs(kb - n).toDouble / n < 0.25, s"keys_b=$kb")
+    assert(math.abs(ov - n / 2).toDouble / (n / 2) < 0.35, s"overlap=$ov")
+    assert(math.abs(jac - 1.0 / 3.0) < 0.15, s"jaccard=$jac")
+  }
+
+  test("kmv sketch: SQL registration builds the same sketch as the Column API") {
+    import spark.implicits._
+    graft.plans.GraftFunctionRegistry.registerAll(spark)
+    val df = (0 until 300).map(i => s"k$i").toDF("k")
+    df.createOrReplaceTempView("kmv_in")
+    val viaSql = spark.sql(
+      "SELECT kmv_sketch(xxhash64(k), 64) AS sk FROM kmv_in")
+      .collect().head.getSeq[Long](0)
+    val viaCol = df.agg(Aggregates.kmvSketch(col("k"), 64).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(viaSql == viaCol)
+  }
+
+  test("audience overlap query equals exact distinct-join recomputation") {
+    val got = SparkEntry.queries("q_audience_overlap")(spark, sf)
+      .collect().map(_.toString)
+    val au = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct()
+    val cnt = au.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    val inter = au.select(col("event_type").as("ga"), col("user_id"))
+      .join(au.select(col("event_type").as("gb"), col("user_id")), "user_id")
+      .filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("ov"))
+    val exact = cnt.select(col("event_type").as("ga"), col("c").as("ca"))
+      .join(cnt.select(col("event_type").as("gb"), col("c").as("cb")),
+        col("ga") < col("gb"))
+      .join(inter, Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"), col("ca"), col("cb"),
+        coalesce(col("ov"), lit(0L)).as("ov"),
+        round(coalesce(col("ov"), lit(0L)).cast("double") /
+          (col("ca") + col("cb") - coalesce(col("ov"), lit(0L))), 4)
+          .as("jaccard"))
+      .orderBy(col("ga"), col("gb"))
+      .collect().map(_.toString)
+    assert(got.sameElements(exact),
+      "unsaturated KMV sketches must reproduce exact overlap counts")
+  }
 }

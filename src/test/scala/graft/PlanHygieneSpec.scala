@@ -17,14 +17,19 @@ class PlanHygieneSpec extends AnyFunSuite {
   // q_unigram_logprob / q_tfidf / q_bm25 / q_source_mix cross-join a
   // 1-row broadcast (corpus-total / doc-count / avgdl / mix-cap scalars
   // attached lazily instead of a driver round trip)
-  // q_pmi_collocations / q_bigram_logprob / q22_dormant join 1-row
-  // broadcast scalars (corpus totals / screening threshold) — the same
+  // q_pmi_collocations / q_bigram_logprob / q22_dormant /
+  // q11_important_parts join 1-row broadcast scalars (corpus totals /
+  // screening threshold / part-value total) — the same
   // lazily-attached-scalar class as q_unigram_logprob
+  // q_audience_overlap pairs per-GROUP KMV sketches (|event types|
+  // rows, not |events|) — the same tiny-aggregated-side class as
+  // q_source_similarity
   private val nestedLoopAllowed = Set(
     "q_embed_neardup", "q_ann_bruteforce", "q_set_ops", "q_source_similarity",
     "q_media_neighbors", "q_status_matrix", "q_unigram_logprob",
     "q_tfidf", "q_bm25", "q_source_mix",
-    "q_pmi_collocations", "q_bigram_logprob", "q22_dormant")
+    "q_pmi_collocations", "q_bigram_logprob", "q22_dormant",
+    "q11_important_parts", "q_audience_overlap")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>

@@ -698,4 +698,90 @@ class StreamingSpec extends AnyFunSuite {
       case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming kmv distinct estimates equal the batch sketch at every " +
+    "split, exact below saturation") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val k = 256
+      // key "big": 400 distinct (saturates k=256); key "small": 50 (exact)
+      val big = (0 until 400).map(i => Streams.KeyedItem("big", s"item_$i"))
+      val small = (0 until 50).map(i => Streams.KeyedItem("small", s"s_$i"))
+      // interleave + duplicates, split across three micro-batches
+      val all = scala.util.Random.shuffle(big ++ small ++ big.take(100))
+      val (b1, rest) = all.splitAt(all.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      val input = MemoryStream[Streams.KeyedItem]
+      val q = Streams.distinctEstimateStream(sp, input.toDS(), k)
+        .writeStream.format("memory").queryName("kmv_out")
+        .outputMode("update").start()
+      Seq(b1, b2, b3).foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = sp.sql("SELECT * FROM kmv_out").collect()
+        .groupBy(_.getString(0)).map { case (key, rs) => key -> rs.last }
+      q.stop()
+      val batch = (big ++ small).toDF("key", "item")
+        .groupBy(col("key"))
+        .agg(graft.functions.Aggregates.kmvSketch(col("item"), k).as("sk"))
+        .select(col("key"),
+          graft.functions.Sketches.kmvEstimate(col("sk"), k).as("est"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(streamed("small").getDouble(1) == 50.0 &&
+        !streamed("small").getBoolean(2),
+        "unsaturated key must be exact")
+      assert(streamed("big").getBoolean(2), "big key must saturate")
+      // order-independence: the streamed sketch IS the batch sketch, so
+      // the estimates must agree exactly, not approximately
+      assert(streamed("big").getDouble(1) == batch("big"),
+        s"stream ${streamed("big").getDouble(1)} vs batch ${batch("big")}")
+      assert(streamed("small").getDouble(1) == batch("small"))
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming component labels merge across micro-batches and equal " +
+    "the batch recompute") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val labels = java.nio.file.Files.createTempDirectory("graft-cc").toString + "/l"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ck").toString
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.componentStream(input.toDF().toDF("src", "dst"),
+      labels, ckpt)
+    def snapshot(): Map[Long, Long] = sp.read.parquet(labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    input.addData((1L, 2L), (3L, 4L))
+    q.processAllAvailable()
+    assert(snapshot() == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // (2,3) must MERGE two components born in the previous batch — the
+    // cross-key relabel transformWithState can't express
+    input.addData((5L, 6L), (2L, 3L))
+    q.processAllAvailable()
+    assert(snapshot() == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L))
+    // self-loop-only arrival = singleton; (6,1) chains everything else
+    input.addData((7L, 7L), (6L, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val got = snapshot()
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 6L -> 1L, 7L -> 7L), s"unexpected labels: $got")
+    // parity: the maintained snapshot equals a from-scratch batch
+    // recompute over every edge that ever arrived (minus the
+    // self-loop-only singleton, which batch CC never sees)
+    val allEdges = Seq((1L, 2L), (3L, 4L), (5L, 6L), (2L, 3L), (6L, 1L))
+      .toDF("src", "dst")
+    val batchCC = graft.operators.Graph
+      .connectedComponents(allEdges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got - 7L == batchCC,
+      "streamed labels must equal the batch fixpoint")
+  }
 }
