@@ -75,6 +75,9 @@ object SparkEntry {
     "q_cdc_diff" -> (Temporal.cdcDiff _),
     "q_time_bucket" -> (Temporal.timeBucket _),
     "q_json_extract" -> (Temporal.jsonExtract _),
+    "q_gap_fill" -> (Temporal.gapFill _),
+    "q_triangle_count" -> ((s: SparkSession, d: String) =>
+      Graph.coorderTriangles(s, d)),
     // §2a reference-derived
     "q_meta_extract" -> (Clif.metaExtract _),
     "q_meta_typed" -> (Clif.metaTypedOracle _),
@@ -579,6 +582,50 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1
         |ORDER BY prop_k""".stripMargin,
+    "q_gap_fill" ->
+      """WITH m AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CASE WHEN o_orderkey % 4 <> 0 THEN o_totalprice END AS v,
+        |    CAST(date_part('epoch', o_orderdate) AS DOUBLE) AS x
+        |  FROM orders),
+        |f AS (
+        |  SELECT o_custkey, o_orderkey, v, x,
+        |    last_value(v IGNORE NULLS) OVER w_back AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+        |      OVER w_back AS px,
+        |    first_value(v IGNORE NULLS) OVER w_fwd AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+        |      OVER w_fwd AS nx
+        |  FROM m
+        |  WINDOW
+        |    w_back AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w_fwd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT o_custkey, o_orderkey, v AS observed, pv AS ffill,
+        |  round(CASE WHEN px IS NULL THEN nv WHEN nx IS NULL THEN pv
+        |        WHEN nx = px THEN pv
+        |        ELSE pv + (nv - pv) * ((x - px) / (nx - px)) END, 4) AS interp
+        |FROM f ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_triangle_count" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT a.p AS u, b.p AS v FROM op a JOIN op b
+        |       ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT p, count(*) AS d FROM
+        |        (SELECT u AS p FROM e0 UNION ALL SELECT v AS p FROM e0) GROUP BY p),
+        |ori AS (SELECT
+        |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+        |       THEN e0.u ELSE e0.v END AS s,
+        |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+        |       THEN e0.v ELSE e0.u END AS t
+        |  FROM e0 JOIN deg du ON e0.u = du.p JOIN deg dv ON e0.v = dv.p),
+        |tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |        FROM ori e1 JOIN ori e2 ON e1.t = e2.s
+        |        JOIN ori e3 ON e3.s = e1.s AND e3.t = e2.t)
+        |SELECT p, count(*) AS n_tri
+        |FROM (SELECT a AS p FROM tri UNION ALL SELECT b AS p FROM tri
+        |      UNION ALL SELECT c AS p FROM tri)
+        |GROUP BY p ORDER BY n_tri DESC, p LIMIT 20""".stripMargin,
     "q_meta_extract" ->
       """SELECT doc_id,
         | split_part(text, chr(10), 1) AS title,

@@ -217,4 +217,74 @@ object Graph {
     pagerank(Dedup.minhashPairs(spark, dir), "doc_a", "doc_b")
       .select(col("id").as("doc_id"), round(col("pr"), 6).as("centrality"))
       .orderBy(col("doc_id"))
+
+  /** Triangle participation over the co-purchase graph by DEGREE-ORDERED
+    * orientation — the join-based formulation that survives scale.
+    * Graph: parts are nodes; an edge connects parts co-ordered in ≥
+    * `minWeight` distinct orders (the weight prune is the density
+    * lever: it strips one-off co-occurrence noise AND keeps the edge
+    * set tracking genuinely-associated pairs rather than growing with
+    * raw order volume). Counting: orient every edge from its
+    * lower-degree endpoint (ties by id) and count directed paths
+    * a→b→c closed by a→c. Orientation is WHY this scales: max
+    * out-degree after degree-orientation is O(√m), so the wedge join
+    * emits O(m^1.5) candidates worst-case instead of Σdeg² — the
+    * classical bound that makes triangle counting a pair of equi-joins
+    * at any graph size, never a nested loop. Pair generation is
+    * row-local (sorted combinations inside each order's part set —
+    * order baskets are bounded small), so the whole operator is
+    * 3 keyed shuffles: basket build, edge weight count, degree join;
+    * the wedge/closure joins run over the weight-pruned edge list,
+    * which is materialized once (tiny by construction) instead of
+    * re-deriving the basket lineage three times. */
+  /** Per-node triangle participation of an undirected simple graph
+    * (edges deduplicated, u ≠ v assumed) — the degree-orientation
+    * counting core shared by [[coorderTriangles]] and the spec's
+    * synthetic graphs. */
+  def triangleParticipation(edges: DataFrame, uCol: String,
+      vCol: String): DataFrame = {
+    val e0 = edges.select(
+      least(col(uCol), col(vCol)).as("u"),
+      greatest(col(uCol), col(vCol)).as("v")).distinct()
+    val deg = e0.select(col("u").as("p")).unionByName(e0.select(col("v").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+    // materialized once: three joins below reuse it, and its true
+    // (tiny) size lets AQE broadcast the wedge-closure probes
+    val ori = e0
+      .join(deg.select(col("p").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("p").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+      .localCheckpoint()
+    val wedges = ori.select(col("s").as("a"), col("t").as("b"))
+      .join(ori.select(col("s").as("b"), col("t").as("c")), Seq("b"))
+    val tri = wedges.join(ori.select(col("s").as("a"), col("t").as("c")),
+      Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  def coorderTriangles(spark: SparkSession, dir: String,
+      minWeight: Int = 2): DataFrame = {
+    val op = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val pairs = op.groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val e0 = pairs.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minWeight)
+      .select(col("u"), col("v"))
+    triangleParticipation(e0, "u", "v")
+      .orderBy(col("n_tri").desc, col("p")).limit(20)
+  }
 }

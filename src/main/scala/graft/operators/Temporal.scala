@@ -209,4 +209,50 @@ object Temporal {
       .groupBy(col("prop_k"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("prop_k"))
+
+  /** Time-series gap fill: forward-fill AND linear interpolation of a
+    * sparse per-key series, the resample/imputation step every
+    * training-data feature pipeline needs before model-ready export.
+    * The series is the per-customer order-value sequence with a
+    * deterministic 25% mask (o_orderkey % 4 == 0 → null) so both
+    * engines reconstruct the identical gaps. Both fills are keyed
+    * window functions — ONE shuffle on the series key, frames never
+    * leave the key partition, so cost scales with series length ×
+    * key cardinality exactly like `sessionize`. Forward fill is
+    * last(ignoreNulls) over the trailing frame; interpolation brackets
+    * each gap with (last prior, first following) observations and their
+    * epoch-second x-coordinates — pure scalar IEEE arithmetic after the
+    * windows, bit-identical across engines because no aggregation
+    * reorders it (the q10 lesson: sums wobble, scalar expressions
+    * don't). Leading/trailing gaps degrade to back/forward fill;
+    * all-null keys stay null — both cases are part of the oracle
+    * contract. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val back = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = byCust.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val masked = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        when(col("o_orderkey") % 4 =!= 0, col("o_totalprice")).as("v"),
+        unix_timestamp(col("o_orderdate")).cast("double").as("x"))
+    masked
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("px",
+        last(when(col("v").isNotNull, col("x")), ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nx",
+        first(when(col("v").isNotNull, col("x")), ignoreNulls = true).over(fwd))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("v").as("observed"),
+        col("pv").as("ffill"),
+        round(
+          when(col("px").isNull, col("nv"))
+            .when(col("nx").isNull, col("pv"))
+            .when(col("nx") === col("px"), col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("x") - col("px")) / (col("nx") - col("px")))), 4)
+          .as("interp"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
 }

@@ -135,4 +135,39 @@ class GraphSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("triangle participation: K4 closed form, robust to duplicate and " +
+      "reversed input edges") {
+    // K4: C(4,3) = 4 triangles, every node sits in C(3,2) = 3 of them.
+    // Feed each edge twice, once reversed — the canonicalize+distinct
+    // prologue must collapse them.
+    val k4 = (for {
+      i <- 0 to 3; j <- 0 to 3 if i < j
+    } yield (i.toLong, j.toLong)).flatMap(e => Seq(e, e.swap))
+    val got = graft.operators.Graph
+      .triangleParticipation(k4.toDF("u", "v"), "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"got $got")
+  }
+
+  test("triangle participation: degree-oriented count equals brute-force " +
+      "all-triples on a deterministic irregular graph") {
+    // nodes 0..19, edge iff (i*7 + j*13) % 5 == 0 — irregular degrees so
+    // the orientation actually flips edges both ways
+    val edges = for {
+      i <- 0L until 20L; j <- 0L until 20L
+      if i < j && (i * 7 + j * 13) % 5 == 0
+    } yield (i, j)
+    val adj = edges.toSet
+    def connected(a: Long, b: Long) = adj((a min b, a max b))
+    val brute = (for {
+      a <- 0L until 20L; b <- a + 1 until 20L; c <- b + 1 until 20L
+      if connected(a, b) && connected(b, c) && connected(a, c)
+      n <- Seq(a, b, c)
+    } yield n).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Graph
+      .triangleParticipation(edges.toDF("u", "v"), "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute, s"oriented $got vs brute $brute")
+  }
 }

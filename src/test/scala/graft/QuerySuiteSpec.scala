@@ -385,4 +385,36 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(got.sorted.sameElements(expected),
       "TakeOrdered top-n must equal the driver-side E-S ranking")
   }
+
+  test("gap fill: observed rows pass through, fills stay inside the " +
+      "customer's observed envelope, nulls only on all-null keys") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Temporal.gapFill(spark, sf).collect()
+    val orders = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.length == orders, "gap fill must be row-preserving")
+    val byCust = rows.groupBy(_.getLong(0))
+    byCust.foreach { case (cust, rs) =>
+      val observed = rs.filter(!_.isNullAt(2)).map(_.getDouble(2))
+      rs.foreach { r =>
+        if (!r.isNullAt(2)) {
+          // an observed point must carry itself through both fills
+          assert(r.getDouble(3) == r.getDouble(2),
+            s"cust $cust ffill rewrote an observed value")
+          assert(math.abs(r.getDouble(4) - r.getDouble(2)) < 1e-4,
+            s"cust $cust interp rewrote an observed value")
+        }
+        if (observed.isEmpty) {
+          assert(r.isNullAt(3) && r.isNullAt(4),
+            s"cust $cust has no observations but a fill appeared")
+        } else if (!r.isNullAt(4)) {
+          // interpolation/edge fill cannot leave the convex hull of
+          // the key's observations
+          assert(r.getDouble(4) >= observed.min - 1e-4 &&
+            r.getDouble(4) <= observed.max + 1e-4,
+            s"cust $cust interp ${r.getDouble(4)} escapes " +
+              s"[${observed.min}, ${observed.max}]")
+        }
+      }
+    }
+  }
 }
