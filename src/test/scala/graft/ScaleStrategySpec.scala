@@ -25,7 +25,13 @@ class ScaleStrategySpec extends AnyFunSuite {
     "q4_priority_exists", "q7_volume_shipping", "q10_returned_items",
     "q12_priority_case", "q14_promo_share", "q19_disjunctive",
     "q22_dormant", "q_jaccard_prefix", "q_pmi_collocations",
-    "q_vocab_coverage", "q_bigram_logprob", "q_robust_outliers")
+    "q_vocab_coverage", "q_bigram_logprob", "q_robust_outliers",
+    // round-4, third batch: the remaining TPC-H shapes + the new
+    // graph/time-series operators
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q15_top_supplier", "q16_supplier_counts",
+    "q17_small_qty", "q21_waiting_suppliers", "q_triangle_count",
+    "q_audience_overlap")
 
   /** Queries whose big-table joins carry no broadcast hint: with the
     * auto-threshold disabled their plans MUST contain a shuffle join.
@@ -41,7 +47,15 @@ class ScaleStrategySpec extends AnyFunSuite {
     "q_contamination", "q_retention", "q_interval_overlap",
     "q4_priority_exists", "q7_volume_shipping", "q10_returned_items",
     "q12_priority_case", "q14_promo_share", "q19_disjunctive",
-    "q22_dormant", "q_bigram_logprob")
+    "q22_dormant", "q_bigram_logprob",
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q15_top_supplier", "q16_supplier_counts", "q17_small_qty",
+    "q21_waiting_suppliers")
+  // (q_triangle_count joins run over the weight-pruned edge list behind
+  // a localCheckpoint — broadcast-sized by construction at any corpus
+  // scale; q11_important_parts / q_audience_overlap join only 1-row /
+  // |groups|-row scalars — RESULT parity is the meaningful assertion
+  // for those three)
   // (q_dup_centrality sits in joinQueries for RESULT parity only: its
   // iteration joins execute eagerly behind localCheckpoint, so the
   // returned frame's plan is a checkpoint scan with no join node to
