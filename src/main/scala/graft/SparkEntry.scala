@@ -78,6 +78,7 @@ object SparkEntry {
     "q_gap_fill" -> (Temporal.gapFill _),
     "q_triangle_count" -> ((s: SparkSession, d: String) =>
       Graph.coorderTriangles(s, d)),
+    "q_edit_join" -> (Dedup.editNeighbors _),
     // §2a reference-derived
     "q_meta_extract" -> (Clif.metaExtract _),
     "q_meta_typed" -> (Clif.metaTypedOracle _),
@@ -607,6 +608,14 @@ object SparkEntry {
         |        WHEN nx = px THEN pv
         |        ELSE pv + (nv - pv) * ((x - px) / (nx - px)) END, 4) AS interp
         |FROM f ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_edit_join" ->
+      """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        | CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY key_a, key_b""".stripMargin,
     "q_triangle_count" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS (SELECT a.p AS u, b.p AS v FROM op a JOIN op b

@@ -406,4 +406,48 @@ object Dedup {
           / count(lit(1)), 4).as("dup_share"))
       .orderBy(col("doc_id"))
   }
+
+  /** EDIT-DISTANCE similarity self-join (τ = 1) by SYMMETRIC DELETION
+    * (the SymSpell scheme): every string emits itself plus each of its
+    * single-character-deletion variants as join keys; two strings
+    * within edit distance 1 MUST share a key (substitution at i →
+    * both delete position i; insertion/deletion → the shorter string
+    * IS a deletion variant of the longer; equality → the identity
+    * key), so candidate generation is a plain equi-join — lossless by
+    * pigeonhole, recall 1.0 — and `levenshtein` verifies candidates
+    * exactly. Compare PassJoin-style segment indexing: on keys with a
+    * long SHARED prefix (IDs, URLs, padded codes — exactly what
+    * real-world entity keys look like) the constant segment puts every
+    * row in one bucket and the join degenerates quadratic, while
+    * deletion variants keep buckets near-dup-sized BECAUSE a shared
+    * variant already implies the pair is one edit apart modulo
+    * verification. Cost: (len+1) keys per row — linear expansion, one
+    * equi-join shuffle, no pair enumeration stage anywhere; bucket
+    * skew tracks true duplicate mass, the same property the MinHash
+    * band join relies on. */
+  def editJoin(df: DataFrame, keyCol: String, strCol: String): DataFrame = {
+    val keyed = df.select(col(keyCol).as("k"), col(strCol).as("s"))
+      .select(col("k"), col("s"), explode(expr(
+        // variant 0 = the string itself; variant i = s with char i removed
+        "array_union(array(s), transform(sequence(1, length(s)), " +
+          "i -> concat(substring(s, 1, i - 1), substring(s, i + 1))))"))
+        .as("variant"))
+    val a = keyed.select(col("k").as("key_a"), col("s").as("s_a"), col("variant"))
+    val b = keyed.select(col("k").as("key_b"), col("s").as("s_b"), col("variant"))
+    a.join(b, Seq("variant"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        levenshtein(col("s_a"), col("s_b")).as("ed"))
+      .filter(col("ed") <= 1)
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(min(col("ed")).cast("long").as("edit_distance"))
+  }
+
+  /** q_edit_join: customer names within one edit of each other — the
+    * entity-resolution staple (typo'd IDs / names) as a deletion-keyed
+    * equi-join. Oracle = the naive length-banded quadratic verify,
+    * which the lossless candidate generation must reproduce exactly. */
+  def editNeighbors(spark: SparkSession, dir: String): DataFrame =
+    editJoin(Tables.customer(spark, dir), "c_custkey", "c_name")
+      .orderBy(col("key_a"), col("key_b"))
 }

@@ -389,4 +389,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val again = Similarity.semanticDedup(spark, sf, tau = tau).collect()
     assert(out.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("edit join: deletion-keyed candidates equal the naive quadratic " +
+      "on substitutions, insertions, deletions, and duplicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // every edit species at τ=1, plus distance-2 decoys and an exact pair
+    val rows = Seq(
+      (1L, "window"), (2L, "window"),   // substitution
+      (3L, "windw"),                    // deletion of 'o'
+      (4L, "windowx"),                  // insertion at end
+      (5L, "xwindow"),                  // insertion at front
+      (6L, "wandiw"),                   // distance 2 from window — decoy
+      (7L, "window"),                   // exact duplicate of 1
+      (8L, "batch"), (9L, "patch"),     // substitution at position 0
+      (10L, "")                         // empty string edge case
+    ).toDF("id", "s")
+    val got = graft.operators.Dedup.editJoin(rows, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val data = Seq((1L, "window"), (2L, "window"), (3L, "windw"),
+      (4L, "windowx"), (5L, "xwindow"), (6L, "wandiw"), (7L, "window"),
+      (8L, "batch"), (9L, "patch"), (10L, ""))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val naive = (for {
+      (ia, sa) <- data; (ib, sb) <- data
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+    assert(got == naive, s"deletion join $got vs naive $naive")
+    // and on the real table at sf0.001 (the oracle's shape)
+    val real = graft.operators.Dedup.editNeighbors(spark, sf).count()
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey").as("k"), col("c_name").as("s"))
+    val naiveReal = cust.as("a").join(cust.as("b"),
+        col("a.k") < col("b.k") &&
+          abs(length(col("a.s")) - length(col("b.s"))) <= 1 &&
+          levenshtein(col("a.s"), col("b.s")) <= 1)
+      .count()
+    assert(real == naiveReal,
+      s"real-table deletion join $real vs naive $naiveReal")
+  }
 }
