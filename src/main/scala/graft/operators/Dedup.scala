@@ -436,11 +436,16 @@ object Dedup {
     val b = keyed.select(col("k").as("key_b"), col("s").as("s_b"), col("variant"))
     a.join(b, Seq("variant"))
       .filter(col("key_a") < col("key_b"))
-      .select(col("key_a"), col("key_b"),
-        levenshtein(col("s_a"), col("s_b")).as("ed"))
-      .filter(col("ed") <= 1)
+      // collapse multi-variant collisions BEFORE the verify: a pair
+      // sharing v variants must pay ONE levenshtein, not v (the verify
+      // is the CPU hot spot — O(len²) per call); the pair groupBy is a
+      // shuffle of candidate pairs, which the lossless deletion
+      // blocking already bounded near the true output size
       .groupBy(col("key_a"), col("key_b"))
-      .agg(min(col("ed")).cast("long").as("edit_distance"))
+      .agg(first(col("s_a")).as("s_a"), first(col("s_b")).as("s_b"))
+      .select(col("key_a"), col("key_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("edit_distance"))
+      .filter(col("edit_distance") <= 1)
   }
 
   /** q_edit_join: customer names within one edit of each other — the
