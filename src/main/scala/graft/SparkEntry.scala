@@ -40,6 +40,8 @@ object SparkEntry {
     "q_date_funcs" -> (RelationalExt.dateFuncs _),
     "q_weighted_avg" -> (RelationalExt.weightedAvg _),
     "q_stats_agg" -> (RelationalExt.statsAgg _),
+    "q_trend_slope" -> (RelationalExt.trendSlope _),
+    "q_crosstab_chi2" -> (RelationalExt.crosstabChi2 _),
     "q13_custdist" -> (RelationalExt.custDist _),
     "q_multiset_ops" -> (RelationalExt.multisetOps _),
     "q_window_battery" -> (RelationalExt.windowBattery _),
@@ -350,6 +352,41 @@ object SparkEntry {
         |   AND EXISTS (SELECT 1 FROM part
         |     WHERE p_partkey = l_partkey AND p_name LIKE '%a%'))
         |ORDER BY s_suppkey""".stripMargin,
+    "q_trend_slope" ->
+      """WITH xy AS (
+        |  SELECT o_custkey,
+        |    CAST(datediff('day', DATE '2000-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders),
+        |s AS (
+        |  SELECT o_custkey, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM xy GROUP BY o_custkey)
+        |SELECT o_custkey, n,
+        |  round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+        |         CAST(n * sxx - sx * sx AS DOUBLE) END, 6)
+        |    AS slope_cents_per_day
+        |FROM s ORDER BY o_custkey""".stripMargin,
+    "q_crosstab_chi2" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS prio, o_orderstatus AS status,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT prio, sum(n) AS row_n FROM cells GROUP BY prio),
+        |ct AS (SELECT status, sum(n) AS col_n FROM cells GROUP BY status),
+        |g AS (SELECT sum(n) AS grand_n FROM cells),
+        |e AS (
+        |  SELECT cells.prio, cells.status, cells.n,
+        |    CAST(rt.row_n * ct.col_n AS DOUBLE) / CAST(g.grand_n AS DOUBLE)
+        |      AS expected
+        |  FROM cells JOIN rt ON cells.prio = rt.prio
+        |  JOIN ct ON cells.status = ct.status CROSS JOIN g)
+        |SELECT prio, status, n, round(expected, 4) AS expected,
+        |  round((CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected)
+        |    / expected, 6) AS chi2_term
+        |FROM e ORDER BY prio, status""".stripMargin,
     "q_stats_agg" ->
       """SELECT l_returnflag,
         | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,

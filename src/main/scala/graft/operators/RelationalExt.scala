@@ -309,6 +309,70 @@ object RelationalExt {
   def keyGaps(spark: SparkSession, dir: String): DataFrame =
     gapsOf(Tables.orders(spark, dir), "o_orderkey")
 
+  /** Per-key OLS trend slope — the "is this series rising" feature
+    * every behavioral/feature pipeline derives, computed with EXACT
+    * integer moment sums so it hash-matches across engines: x = days
+    * since a fixed epoch (small ints), y = cents (exact from the
+    * 2-decimal price), so Σx, Σy, Σxy, Σx² all stay inside BIGINT and
+    * aggregation ORDER cannot wobble them (the q10 lesson applied to
+    * regression: closed-form OLS is ratio-of-sums, so keep the sums
+    * exact and pay IEEE only for the one final division, which is
+    * bit-deterministic given identical operands). One keyed
+    * aggregation — map-side combined, scales with key cardinality. */
+  def trendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val xDays = datediff(col("o_orderdate"), lit("2000-01-01").cast("date"))
+      .cast("long")
+    val yCents = round(col("o_totalprice") * 100).cast("long")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), xDays.as("x"), yCents.as("y"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("o_custkey"), col("n"),
+        round(
+          when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
+            .otherwise(
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")),
+          6).as("slope_cents_per_day"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Contingency-table chi-square: association between two categorical
+    * columns as crosstab counts + expected counts + per-cell χ²
+    * contribution. Expected counts are exact-integer products divided
+    * once (row_total × col_total as BIGINT, one IEEE division), so the
+    * statistic is bit-stable across engines. Marginals are two tiny
+    * dimension-sized aggregates broadcast back onto the cells —
+    * shuffle cost is one (a,b) groupBy of the fact table; the output
+    * is |A|×|B| cells, dimension-sized at any data scale. */
+  def crosstabChi2(spark: SparkSession, dir: String): DataFrame = {
+    // one fact scan: marginals and the grand total derive from the
+    // dimension-sized cell table, not from re-reading the fact
+    val cells = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val rowTot = cells.groupBy(col("prio")).agg(sum(col("n")).as("row_n"))
+    val colTot = cells.groupBy(col("status")).agg(sum(col("n")).as("col_n"))
+    val grand = cells.agg(sum(col("n")).as("grand_n")).scalar()
+    // (x - e) * (x - e), never pow(x, 2): Math.pow admits 1-ulp error
+    // and engines may disagree there; plain IEEE subtract/multiply
+    // cannot
+    val dev = col("n").cast("double") - col("expected")
+    cells
+      .join(broadcast(rowTot), Seq("prio"))
+      .join(broadcast(colTot), Seq("status"))
+      .withColumn("expected",
+        (col("row_n") * col("col_n")).cast("double") / grand.cast("double"))
+      .select(col("prio"), col("status"), col("n"),
+        round(col("expected"), 4).as("expected"),
+        round(dev * dev / col("expected"), 6).as("chi2_term"))
+      .orderBy(col("prio"), col("status"))
+  }
+
   /** Statistical aggregates: correlation, covariance, dispersion. */
   def statsAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

@@ -386,6 +386,40 @@ class QuerySuiteSpec extends AnyFunSuite {
       "TakeOrdered top-n must equal the driver-side E-S ranking")
   }
 
+  test("trend slope: exact-moment OLS matches a driver-side double fold; " +
+      "chi2 cells partition the table and terms are non-negative") {
+    import org.apache.spark.sql.functions._
+    val slopes = graft.operators.RelationalExt.trendSlope(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val pts = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("2000-01-01").cast("date"))
+          .cast("long").as("x"),
+        round(col("o_totalprice") * 100).cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    pts.groupBy(_._1).foreach { case (cust, rows) =>
+      val n = rows.length.toLong
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxy = rows.map(r => r._2 * r._3).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      val den = n * sxx - sx * sx
+      val expect =
+        if (den == 0) None
+        else Some(BigDecimal((n * sxy - sx * sy).toDouble / den.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(slopes(cust) == expect, s"cust $cust: ${slopes(cust)} vs $expect")
+    }
+    val chi = graft.operators.RelationalExt.crosstabChi2(spark, sf).collect()
+    val orders = graft.sources.Tables.orders(spark, sf).count()
+    assert(chi.map(_.getLong(2)).sum == orders,
+      "chi2 cells must partition the fact table")
+    chi.foreach { r =>
+      assert(r.getDouble(4) >= 0.0, "chi2 term must be non-negative")
+      assert(r.getDouble(3) > 0.0, "expected count must be positive")
+    }
+  }
+
   test("gap fill: observed rows pass through, fills stay inside the " +
       "customer's observed envelope, nulls only on all-null keys") {
     import org.apache.spark.sql.functions._
