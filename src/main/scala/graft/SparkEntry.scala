@@ -81,6 +81,7 @@ object SparkEntry {
     "q_triangle_count" -> ((s: SparkSession, d: String) =>
       Graph.coorderTriangles(s, d)),
     "q_edit_join" -> (Dedup.editNeighbors _),
+    "q_entity_resolution" -> (Dedup.entityResolution _),
     // §2a reference-derived
     "q_meta_extract" -> (Clif.metaExtract _),
     "q_meta_typed" -> (Clif.metaTypedOracle _),
@@ -653,6 +654,21 @@ object SparkEntry {
         |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY key_a, key_b""".stripMargin,
+    "q_entity_resolution" ->
+      """WITH RECURSIVE
+        |e AS (SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |  AND a.c_mktsegment = b.c_mktsegment
+        |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) <= 1),
+        |ud AS (SELECT ka AS a, kb AS b FROM e UNION ALL SELECT kb, ka FROM e),
+        |reach(n, l) AS (
+        |  SELECT c_custkey, c_custkey FROM customer
+        |  UNION
+        |  SELECT ud.b, r.l FROM reach r JOIN ud ON ud.a = r.n)
+        |SELECT n AS c_custkey, min(l) AS entity_id
+        |FROM reach GROUP BY n ORDER BY n""".stripMargin,
     "q_triangle_count" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS (SELECT a.p AS u, b.p AS v FROM op a JOIN op b

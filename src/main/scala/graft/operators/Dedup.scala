@@ -425,16 +425,21 @@ object Dedup {
     * equi-join shuffle, no pair enumeration stage anywhere; bucket
     * skew tracks true duplicate mass, the same property the MinHash
     * band join relies on. */
-  def editJoin(df: DataFrame, keyCol: String, strCol: String): DataFrame = {
-    val keyed = df.select(col(keyCol).as("k"), col(strCol).as("s"))
-      .select(col("k"), col("s"), explode(expr(
+  def editJoin(df: DataFrame, keyCol: String, strCol: String,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    val keyed = df
+      .select(col(keyCol).as("k") +: col(strCol).as("s") +:
+        blockCols.map(col): _*)
+      .select(col("k") +: col("s") +: blockCols.map(col) :+ explode(expr(
         // variant 0 = the string itself; variant i = s with char i removed
         "array_union(array(s), transform(sequence(1, length(s)), " +
           "i -> concat(substring(s, 1, i - 1), substring(s, i + 1))))"))
-        .as("variant"))
-    val a = keyed.select(col("k").as("key_a"), col("s").as("s_a"), col("variant"))
-    val b = keyed.select(col("k").as("key_b"), col("s").as("s_b"), col("variant"))
-    a.join(b, Seq("variant"))
+        .as("variant"): _*)
+    val a = keyed.select(col("k").as("key_a") +: col("s").as("s_a") +:
+      col("variant") +: blockCols.map(col): _*)
+    val b = keyed.select(col("k").as("key_b") +: col("s").as("s_b") +:
+      col("variant") +: blockCols.map(col): _*)
+    a.join(b, "variant" +: blockCols)
       .filter(col("key_a") < col("key_b"))
       // collapse multi-variant collisions BEFORE the verify: a pair
       // sharing v variants must pay ONE levenshtein, not v (the verify
@@ -455,4 +460,31 @@ object Dedup {
   def editNeighbors(spark: SparkSession, dir: String): DataFrame =
     editJoin(Tables.customer(spark, dir), "c_custkey", "c_name")
       .orderBy(col("key_a"), col("key_b"))
+
+  /** END-TO-END entity resolution: blocked fuzzy matching → transitive
+    * merge → canonical entity ids. Match rule: same market segment
+    * (the BLOCK — deletion-variant keys carry the block column, so
+    * cross-block candidates never materialize, the standard
+    * candidate-volume lever of every production ER system) AND name
+    * within one edit. Merging is [[Graph.connectedComponents]] (a
+    * matched B, B matched C ⇒ one entity even if A,C never matched
+    * directly — transitivity is what separates RESOLUTION from pair
+    * scoring); the entity id is the component's minimum key; customers
+    * matching nobody self-label as singletons. The DuckDB oracle
+    * reformulates the fixpoint as a recursive-CTE transitive closure —
+    * which makes this the operator family's oracle-CHECKED instance:
+    * the star-contraction labels are verified equal to an
+    * independently-computed closure, not just spec'd. */
+  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val pairs = editJoin(
+      cust.select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+      "c_custkey", "c_name", Seq("c_mktsegment"))
+    val cc = Graph.connectedComponents(pairs, "key_a", "key_b")
+    cust.select(col("c_custkey"))
+      .join(cc.withColumnRenamed("id", "c_custkey"), Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("component"), col("c_custkey")).as("entity_id"))
+      .orderBy(col("c_custkey"))
+  }
 }
