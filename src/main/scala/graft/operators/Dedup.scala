@@ -448,9 +448,12 @@ object Dedup {
       // blocking already bounded near the true output size
       .groupBy(col("key_a"), col("key_b"))
       .agg(first(col("s_a")).as("s_a"), first(col("s_b")).as("s_b"))
+      // thresholded levenshtein: the engine's banded DP abandons a
+      // pair the moment its distance provably exceeds 1 (returns -1)
+      // — O(len·τ) per verify instead of O(len²)
       .select(col("key_a"), col("key_b"),
-        levenshtein(col("s_a"), col("s_b")).cast("long").as("edit_distance"))
-      .filter(col("edit_distance") <= 1)
+        levenshtein(col("s_a"), col("s_b"), 1).cast("long").as("edit_distance"))
+      .filter(col("edit_distance") >= 0 && col("edit_distance") <= 1)
   }
 
   /** q_edit_join: customer names within one edit of each other — the
