@@ -153,6 +153,7 @@ object SparkEntry {
     "q_variant_extract" -> (Modern.variantExtract _),
     "q_month_spine" -> (Modern.monthSpine _),
     "q_collation_group" -> (Modern.collationGroup _),
+    "q_lateral_topk" -> (Modern.lateralTopOrders _),
     "q4_priority_exists" -> (RelationalTpch.priorityExists _),
     "q6_forecast_revenue" -> (RelationalTpch.forecastRevenue _),
     "q7_volume_shipping" -> ((s: SparkSession, d: String) => RelationalTpch.volumeShipping(s, d)),
@@ -1329,6 +1330,16 @@ object SparkEntry {
         |  ON date_trunc('MONTH', o.o_orderdate) = m.month_start
         |GROUP BY m.month_start
         |ORDER BY m.month_start""".stripMargin,
+    "q_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "q_collation_group" ->
       """SELECT lower(CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
         |   ELSE lower(c_mktsegment) END) AS segment,

@@ -73,4 +73,27 @@ object Modern {
       .agg(count(lit(1)).as("n_customers"))
       .select(lower(col("seg")).as("segment"), col("n_customers"))
       .orderBy(col("segment"))
+
+  /** LATERAL correlated subquery with per-row ORDER BY … LIMIT — the
+    * "top-k related rows per outer row" idiom stated the way analysts
+    * write it. Spark DECORRELATES the lateral into a keyed window
+    * rank under the hood (DecorrelateInnerQuery), so the executed plan
+    * is one shuffle on the correlation key — the same plan the manual
+    * window formulation gets, proving the sugar costs nothing at
+    * scale. Deterministic: the LIMIT is taken under a total order
+    * (price desc, then key). */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_lt")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_lt")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer_lt c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders_lt o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
 }
