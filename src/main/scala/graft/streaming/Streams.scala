@@ -416,6 +416,96 @@ object Streams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class NamedKey(key: Long, name: String)
+  case class VariantEntry(variant: String, key: Long, name: String)
+  case class EditPair(key_a: Long, key_b: Long, edit_distance: Long)
+
+  /** Bounded edit distance for the streaming verify (τ = 1): length
+    * screen, then one aligned pass that branches once at the first
+    * mismatch — O(len) and allocation-free, the in-JVM twin of the
+    * batch side's thresholded `levenshtein(…, 1)`. Returns -1 when the
+    * distance provably exceeds 1. */
+  private[graft] def editDistanceLe1(a: String, b: String): Long = {
+    if (a == b) return 0L
+    val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+    if (t.length - s.length > 1) return -1L
+    var i = 0
+    while (i < s.length && s.charAt(i) == t.charAt(i)) i += 1
+    if (s.length == t.length) {
+      // substitution at i, remainder must match exactly
+      var j = i + 1
+      while (j < s.length && s.charAt(j) == t.charAt(j)) j += 1
+      if (j == s.length) 1L else -1L
+    } else {
+      // one insertion in t at i, tails must align shifted by one
+      var j = i
+      while (j < s.length && s.charAt(j) == t.charAt(j + 1)) j += 1
+      if (j == s.length) 1L else -1L
+    }
+  }
+
+  /** Streaming edit-distance index (the streaming twin of
+    * `Dedup.editJoin`): each arriving (key, name) is exploded to its
+    * deletion variants — the SAME keys as the batch operator — and
+    * every variant bucket holds its residents in ListState. An arrival
+    * landing in a non-empty bucket verifies against each resident with
+    * the τ=1 banded distance and emits confirmed pairs — incremental
+    * entity-resolution candidate maintenance at O(batch × len) per
+    * wave, state partitioned by variant so probes never shuffle the
+    * index. `maxBucket` caps residents per bucket exactly like the
+    * MinHash index (membership only — a full bucket still yields pairs
+    * against its residents). A pair sharing several variants surfaces
+    * once per variant; downstream dedups like the batch `.distinct()`. */
+  class EditIndexProcessor(maxBucket: Int)
+      extends StatefulProcessor[String, VariantEntry, EditPair] {
+    @transient private var bucket: ListState[NamedKey] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bucket = getHandle.getListState[NamedKey]("bucket",
+        Encoders.product[NamedKey], TTLConfig.NONE)
+    override def handleInputRows(variant: String,
+        rows: Iterator[VariantEntry],
+        timers: TimerValues): Iterator[EditPair] = {
+      val residents = scala.collection.mutable.ArrayBuffer.empty[NamedKey]
+      bucket.get().foreach(residents += _)
+      val out = Seq.newBuilder[EditPair]
+      rows.toSeq.sortBy(_.key).foreach { e =>
+        if (!residents.exists(_.key == e.key)) {
+          residents.foreach { r =>
+            val d = editDistanceLe1(r.name, e.name)
+            if (d >= 0L)
+              out += EditPair(math.min(r.key, e.key),
+                math.max(r.key, e.key), d)
+          }
+          if (residents.size < maxBucket) {
+            bucket.appendValue(NamedKey(e.key, e.name))
+            residents += NamedKey(e.key, e.name)
+          }
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Maintain the edit-distance candidate index over a keyed-name
+    * stream. Variant generation is the batch operator's expression,
+    * verbatim — persisted batch indexes and streaming state stay
+    * interchangeable. */
+  def editIndexStream(spark: SparkSession, named: Dataset[NamedKey],
+      maxBucket: Int = 64): Dataset[EditPair] = {
+    import spark.implicits._
+    val keyed = named.toDF()
+      .select(col("key"), col("name").as("s"))
+      .select(col("key"), col("s"), explode(expr(
+        "array_union(array(s), transform(sequence(1, length(s)), " +
+          "i -> concat(substring(s, 1, i - 1), substring(s, i + 1))))"))
+        .as("variant"))
+      .select(col("variant"), col("key"), col("s").as("name"))
+      .as[VariantEntry]
+    keyed.groupByKey(_.variant)
+      .transformWithState(new EditIndexProcessor(maxBucket),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Stateful gap sessionization: a session closes after 30 minutes of
     * silence (event-time timeout), emitting one row per closed session. */
   def sessionizeStream(spark: SparkSession, events: Dataset[Event]): Dataset[UserSession] = {

@@ -784,4 +784,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(got - 7L == batchCC,
       "streamed labels must equal the batch fixpoint")
   }
+
+  test("streaming edit index: micro-batched probing finds exactly the " +
+    "batch editJoin pairs, split-invariant") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val names = graft.sources.Tables.customer(sp, sf)
+        .select(col("c_custkey").as("key"), col("c_name").as("name"))
+        .as[Streams.NamedKey].collect()
+      val (first, second) = names.splitAt(names.length / 2)
+      val input = MemoryStream[Streams.NamedKey]
+      val q = Streams.editIndexStream(sp, input.toDS(), maxBucket = 1024)
+        .writeStream.format("memory").queryName("edit_idx_out")
+        .outputMode("append").start()
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      val streamed = sp.sql(
+        "SELECT DISTINCT key_a, key_b, edit_distance FROM edit_idx_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      q.stop()
+      val batch = graft.operators.Dedup
+        .editJoin(graft.sources.Tables.customer(sp, sf), "c_custkey", "c_name")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"streamed pairs (${streamed.size}) must equal batch (${batch.size})")
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("bounded edit distance: agrees with full DP on all short-string " +
+    "pairs over a small alphabet") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // exhaustive: every string of length ≤ 4 over {a, b}
+    val strs = (0 to 4).flatMap(n =>
+      (0 until (1 << n)).map(bits =>
+        (0 until n).map(i => if ((bits >> i & 1) == 1) 'b' else 'a').mkString))
+    for (x <- strs; y <- strs) {
+      val full = lev(x, y)
+      val expect = if (full <= 1) full.toLong else -1L
+      assert(Streams.editDistanceLe1(x, y) == expect,
+        s"editDistanceLe1('$x','$y') != $expect")
+    }
+  }
 }
