@@ -42,6 +42,8 @@ object SparkEntry {
     "q_stats_agg" -> (RelationalExt.statsAgg _),
     "q_trend_slope" -> (RelationalExt.trendSlope _),
     "q_crosstab_chi2" -> (RelationalExt.crosstabChi2 _),
+    "q_histogram" -> ((s: SparkSession, d: String) =>
+      RelationalExt.histogram(s, d)),
     "q13_custdist" -> (RelationalExt.custDist _),
     "q_multiset_ops" -> (RelationalExt.multisetOps _),
     "q_window_battery" -> (RelationalExt.windowBattery _),
@@ -354,6 +356,19 @@ object SparkEntry {
         |   AND EXISTS (SELECT 1 FROM part
         |     WHERE p_partkey = l_partkey AND p_name LIKE '%a%'))
         |ORDER BY s_suppkey""".stripMargin,
+    "q_histogram" ->
+      """WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |           FROM orders),
+        |b AS (
+        |  SELECT CAST(least(floor((o_totalprice - s.mn) /
+        |           ((s.mx - s.mn) / 20)), 19) AS BIGINT) AS bin,
+        |         count(*) AS n
+        |  FROM orders, s GROUP BY 1)
+        |SELECT b.bin,
+        |  round(s.mn + b.bin * ((s.mx - s.mn) / 20), 4) AS bin_lo,
+        |  round(s.mn + (b.bin + 1) * ((s.mx - s.mn) / 20), 4) AS bin_hi,
+        |  b.n
+        |FROM b, s ORDER BY b.bin""".stripMargin,
     "q_trend_slope" ->
       """WITH xy AS (
         |  SELECT o_custkey,

@@ -309,6 +309,29 @@ object RelationalExt {
   def keyGaps(spark: SparkSession, dir: String): DataFrame =
     gapsOf(Tables.orders(spark, dir), "o_orderkey")
 
+  /** Equi-width histogram with data-driven bounds: min/max ride as
+    * scalar subqueries (two tiny aggregate stages — never a driver
+    * round trip), binning is one row-local floor per value, and the
+    * result is nBins rows at any data scale. The same binning
+    * expression runs in both engines, so boundary-value bin
+    * assignment (an FP floor on identical operands) agrees exactly. */
+  def histogram(spark: SparkSession, dir: String,
+      nBins: Int = 20): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val mn = o.agg(min(col("o_totalprice"))).scalar()
+    val mx = o.agg(max(col("o_totalprice"))).scalar()
+    val width = (mx - mn) / nBins
+    o.select(least(floor((col("o_totalprice") - mn) / width),
+        lit(nBins - 1).cast("long")).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        round(mn + col("bin") * width, 4).as("bin_lo"),
+        round(mn + (col("bin") + 1) * width, 4).as("bin_hi"),
+        col("n"))
+      .orderBy(col("bin"))
+  }
+
   /** Per-key OLS trend slope — the "is this series rising" feature
     * every behavioral/feature pipeline derives, computed with EXACT
     * integer moment sums so it hash-matches across engines: x = days
