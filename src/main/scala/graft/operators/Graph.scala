@@ -245,7 +245,11 @@ object Graph {
       vCol: String): DataFrame = {
     val e0 = edges.select(
       least(col(uCol), col(vCol)).as("u"),
-      greatest(col(uCol), col(vCol)).as("v")).distinct()
+      greatest(col(uCol), col(vCol)).as("v"))
+      // a self-loop (x,x) would close every wedge through x into a
+      // phantom triangle — simple-graph semantics drop it here
+      .filter(col("u") =!= col("v"))
+      .distinct()
     val deg = e0.select(col("u").as("p")).unionByName(e0.select(col("v").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("d"))
     // materialized once: three joins below reuse it, and its true

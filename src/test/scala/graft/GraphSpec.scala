@@ -141,9 +141,11 @@ class GraphSpec extends AnyFunSuite {
     // K4: C(4,3) = 4 triangles, every node sits in C(3,2) = 3 of them.
     // Feed each edge twice, once reversed — the canonicalize+distinct
     // prologue must collapse them.
-    val k4 = (for {
+    // self-loops must be inert (a loop at 0 would otherwise close
+    // every wedge through 0 into a phantom triangle)
+    val k4 = ((for {
       i <- 0 to 3; j <- 0 to 3 if i < j
-    } yield (i.toLong, j.toLong)).flatMap(e => Seq(e, e.swap))
+    } yield (i.toLong, j.toLong)).flatMap(e => Seq(e, e.swap))) :+ (0L, 0L)
     val got = graft.operators.Graph
       .triangleParticipation(k4.toDF("u", "v"), "u", "v")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
