@@ -31,7 +31,11 @@ class ScaleStrategySpec extends AnyFunSuite {
     "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
     "q11_important_parts", "q15_top_supplier", "q16_supplier_counts",
     "q17_small_qty", "q21_waiting_suppliers", "q_triangle_count",
-    "q_audience_overlap")
+    "q_audience_overlap",
+    // round-4, fourth batch: deletion-keyed fuzzy join, blocked ER,
+    // crosstab marginal joins, lateral decorrelation
+    "q_edit_join", "q_entity_resolution", "q_crosstab_chi2",
+    "q_lateral_topk")
 
   /** Queries whose big-table joins carry no broadcast hint: with the
     * auto-threshold disabled their plans MUST contain a shuffle join.
