@@ -641,14 +641,18 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate,
         |    CASE WHEN o_orderkey % 4 <> 0 THEN o_totalprice END AS v,
-        |    CAST(date_part('epoch', o_orderdate) AS DOUBLE) AS x
+        |    CASE WHEN o_orderkey % 4 <> 0
+        |         THEN CAST(round(o_totalprice * 100) AS BIGINT) END AS vc,
+        |    CAST(datediff('day', DATE '1990-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x
         |  FROM orders),
         |f AS (
         |  SELECT o_custkey, o_orderkey, v, x,
         |    last_value(v IGNORE NULLS) OVER w_back AS pv,
+        |    last_value(vc IGNORE NULLS) OVER w_back AS pc,
         |    last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
         |      OVER w_back AS px,
-        |    first_value(v IGNORE NULLS) OVER w_fwd AS nv,
+        |    first_value(vc IGNORE NULLS) OVER w_fwd AS nc,
         |    first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
         |      OVER w_fwd AS nx
         |  FROM m
@@ -658,9 +662,12 @@ object SparkEntry {
         |    w_fwd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT o_custkey, o_orderkey, v AS observed, pv AS ffill,
-        |  round(CASE WHEN px IS NULL THEN nv WHEN nx IS NULL THEN pv
-        |        WHEN nx = px THEN pv
-        |        ELSE pv + (nv - pv) * ((x - px) / (nx - px)) END, 4) AS interp
+        |  CAST(CASE WHEN px IS NULL THEN nc * 100
+        |       WHEN nx IS NULL THEN pc * 100
+        |       WHEN nx = px THEN pc * 100
+        |       ELSE (200 * pc * (nx - px) + 200 * (nc - pc) * (x - px) +
+        |             (nx - px)) // (2 * (nx - px)) END AS DOUBLE) / 10000.0
+        |    AS interp
         |FROM f ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_edit_join" ->
       """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,

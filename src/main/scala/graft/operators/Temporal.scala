@@ -222,11 +222,15 @@ object Temporal {
     * last(ignoreNulls) over the trailing frame; interpolation brackets
     * each gap with (last prior, first following) observations and their
     * epoch-second x-coordinates — pure scalar IEEE arithmetic after the
-    * windows, bit-identical across engines because no aggregation
-    * reorders it (the q10 lesson: sums wobble, scalar expressions
-    * don't). Leading/trailing gaps degrade to back/forward fill;
-    * all-null keys stay null — both cases are part of the oracle
-    * contract. */
+    * windows, and the 4-decimal interpolated output is produced by
+    * EXACT INTEGER arithmetic — cents × day fractions, round-half-up
+    * folded into one BIGINT division — because interpolating
+    * 2-decimal prices at rational day fractions lands on .00005
+    * midpoints ROUTINELY, and engines disagree on double-rounding
+    * midpoints (measured: 6 of 150k rows flipped at sf0.1 before the
+    * integer form; the q10 lesson extended from sums to rounding).
+    * Leading/trailing gaps degrade to back/forward fill; all-null keys
+    * stay null — both cases are part of the oracle contract. */
   def gapFill(spark: SparkSession, dir: String): DataFrame = {
     val byCust = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -235,24 +239,31 @@ object Temporal {
     val masked = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         when(col("o_orderkey") % 4 =!= 0, col("o_totalprice")).as("v"),
-        unix_timestamp(col("o_orderdate")).cast("double").as("x"))
+        when(col("o_orderkey") % 4 =!= 0,
+          round(col("o_totalprice") * 100).cast("long")).as("vc"),
+        datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+          .cast("long").as("x"))
     masked
       .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("pc", last(col("vc"), ignoreNulls = true).over(back))
       .withColumn("px",
         last(when(col("v").isNotNull, col("x")), ignoreNulls = true).over(back))
-      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nc", first(col("vc"), ignoreNulls = true).over(fwd))
       .withColumn("nx",
         first(when(col("v").isNotNull, col("x")), ignoreNulls = true).over(fwd))
+      // t = interp in 1e-4 dollars, rounded half-up exactly:
+      // floor((200·pc·q + 200·(nc−pc)·p + q) / 2q), p = x−px, q = nx−px
+      .withColumn("t",
+        when(col("px").isNull, col("nc") * 100L)
+          .when(col("nx").isNull, col("pc") * 100L)
+          .when(col("nx") === col("px"), col("pc") * 100L)
+          .otherwise(expr(
+            "(200L * pc * (nx - px) + 200L * (nc - pc) * (x - px) + " +
+              "(nx - px)) DIV (2L * (nx - px))")))
       .select(col("o_custkey"), col("o_orderkey"),
         col("v").as("observed"),
         col("pv").as("ffill"),
-        round(
-          when(col("px").isNull, col("nv"))
-            .when(col("nx").isNull, col("pv"))
-            .when(col("nx") === col("px"), col("pv"))
-            .otherwise(col("pv") + (col("nv") - col("pv")) *
-              ((col("x") - col("px")) / (col("nx") - col("px")))), 4)
-          .as("interp"))
+        (col("t").cast("double") / 10000.0).as("interp"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 }
