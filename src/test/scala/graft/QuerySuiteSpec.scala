@@ -420,6 +420,27 @@ class QuerySuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram: bins conserve row mass, bounds are contiguous, and " +
+      "every value lands inside its bin's range") {
+    import org.apache.spark.sql.functions._
+    val h = graft.operators.RelationalExt.histogram(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    val orders = graft.sources.Tables.orders(spark, sf)
+    assert(h.map(_.getLong(3)).sum == orders.count(),
+      "histogram must conserve total row count")
+    h.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(2) == b.getDouble(1),
+          s"bins ${a.getLong(0)} and ${b.getLong(0)} are not contiguous")
+      case _ =>
+    }
+    val mn = orders.agg(min(col("o_totalprice"))).head().getDouble(0)
+    val mx = orders.agg(max(col("o_totalprice"))).head().getDouble(0)
+    assert(math.abs(h.head.getDouble(1) - mn) < 1e-2 &&
+      math.abs(h.last.getDouble(2) - mx) < 1e-2,
+      "outer bin bounds must meet the data min/max (up to output rounding)")
+  }
+
   test("gap fill: observed rows pass through, fills stay inside the " +
       "customer's observed envelope, nulls only on all-null keys") {
     import org.apache.spark.sql.functions._
