@@ -22,10 +22,6 @@ object Bench {
     }
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // warmup pass: JIT + codegen caches + file-listing, untimed
-    queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
-    }
     // steady state = min of two timed runs (absorbs GC/scheduler noise)
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
@@ -33,8 +29,32 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // Session state accumulated by one query must not be billed to the
+    // next: iterative operators localCheckpoint (pinned block-manager
+    // blocks) and cache — left in place across 140 queries they drive
+    // the JVM into GC churn and made round-4's numbers unusable
+    // (plan-trivial queries measured 10-30 s). Persisted INDEX tables
+    // (MinHash/IVF/PageRank adjacency) deliberately survive: staging
+    // is the untimed build half of their build/probe contract.
+    def resetSessionState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    // per-query protocol: warmup (JIT + codegen + file listing +
+    // index staging, untimed) -> two timed runs -> state reset. The
+    // reset sits OUTSIDE the timed region and before the next query,
+    // so each measurement starts from the same near-empty block
+    // manager instead of whatever the previous 139 queries left.
     val results = queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      resetSessionState()
+      val t1 = timeOnce(fn)
+      resetSessionState()
+      val t2 = timeOnce(fn)
+      resetSessionState()
+      name -> math.min(t1, t2)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The harness captures only a bounded output tail (observed: 2000

@@ -119,7 +119,11 @@ object Embeddings {
     * The projection ships as r literal direction vectors plus r scalar
     * offsets inside the plan (broadcast-equivalent, no join): row cost
     * is r fused dot products. Output carries the per-component
-    * explained-variance share so downstream consumers can pick r. */
+    * explained-variance share so downstream consumers can pick r.
+    * The coordinates serialize to a CSV string at the query edge
+    * (arrays stay off the verification surface, same edge treatment as
+    * `Similarity.embedQuantize`'s codes); `Similarity.annPcaLsh`
+    * consumes the raw projections via [[projectionCols]] directly. */
   def pcaProject(spark: SparkSession, dir: String, r: Int = 8,
       dim: Int = 64): DataFrame = {
     val (mu, vals, comps) = pcaFit(spark, dir, dim)
@@ -128,7 +132,8 @@ object Embeddings {
     val pcCols: Seq[Column] =
       projectionCols(mu, comps, r, "vd").map(round(_, 6))
     vecs(spark, dir)
-      .select(col("vec_id"), array(pcCols: _*).as("pc"),
+      .select(col("vec_id"),
+        concat_ws(",", pcCols.map(_.cast("string")): _*).as("pc_csv"),
         round(lit(explained), 6).as("var_explained"))
       .orderBy(col("vec_id"))
   }

@@ -39,6 +39,25 @@ object Graph {
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       damping: Double = 0.85, iters: Int = 10): DataFrame = {
     val spark = edges.sparkSession
+    val adjTable = "graft_pr_adj_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    stageAdjacency(edges, srcCol, dstCol, adjTable)
+    try pagerankOnAdjacency(spark, adjTable, damping, iters)
+    finally spark.sql(s"DROP TABLE IF EXISTS $adjTable")
+  }
+
+  /** Symmetrize `edges`, attach out-degrees, and persist the result as
+    * a table bucketed + sorted by src — the index-build half of the
+    * PageRank build/iterate split (the adjacency analogue of
+    * [[Dedup.buildMinhashIndex]]). The frame is repartitioned onto the
+    * bucket hash BEFORE the write so each task owns exactly one bucket
+    * and the table lands as nBuckets files — without it every writer
+    * task emits a sliver of every bucket (up to tasks × buckets tiny
+    * files) and each later iteration pays the whole file-open storm
+    * again. Idempotent per table name (Overwrite). */
+  def stageAdjacency(edges: DataFrame, srcCol: String, dstCol: String,
+      adjTable: String): Unit = {
+    val spark = edges.sparkSession
     val sym = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges
@@ -46,31 +65,37 @@ object Graph {
       .distinct()
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nBuckets = spark.sessionState.conf.numShufflePartitions
-    val adjTable = "graft_pr_adj_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
     sym.join(deg, Seq("src"))
       .select(col("src"), col("dst"), col("deg"))
+      .repartition(nBuckets, col("src"))
       .write.bucketBy(nBuckets, "src").sortBy("src")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(adjTable)
-    try {
-      val adj = spark.table(adjTable)
-      var ranks = adj.select(col("src").as("id")).distinct()
-        .withColumn("pr", lit(1.0))
-        .localCheckpoint()
-      for (_ <- 1 to iters) {
-        val contribs = adj.join(ranks, col("src") === col("id"))
-          .select(col("dst"), (col("pr") / col("deg")).as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("in"))
-          .select(col("dst").as("id"), col("in"))
-        ranks = ranks.select(col("id"))
-          .join(contribs, Seq("id"), "left")
-          .select(col("id"),
-            (lit(1.0 - damping) +
-              lit(damping) * coalesce(col("in"), lit(0.0))).as("pr"))
-          .localCheckpoint() // eager: ranks no longer depend on adj
-      }
-      ranks
-    } finally spark.sql(s"DROP TABLE IF EXISTS $adjTable")
+  }
+
+  /** Power iteration over a pre-staged adjacency table (the probe half
+    * of the build/iterate split — callers amortize [[stageAdjacency]]
+    * across runs exactly like the MinHash/IVF index probes). Per
+    * iteration: the node-sized rank frame exchanges onto the bucket
+    * layout, sort-merge joins the shuffle-free edge side, then one
+    * map-side-combined groupBy(dst) sum. The symmetrized graph has
+    * deg ≥ 1 everywhere, so every node is some edge's dst and the
+    * contribution aggregate already covers the whole node set — no
+    * per-round base-rank join is needed. */
+  def pagerankOnAdjacency(spark: SparkSession, adjTable: String,
+      damping: Double = 0.85, iters: Int = 10): DataFrame = {
+    val adj = spark.table(adjTable)
+    var ranks = adj.select(col("src").as("id")).distinct()
+      .withColumn("pr", lit(1.0))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      ranks = adj.join(ranks, col("src") === col("id"))
+        .select(col("dst"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in"))
+        .select(col("dst").as("id"),
+          (lit(1.0 - damping) + lit(damping) * col("in")).as("pr"))
+        .localCheckpoint() // eager: each round's ranks drop the join lineage
+    }
+    ranks
   }
 
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
@@ -212,11 +237,22 @@ object Graph {
     * rank high — a corpus-curation signal the pair list alone doesn't
     * give, and the weighted companion to the connected-components
     * labels of [[Dedup.dedupClusters]]. Rank rounded to 6 decimals to
-    * pin partial-sum order noise. */
-  def dupCentrality(spark: SparkSession, dir: String): DataFrame =
-    pagerank(Dedup.minhashPairs(spark, dir), "doc_a", "doc_b")
+    * pin partial-sum order noise.
+    *
+    * The adjacency is staged ONCE per corpus dir as a persisted
+    * bucketed table and reused by later calls in the session
+    * (build/iterate split — same amortization contract as the MinHash
+    * band index: a corpus change under the same dir needs an explicit
+    * restage, here by dropping the `graft_pr_adj_dc_*` table). */
+  def dupCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val adjTable = "graft_pr_adj_dc_" + math.abs(
+      scala.util.hashing.MurmurHash3.stringHash(dir)).toString
+    if (!spark.catalog.tableExists(adjTable))
+      stageAdjacency(Dedup.minhashPairs(spark, dir), "doc_a", "doc_b", adjTable)
+    pagerankOnAdjacency(spark, adjTable)
       .select(col("id").as("doc_id"), round(col("pr"), 6).as("centrality"))
       .orderBy(col("doc_id"))
+  }
 
   /** Triangle participation over the co-purchase graph by DEGREE-ORDERED
     * orientation — the join-based formulation that survives scale.

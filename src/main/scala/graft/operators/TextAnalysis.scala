@@ -466,8 +466,12 @@ object TextAnalysis {
     * The threshold compares integers (cnt·(k+1) > n): no float
     * boundary. */
   def heavyTokens(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    // materialized ONCE: the sketch pass and the candidate recount both
+    // read the exploded token frame — without the checkpoint each pass
+    // re-tokenizes the raw corpus, doubling the dominant scan cost
     val toks = Tables.documents(spark, dir)
       .select(col("lang"), explode(tokensCol).as("tok"))
+      .localCheckpoint()
     val sketch = toks.groupBy(col("lang"))
       .agg(graft.functions.Aggregates.heavyHitters(col("tok"), k).as("hh"),
         count(lit(1)).as("n"))

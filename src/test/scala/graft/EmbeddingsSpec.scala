@@ -69,7 +69,7 @@ class EmbeddingsSpec extends AnyFunSuite {
     "in (0,1], matches the driver-side projection") {
     val out = Embeddings.pcaProject(spark, sf, r = 4, dim = dim).collect()
     assert(out.nonEmpty)
-    assert(out.forall(_.getSeq[Double](1).length == 4))
+    assert(out.forall(_.getString(1).split(",", -1).length == 4))
     val ve = out.head.getDouble(2)
     assert(ve > 0.0 && ve <= 1.0)
     // cross-check one row against the driver-side linear algebra
@@ -83,7 +83,7 @@ class EmbeddingsSpec extends AnyFunSuite {
       val p = (0 until dim).map(d => (raw(d) - mu(d)) * comps(k)(d)).sum
       math.round(p * 1e6) / 1e6
     }
-    val got = first.getSeq[Double](1)
+    val got = first.getString(1).split(",", -1).toSeq.map(_.toDouble)
     expect.zip(got).foreach { case (e, g) =>
       assert(math.abs(e - g) < 2e-6, s"projection mismatch: $e vs $g")
     }
