@@ -87,6 +87,7 @@ object SparkEntry {
     // §2a reference-derived
     "q_meta_extract" -> (Clif.metaExtract _),
     "q_meta_typed" -> (Clif.metaTypedOracle _),
+    "q_meta_yaml" -> (Clif.metaYamlOracle _),
     "q_status_pivot" -> (Clif.statusPivot _),
     "q_status_matrix" -> (Clif.statusMatrix _),
     "q_poc_registry" -> (Clif.pocRegistry _),
@@ -360,8 +361,9 @@ object SparkEntry {
       """WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |           FROM orders),
         |b AS (
-        |  SELECT CAST(least(floor((o_totalprice - s.mn) /
-        |           ((s.mx - s.mn) / 20)), 19) AS BIGINT) AS bin,
+        |  SELECT CASE WHEN s.mx = s.mn THEN 0
+        |           ELSE CAST(least(floor((o_totalprice - s.mn) /
+        |             ((s.mx - s.mn) / 20)), 19) AS BIGINT) END AS bin,
         |         count(*) AS n
         |  FROM orders, s GROUP BY 1)
         |SELECT b.bin,
@@ -733,6 +735,33 @@ object SparkEntry {
         |   x -> trim(x)), '|') AS tables_required
         |FROM m
         |ORDER BY doc_id""".stripMargin,
+    "q_meta_yaml" ->
+      """WITH y AS (
+        | SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'name' ELSE 'project_name' END)
+        |   || ': proj_' || doc_id || chr(10) ||
+        |  'description: "' || split_part(text, ' ', 1) || '"' || chr(10) ||
+        |  'tables_required:' || chr(10) ||
+        |  '  - ' || lang || chr(10) || '  - ' || source || chr(10) ||
+        |  '  - events' || chr(10) AS yt
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id,
+        |  regexp_extract(yt, '(?m)^project_name:[ \t]*(.*)$', 1) AS pn,
+        |  regexp_extract(yt, '(?m)^name:[ \t]*(.*)$', 1) AS nm,
+        |  regexp_extract(yt, '(?m)^description:[ \t]*(.*)$', 1) AS ds,
+        |  regexp_extract(yt,
+        |    '(?m)^tables_required:[ \t]*\n((?:[ \t]+-[^\n]*\n?)*)', 1) AS blk
+        | FROM y)
+        |SELECT doc_id,
+        | regexp_replace(trim(CASE WHEN length(pn) > 0 THEN pn ELSE nm END),
+        |   '^["'']|["'']$', '', 'g') AS project_name,
+        | regexp_replace(trim(ds), '^["'']|["'']$', '', 'g') AS description,
+        | array_to_string(list_filter(list_transform(
+        |   string_split(blk, chr(10)),
+        |   x -> trim(regexp_replace(x, '^[ \t]*-[ \t]*', ''))),
+        |   x -> x <> ''), '|') AS tables_required
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_poc_registry" ->
       """WITH latest AS (
         | SELECT o_custkey, o_orderpriority FROM (

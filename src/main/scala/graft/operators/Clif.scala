@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -135,6 +135,55 @@ object Clif {
     * (same convention as the array-function battery). */
   def metaTypedOracle(spark: SparkSession, dir: String): DataFrame =
     metaTyped(spark, dir)
+      .withColumn("tables_required", array_join(col("tables_required"), "|"))
+
+  /** Minimal YAML metadata path (metadata.py:33-45): the reference tries
+    * `project.yaml` FIRST — before metadata.json and the README scrape —
+    * and consumes only top-level `key: value` scalars plus the
+    * `tables_required:` block sequence, with `project_name` falling back
+    * to `name` (metadata.py:41). Spark has no YAML reader and a full
+    * YAML engine would be a per-row black-box UDF; the subset the
+    * reference actually reads needs neither — it parses here with
+    * codegen'd regex + array expressions (multiline-anchored
+    * regexp_extract for the scalars, block capture → split → trim for
+    * the sequence, quote stripping like yaml.safe_load's). The sidecar
+    * YAML is assembled from document fields (as [[metaTyped]] assembles
+    * its JSON); even doc_ids emit the `name:` key so the precedence
+    * rule is exercised on real rows. Row-local throughout — one scan at
+    * any corpus size. */
+  def metaYaml(spark: SparkSession, dir: String): DataFrame = {
+    val yamlText = concat(
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("name"))
+        .otherwise(lit("project_name")),
+      lit(": proj_"), col("doc_id"),
+      lit("\ndescription: \""), split(col("text"), " ").getItem(0),
+      lit("\"\ntables_required:\n  - "), col("lang"),
+      lit("\n  - "), col("source"), lit("\n  - events\n"))
+    val unq = (c: Column) => regexp_replace(trim(c), "^[\"']|[\"']$", "")
+    Tables.documents(spark, dir)
+      .withColumn("y", yamlText)
+      .withColumn("pn",
+        regexp_extract(col("y"), "(?m)^project_name:[ \\t]*(.*)$", 1))
+      .withColumn("nm", regexp_extract(col("y"), "(?m)^name:[ \\t]*(.*)$", 1))
+      .withColumn("blk", regexp_extract(col("y"),
+        "(?m)^tables_required:[ \\t]*\\n((?:[ \\t]+-[^\\n]*\\n?)*)", 1))
+      .select(col("doc_id"),
+        unq(when(length(col("pn")) > 0, col("pn")).otherwise(col("nm")))
+          .as("project_name"),
+        unq(regexp_extract(col("y"), "(?m)^description:[ \\t]*(.*)$", 1))
+          .as("description"),
+        filter(
+          transform(split(col("blk"), "\n"),
+            x => trim(regexp_replace(x, "^[ \\t]*-[ \\t]*", ""))),
+          x => x =!= "").as("tables_required"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle-surface form of [[metaYaml]] — array serialized to a
+    * delimited string at the edge, same convention as
+    * [[metaTypedOracle]]. */
+  def metaYamlOracle(spark: SparkSession, dir: String): DataFrame =
+    metaYaml(spark, dir)
       .withColumn("tables_required", array_join(col("tables_required"), "|"))
 
   /** Two-level POC registry (state.py:92-113 `set_poc` /

@@ -120,10 +120,21 @@ object Federation {
     * (q_audience_overlap's oracle relies on this); above k the error is
     * the standard KMV ~1/√k. */
   def groupOverlap(df: DataFrame, groupCol: String, keyCol: String,
-      k: Int = 1024): DataFrame = {
+      k: Int = 1024, assertExact: Boolean = false): DataFrame = {
     import graft.functions.{Aggregates, Sketches}
-    val sk = df.groupBy(col(groupCol).as("g"))
+    val skRaw = df.groupBy(col(groupCol).as("g"))
       .agg(Aggregates.kmvSketch(col(keyCol), k).as("sk"))
+    // assertExact pins the "every figure is exact" contract some
+    // callers (and their oracles) rely on: a sketch that filled up has
+    // silently switched to ~1/√k estimation, and the first symptom
+    // would otherwise be an opaque oracle hash mismatch at a bigger
+    // verification SF. assert_true returns NULL when the predicate
+    // holds, so the filter keeps every row while forcing evaluation.
+    val sk = if (assertExact)
+      skRaw.filter(assert_true(size(col("sk")) < k,
+        concat(lit(s"KMV sketch saturated (>= $k distinct keys) for group '"),
+          col("g"), lit(s"': exact-overlap contract violated; raise k"))).isNull)
+    else skRaw
     val a = sk.select(col("g").as("group_a"), col("sk").as("sk_a"))
     val b = sk.select(col("g").as("group_b"), col("sk").as("sk_b"))
     // sketch table is |groups| rows — the pair join is broadcast-sized
@@ -142,13 +153,16 @@ object Federation {
     * types — groupOverlap over events(event_type, user_id). k=4096
     * exceeds the per-type distinct-user count at every verification
     * scale (1.5k users at sf0.1), so every figure is exact and
-    * DuckDB-oracle-checkable; the SAME plan at 100 TB keeps sketch
+    * DuckDB-oracle-checkable — and `assertExact` makes that assumption
+    * fail LOUDLY if a bigger verification SF ever saturates a sketch,
+    * instead of surfacing as an opaque oracle mismatch; the SAME plan
+    * at 100 TB (assertExact off) keeps sketch
     * size (32 KB/group) and the pair join constant while accuracy
     * degrades gracefully to ~1/√k. */
   def audienceOverlap(spark: SparkSession, dir: String): DataFrame =
     groupOverlap(
       graft.sources.Tables.events(spark, dir)
         .select(col("event_type"), col("user_id")),
-      "event_type", "user_id", k = 4096)
+      "event_type", "user_id", k = 4096, assertExact = true)
       .orderBy(col("group_a"), col("group_b"))
 }

@@ -321,8 +321,13 @@ object RelationalExt {
     val mn = o.agg(min(col("o_totalprice"))).scalar()
     val mx = o.agg(max(col("o_totalprice"))).scalar()
     val width = (mx - mn) / nBins
-    o.select(least(floor((col("o_totalprice") - mn) / width),
-        lit(nBins - 1).cast("long")).cast("long").as("bin"))
+    // degenerate bounds (single distinct value, or an empty/all-null
+    // column): width is 0 and (v-mn)/width would be 0/0 = NaN, whose
+    // floor→cast lands in bin 0 here but diverges engine-by-engine —
+    // short-circuit to a single explicit bin instead of a NaN artifact
+    o.select(when(mx === mn, lit(0L)).otherwise(
+        least(floor((col("o_totalprice") - mn) / width),
+          lit(nBins - 1).cast("long")).cast("long")).as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"))
       .select(col("bin"),

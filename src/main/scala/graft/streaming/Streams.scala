@@ -258,7 +258,16 @@ object Streams {
         def deleteOrFail(p: Path): Unit =
           require(fs.delete(p, true), s"delete $p failed")
         // Finish an interrupted swap: staging (newest) wins over backup.
-        if (!fs.exists(snap) && fs.exists(staging)) renameOrFail(staging, snap)
+        // recovery: staging is only trustworthy if its write COMMITTED —
+        // the parquet job's _SUCCESS marker is the commit point. A crash
+        // mid-write (first batch especially, when no snapshot exists to
+        // fall back to) leaves a partial staging dir; promoting it would
+        // wedge every later batch on an unreadable snapshot, so partial
+        // staging is deleted and the batch replay re-derives it instead.
+        val stagingCommitted = fs.exists(staging) &&
+          fs.exists(new Path(staging, "_SUCCESS"))
+        if (fs.exists(staging) && !stagingCommitted) deleteOrFail(staging)
+        if (!fs.exists(snap) && stagingCommitted) renameOrFail(staging, snap)
         if (!fs.exists(snap) && fs.exists(backup)) renameOrFail(backup, snap)
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id"))
@@ -467,6 +476,7 @@ object Streams {
         timers: TimerValues): Iterator[EditPair] = {
       val residents = scala.collection.mutable.ArrayBuffer.empty[NamedKey]
       bucket.get().foreach(residents += _)
+      var stored = residents.size
       val out = Seq.newBuilder[EditPair]
       rows.toSeq.sortBy(_.key).foreach { e =>
         if (!residents.exists(_.key == e.key)) {
@@ -476,10 +486,15 @@ object Streams {
               out += EditPair(math.min(r.key, e.key),
                 math.max(r.key, e.key), d)
           }
-          if (residents.size < maxBucket) {
+          if (stored < maxBucket) {
             bucket.appendValue(NamedKey(e.key, e.name))
-            residents += NamedKey(e.key, e.name)
+            stored += 1
           }
+          // probe-visible within the batch even when the bucket is
+          // full: two post-cap arrivals sharing a variant still pair
+          // with EACH OTHER this wave — only cross-batch pairs between
+          // post-cap arrivals are lost to the cap (spec-documented)
+          residents += NamedKey(e.key, e.name)
         }
       }
       out.result().iterator
@@ -780,7 +795,16 @@ object Streams {
           require(fs.rename(from, to), s"rename $from -> $to failed")
         def deleteOrFail(p: Path): Unit =
           require(fs.delete(p, true), s"delete $p failed")
-        if (!fs.exists(snap) && fs.exists(staging)) renameOrFail(staging, snap)
+        // recovery: staging is only trustworthy if its write COMMITTED —
+        // the parquet job's _SUCCESS marker is the commit point. A crash
+        // mid-write (first batch especially, when no snapshot exists to
+        // fall back to) leaves a partial staging dir; promoting it would
+        // wedge every later batch on an unreadable snapshot, so partial
+        // staging is deleted and the batch replay re-derives it instead.
+        val stagingCommitted = fs.exists(staging) &&
+          fs.exists(new Path(staging, "_SUCCESS"))
+        if (fs.exists(staging) && !stagingCommitted) deleteOrFail(staging)
+        if (!fs.exists(snap) && stagingCommitted) renameOrFail(staging, snap)
         if (!fs.exists(snap) && fs.exists(backup)) renameOrFail(backup, snap)
         val old =
           if (fs.exists(snap)) sp.read.parquet(labelsPath)

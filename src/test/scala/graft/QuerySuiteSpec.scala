@@ -207,6 +207,34 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(q.exceptAll(joined).count() == 0)
   }
 
+  test("meta_yaml: subset parser honors project_name->name precedence, " +
+    "strips quotes, and splits the block sequence") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val typed = graft.operators.Clif.metaYaml(spark, sf)
+    assert(typed.count() == docs.count())
+    assert(typed.schema("tables_required").dataType.typeName == "array")
+    // every row resolves a project name — even rows carry only `name:`,
+    // odd rows `project_name:`; both funnel into the same field
+    assert(typed.filter(!col("project_name").startsWith("proj_")).count() == 0)
+    // yaml.safe_load-style quote stripping on the description scalar
+    assert(typed.filter(col("description").contains("\"")).count() == 0)
+    // block sequence: exactly 3 entries (lang, source, events), trimmed,
+    // dash markers gone
+    assert(typed.filter(size(col("tables_required")) =!= 3).count() == 0)
+    assert(typed.filter(
+      exists(col("tables_required"),
+        x => x =!= trim(x) || x.startsWith("-"))).count() == 0)
+    assert(typed.filter(
+      element_at(col("tables_required"), 3) =!= "events").count() == 0)
+    // oracle surface serializes the array, nothing else changes
+    val q = SparkEntry.queries("q_meta_yaml")(spark, sf)
+    assert(q.schema("tables_required").dataType.typeName == "string")
+    val joined = typed.withColumn("tables_required",
+      array_join(col("tables_required"), "|"))
+    assert(q.exceptAll(joined).count() == 0)
+  }
+
   test("sequence packing: packs respect the token budget except " +
     "single-oversize docs; assignment is deterministic") {
     import org.apache.spark.sql.functions._

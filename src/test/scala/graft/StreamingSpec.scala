@@ -821,6 +821,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming edit index: FULL bucket still pairs arrivals with " +
+    "residents AND with each other within a batch; only cross-batch " +
+    "post-cap pairs are lost to the cap") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Streams.NamedKey]
+      val q = Streams.editIndexStream(sp, input.toDS(), maxBucket = 1)
+        .writeStream.format("memory").queryName("edit_cap_out")
+        .outputMode("append").start()
+      input.addData(Streams.NamedKey(1, "abc"))
+      q.processAllAvailable()
+      // buckets now at cap (1 resident each). Same-batch post-cap
+      // arrivals must pair with the resident AND with each other.
+      input.addData(Streams.NamedKey(2, "abc"), Streams.NamedKey(3, "abc"))
+      q.processAllAvailable()
+      // a LATER post-cap arrival pairs only with stored residents:
+      // (2,4)/(3,4) are the documented recall loss of the cap.
+      input.addData(Streams.NamedKey(4, "abc"))
+      q.processAllAvailable()
+      val pairs = sp.sql("SELECT DISTINCT key_a, key_b FROM edit_cap_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      q.stop()
+      assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)),
+        s"cap semantics drifted: $pairs")
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("bounded edit distance: agrees with full DP on all short-string " +
     "pairs over a small alphabet") {
     def lev(a: String, b: String): Int = {
