@@ -239,16 +239,26 @@ object Graph {
     * labels of [[Dedup.dedupClusters]]. Rank rounded to 6 decimals to
     * pin partial-sum order noise.
     *
-    * The adjacency is staged ONCE per corpus dir as a persisted
-    * bucketed table and reused by later calls in the session
-    * (build/iterate split — same amortization contract as the MinHash
-    * band index: a corpus change under the same dir needs an explicit
-    * restage, here by dropping the `graft_pr_adj_dc_*` table). */
+    * The adjacency is staged ONCE per (SparkContext, corpus dir) as a
+    * persisted bucketed table and reused by later calls (build/iterate
+    * split — same amortization contract as the MinHash band index: a
+    * corpus change under the same dir needs an explicit restage, here
+    * by restarting the context). Table names are UUID-fresh per
+    * staging and the cache is keyed by applicationId: a NEW context
+    * (whose in-memory catalog forgot the old table while its warehouse
+    * dir survives on disk) never tries to re-create over the orphaned
+    * location. */
+  private val dcAdjCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
   def dupCentrality(spark: SparkSession, dir: String): DataFrame = {
-    val adjTable = "graft_pr_adj_dc_" + math.abs(
-      scala.util.hashing.MurmurHash3.stringHash(dir)).toString
-    if (!spark.catalog.tableExists(adjTable))
-      stageAdjacency(Dedup.minhashPairs(spark, dir), "doc_a", "doc_b", adjTable)
+    val adjTable = dcAdjCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir), _ => {
+        val t = "graft_pr_adj_dc_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        stageAdjacency(Dedup.minhashPairs(spark, dir), "doc_a", "doc_b", t)
+        t
+      })
     pagerankOnAdjacency(spark, adjTable)
       .select(col("id").as("doc_id"), round(col("pr"), 6).as("centrality"))
       .orderBy(col("doc_id"))

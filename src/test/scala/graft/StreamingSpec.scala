@@ -785,6 +785,36 @@ class StreamingSpec extends AnyFunSuite {
       "streamed labels must equal the batch fixpoint")
   }
 
+  test("component snapshot recovery: a partial staging dir (no _SUCCESS " +
+    "commit marker) is discarded, not promoted to the live snapshot") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-cc-rec").toString
+    val labels = base + "/l"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-rec-ck").toString
+    // simulate a crash mid-write of the very first batch: a staging dir
+    // exists with parquet debris but no _SUCCESS marker, and no live
+    // snapshot to fall back to
+    val stagingDir = new java.io.File(labels + ".staging")
+    assert(stagingDir.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(labels + ".staging/part-00000.parquet"),
+      Array[Byte](1, 2, 3)) // truncated garbage, unreadable as parquet
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.componentStream(input.toDF().toDF("src", "dst"),
+      labels, ckpt)
+    input.addData((1L, 2L), (3L, 4L))
+    q.processAllAvailable()
+    q.stop()
+    // the stream self-healed: garbage staging was deleted (not renamed
+    // over the snapshot) and batch replay re-derived correct labels
+    val got = sp.read.parquet(labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L),
+      s"recovery produced wrong labels: $got")
+  }
+
   test("streaming edit index: micro-batched probing finds exactly the " +
     "batch editJoin pairs, split-invariant") {
     val sp = spark
