@@ -1068,13 +1068,13 @@ object SparkEntry {
         |cum AS (
         | SELECT lang, s, cnt,
         |  sum(cnt) OVER (PARTITION BY lang ORDER BY s DESC
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        | FROM dist),
-        |nl AS (SELECT lang, count(*) AS n FROM scored GROUP BY lang)
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY lang) AS n
+        | FROM dist)
         |SELECT lang, CAST((cum - cnt) * 3 // n + 1 AS BIGINT) AS tier,
         | CAST(sum(cnt) AS BIGINT) AS n_docs,
         | round(max(s), 4) AS best_lp, round(min(s), 4) AS worst_lp
-        |FROM cum JOIN nl USING (lang)
+        |FROM cum
         |GROUP BY lang, tier
         |ORDER BY lang, tier""".stripMargin,
     "q_doc_histogram" ->

@@ -318,18 +318,27 @@ object TextAnalysis {
     * AQE broadcasts while it fits (real vocabularies cap via min-count
     * pruning). The corpus total rides along as a 1-row broadcast rather
     * than a driver round-trip. */
-  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    unigramScored(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("s").as("avg_logprob"))
+      .orderBy(col("doc_id"))
+
+  /** The shared per-document unigram scoring subplan of
+    * [[unigramLogprob]] and [[qualityTiers]] — (doc_id, lang,
+    * n_tokens, s) where s is the 4-decimal rounded mean log corpus
+    * frequency. One tokenize, one vocab shuffle, one broadcastable
+    * vocab join; the single source of truth so score semantics cannot
+    * drift between the scorer and its tier consumer. */
+  private def unigramScored(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokensCol).as("tok"))
+      .select(col("doc_id"), col("lang"), explode(tokensCol).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val total = vocab.agg(sum(col("c")).as("n"))
+    val total = vocab.agg(sum(col("c")).as("n_corpus"))
     toks.join(vocab, Seq("tok"))
       .crossJoin(broadcast(total))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log(col("c").cast("double") / col("n"))), 4)
-          .as("avg_logprob"))
-      .orderBy(col("doc_id"))
+        round(avg(log(col("c").cast("double") / col("n_corpus"))), 4).as("s"))
   }
 
   /** Character-entropy quality signal via the native [[
@@ -503,25 +512,36 @@ object TextAnalysis {
     * share a tier (threshold semantics): the only stable choice once
     * ranking is distributional, and what you want operationally — two
     * identical-quality documents never land on opposite sides of a
-    * keep/drop boundary because of a doc_id tiebreak. */
+    * keep/drop boundary because of a doc_id tiebreak.
+    *
+    * Residual cross-engine risk, accepted and bounded: the rounded
+    * score feeds GROUP membership, so a document whose unrounded mean
+    * sits within 1 ulp of a .00005 rounding midpoint could in
+    * principle round differently per engine and shift one count
+    * between adjacent tiers. The same rounded value is already on the
+    * hash-compared surface of `q_unigram_logprob` (green at both
+    * verification SFs), so any such divergence fails THAT oracle
+    * first — this query adds no new float boundary, it only consumes
+    * one that is independently pinned.
+    *
+    * The DuckDB oracle and the driver compare fix nTiers = 3 (the
+    * CCNet head/middle/tail); other values are API surface, exercised
+    * by the nTiers=5 spec, not by the oracle. */
   def qualityTiers(spark: SparkSession, dir: String, nTiers: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), explode(tokensCol).as("tok"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val total = vocab.agg(sum(col("c")).as("n_corpus"))
-    val scored = toks.join(vocab, Seq("tok"))
-      .crossJoin(broadcast(total))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(round(avg(log(col("c").cast("double") / col("n_corpus"))), 4).as("s"))
-    val dist = scored.groupBy(col("lang"), col("s")).agg(count(lit(1)).as("cnt"))
+    val dist = unigramScored(spark, dir)
+      .groupBy(col("lang"), col("s")).agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy(col("lang")).orderBy(col("s").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val nLang = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    // per-language totals come from a whole-partition frame over the
+    // SAME tiny dist relation — not a second aggregation of the
+    // corpus-scale scored subtree, which would scan token volume twice
+    // whenever exchange reuse is defeated
+    val wLang = Window.partitionBy(col("lang"))
     dist
       .withColumn("cum", sum(col("cnt")).over(wCum))
       .withColumn("nbetter", col("cum") - col("cnt"))
-      .join(broadcast(nLang), Seq("lang"))
+      .withColumn("n", sum(col("cnt")).over(wLang))
       .withColumn("tier", expr(s"nbetter * $nTiers div n + 1"))
       .groupBy(col("lang"), col("tier"))
       .agg(sum(col("cnt")).as("n_docs"),

@@ -24,9 +24,12 @@ class PlanHygieneSpec extends AnyFunSuite {
   // q_audience_overlap pairs per-GROUP KMV sketches (|event types|
   // rows, not |events|) — the same tiny-aggregated-side class as
   // q_source_similarity
+  // q_quality_tiers consumes the same 1-row corpus-total scalar attach
+  // as q_unigram_logprob (they share the scoring subplan)
   private val nestedLoopAllowed = Set(
     "q_embed_neardup", "q_ann_bruteforce", "q_set_ops", "q_source_similarity",
     "q_media_neighbors", "q_status_matrix", "q_unigram_logprob",
+    "q_quality_tiers",
     "q_tfidf", "q_bm25", "q_source_mix",
     "q_pmi_collocations", "q_bigram_logprob", "q22_dormant",
     "q11_important_parts", "q_audience_overlap")

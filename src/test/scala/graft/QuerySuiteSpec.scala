@@ -535,5 +535,13 @@ class QuerySuiteSpec extends AnyFunSuite {
         case _ =>
       }
     }
+    // the nTiers parameter is live API surface (the oracle pins only the
+    // default 3): k=5 must keep tiers in range and conserve doc mass
+    val five = graft.operators.TextAnalysis.qualityTiers(spark, sf, nTiers = 5)
+      .collect()
+    assert(five.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 5),
+      "nTiers=5 produced an out-of-range tier")
+    assert(five.map(_.getLong(2)).sum == perLang.values.sum,
+      "nTiers=5 lost documents")
   }
 }

@@ -20,6 +20,8 @@ class ScaleStrategySpec extends AnyFunSuite {
     // sketch-recount join, iterative rank-adjacency joins
     "q_retention", "q_interval_overlap", "q_heavy_tokens",
     "q_dup_centrality",
+    // round-5: shares q_unigram_logprob's scale-variable vocab join
+    "q_quality_tiers",
     // round-4 continuation, second batch: TPC-H shapes + the exact
     // prefix-filter similarity join + corpus-statistics joins
     "q4_priority_exists", "q7_volume_shipping", "q10_returned_items",
