@@ -736,6 +736,70 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class ScoredDoc(lang: String, s: Double)
+  case class TierRow(lang: String, tier: Long, n_docs: Long,
+    best_lp: Double, worst_lp: Double)
+  case class TierDistState(scores: Seq[Double], counts: Seq[Long])
+
+  /** Streaming per-language quality-tier maintenance — the streaming
+    * twin of [[graft.operators.TextAnalysis.qualityTiers]]. State per
+    * language is the DISCRETE score distribution (rounded score →
+    * count): scores are 4-decimal rounded by the batch scoring
+    * contract, so state is bounded by the representable rounded values
+    * in the score range (tens of thousands of entries worst-case),
+    * regardless of stream length. Each batch folds arrivals into the
+    * distribution — a bag sum, order-independent by algebra, so batch
+    * boundaries are invisible with no replay-order discipline — then
+    * re-derives every tier row with the batch operator's exact integer
+    * arithmetic (docs-strictly-better × k div n + 1): the latest
+    * emission per language equals the batch query over that prefix.
+    * Scores arrive pre-computed (the offline-vocabulary split every
+    * production scorer uses: the LM trains batch-side, streaming
+    * documents are scored against the frozen vocabulary). */
+  class TierDistProcessor(nTiers: Int)
+      extends StatefulProcessor[String, ScoredDoc, TierRow] {
+    @transient private var state: ValueState[TierDistState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TierDistState]("dist",
+        Encoders.product[TierDistState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[ScoredDoc],
+        timers: TimerValues): Iterator[TierRow] = {
+      val buf = scala.collection.mutable.HashMap.empty[Double, Long]
+      if (state.exists) {
+        val st = state.get()
+        st.scores.zip(st.counts).foreach { case (s, c) => buf(s) = c }
+      }
+      rows.foreach { d => buf(d.s) = buf.getOrElse(d.s, 0L) + 1L }
+      val sorted = buf.toSeq.sortBy(-_._1) // best (highest) score first
+      state.update(TierDistState(sorted.map(_._1), sorted.map(_._2)))
+      val n = sorted.iterator.map(_._2).sum
+      var nbetter = 0L
+      val tiers =
+        scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Double, Double)]
+      sorted.foreach { case (s, cnt) =>
+        val tier = nbetter * nTiers / n + 1L
+        tiers.get(tier) match {
+          // groups arrive best-first, so first-seen = best_lp and the
+          // running overwrite = worst_lp
+          case Some((nd, best, _)) => tiers(tier) = (nd + cnt, best, s)
+          case None => tiers(tier) = (cnt, s, s)
+        }
+        nbetter += cnt
+      }
+      tiers.iterator.map { case (t, (nd, best, worst)) =>
+        TierRow(key, t, nd, best, worst)
+      }
+    }
+  }
+
+  def tierStream(spark: SparkSession, docs: Dataset[ScoredDoc],
+      nTiers: Int = 3): Dataset[TierRow] = {
+    import spark.implicits._
+    docs.groupByKey(_.lang)
+      .transformWithState(new TierDistProcessor(nTiers),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming near-dup detection against the PERSISTED MinHash band
     * index ([[graft.operators.Dedup.buildMinhashIndex]]): each
     * micro-batch of arriving documents probes the bucketed corpus

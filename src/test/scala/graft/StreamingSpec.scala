@@ -907,4 +907,91 @@ class StreamingSpec extends AnyFunSuite {
         s"editDistanceLe1('$x','$y') != $expect")
     }
   }
+
+  test("streaming quality tiers: after any micro-batch split, the latest " +
+    "per-language emission equals the batch qualityTiers over real scores") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // real scores: the batch scorer's output joined back for lang —
+      // the frozen-vocabulary feed a production stream would carry
+      val docs = graft.sources.Tables.documents(sp, TestSpark.sf)
+        .select(col("doc_id"), col("lang"))
+      val scored = graft.operators.TextAnalysis.unigramLogprob(sp, TestSpark.sf)
+        .join(docs, Seq("doc_id"))
+        .select(col("lang"), col("avg_logprob").as("s"))
+        .as[Streams.ScoredDoc].collect().toSeq
+      val input = MemoryStream[Streams.ScoredDoc]
+      // foreachBatch REPLACES each emitting language's tier rows, so
+      // stale tiers from earlier distributions can't linger the way a
+      // memory-sink last-row-per-(lang,tier) readout would
+      val latest = scala.collection.mutable.Map.empty[String, Seq[Streams.TierRow]]
+      val q = Streams.tierStream(sp, input.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.TierRow], _: Long) =>
+          b.collect().groupBy(_.lang).foreach { case (l, rs) =>
+            latest.synchronized { latest(l) = rs.toSeq }
+          }
+        }.start()
+      scored.grouped(scored.size / 3 + 1).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val batch = graft.operators.TextAnalysis.qualityTiers(sp, TestSpark.sf)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      val stream = latest.values.flatten
+        .map(t => (t.lang, t.tier, t.n_docs, t.best_lp, t.worst_lp)).toSet
+      assert(stream == batch,
+        s"stream ${stream.toSeq.sorted} != batch ${batch.toSeq.sorted}")
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming quality tiers: equal scores share a tier and integer " +
+    "boundaries match the batch arithmetic on a crafted distribution") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 6 docs at score -1.0 straddle the n/3 boundary: threshold
+      // semantics must keep them in ONE tier; remaining singles fill in
+      val feed = Seq.fill(6)(Streams.ScoredDoc("xx", -1.0)) ++
+        Seq(-2.0, -3.0, -4.0).map(Streams.ScoredDoc("xx", _))
+      val input = MemoryStream[Streams.ScoredDoc]
+      val latest = scala.collection.mutable.Map.empty[String, Seq[Streams.TierRow]]
+      val q = Streams.tierStream(sp, input.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.TierRow], _: Long) =>
+          b.collect().groupBy(_.lang).foreach { case (l, rs) =>
+            latest.synchronized { latest(l) = rs.toSeq }
+          }
+        }.start()
+      input.addData(feed)
+      q.processAllAvailable()
+      q.stop()
+      val rows = latest("xx").map(t => (t.tier, t.n_docs, t.best_lp, t.worst_lp))
+        .sortBy(_._1)
+      // n=9: the -1.0 group (nbetter=0 → tier 1) holds all 6 docs even
+      // though 6 > 9/3; -2.0 has nbetter=6 → tier 3; -3.0/-4.0 likewise
+      assert(rows == Seq(
+        (1L, 6L, -1.0, -1.0),
+        (3L, 3L, -2.0, -4.0)),
+        s"crafted distribution mis-tiered: $rows")
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
