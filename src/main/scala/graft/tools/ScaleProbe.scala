@@ -1,0 +1,162 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-up probe: materialize an N× organically-grown copy
+  * of the corpus tables (each replica is perturbed so near-dup /
+  * timeline structure stays realistic instead of every row gaining
+  * N-1 exact twins), run a battery of operators at 1× and N×, and
+  * compare the wall-clock ratio against each operator's DOCUMENTED
+  * cost exponent. A plan whose cost model is O(n^e) on fixed
+  * parallelism should cost ≲ N^e× (constant overheads amortize); a
+  * ratio past that is the early warning the plan would not survive
+  * the next 100×.
+  *
+  * Exponents are part of the claim being tested, not a fudge factor:
+  * token-volume operators claim 1.0 (linear); IVF / SemDeDup claim
+  * 1.5 — the standard nlist ∝ √n recipe makes both the assignment
+  * scan (n·√n distances) and the per-list pairing (n²/√n) grow as
+  * n^1.5, and the probe scales nlist exactly that way; LSH claims
+  * 1.0 because the probe adds log2(N) hyperplanes, holding bucket
+  * occupancy (and so per-query candidate count) constant — the
+  * documented parameter-growth path for each index.
+  *
+  * This is measurement, not proof — but it converts "the plan shape
+  * scales" from an assertion into a number, at the largest size the
+  * local harness can hold.
+  *
+  * usage: runMain graft.tools.ScaleProbe [sfDir] [multiplier]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val mult = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "32g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val bigDir = java.nio.file.Files
+      .createTempDirectory("graft-scaleprobe").toString
+    val replicas = spark.range(mult).select(col("id").as("replica"))
+
+    // --- documents: doc_id stays unique via a per-replica offset; the
+    // perturbation token lands INSIDE the text so shingles/tokens shift
+    // but the document remains a realistic near-dup of its siblings
+    // (which is what a grown crawl looks like: boilerplate + template
+    // families)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+    replicas.crossJoin(docs)
+      .select(
+        (col("doc_id") + col("replica") * (nDocs + 1)).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("replica")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+
+    // --- events: each replica is a fresh user population (id offset)
+    // with the original timelines — per-user activity, session shape
+    // and hourly seasonality are preserved, only the population grows.
+    // ts is read as raw nanos (the source is TIMESTAMP(NANOS)) and
+    // written as plain int64, which Tables.events floor-divides the
+    // same way.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val Array(maxUser, maxEvent) = events
+      .agg(max("user_id"), max("event_id")).head().toSeq
+      .map(_.asInstanceOf[Long] + 1).toArray
+    replicas.crossJoin(events)
+      .select(
+        (col("event_id") + col("replica") * maxEvent).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("replica") * maxUser).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
+
+    // --- embeddings: replica vectors get one coordinate nudged (a
+    // replica-dependent dimension), so directions shift slightly —
+    // template families again, not exact cosine twins (a pure rescale
+    // would leave every cosine identical)
+    val embeds = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nVecs = embeds.count()
+    replicas.crossJoin(embeds)
+      .select(
+        (col("vec_id") + col("replica") * (nVecs + 1)).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = CAST(replica % 64 AS INT)," +
+          " CAST(x + 0.05 AS FLOAT), x))").as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+
+    // scaled index parameters: nlist ∝ √n (IVF / SemDeDup), +log2(N)
+    // hyperplanes (LSH) — the growth path each operator documents
+    val nlist = math.round(16 * math.sqrt(mult)).toInt
+    val planes = 8 + math.ceil(math.log(mult) / math.log(2)).toInt
+
+    // the battery: (name, documented cost exponent, query at 1×/N×).
+    // The boolean marks N×-parameterized index ops (they get `nlist`/
+    // `planes` only on the big dir so the 1× side stays the shipped
+    // default).
+    // NOT minhashPairs: the replicated corpus genuinely holds ~N²/2
+    // more near-dup pairs per template family, so its output volume
+    // grows super-linearly BY CONSTRUCTION — that measures the data,
+    // not the plan.
+    val ops: Seq[(String, Double, (String, Boolean) => DataFrame)] = Seq(
+      // documents: token/shingle-volume-driven
+      ("q_quality_tiers", 1.0, (d, _) => graft.operators.TextAnalysis.qualityTiers(spark, d)),
+      ("q_dup_spans", 1.0, (d, _) => graft.operators.Dedup.dupSpans(spark, d)),
+      ("q_dedup_exact", 1.0, (d, _) => graft.operators.Dedup.exact(spark, d)),
+      ("q_heavy_tokens", 1.0, (d, _) => graft.operators.TextAnalysis.heavyTokens(spark, d)),
+      ("q_tfidf", 1.0, (d, _) => graft.operators.Search.tfidfTopTerms(spark, d)),
+      ("q_segment_dedup", 1.0, (d, _) => graft.operators.Dedup.segmentDedup(spark, d)),
+      // events: event-volume-driven (population grows, timelines don't)
+      ("q_sessionize", 1.0, (d, _) => graft.operators.Temporal.sessionize(spark, d)),
+      ("q_funnel", 1.0, (d, _) => graft.operators.Behavioral.funnel(spark, d)),
+      ("q_retention", 1.0, (d, _) => graft.operators.Behavioral.retention(spark, d)),
+      ("q_anomaly_score", 1.0, (d, _) => graft.operators.Behavioral.anomalyScore(spark, d)),
+      // embeddings: index ops on their documented parameter-growth path
+      ("q_embed_quantize", 1.0, (d, _) => graft.operators.Similarity.embedQuantize(spark, d)),
+      ("q_ann_lsh", 1.0, (d, big) => graft.operators.Similarity.annLsh(spark, d,
+        nPlanes = if (big) planes else 8)),
+      ("q_ann_ivf", 1.5, (d, big) => graft.operators.Similarity.annIvf(spark, d,
+        nCentroids = if (big) nlist else 16)),
+      ("q_semantic_dedup", 1.5, (d, big) => graft.operators.Similarity.semanticDedup(spark, d,
+        nCentroids = if (big) nlist else 16)))
+
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime()
+      fn
+      (System.nanoTime() - t0) / 1e9
+    }
+    def reset(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+    }
+
+    val rows = ops.map { case (name, exp, fn) =>
+      reset()
+      fn(sfDir, false).write.mode("overwrite").format("noop").save() // warm
+      val t1 = time(fn(sfDir, false).write.mode("overwrite").format("noop").save())
+      reset()
+      fn(bigDir, true).write.mode("overwrite").format("noop").save()
+      val tN = time(fn(bigDir, true).write.mode("overwrite").format("noop").save())
+      val ratio = tN / t1
+      val budget = math.pow(mult, exp)
+      println(f"[scale] $name%-18s 1x=$t1%7.2fs ${mult}x=$tN%7.2fs " +
+        f"ratio=$ratio%6.2f budget=n^$exp%.1f=$budget%6.2f" +
+        (if (ratio > budget * 1.5) "  OVER-BUDGET" else ""))
+      (name, t1, tN, ratio, ratio / budget)
+    }
+    val worst = rows.maxBy(_._5)
+    println(f"[scale] summary: worst ratio/budget ${worst._1} ${worst._5}%.2f " +
+      f"(mult $mult, docs $nDocs -> ${nDocs * mult})")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bigDir))
+    spark.stop()
+  }
+}
