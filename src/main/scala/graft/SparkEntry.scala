@@ -178,6 +178,7 @@ object SparkEntry {
     "q_audience_overlap" -> (Federation.audienceOverlap _),
     "q_char_entropy" -> (TextAnalysis.charEntropyProfile _),
     "q_jaccard_prefix" -> ((s: SparkSession, d: String) => Dedup.jaccardPrefixJoin(s, d)),
+    "q_containment_join" -> ((s: SparkSession, d: String) => Dedup.containmentJoin(s, d)),
     "q_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     "q_vocab_coverage" -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "q_bigram_logprob" -> ((s: SparkSession, d: String) => TextAnalysis.bigramLogprob(s, d))
@@ -1668,6 +1669,22 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
         |   / (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_containment_join" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> array_to_string(toks[i:(i+2)], ' '))) AS st
+        | FROM t WHERE len(toks) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) / len(a.st), 4)
+        |   AS containment
+        |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) / len(a.st) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_char_entropy" ->
       """WITH ch AS (

@@ -257,22 +257,23 @@ object Dedup {
     * explosion). The residual risk is a frequent shingle surviving
     * into many prefixes (boilerplate) — exactly the skew AQE join
     * splitting handles. */
-  def jaccardPrefixJoin(spark: SparkSession, dir: String,
-      tau: Double = 0.5, shingle: Int = 3): DataFrame = {
-    // The repartition BEFORE the shingle projection moves only raw
-    // text, then spreads the string-heavy shingle construction across
-    // every core — a small parquet input otherwise arrives as one scan
-    // task and the build runs single-threaded (at cluster scale many
-    // files make this a no-op cost-wise; locally it was the entire
-    // runtime). Kept as a PLAN (not checkpointed): Catalyst then sees
-    // the parquet-derived size estimate and plans the verify joins as
-    // broadcasts while the corpus fits — a localCheckpoint would hide
-    // the stats and force sort-merge joins that shuffle the shingle
-    // arrays (measured: the array shuffle WAS the query's runtime).
-    // The prefix pipeline below materializes its own token-level
-    // consumers, so the shingle build executes a bounded number of
-    // times, in parallel.
-    val setsPlan = Tables.documents(spark, dir)
+  /** doc_id + distinct `shingle`-token shingle set, AS A PLAN. The
+    * repartition BEFORE the shingle projection moves only raw text,
+    * then spreads the string-heavy shingle construction across every
+    * core — a small parquet input otherwise arrives as one scan task
+    * and the build runs single-threaded (at cluster scale many files
+    * make this a no-op cost-wise; locally it was the entire runtime).
+    * Kept as a PLAN (not checkpointed): Catalyst then sees the
+    * parquet-derived size estimate and plans downstream verify joins
+    * as broadcasts while the corpus fits — a localCheckpoint would
+    * hide the stats and force sort-merge joins that shuffle the
+    * shingle arrays (measured: the array shuffle WAS the query's
+    * runtime). Callers materialize their own token-level consumers, so
+    * the shingle build executes a bounded number of times, in
+    * parallel. */
+  private def tokenShingleSets(spark: SparkSession, dir: String,
+      shingle: Int): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), normToks.as("toks"))
@@ -280,6 +281,10 @@ object Dedup {
       .select(col("doc_id"), array_distinct(expr(
         s"transform(sequence(1, size(toks) - ${shingle - 1}), " +
           s"i -> concat_ws(' ', slice(toks, i, $shingle)))")).as("st"))
+
+  def jaccardPrefixJoin(spark: SparkSession, dir: String,
+      tau: Double = 0.5, shingle: Int = 3): DataFrame = {
+    val setsPlan = tokenShingleSets(spark, dir, shingle)
     // the frequency/prefix pipeline reads the shingles twice → one
     // materialized copy for that side only
     val sets = setsPlan.localCheckpoint()
@@ -336,6 +341,73 @@ object Dedup {
         (col("inter").cast("double") / (col("szsum") - col("inter"))).as("j"))
       .filter(col("j") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** EXACT containment (asymmetric-Jaccard) join: directed pairs with
+    * C(A→B) = |A∩B| / |A| ≥ τ over the same token-shingle sets as
+    * [[jaccardPrefixJoin]] — "A's shingles are mostly inside B", the
+    * quote / excerpt / subset-contamination relation symmetric Jaccard
+    * cannot see (a 50-token excerpt inside a 5000-token page has
+    * J ≈ 0.01 but C ≈ 1.0). Same SSJoin prefix-filter machinery, one
+    * side only: order A's set by global df (rare first); C ≥ τ forces
+    * overlap ≥ ⌈τ·|A|⌉, so A must share one of its first
+    * |A| − ⌈τ·|A|⌉ + 1 shingles with B — if all intersection elements
+    * sat past the prefix, overlap would be ≤ ⌈τ·|A|⌉ − 1. B cannot be
+    * prefix-pruned (containment is one-sided), so candidates come from
+    * prefix(A) ⋈ full-postings(B); recall is 1.0 by construction and
+    * exact verification on candidates makes precision exact — the
+    * result provably equals the O(n²) all-pairs join the DuckDB oracle
+    * runs (parity spec vs a naive Spark plan, both SFs).
+    *
+    * Occurrence-level prunes, both lossless via the FIRST shared
+    * token: a shared prefix token at A-position i bounds the overlap
+    * by 1 + (|A| − i) ≥ ⌈τ·|A|⌉, and |B| ≥ overlap ≥ ⌈τ·|A|⌉ kills
+    * tiny-B pairings outright.
+    *
+    * Scale shape: the df count and the posting explosion are each one
+    * token-level shuffle (the posting side skips the df join — it
+    * needs no ordering); rare-first prefixes keep the A side's posting
+    * lists short, so candidate volume tracks genuinely-contained mass.
+    * Full sets ride back doc-keyed for the verify, exactly as in
+    * [[jaccardPrefixJoin]]. Boilerplate shingles surviving into many
+    * prefixes are the AQE-skew-split case again. */
+  def containmentJoin(spark: SparkSession, dir: String,
+      tau: Double = 0.6, shingle: Int = 3): DataFrame = {
+    val setsPlan = tokenShingleSets(spark, dir, shingle)
+    // the frequency/prefix pipeline reads the shingles twice → one
+    // materialized copy for that side only
+    val sets = setsPlan.localCheckpoint()
+    val dfreq = sets.select(explode(col("st")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val prefixes = sets
+      .select(col("doc_id"), size(col("st")).as("sz"), explode(col("st")).as("tok"))
+      .join(dfreq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("sz")).as("sz"),
+        array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(col("ordered"), lit(1),
+          (col("sz") - ceil(lit(tau) * col("sz") - lit(PruneEps)) + 1).cast("int"))))
+      .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+        (col("pos") + 1).as("pos_a"), col("col.tok").as("tok"))
+    val postings = sets
+      .select(col("doc_id").as("doc_b"), size(col("st")).as("sz_b"),
+        explode(col("st")).as("tok"))
+    val needA = ceil(lit(tau) * col("sz_a") - lit(PruneEps))
+    val cands = prefixes.join(postings, Seq("tok"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("sz_b") >= needA &&
+        (lit(1) + col("sz_a") - col("pos_a")) >= needA)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cands
+      .join(setsPlan.select(col("doc_id").as("doc_a"), col("st").as("sa")), Seq("doc_a"))
+      .join(setsPlan.select(col("doc_id").as("doc_b"), col("st").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(col("sa"))).as("c"))
+      .filter(col("c") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("c"), 4).as("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

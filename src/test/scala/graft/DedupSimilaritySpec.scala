@@ -194,6 +194,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("containment join equals the naive all-pairs directed join " +
+      "(recall 1.0 by construction, both scale factors, non-default tau)") {
+    // tau = 0.35 exercises the FP-boundary epsilon in the one-sided
+    // pruning bounds (0.6 stresses the B-length prune instead)
+    for ((dir, tau) <- Seq(
+      ("/root/testdata/sf0.001", 0.6), ("/root/testdata/sf0.01", 0.6),
+      ("/root/testdata/sf0.001", 0.35), ("/root/testdata/sf0.01", 0.35))) {
+      val fast = Dedup.containmentJoin(spark, dir, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // naive reference: all DIRECTED pairs, exact containment over the
+      // same 3-token shingle sets, same threshold
+      val sets = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', slice(toks, i, 3)))")).as("st"))
+      val a = sets.select(col("doc_id").as("doc_a"), col("st").as("sa"))
+      val b = sets.select(col("doc_id").as("doc_b"), col("st").as("sb"))
+      val c = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(col("sa"))
+      val naive = a.join(b, col("doc_a") =!= col("doc_b"))
+        .filter(c >= tau)
+        .select(col("doc_a"), col("doc_b"), round(c, 4).as("containment"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == naive,
+        s"containment prefix filter diverged at $dir tau=$tau: " +
+          s"missing=${naive -- fast} extra=${fast -- naive}")
+      assert(naive.nonEmpty || dir.endsWith("0.001"),
+        "expected at least one qualifying directed pair at sf0.01")
+      // directionality: containment must see asymmetric pairs Jaccard
+      // thresholds at the same tau would reject — at minimum, every
+      // symmetric jaccard-qualifying pair appears in BOTH directions
+      val sym = Dedup.jaccardPrefixJoin(spark, dir, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val directed = fast.map(t => (t._1, t._2))
+      assert(sym.forall(p => directed.contains(p) && directed.contains(p.swap)),
+        "J >= tau implies containment >= tau in both directions")
+    }
+  }
+
   test("contamination: shares bounded, counts consistent, overlap detected") {
     val c = TextAnalysis.contamination(spark, sf)
     assert(c.count() > 0)
