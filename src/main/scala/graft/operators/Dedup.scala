@@ -273,9 +273,12 @@ object Dedup {
     * parallel. */
   private def tokenShingleSets(spark: SparkSession, dir: String,
       shingle: Int): DataFrame =
-    Tables.documents(spark, dir)
+    tokenShingleSetsOf(Tables.documents(spark, dir), shingle)
+
+  private def tokenShingleSetsOf(docs: DataFrame, shingle: Int): DataFrame =
+    docs
       .select(col("doc_id"), col("text"))
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), normToks.as("toks"))
       .filter(size(col("toks")) >= shingle)
       .select(col("doc_id"), array_distinct(expr(
@@ -403,6 +406,74 @@ object Dedup {
     cands
       .join(setsPlan.select(col("doc_id").as("doc_a"), col("st").as("sa")), Seq("doc_a"))
       .join(setsPlan.select(col("doc_id").as("doc_b"), col("st").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(col("sa"))).as("c"))
+      .filter(col("c") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("c"), 4).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Persist the containment-join corpus side as a probe-able index —
+    * the batch-incremental form of [[containmentJoin]], the same
+    * index/probe split as [[buildMinhashIndex]]: "is any document of
+    * the NEW crawl batch mostly contained in the existing corpus"
+    * without touching the corpus per ingest wave. Three relations:
+    * full token postings (doc, set size, shingle) BUCKETED BY the
+    * shingle so the candidate equi-join reads the corpus co-located
+    * with no Exchange; the global df relation (probes order their
+    * prefixes by corpus df — ANY order is recall-lossless by
+    * pigeonhole, df-order is what keeps the matched posting lists
+    * short); and the shingle sets, bucketed by doc, for the verify
+    * join's corpus side. */
+  def buildContainmentIndex(spark: SparkSession, dir: String, name: String,
+      nBuckets: Int = 8, shingle: Int = 3): Unit = {
+    val sets = tokenShingleSets(spark, dir, shingle).localCheckpoint()
+    val postings = sets.select(col("doc_id").as("doc_b"),
+      size(col("st")).as("sz_b"), explode(col("st")).as("tok"))
+    graft.sources.FormatIO.writeBucketed(postings, s"${name}_postings",
+      "tok", nBuckets, sortCol = Some("tok"))
+    graft.sources.FormatIO.writeBucketed(sets.withColumnRenamed("doc_id", "doc_b")
+      .withColumnRenamed("st", "sb"), s"${name}_sets", "doc_b", nBuckets)
+    sets.select(explode(col("st")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .write.format("parquet").mode("overwrite").saveAsTable(s"${name}_df")
+  }
+
+  /** Probe the persisted containment index with a batch of documents
+    * (`doc_id`, `text`): directed pairs (probe doc → index doc) with
+    * C(probe→index) ≥ τ, exactly as [[containmentJoin]] computes them
+    * (probing the index's own corpus reproduces it — spec-checked).
+    * The probe side orders its prefixes by the CORPUS df (shingles the
+    * corpus has never seen get df 0 and sort first: they match no
+    * posting, recall is unaffected — the prefix theorem is
+    * order-free); only the probe batch shuffles, the postings and the
+    * verify-side sets both read on their bucket layout. */
+  def probeContainmentIndex(spark: SparkSession, name: String,
+      newDocs: DataFrame, tau: Double = 0.6, shingle: Int = 3): DataFrame = {
+    val sets = tokenShingleSetsOf(newDocs, shingle).localCheckpoint()
+    val dfreq = spark.table(s"${name}_df")
+    val prefixes = sets
+      .select(col("doc_id"), size(col("st")).as("sz"), explode(col("st")).as("tok"))
+      .join(dfreq, Seq("tok"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(max(col("sz")).as("sz"),
+        array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(col("ordered"), lit(1),
+          (col("sz") - ceil(lit(tau) * col("sz") - lit(PruneEps)) + 1).cast("int"))))
+      .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+        (col("pos") + 1).as("pos_a"), col("col.tok").as("tok"))
+    val needA = ceil(lit(tau) * col("sz_a") - lit(PruneEps))
+    val cands = prefixes.join(spark.table(s"${name}_postings"), Seq("tok"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("sz_b") >= needA &&
+        (lit(1) + col("sz_a") - col("pos_a")) >= needA)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("st").as("sa")), Seq("doc_a"))
+      .join(spark.table(s"${name}_sets"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(col("sa"))).as("c"))

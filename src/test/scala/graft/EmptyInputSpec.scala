@@ -50,6 +50,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.operators.Graph.connectedComponents(
       Seq.empty[(Long, Long)].toDF("s", "t"), "s", "t").count() == 0)
     assert(graft.operators.Similarity.annPcaLsh(spark, emptyDir).count() == 0)
+    // round-5 continuation off-map surface
+    graft.operators.Dedup.buildContainmentIndex(spark, emptyDir, "cont_empty")
+    assert(graft.operators.Dedup.probeContainmentIndex(spark, "cont_empty",
+      graft.sources.Tables.documents(spark, emptyDir)).count() == 0)
   }
 
   test("every query runs to completion on an empty dataset") {

@@ -258,6 +258,37 @@ class ExtensionsIOSpec extends AnyFunSuite {
       s"index scan must use the bucket layout:\n$formatted")
   }
 
+  test("persisted containment index: probing its own corpus reproduces " +
+    "containmentJoin; postings and verify sets read bucketed") {
+    import graft.operators.Dedup
+    Dedup.buildContainmentIndex(spark, sf, "cont_idx", nBuckets = 4)
+    val probeDocs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val probed = Dedup.probeContainmentIndex(spark, "cont_idx", probeDocs)
+    val direct = Dedup.containmentJoin(spark, sf)
+    assert(probed.collect().sameElements(direct.collect()),
+      "probing the stored index must reproduce the batch containment join")
+    // the corpus side must be satisfied from its stored layout — both
+    // the posting list and the verify-side shingle sets
+    val formatted = probed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("Bucketed: true"),
+      s"index scans must use the bucket layout:\n$formatted")
+  }
+
+  test("containment probe never sees corpus-unseen shingles match " +
+    "(df-0 prefix slots are recall-safe, not candidates)") {
+    import graft.operators.Dedup
+    Dedup.buildContainmentIndex(spark, sf, "cont_idx_u", nBuckets = 4)
+    // a batch whose vocabulary is disjoint from the corpus: every
+    // shingle gets df 0, the whole prefix is corpus-unseen, the join
+    // must produce zero candidates (and zero errors) rather than
+    // accidental matches
+    val alien = spark.createDataFrame(Seq(
+      (900001L, "zzqx wvvk plmr eety zzqx wvvk plmr"),
+      (900002L, "aat bbu ccv ddw eex ffy ggz hhq"))).toDF("doc_id", "text")
+    assert(Dedup.probeContainmentIndex(spark, "cont_idx_u", alien).count() == 0)
+  }
+
   test("index probe shuffle volume scales with the arrival batch, not " +
     "the corpus (the O(batch) incremental-dedup claim, measured)") {
     import graft.operators.Dedup
