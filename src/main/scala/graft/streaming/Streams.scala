@@ -821,6 +821,26 @@ object Streams {
       }
       .start()
 
+  /** Streaming containment screening against the PERSISTED containment
+    * index ([[graft.operators.Dedup.buildContainmentIndex]]): each
+    * micro-batch of arriving documents asks "is this document mostly
+    * CONTAINED in the existing corpus" (directed C(arrival→corpus) ≥ τ)
+    * — the streaming face of eval-set decontamination and quote/excerpt
+    * screening at ingest time, where symmetric near-dup probes
+    * ([[indexProbeStream]]) miss short excerpts of long corpus pages.
+    * Same shape as the MinHash probe: the bucketed posting/verify
+    * tables never reshuffle, per-batch cost scales with the batch. */
+  def containmentProbeStream(spark: SparkSession, docs: DataFrame,
+      indexName: String, outPath: String, checkpoint: String,
+      tau: Double = 0.6): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.probeContainmentIndex(spark, indexName, batch, tau)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** Streaming COMPONENT-LABEL maintenance — the label-level completion
     * of the streaming dedup story: [[indexProbeStream]] turns arriving
     * docs into candidate PAIRS; this stream folds an edge stream into a

@@ -613,6 +613,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "expected candidates: the index contains the arrivals")
   }
 
+  test("streaming containment probe: micro-batched arrivals find the " +
+    "same directed containments as one batch probe of the arrival set") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.operators.Dedup.buildContainmentIndex(sp, sf, "cont_stream_idx")
+    val arrivals = graft.sources.Tables.documents(sp, sf)
+      .select(col("doc_id"), col("text"))
+      .limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val out = java.nio.file.Files.createTempDirectory("graft-cprobe-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cprobe-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.containmentProbeStream(sp,
+      input.toDF().toDF("doc_id", "text"), "cont_stream_idx", out, ckpt)
+    arrivals.grouped(15).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = sp.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Dedup.probeContainmentIndex(sp,
+        "cont_stream_idx", graft.sources.Tables.documents(sp, sf)
+          .select(col("doc_id"), col("text")).limit(40))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch,
+      s"streamed containment diverged: only-stream=${streamed -- batch} " +
+        s"only-batch=${batch -- streamed}")
+    assert(batch.nonEmpty,
+      "expected containments: the index contains the arrivals themselves")
+  }
+
   test("state-store reader: checkpointed window state matches the " +
     "aggregation the query emitted") {
     val sp = spark
