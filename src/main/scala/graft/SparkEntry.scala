@@ -181,7 +181,9 @@ object SparkEntry {
     "q_containment_join" -> ((s: SparkSession, d: String) => Dedup.containmentJoin(s, d)),
     "q_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     "q_vocab_coverage" -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
-    "q_bigram_logprob" -> ((s: SparkSession, d: String) => TextAnalysis.bigramLogprob(s, d))
+    "q_bigram_logprob" -> ((s: SparkSession, d: String) => TextAnalysis.bigramLogprob(s, d)),
+    "q_dsir_weights" -> ((s: SparkSession, d: String) => Selection.dsirWeights(s, d)),
+    "q_dsir_select" -> ((s: SparkSession, d: String) => Selection.dsirSelect(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1774,6 +1776,79 @@ object SparkEntry {
         |JOIN uni ul ON db.l = ul.tok JOIN uni ur ON db.r = ur.tok
         |CROSS JOIN tot
         |GROUP BY db.doc_id
-        |ORDER BY db.doc_id""".stripMargin
+        |ORDER BY db.doc_id""".stripMargin,
+    // DSIR λ is quantized to integer micro-units on BOTH sides, so the
+    // per-document score is an exact integer sum (order-independent)
+    // divided once at the edge — no float-summation rounding boundary
+    // can split the engines. Bucket = first 24 md5 bits mod 256.
+    "q_dsir_weights" ->
+      """WITH d AS (
+        | SELECT doc_id, lang, source,
+        |   string_split_regex(lower(trim(text)), '\s+') AS t
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, lang, source, unnest(t) AS g FROM d
+        | UNION ALL
+        | SELECT doc_id, lang, source, t[i] || ' ' || t[i+1] AS g
+        | FROM d, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)
+        | WHERE len(t) >= 2),
+        |gb AS (SELECT doc_id, lang, source,
+        |        CAST('0x' || substring(md5(g), 1, 6) AS BIGINT) % 256 AS b
+        |       FROM g),
+        |tgt AS (SELECT b, count(*) AS ct FROM gb
+        |        WHERE source IN ('src0', 'src1') GROUP BY b),
+        |rawc AS (SELECT b, count(*) AS cr FROM gb GROUP BY b),
+        |tot AS (SELECT (SELECT sum(ct) FROM tgt) + 256.0 AS tt,
+        |               (SELECT sum(cr) FROM rawc) + 256.0 AS tr),
+        |lam AS (
+        | SELECT rawc.b,
+        |  CAST(floor((ln((coalesce(ct, 0) + 1.0) / tt)
+        |            - ln((cr + 1.0) / tr)) * 1000000 + 0.5) AS BIGINT) AS l
+        | FROM rawc LEFT JOIN tgt USING (b) CROSS JOIN tot)
+        |SELECT gb.doc_id, any_value(gb.lang) AS lang,
+        | any_value(gb.source) AS source,
+        | count(*) AS n_grams,
+        | CAST(sum(l) AS DOUBLE) / 1000000.0 AS logw
+        |FROM gb JOIN lam USING (b)
+        |GROUP BY gb.doc_id
+        |ORDER BY gb.doc_id""".stripMargin,
+    "q_dsir_select" ->
+      """WITH d AS (
+        | SELECT doc_id, lang, source,
+        |   string_split_regex(lower(trim(text)), '\s+') AS t
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, lang, source, unnest(t) AS g FROM d
+        | UNION ALL
+        | SELECT doc_id, lang, source, t[i] || ' ' || t[i+1] AS g
+        | FROM d, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)
+        | WHERE len(t) >= 2),
+        |gb AS (SELECT doc_id, lang, source,
+        |        CAST('0x' || substring(md5(g), 1, 6) AS BIGINT) % 256 AS b
+        |       FROM g),
+        |tgt AS (SELECT b, count(*) AS ct FROM gb
+        |        WHERE source IN ('src0', 'src1') GROUP BY b),
+        |rawc AS (SELECT b, count(*) AS cr FROM gb GROUP BY b),
+        |tot AS (SELECT (SELECT sum(ct) FROM tgt) + 256.0 AS tt,
+        |               (SELECT sum(cr) FROM rawc) + 256.0 AS tr),
+        |lam AS (
+        | SELECT rawc.b,
+        |  CAST(floor((ln((coalesce(ct, 0) + 1.0) / tt)
+        |            - ln((cr + 1.0) / tr)) * 1000000 + 0.5) AS BIGINT) AS l
+        | FROM rawc LEFT JOIN tgt USING (b) CROSS JOIN tot)
+        |, w AS (
+        | SELECT gb.doc_id, any_value(gb.lang) AS lang,
+        |  any_value(gb.source) AS source,
+        |  CAST(sum(l) AS DOUBLE) / 1000000.0 AS logw
+        | FROM gb JOIN lam USING (b)
+        | GROUP BY gb.doc_id),
+        |k AS (SELECT doc_id, lang, source, logw,
+        |  round(logw - ln(-ln(
+        |    (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+        |      AS BIGINT) + 0.5) / 4503599627370496.0)), 6) AS gumbel_key
+        | FROM w)
+        |SELECT doc_id, lang, source, logw FROM
+        | (SELECT * FROM k ORDER BY gumbel_key DESC, doc_id LIMIT 200)
+        |ORDER BY doc_id""".stripMargin
   )
 }
