@@ -183,7 +183,8 @@ object SparkEntry {
     "q_vocab_coverage" -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "q_bigram_logprob" -> ((s: SparkSession, d: String) => TextAnalysis.bigramLogprob(s, d)),
     "q_dsir_weights" -> ((s: SparkSession, d: String) => Selection.dsirWeights(s, d)),
-    "q_dsir_select" -> ((s: SparkSession, d: String) => Selection.dsirSelect(s, d))
+    "q_dsir_select" -> ((s: SparkSession, d: String) => Selection.dsirSelect(s, d)),
+    "q_gopher_rules" -> ((s: SparkSession, d: String) => Quality.gopherRulesDocs(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1849,6 +1850,40 @@ object SparkEntry {
         | FROM w)
         |SELECT doc_id, lang, source, logw FROM
         | (SELECT * FROM k ORDER BY gumbel_key DESC, doc_id LIMIT 200)
+        |ORDER BY doc_id""".stripMargin,
+    // Ratios are single divisions of engine-identical integer counts —
+    // exact doubles, no rounding surface. Lateral column aliases let
+    // gopher_pass reuse the computed columns.
+    "q_gopher_rules" ->
+      """WITH d AS (
+        | SELECT doc_id, lang,
+        |   string_split_regex(lower(trim(text)), '\s+') AS t,
+        |   string_split(text, chr(10)) AS ln
+        | FROM documents)
+        |SELECT doc_id, lang,
+        | CAST(len(t) AS BIGINT) AS n_words,
+        | CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+        |   / len(t) AS mean_word_len,
+        | CAST(len(list_filter(t, x -> contains(x, '#')
+        |   OR contains(x, '...') OR contains(x, '…'))) AS DOUBLE)
+        |   / len(t) AS frac_sym,
+        | CAST(len(list_filter(ln, x -> starts_with(ltrim(x), '-')
+        |   OR starts_with(ltrim(x), '*') OR starts_with(ltrim(x), '•')))
+        |   AS DOUBLE) / len(ln) AS frac_bullet,
+        | CAST(len(list_filter(ln, x -> ends_with(rtrim(x), '...')
+        |   OR ends_with(rtrim(x), '…'))) AS DOUBLE)
+        |   / len(ln) AS frac_ellipsis,
+        | CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+        |   AS DOUBLE) / len(t) AS frac_alpha,
+        | CAST(len(list_intersect(list_distinct(t),
+        |   ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+        |   AS stop_hits,
+        | (n_words BETWEEN 50 AND 100000)
+        |   AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |   AND frac_sym <= 0.1 AND frac_bullet < 0.9
+        |   AND frac_ellipsis <= 0.3 AND frac_alpha >= 0.8
+        |   AND stop_hits >= 1 AS gopher_pass
+        |FROM d
         |ORDER BY doc_id""".stripMargin
   )
 }

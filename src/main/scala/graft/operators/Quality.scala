@@ -91,4 +91,69 @@ object Quality {
           4).as("est_jaccard"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** The Gopher quality-rule battery (Rae et al. 2021, MassiveWeb
+    * filtering, Appendix A) — the standard rule-based document filter
+    * applied before LLM pretraining. Every rule is a row-local
+    * expression over the document alone (no corpus statistics), so the
+    * whole battery is one embarrassingly-parallel projection: FileScan
+    * → Project at any corpus size, the cheapest possible 100 TB shape.
+    *
+    * Rules (paper defaults): word count in [minWords, maxWords]; mean
+    * word length in [3, 10]; ≤10% of words contain '#' or an ellipsis;
+    * <90% of lines start with a bullet; ≤30% of lines end with an
+    * ellipsis; ≥80% of words contain an alphabetic character; document
+    * mentions ≥ minStopHits distinct stop words from the paper's
+    * 8-word list. `gopher_pass` is the conjunction.
+    *
+    * Ratios are single divisions of engine-identical integers, so the
+    * output carries exact doubles — no rounding surface. The shipped
+    * query instance lowers minStopHits to 1 (documented corpus
+    * adaptation: the synthetic word-soup corpus contains only "the"
+    * from the stop list — the paper default would be constant-false
+    * here); the spec exercises the ≥2 default on crafted documents. */
+  def gopherRules(spark: SparkSession, dir: String, minWords: Int = 50,
+      maxWords: Int = 100000, minStopHits: Int = 2): DataFrame =
+    gopherRulesOn(Tables.documents(spark, dir), minWords, maxWords,
+      minStopHits)
+
+  /** [[gopherRules]] over an arbitrary (doc_id, lang, text) frame —
+    * the core the spec drives with crafted multi-line documents. */
+  def gopherRulesOn(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000, minStopHits: Int = 2): DataFrame = {
+    val stopList = "array('the','be','to','of','and','that','have','with')"
+    docs
+      .select(col("doc_id"), col("lang"),
+        split(lower(trim(col("text"))), "\\s+").as("t"),
+        split(col("text"), "\n").as("ln"))
+      .select(col("doc_id"), col("lang"),
+        size(col("t")).cast("long").as("n_words"),
+        (expr("aggregate(t, 0L, (s, x) -> s + length(x))").cast("double") /
+          size(col("t"))).as("mean_word_len"),
+        (expr("size(filter(t, x -> contains(x, '#') OR contains(x, '...')" +
+          " OR contains(x, '…')))").cast("double") /
+          size(col("t"))).as("frac_sym"),
+        (expr("size(filter(ln, x -> startswith(ltrim(x), '-')" +
+          " OR startswith(ltrim(x), '*') OR startswith(ltrim(x), '•')))")
+          .cast("double") / size(col("ln"))).as("frac_bullet"),
+        (expr("size(filter(ln, x -> endswith(rtrim(x), '...')" +
+          " OR endswith(rtrim(x), '…')))").cast("double") /
+          size(col("ln"))).as("frac_ellipsis"),
+        (expr("size(filter(t, x -> x rlike '[a-z]'))").cast("double") /
+          size(col("t"))).as("frac_alpha"),
+        expr(s"size(array_intersect(array_distinct(t), $stopList))")
+          .cast("long").as("stop_hits"))
+      .withColumn("gopher_pass",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          (col("frac_sym") <= 0.1) && (col("frac_bullet") < 0.9) &&
+          (col("frac_ellipsis") <= 0.3) && (col("frac_alpha") >= 0.8) &&
+          (col("stop_hits") >= minStopHits))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The shipped audit instance of [[gopherRules]] (minStopHits=1 —
+    * see the corpus-adaptation note above). */
+  def gopherRulesDocs(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(spark, dir, minStopHits = 1)
 }
