@@ -184,7 +184,10 @@ object SparkEntry {
     "q_bigram_logprob" -> ((s: SparkSession, d: String) => TextAnalysis.bigramLogprob(s, d)),
     "q_dsir_weights" -> ((s: SparkSession, d: String) => Selection.dsirWeights(s, d)),
     "q_dsir_select" -> ((s: SparkSession, d: String) => Selection.dsirSelect(s, d)),
-    "q_gopher_rules" -> ((s: SparkSession, d: String) => Quality.gopherRulesDocs(s, d))
+    "q_gopher_rules" -> ((s: SparkSession, d: String) => Quality.gopherRulesDocs(s, d)),
+    // rows-only: k-means is iterative float work (see SURVEY §4);
+    // semantics carried by PrototypicalitySpec's crafted clusters.
+    "q_prototypicality" -> ((s: SparkSession, d: String) => Similarity.prototypicality(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(

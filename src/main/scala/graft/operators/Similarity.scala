@@ -594,4 +594,58 @@ object Similarity {
       .toDF("vec_id", "cluster_id", "kept", "rep_id")
       .orderBy(col("vec_id"))
   }
+
+  /** D4-style prototypicality diversification (Tirumala et al. 2023):
+    * the step AFTER [[semanticDedup]] in the D4 pipeline. Cluster the
+    * embeddings (same VectorSum Lloyd), score every vector by cosine
+    * similarity to its OWN centroid ("prototypicality" — how
+    * cluster-typical it is), and DROP the most prototypical ρ fraction
+    * of each cluster: near-centroid points are the redundant mass SSL
+    * prototypes identify, the diverse tail is what's worth training
+    * on. Keep decision is integer arithmetic (rank ≤ ⌊ρ·n_c⌋ drops),
+    * so ties can't flip membership between runs.
+    *
+    * Scale: assignment is the same broadcast-literal argmax as
+    * [[annIvf]] (row-local); the per-cluster ranking window partitions
+    * by cluster_id — at 100 TB cluster count grows ∝ √n (the IVF/
+    * SemDeDup parameter-growth path, D4 itself runs 11k clusters), so
+    * per-cluster membership stays bounded and no window partition
+    * degenerates to a corpus-sized task. */
+  def prototypicality(spark: SparkSession, dir: String, rho: Double = 0.25,
+      nCentroids: Int = 16, kmeansIters: Int = 2): DataFrame =
+    prototypicalityOn(spark, vecs(spark, dir), rho, nCentroids, kmeansIters)
+
+  /** [[prototypicality]] over an arbitrary (vec_id, v) frame — the core
+    * the spec drives with crafted clusters. */
+  def prototypicalityOn(spark: SparkSession, raw: DataFrame, rho: Double,
+      nCentroids: Int, kmeansIters: Int): DataFrame = {
+    // materialized once — Lloyd iterations + the final assignment pass
+    // all re-read this working set (see annIvf)
+    val normed = raw
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+          .as("vn"))
+      .localCheckpoint()
+    val centroids = trainCentroids(spark, normed, nCentroids, kmeansIters)
+    if (centroids.isEmpty) {
+      return normed.select(col("vec_id"), lit(0L).as("cluster_id"),
+        lit(0.0).as("proto_sim"), lit(true).as("kept")).limit(0)
+    }
+    val dots: Column = array(centroids.toIndexedSeq.map(c =>
+      dotProduct(col("vn"), typedlit(c.toSeq))): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    val assigned = normed
+      .withColumn("dots", dots)
+      .withColumn("cluster_id",
+        expr("array_position(dots, array_max(dots))").cast("long"))
+      .withColumn("proto_sim", round(expr("array_max(dots)"), 6))
+    assigned
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("proto_sim").desc, col("vec_id"))))
+      .withColumn("n_c", count(lit(1)).over(w))
+      .select(col("vec_id"), col("cluster_id"), col("proto_sim"),
+        (col("rn") > floor(lit(rho) * col("n_c"))).as("kept"))
+      .orderBy(col("vec_id"))
+  }
 }
