@@ -187,7 +187,8 @@ object SparkEntry {
     "q_gopher_rules" -> ((s: SparkSession, d: String) => Quality.gopherRulesDocs(s, d)),
     // rows-only: k-means is iterative float work (see SURVEY §4);
     // semantics carried by PrototypicalitySpec's crafted clusters.
-    "q_prototypicality" -> ((s: SparkSession, d: String) => Similarity.prototypicality(s, d))
+    "q_prototypicality" -> ((s: SparkSession, d: String) => Similarity.prototypicality(s, d)),
+    "q_k_anonymity" -> ((s: SparkSession, d: String) => Privacy.kAnonymity(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1887,6 +1888,29 @@ object SparkEntry {
         |   AND frac_ellipsis <= 0.3 AND frac_alpha >= 0.8
         |   AND stop_hits >= 1 AS gopher_pass
         |FROM d
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH e AS (
+        | SELECT event_type,
+        |   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |   CAST(floor(value / 100) AS BIGINT) AS value_band, user_id
+        | FROM events),
+        |l0 AS (
+        | SELECT event_type, day, value_band, count(*) AS n_rows,
+        |   count(DISTINCT user_id) AS n_users
+        | FROM e GROUP BY 1, 2, 3),
+        |l1 AS (
+        | SELECT event_type, date_trunc('month', day) AS month,
+        |   count(DISTINCT user_id) AS l1_users
+        | FROM e GROUP BY 1, 2)
+        |SELECT l0.event_type, l0.day, l0.value_band,
+        | CAST(l0.n_rows AS BIGINT) AS n_rows,
+        | CAST(l0.n_users AS BIGINT) AS n_users,
+        | l0.n_users < 5 AS at_risk,
+        | l0.n_users < 5 AND l1.l1_users >= 5 AS generalization_rescues
+        |FROM l0 JOIN l1
+        |  ON l0.event_type = l1.event_type
+        | AND date_trunc('month', l0.day) = l1.month
+        |ORDER BY l0.event_type, l0.day, l0.value_band""".stripMargin
   )
 }
