@@ -1892,7 +1892,7 @@ object SparkEntry {
     "q_k_anonymity" ->
       """WITH e AS (
         | SELECT event_type,
-        |   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
         |   CAST(floor(value / 100) AS BIGINT) AS value_band, user_id
         | FROM events),
         |l0 AS (

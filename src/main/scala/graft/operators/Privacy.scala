@@ -32,20 +32,29 @@ object Privacy {
     * cardinality the exact distinct swaps for the KMV sketch
     * (`Federation.groupOverlap`'s aggregate) without changing the plan
     * shape. */
-  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val e = Tables.events(spark, dir)
-      .select(col("event_type"), to_date(col("ts")).as("day"),
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    kAnonymityOn(Tables.events(spark, dir), k)
+
+  /** Core of [[kAnonymity]] over any frame with (event_type, ts,
+    * value, user_id) — split out so specs can drive crafted QI
+    * classes through the rescue ladder. */
+  def kAnonymityOn(events: DataFrame, k: Int = 5): DataFrame = {
+    // day is date_trunc (timestamp-typed), the repo-wide edge
+    // convention — raw DATE columns hit engine-dtype skew at the
+    // driver compare
+    val e = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
         floor(col("value") / 100).cast("long").as("value_band"),
         col("user_id"))
     val l0 = e.groupBy(col("event_type"), col("day"), col("value_band"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("user_id")).as("n_users"))
     val l1 = e.groupBy(col("event_type"),
-        trunc(col("day"), "MM").as("month"))
+        date_trunc("month", col("day")).as("month"))
       .agg(countDistinct(col("user_id")).as("l1_users"))
     l0.join(broadcast(l1),
         l0("event_type") === l1("event_type") &&
-          trunc(l0("day"), "MM") === l1("month"))
+          date_trunc("month", l0("day")) === l1("month"))
       .select(l0("event_type"), col("day"), col("value_band"),
         col("n_rows"), col("n_users"),
         (col("n_users") < k).as("at_risk"),

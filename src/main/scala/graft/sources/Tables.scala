@@ -25,16 +25,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) cannot hold; read nanos as long and floor-convert to µs — the
-    * same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so
-    * oracle comparisons agree exactly. */
+  /** `events.ts` arrives in one of two physical shapes depending on how
+    * the dataset was generated: parquet TIMESTAMP(NANOS) — which Spark's
+    * TimestampType (µs) cannot hold, so it's read as raw long under the
+    * legacy conf and floor-converted (the same truncation DuckDB applies
+    * casting TIMESTAMP_NS → TIMESTAMP) — or plain TIMESTAMP(MICROS)
+    * (read as NTZ). Both normalize to session-zoned TimestampType; all
+    * entry points pin the session to UTC, so downstream values are
+    * identical either way. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    // integer div, not `/` — double division loses µs precision at
-    // nanosecond-epoch magnitude (≈1.7e18 > 2^53)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer div, not `/` — double division loses µs precision at
+        // nanosecond-epoch magnitude (≈1.7e18 > 2^53)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
