@@ -188,7 +188,13 @@ object SparkEntry {
     // rows-only: k-means is iterative float work (see SURVEY §4);
     // semantics carried by PrototypicalitySpec's crafted clusters.
     "q_prototypicality" -> ((s: SparkSession, d: String) => Similarity.prototypicality(s, d)),
-    "q_k_anonymity" -> ((s: SparkSession, d: String) => Privacy.kAnonymity(s, d))
+    "q_k_anonymity" -> ((s: SparkSession, d: String) => Privacy.kAnonymity(s, d)),
+    "q_l_diversity" -> ((s: SparkSession, d: String) => Privacy.lDiversity(s, d)),
+    "q_dp_bounded" -> ((s: SparkSession, d: String) => Privacy.dpBounded(s, d)),
+    // rows-only: the Laplace noise is transcendental (ln) — libm
+    // last-ulp skew across engines; mechanism correctness carried by
+    // PrivacySpec (ε-rescaling law, symmetry, seed determinism).
+    "q_dp_release" -> ((s: SparkSession, d: String) => Privacy.dpRelease(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1911,6 +1917,45 @@ object SparkEntry {
         |FROM l0 JOIN l1
         |  ON l0.event_type = l1.event_type
         | AND date_trunc('month', l0.day) = l1.month
-        |ORDER BY l0.event_type, l0.day, l0.value_band""".stripMargin
+        |ORDER BY l0.event_type, l0.day, l0.value_band""".stripMargin,
+    "q_l_diversity" ->
+      """WITH e AS (
+        | SELECT event_type,
+        |   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |   CAST(floor(value / 100) AS BIGINT) AS value_band, user_id
+        | FROM events),
+        |bands AS (
+        | SELECT event_type, day, value_band, count(*) AS band_rows
+        | FROM e GROUP BY 1, 2, 3),
+        |classes AS (
+        | SELECT event_type, day,
+        |   CAST(sum(band_rows) AS BIGINT) AS n_rows,
+        |   count(*) AS l_bands,
+        |   CAST(max(band_rows) AS BIGINT) AS top_band_rows
+        | FROM bands GROUP BY 1, 2),
+        |users AS (
+        | SELECT event_type, day, count(DISTINCT user_id) AS n_users
+        | FROM e GROUP BY 1, 2)
+        |SELECT c.event_type, c.day, c.n_rows,
+        | CAST(u.n_users AS BIGINT) AS n_users,
+        | CAST(c.l_bands AS BIGINT) AS l_bands, c.top_band_rows,
+        | u.n_users >= 5 AND c.l_bands < 2 AS homogeneity_risk
+        |FROM classes c JOIN users u
+        |  ON c.event_type = u.event_type AND c.day = u.day
+        |ORDER BY c.event_type, c.day""".stripMargin,
+    "q_dp_bounded" ->
+      """WITH per_user AS (
+        | SELECT event_type,
+        |   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |   user_id, count(*) AS cnt
+        | FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, day,
+        | CAST(sum(cnt) AS BIGINT) AS raw_count,
+        | CAST(sum(least(cnt, 3)) AS BIGINT) AS bounded_count,
+        | count(*) AS n_contributors,
+        | CAST(sum(cnt) - sum(least(cnt, 3)) AS BIGINT) AS clipped_rows
+        |FROM per_user
+        |GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin
   )
 }

@@ -62,4 +62,110 @@ object Privacy {
           .as("generalization_rescues"))
       .orderBy(col("event_type"), col("day"), col("value_band"))
   }
+
+  def lDiversity(spark: SparkSession, dir: String, k: Int = 5,
+      lMin: Int = 2): DataFrame =
+    lDiversityOn(Tables.events(spark, dir), k, lMin)
+
+  /** l-diversity scan (Machanavajjhala et al. 2007) — the homogeneity
+    * follow-up to [[kAnonymityOn]]: a class can isolate ≥ k users and
+    * STILL leak if every member shares the sensitive value (here the
+    * value band), because membership alone then reveals it. Per
+    * quasi-identifier class (event_type, day): row/user counts, the
+    * number of distinct sensitive bands `l_bands`, and the row count of
+    * the dominant band (the frequency the recursive-(c,l) variant
+    * reasons about — emitted as the exact integer so auditors apply
+    * their own c). `homogeneity_risk` flags classes that pass
+    * k-anonymity yet carry fewer than lMin bands.
+    *
+    * Scale shape: one (class, band) aggregation, one per-class distinct
+    * over the log, then a class-keyed join of two already-aggregated
+    * frames (both group-sized; the second shuffle reuses the class
+    * key). No corpus-quadratic step. */
+  def lDiversityOn(events: DataFrame, k: Int = 5, lMin: Int = 2): DataFrame = {
+    val e = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        floor(col("value") / 100).cast("long").as("value_band"),
+        col("user_id"))
+    val bands = e.groupBy(col("event_type"), col("day"), col("value_band"))
+      .agg(count(lit(1)).as("band_rows"))
+    val classes = bands.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("band_rows")).as("n_rows"),
+        count(lit(1)).as("l_bands"),
+        max(col("band_rows")).as("top_band_rows"))
+    val users = e.groupBy(col("event_type"), col("day"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    classes.join(users, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("n_rows"), col("n_users"),
+        col("l_bands"), col("top_band_rows"),
+        (col("n_users") >= k && col("l_bands") < lMin)
+          .as("homogeneity_risk"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  def dpBounded(spark: SparkSession, dir: String, cap: Int = 3): DataFrame =
+    dpBoundedOn(Tables.events(spark, dir), cap)
+
+  /** Per-user contribution bounding — the sensitivity-control step
+    * every user-level differential-privacy release starts with: cap
+    * each user's contribution to a histogram cell (event_type, day) at
+    * `cap` rows, so one user can shift any released count by at most
+    * `cap` regardless of how many rows they generated. Emits the
+    * clipped count next to the raw count and the rows the clip
+    * discarded — the utility-loss audit an ε-budget review asks for.
+    *
+    * Scale shape: groupBy(user, cell) with map-side combine (the only
+    * log-sized shuffle), then a cell-keyed second aggregation over the
+    * already-collapsed (user, cell) frame. All-integer output, exact
+    * in any engine. */
+  def dpBoundedOn(events: DataFrame, cap: Int = 3): DataFrame = {
+    val perUser = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("day"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    perUser.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cnt")).as("raw_count"),
+        sum(least(col("cnt"), lit(cap.toLong))).as("bounded_count"),
+        count(lit(1)).as("n_contributors"))
+      .withColumn("clipped_rows", col("raw_count") - col("bounded_count"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  def dpRelease(spark: SparkSession, dir: String, epsilon: Double = 1.0,
+      cap: Int = 3, seed: Int = 42): DataFrame =
+    dpReleaseOn(Tables.events(spark, dir), epsilon, cap, seed)
+
+  /** ε-DP histogram release over the contribution-bounded counts:
+    * Laplace(b = cap/ε) noise per cell via the inverse CDF,
+    * noise = −b·sign(u−½)·ln(1−2|u−½|), with u the md5-derived uniform
+    * of (cell, seed) — the repo's standard hash-uniform (Gumbel top-k,
+    * weighted sampling), so the release is REPRODUCIBLE given the seed:
+    * reruns, partitionings and cluster sizes all emit the same noise.
+    * Production would draw u from a CSPRNG instead; everything else —
+    * sensitivity bound, mechanism, post-processing clamp — is the real
+    * pipeline. `released` clamps to ≥ 0 (post-processing preserves DP).
+    *
+    * Rows-only at the driver by design: the noise is transcendental
+    * (ln), and libm last-ulp skew across engines lands on reporting-
+    * rounding boundaries — the mechanism's correctness is carried by
+    * specs (exact ε-rescaling law, symmetry, |noise| mean ≈ b,
+    * seed determinism). Plan shape: [[dpBoundedOn]] plus one row-local
+    * projection — no additional shuffle. */
+  def dpReleaseOn(events: DataFrame, epsilon: Double = 1.0, cap: Int = 3,
+      seed: Int = 42): DataFrame = {
+    val b = cap / epsilon
+    val u = (conv(substring(md5(concat_ws("|", col("event_type"),
+        col("day").cast("string"), lit(seed))), 1, 13), 16, 10)
+      .cast("double") + lit(0.5)) / lit(math.pow(16.0, 13))
+    val centered = u - lit(0.5)
+    val noise = -lit(b) * signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered))
+    dpBoundedOn(events, cap)
+      .withColumn("noise", noise)
+      .withColumn("released",
+        greatest(round(col("bounded_count") + col("noise"), 4), lit(0.0)))
+      .select(col("event_type"), col("day"), col("bounded_count"),
+        col("noise"), col("released"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

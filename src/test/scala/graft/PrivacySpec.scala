@@ -80,4 +80,108 @@ class PrivacySpec extends AnyFunSuite {
     val df = Privacy.kAnonymityOn(crafted, k = 1)
     assert(df.filter(col("at_risk")).isEmpty)
   }
+
+  /** One day with 5 users all in band 0 (homogeneous, k-anonymous),
+    * one day with 5 users over two bands (diverse), one day with 2
+    * users in one band (small — k-anonymity's problem, not
+    * l-diversity's). */
+  private def craftedDiversity = {
+    val sp = spark
+    import sp.implicits._
+    val rows =
+      (1L to 5L).map(u => ("click", ts("2024-02-01"), 10.0, u)) ++
+        (1L to 5L).map(u =>
+          ("click", ts("2024-02-02"), if (u <= 3) 10.0 else 150.0, u)) ++
+        Seq(("click", ts("2024-02-03"), 10.0, 1L),
+          ("click", ts("2024-02-03"), 10.0, 2L))
+    rows.toDF("event_type", "ts", "value", "user_id")
+  }
+
+  test("l-diversity: homogeneous k-anonymous class is the one flagged") {
+    val rows = Privacy.lDiversityOn(craftedDiversity, k = 5, lMin = 2)
+      .collect()
+      .map(r => r.getTimestamp(1).toString.take(10) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))
+      .toMap
+    // 5 rows, 5 users, 1 band, dominant band holds all 5 → flagged
+    assert(rows("2024-02-01") === ((5L, 5L, 1L, 5L, true)))
+    // two bands (3 + 2 rows) → diverse, not flagged
+    assert(rows("2024-02-02") === ((5L, 5L, 2L, 3L, false)))
+    // small class: not k-anonymous, so homogeneity_risk stays false
+    assert(rows("2024-02-03") === ((2L, 2L, 1L, 2L, false)))
+  }
+
+  /** One power user with 10 same-day rows, two one-row users the same
+    * day, and a second day where the power user has exactly cap rows. */
+  private def craftedBounding = {
+    val sp = spark
+    import sp.implicits._
+    val rows =
+      (1 to 10).map(_ => ("click", ts("2024-03-01"), 1.0, 100L)) ++
+        Seq(("click", ts("2024-03-01"), 1.0, 101L),
+          ("click", ts("2024-03-01"), 1.0, 102L)) ++
+        (1 to 3).map(_ => ("click", ts("2024-03-02"), 1.0, 100L))
+    rows.toDF("event_type", "ts", "value", "user_id")
+  }
+
+  test("contribution bounding: caps one user's mass at the cap, exactly") {
+    val rows = Privacy.dpBoundedOn(craftedBounding, cap = 3).collect()
+      .map(r => r.getTimestamp(1).toString.take(10) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // raw 12, bounded 3+1+1=5, 3 contributors, 7 rows clipped
+    assert(rows("2024-03-01") === ((12L, 5L, 3L, 7L)))
+    // exactly-at-cap user is untouched
+    assert(rows("2024-03-02") === ((3L, 3L, 1L, 0L)))
+  }
+
+  /** A year of one-row cells gives the noise specs a 366-sample
+    * empirical distribution. */
+  private def manyCells = {
+    val sp = spark
+    import sp.implicits._
+    (0 until 366).map { i =>
+      ("click", Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i).atTime(12, 0)), 1.0, i.toLong)
+    }.toDF("event_type", "ts", "value", "user_id")
+  }
+
+  test("dp release: seed-deterministic, ε-rescaling is exact, clamp holds") {
+    val a = Privacy.dpReleaseOn(manyCells, epsilon = 1.0).collect()
+    val b = Privacy.dpReleaseOn(manyCells, epsilon = 1.0).collect()
+    assert(a.toSeq === b.toSeq, "same seed must reproduce the release")
+    // same u ⇒ noise scales exactly with 1/ε (b = cap/ε)
+    val n1 = a.map(r => r.getString(0) + r.getTimestamp(1) -> r.getDouble(3)).toMap
+    Privacy.dpReleaseOn(manyCells, epsilon = 2.0).collect().foreach { r =>
+      val half = r.getDouble(3)
+      val full = n1(r.getString(0) + r.getTimestamp(1))
+      assert(math.abs(half - full / 2) < 1e-12,
+        s"ε-rescaling violated: $full vs $half")
+    }
+    // released is the clamped noisy count
+    a.foreach { r =>
+      val expect = math.max(
+        BigDecimal(r.getLong(2) + r.getDouble(3))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, 0.0)
+      assert(math.abs(r.getDouble(4) - expect) < 1e-9)
+      assert(r.getDouble(4) >= 0.0)
+    }
+    // a changed seed changes the noise
+    val c = Privacy.dpReleaseOn(manyCells, epsilon = 1.0, seed = 43).collect()
+    assert(c.map(_.getDouble(3)).toSeq != a.map(_.getDouble(3)).toSeq)
+  }
+
+  test("dp release: noise is centered and its magnitude tracks b = cap/ε") {
+    val noise = Privacy.dpReleaseOn(manyCells, epsilon = 1.0, cap = 3)
+      .collect().map(_.getDouble(3))
+    assert(noise.length === 366)
+    val bScale = 3.0
+    val posFrac = noise.count(_ > 0).toDouble / noise.length
+    assert(posFrac > 0.35 && posFrac < 0.65, s"sign imbalance: $posFrac")
+    val meanAbs = noise.map(math.abs).sum / noise.length
+    // E|Laplace(b)| = b; se ≈ b/√n ≈ 0.16 here — ±0.5b is 3σ-safe
+    assert(meanAbs > 0.5 * bScale && meanAbs < 1.5 * bScale,
+      s"mean |noise| $meanAbs vs b $bScale")
+  }
 }
