@@ -194,7 +194,8 @@ object SparkEntry {
     // rows-only: the Laplace noise is transcendental (ln) — libm
     // last-ulp skew across engines; mechanism correctness carried by
     // PrivacySpec (ε-rescaling law, symmetry, seed determinism).
-    "q_dp_release" -> ((s: SparkSession, d: String) => Privacy.dpRelease(s, d))
+    "q_dp_release" -> ((s: SparkSession, d: String) => Privacy.dpRelease(s, d)),
+    "q_blast_radius" -> ((s: SparkSession, d: String) => Modern.blastRadius(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1956,6 +1957,34 @@ object SparkEntry {
         | CAST(sum(cnt) - sum(least(cnt, 3)) AS BIGINT) AS clipped_rows
         |FROM per_user
         |GROUP BY event_type, day
-        |ORDER BY event_type, day""".stripMargin
+        |ORDER BY event_type, day""".stripMargin,
+    "q_blast_radius" ->
+      """WITH RECURSIVE t AS (
+        | SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> array_to_string(toks[i:(i+2)], ' '))) AS st
+        | FROM t WHERE len(toks) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) / len(a.st), 4)
+        |    AS containment
+        | FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        | WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) / len(a.st) >= 0.6),
+        |edges AS (
+        | SELECT doc_a AS a, doc_b AS b FROM pairs
+        | UNION
+        | SELECT doc_b AS a, doc_a AS b FROM pairs),
+        |reach AS (
+        | SELECT doc_a AS doc_id, 0 AS hop FROM pairs
+        | WHERE containment = 1.0
+        | UNION
+        | SELECT e.b, r.hop + 1 FROM reach r JOIN edges e ON e.a = r.doc_id
+        | WHERE r.hop < 2)
+        |SELECT doc_id, CAST(min(hop) AS BIGINT) AS hop
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

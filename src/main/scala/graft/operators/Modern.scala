@@ -96,4 +96,56 @@ object Modern {
         |  LIMIT 2) t
         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
   }
+
+  /** Contamination blast radius — recursive CTE as GRAPH TRAVERSAL
+    * (the self-referencing-join form, vs [[monthSpine]]'s series
+    * form): seed with every document that is a VERBATIM subset of
+    * another (containment 1.0 from `Dedup.containmentJoin` — the
+    * quote/excerpt relation), then expand ≤ `maxHops` hops through the
+    * symmetrized containment graph. The quarantine question an eval-
+    * decontamination pass asks: "these docs leaked; what else is
+    * transitively entangled with them?" Emits each reached doc with
+    * its minimum hop distance.
+    *
+    * Spark's recursive CTE (4.1) supports UNION ALL only, so the
+    * recursive member carries the visited path and prunes revisits
+    * (`array_contains`) — on a cyclic graph UNION ALL alone would spin
+    * until the hop bound while multiplying rows. The min(hop) GROUP BY
+    * outside the recursion makes the result IDENTICAL to engines that
+    * dedup with UNION (the DuckDB oracle does), path guard or not.
+    *
+    * Scale shape: each recursion round is one frontier ⋈ edges
+    * equi-join — exactly iterative BFS; `maxHops` bounds rounds, and
+    * the simple-path guard bounds intermediate multiplicity to simple
+    * paths of length ≤ maxHops (near-dup graphs are sparse AFTER
+    * dedup; practical H is 1-3). UNBOUNDED closure is deliberately not
+    * this operator — that is `Graph.connectedComponents`' O(log n)
+    * star contraction. */
+  def blastRadius(spark: SparkSession, dir: String, tau: Double = 0.6,
+      shingle: Int = 3, maxHops: Int = 2): DataFrame =
+    blastRadiusOn(spark, Dedup.containmentJoin(spark, dir, tau, shingle),
+      maxHops)
+
+  /** Core of [[blastRadius]] over any (doc_a, doc_b, containment)
+    * pair frame — split out so specs can drive crafted graphs
+    * (cycles, chains, diamonds) through the recursion. */
+  def blastRadiusOn(spark: SparkSession, pairs: DataFrame,
+      maxHops: Int): DataFrame = {
+    pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+      .createOrReplaceTempView("blast_edges")
+    pairs.filter(col("containment") === 1.0)
+      .select(col("doc_a").as("doc_id")).distinct()
+      .createOrReplaceTempView("blast_seeds")
+    spark.sql(
+      s"""WITH RECURSIVE reach(doc_id, hop, path) AS (
+         |  SELECT doc_id, 0, array(doc_id) FROM blast_seeds
+         |  UNION ALL
+         |  SELECT e.b, r.hop + 1, array_append(r.path, e.b)
+         |  FROM reach r JOIN blast_edges e ON e.a = r.doc_id
+         |  WHERE r.hop < $maxHops AND NOT array_contains(r.path, e.b))
+         |SELECT doc_id, CAST(min(hop) AS BIGINT) AS hop
+         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
 }
