@@ -736,6 +736,80 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class ClassRisk(qi_class: String, n_rows: Long, n_users: Long,
+      at_risk: Boolean, saturated: Boolean)
+
+  /** Streaming k-anonymity risk — the ingest-time twin of
+    * `Privacy.kAnonymityOn`: per quasi-identifier class
+    * (event_type, UTC day, value band) maintain the row count plus the
+    * bottom-k user sketch of [[KmvDistinctProcessor]], and emit the
+    * class's at-risk flag after every batch.
+    *
+    * The state bound and the flag's EXACTNESS compose: the sketch
+    * stores at most sketchK user hashes, and while a class holds fewer
+    * than sketchK distinct users the distinct count is exact — so with
+    * sketchK ≥ kAnon the at-risk DECISION (n_users < kAnon) is always
+    * exact, because any class big enough to saturate the sketch has at
+    * least sketchK ≥ kAnon users and is not at risk. Saturated classes
+    * report n_users = sketchK as a floor (flagged `saturated`); the
+    * KMV estimate path exists on [[distinctEstimateStream]] where the
+    * magnitude, not the threshold decision, is the product. Same
+    * hash/order-independence algebra as the KMV processor: batch
+    * boundaries are invisible, so the latest emission per class equals
+    * the batch scan over any stream prefix. */
+  class ClassRiskProcessor(kAnon: Int, sketchK: Int)
+      extends StatefulProcessor[String, Event, ClassRisk] {
+    @transient private var rowsSt: ValueState[Long] = _
+    @transient private var kmvSt: ValueState[Array[Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      rowsSt = getHandle.getValueState[Long]("rows",
+        Encoders.scalaLong, TTLConfig.NONE)
+      kmvSt = getHandle.getValueState[Array[Long]]("kmv",
+        Encoders.kryo[Array[Long]], TTLConfig.NONE)
+    }
+    override def handleInputRows(qiClass: String, rows: Iterator[Event],
+        timers: TimerValues): Iterator[ClassRisk] = {
+      val buf = new java.util.TreeSet[java.lang.Long]()
+      if (kmvSt.exists) kmvSt.get().foreach(buf.add(_))
+      var n = if (rowsSt.exists) rowsSt.get() else 0L
+      rows.foreach { e =>
+        n += 1
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(e.user_id, org.apache.spark.sql.types.LongType, 42L) ^
+          Long.MinValue
+        if (buf.size < sketchK) { buf.add(h); () }
+        else if (h < buf.last()) { if (buf.add(h)) { buf.pollLast(); () } }
+      }
+      rowsSt.update(n)
+      val arr = new Array[Long](buf.size)
+      val it = buf.iterator(); var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      kmvSt.update(arr)
+      val saturated = arr.length >= sketchK
+      Iterator.single(ClassRisk(qiClass, n, arr.length.toLong,
+        at_risk = arr.length < kAnon, saturated = saturated))
+    }
+  }
+
+  /** QI-class key: event_type | UTC day | value band of 100 — the same
+    * class definition as the batch scan. */
+  private[graft] def qiClassOf(e: Event): String = {
+    val day = java.time.Instant.ofEpochMilli(e.ts.getTime)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    s"${e.event_type}|$day|${math.floor(e.value / 100).toLong}"
+  }
+
+  def riskStream(spark: SparkSession, events: Dataset[Event],
+      kAnon: Int = 5, sketchK: Int = 1024): Dataset[ClassRisk] = {
+    import spark.implicits._
+    require(sketchK >= kAnon,
+      s"sketchK ($sketchK) must be >= kAnon ($kAnon) or the at-risk " +
+        "flag loses exactness at saturation")
+    events.groupByKey(qiClassOf)
+      .transformWithState(new ClassRiskProcessor(kAnon, sketchK),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class ScoredDoc(lang: String, s: Double)
   case class TierRow(lang: String, tier: Long, n_docs: Long,
     best_lp: Double, worst_lp: Double)

@@ -1027,4 +1027,87 @@ class StreamingSpec extends AnyFunSuite {
       case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming k-anonymity risk equals the batch scan on the real log, " +
+    "any batch split") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val all = graft.sources.Tables.events(sp, sf)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      val input = MemoryStream[Event]
+      val q = Streams.riskStream(sp, input.toDS())
+        .writeStream.format("memory").queryName("risk_out")
+        .outputMode("update").start()
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val streamed = sp.sql("SELECT * FROM risk_out").collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rs) => k ->
+          (rs.last.getLong(1), rs.last.getLong(2), rs.last.getBoolean(3)) }
+      val batch = graft.operators.Privacy.kAnonymityOn(
+        graft.sources.Tables.events(sp, sf)).collect()
+        .map { r =>
+          val key = s"${r.getString(0)}|${r.getTimestamp(1).toString.take(10)}|" +
+            s"${r.getLong(2)}"
+          key -> (r.getLong(3), r.getLong(4), r.getBoolean(5))
+        }.toMap
+      assert(streamed.keySet === batch.keySet, "class universes diverged")
+      // below saturation (sketchK=1024 >> any sf0.001 class) the final
+      // emission per class must EQUAL the batch scan row
+      streamed.foreach { case (k, got) =>
+        assert(got === batch(k), s"class $k: stream $got vs batch ${batch(k)}")
+      }
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming k-anonymity risk: at-risk flag stays exact at sketch " +
+    "saturation (sketchK >= kAnon)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // class "big": 6 distinct users vs sketchK=4 — saturates, but the
+      // flag is still exactly false because saturation proves >= 4 >= 3
+      // users; class "small": 2 users — exact, at risk
+      val big = (1L to 6L).map(u => Event(u, ts(1), u, "big", 10.0))
+      val small = Seq(Event(10L, ts(1), 100L, "small", 10.0),
+        Event(11L, ts(1), 101L, "small", 10.0))
+      val input = MemoryStream[Event]
+      val q = Streams.riskStream(sp, input.toDS(), kAnon = 3, sketchK = 4)
+        .writeStream.format("memory").queryName("risk_sat_out")
+        .outputMode("update").start()
+      input.addData(big ++ small)
+      q.processAllAvailable()
+      q.stop()
+      val rows = sp.sql("SELECT * FROM risk_sat_out").collect()
+        .map(r => r.getString(0).split("\\|")(0) ->
+          (r.getLong(2), r.getBoolean(3), r.getBoolean(4))).toMap
+      assert(rows("big") === ((4L, false, true)),
+        "saturated class must floor n_users at sketchK with an exact flag")
+      assert(rows("small") === ((2L, true, false)))
+      // the exactness precondition is enforced, not assumed
+      intercept[IllegalArgumentException] {
+        Streams.riskStream(sp, input.toDS(), kAnon = 8, sketchK = 4)
+      }
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
