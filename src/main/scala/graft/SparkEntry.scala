@@ -195,7 +195,8 @@ object SparkEntry {
     // last-ulp skew across engines; mechanism correctness carried by
     // PrivacySpec (ε-rescaling law, symmetry, seed determinism).
     "q_dp_release" -> ((s: SparkSession, d: String) => Privacy.dpRelease(s, d)),
-    "q_blast_radius" -> ((s: SparkSession, d: String) => Modern.blastRadius(s, d))
+    "q_blast_radius" -> ((s: SparkSession, d: String) => Modern.blastRadius(s, d)),
+    "q_split_leakage" -> ((s: SparkSession, d: String) => Dedup.splitLeakage(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1985,6 +1986,44 @@ object SparkEntry {
         | SELECT e.b, r.hop + 1 FROM reach r JOIN edges e ON e.a = r.doc_id
         | WHERE r.hop < 2)
         |SELECT doc_id, CAST(min(hop) AS BIGINT) AS hop
-        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_split_leakage" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> array_to_string(toks[i:(i+2)], ' '))) AS st
+        | FROM t WHERE len(toks) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) / len(a.st), 4)
+        |    AS containment
+        | FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        | WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) / len(a.st) >= 0.6),
+        |sp AS (
+        | SELECT doc_id, CASE
+        |   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+        |     THEN 'test'
+        |   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('2','3')
+        |     THEN 'val'
+        |   ELSE 'train' END AS split
+        | FROM documents),
+        |tagged AS (
+        | SELECT p.doc_a, p.doc_b, p.containment,
+        |   sa.split AS split_a, sb.split AS split_b
+        | FROM pairs p
+        | JOIN sp sa ON p.doc_a = sa.doc_id
+        | JOIN sp sb ON p.doc_b = sb.doc_id)
+        |SELECT doc_a AS train_doc, doc_b AS test_doc, containment,
+        | 'train_in_test' AS direction
+        |FROM tagged WHERE split_a = 'train' AND split_b = 'test'
+        |UNION ALL
+        |SELECT doc_b AS train_doc, doc_a AS test_doc, containment,
+        | 'test_in_train' AS direction
+        |FROM tagged WHERE split_a = 'test' AND split_b = 'train'
+        |ORDER BY train_doc, test_doc, direction""".stripMargin
   )
 }

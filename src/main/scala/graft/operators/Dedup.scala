@@ -633,4 +633,45 @@ object Dedup {
         coalesce(col("component"), col("c_custkey")).as("entity_id"))
       .orderBy(col("c_custkey"))
   }
+
+  /** Train/test split-leakage audit — the decontamination question
+    * INSIDE a corpus after deterministic splitting: a train document
+    * that is a verbatim-or-near subset of a test document (or the
+    * reverse) lets the model memorize its own eval. Assigns splits
+    * with `Sampling.hashSplit` (md5 nibble — engine-stable), keeps the
+    * directed containment pairs (`containmentJoin`) that cross the
+    * train/test boundary, and emits each offending train doc with its
+    * test-side witness, the containment value, and the direction
+    * (`train_in_test`: the train doc's content sits inside the test
+    * doc; `test_in_train`: the test doc is the subset — the worse
+    * leak, its whole answer key is in training). Dropping column one
+    * from the train set is the remediation.
+    *
+    * Scale shape: containment join (prefix-filtered, see
+    * [[containmentJoin]]) + one broadcast-sized split map derived
+    * row-locally from the key — the boundary filter adds no shuffle. */
+  def splitLeakage(spark: SparkSession, dir: String, tau: Double = 0.6,
+      shingle: Int = 3): DataFrame = {
+    val pairs = containmentJoin(spark, dir, tau, shingle)
+    val nibble = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(nibble.isin("0", "1"), "test")
+          .when(nibble.isin("2", "3"), "val")
+          .otherwise("train").as("split"))
+    val withSplits = pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        Seq("doc_b"))
+    withSplits
+      .filter(col("split_a") === "train" && col("split_b") === "test")
+      .select(col("doc_a").as("train_doc"), col("doc_b").as("test_doc"),
+        col("containment"), lit("train_in_test").as("direction"))
+      .union(withSplits
+        .filter(col("split_a") === "test" && col("split_b") === "train")
+        .select(col("doc_b").as("train_doc"), col("doc_a").as("test_doc"),
+          col("containment"), lit("test_in_train").as("direction")))
+      .orderBy(col("train_doc"), col("test_doc"), col("direction"))
+  }
 }

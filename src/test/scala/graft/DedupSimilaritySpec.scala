@@ -477,4 +477,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(real == naiveReal,
       s"real-table deletion join $real vs naive $naiveReal")
   }
+
+  test("split leakage: exactly the cross-boundary containment pairs, " +
+    "train/test roles straight") {
+    val leaks = Dedup.splitLeakage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    // independent reconstruction: containment pairs + the split nibble
+    val split = graft.operators.Sampling
+      .hashSplit(graft.sources.Tables.documents(spark, sf), "doc_id")
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.containmentJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = (pairs.collect {
+      case (a, b, c) if split(a) == "train" && split(b) == "test" =>
+        (a, b, c, "train_in_test")
+    } ++ pairs.collect {
+      case (a, b, c) if split(a) == "test" && split(b) == "train" =>
+        (b, a, c, "test_in_train")
+    }).toSet
+    assert(leaks.toSet === expect)
+    assert(leaks.nonEmpty, "corpus should exhibit cross-split leakage")
+    // roles: every train_doc is train-split, every test_doc test-split
+    leaks.foreach { case (tr, te, _, _) =>
+      assert(split(tr) == "train" && split(te) == "test")
+    }
+    // val-split docs never appear in either role
+    assert(leaks.forall { case (tr, te, _, _) =>
+      split(tr) != "val" && split(te) != "val" })
+  }
 }
