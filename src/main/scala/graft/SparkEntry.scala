@@ -196,7 +196,10 @@ object SparkEntry {
     // PrivacySpec (ε-rescaling law, symmetry, seed determinism).
     "q_dp_release" -> ((s: SparkSession, d: String) => Privacy.dpRelease(s, d)),
     "q_blast_radius" -> ((s: SparkSession, d: String) => Modern.blastRadius(s, d)),
-    "q_split_leakage" -> ((s: SparkSession, d: String) => Dedup.splitLeakage(s, d))
+    "q_split_leakage" -> ((s: SparkSession, d: String) => Dedup.splitLeakage(s, d)),
+    // rows-only: the hash rides on the stubbed media decode (§2c);
+    // recall/exactness carried by MultimodalSpec's brute-force parity.
+    "q_media_phash_dup" -> ((s: SparkSession, d: String) => Multimodal.mediaPhashDup(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(

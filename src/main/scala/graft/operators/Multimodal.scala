@@ -225,4 +225,65 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"), col("rank"))
       .orderBy(col("id_a"), col("rank"))
   }
+
+  case class MediaHash(doc_id: Long, phash: Long)
+
+  /** Average-hash (aHash) perceptual fingerprint: threshold each cell
+    * of the [[StubResizer]] 8×8 grid against the grid mean — bit i set
+    * iff cell i is brighter than average. The HASH is the real
+    * published algorithm; only the decode underneath it is the stub
+    * (a real deployment swaps the resizer for a codec-backed one and
+    * this stage is unchanged). Near-identical payloads differ in a few
+    * cells → small Hamming distance. */
+  object StubPerceptualHasher {
+    def hashBatch(rows: Iterator[MediaRow]): Iterator[MediaHash] =
+      StubResizer.resizeBatch(8)(rows).map { rm =>
+        val mean = rm.pixels.sum / rm.pixels.length
+        var h = 0L
+        var i = 0
+        while (i < 64) {
+          if (rm.pixels(i) > mean) h |= (1L << i)
+          i += 1
+        }
+        MediaHash(rm.doc_id, h)
+      }
+  }
+
+  /** Payload → 64-bit perceptual hash, one partition-batched pass. */
+  def mediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ingest(spark, dir)
+      .mapPartitions(StubPerceptualHasher.hashBatch _)
+      .toDF()
+  }
+
+  /** Perceptual near-duplicate pairs: Hamming(phash) ≤ r via the
+    * multi-index pigeonhole — split the 64-bit hash into 4 bands of
+    * 16 bits; any pair within r ≤ 3 differing bits agrees on ≥ 1 band
+    * (4 bands can absorb at most 3 errors), so a band equi-join
+    * generates candidates with recall 1.0 and `bit_count(xor)` keeps
+    * the exact ball. The SimHash text pipeline's shape applied to the
+    * media column: linear band shuffle, no all-pairs stage, scales to
+    * any corpus the band buckets stay sparse on. */
+  def mediaPhashDup(spark: SparkSession, dir: String, r: Int = 3): DataFrame = {
+    require(r <= 3, s"4x16 banding is pigeonhole-lossless only to r=3, got $r")
+    val hashes = mediaPhash(spark, dir)
+    val bands = hashes.select(col("doc_id"), col("phash"),
+        explode(expr(
+          "transform(sequence(0, 3), " +
+            "b -> struct(b AS band_id, " +
+            "shiftright(phash, b * 16) & 65535 AS band_sig))")).as("band"))
+      .select(col("doc_id"), col("phash"),
+        col("band.band_id"), col("band.band_sig"))
+    bands.select(col("doc_id").as("doc_a"), col("phash").as("ha"),
+        col("band_id"), col("band_sig"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("phash").as("hb"),
+        col("band_id"), col("band_sig")), Seq("band_id", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= r)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

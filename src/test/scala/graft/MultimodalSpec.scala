@@ -89,4 +89,35 @@ class MultimodalSpec extends AnyFunSuite {
       glob = Some("*.img")).collect()
     assert(meta.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("perceptual hash: identical payloads collide at hamming 0, " +
+    "banded pairs equal the brute-force Hamming ball") {
+    // identical payloads must produce identical hashes
+    val phashes = Multimodal.mediaPhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    texts.groupBy(_._2).values.filter(_.length > 1).take(5).foreach { grp =>
+      val hs = grp.map { case (id, _) => phashes(id) }.toSet
+      assert(hs.size == 1, "identical payloads must hash identically")
+    }
+    // banded candidate join == brute-force r<=3 ball over all pairs
+    val ids = phashes.keys.toArray.sorted
+    val brute = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      d = java.lang.Long.bitCount(phashes(ids(i)) ^ phashes(ids(j)))
+      if d <= 3
+    } yield (ids(i), ids(j), d.toLong)).toSet
+    val banded = Multimodal.mediaPhashDup(spark, sf, r = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === brute, "banded join must equal the exact Hamming ball")
+    assert(banded.exists(_._3 == 0L), "exact-dup payloads must appear")
+    // the pigeonhole precondition is enforced
+    intercept[IllegalArgumentException] {
+      Multimodal.mediaPhashDup(spark, sf, r = 4)
+    }
+  }
 }
