@@ -151,6 +151,7 @@ object SparkEntry {
     "q_funnel" -> ((s: SparkSession, d: String) => Behavioral.funnel(s, d)),
     "q_retention" -> ((s: SparkSession, d: String) => Behavioral.retention(s, d)),
     "q_anomaly_score" -> ((s: SparkSession, d: String) => Behavioral.anomalyScore(s, d)),
+    "q_decayed_engagement" -> ((s: SparkSession, d: String) => Behavioral.decayedEngagement(s, d)),
     "q_heavy_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.heavyTokens(s, d)),
     "q_approx_percentiles" -> ((s: SparkSession, d: String) => RelationalExt.approxPercentiles(s, d)),
     "q_robust_outliers" -> ((s: SparkSession, d: String) => RelationalExt.robustOutliers(s, d)),
@@ -1394,6 +1395,22 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY event_type ORDER BY bucket
         |  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
         |ORDER BY event_type, bucket""".stripMargin,
+    "q_decayed_engagement" ->
+      """WITH e AS (
+        | SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        | FROM events),
+        |r AS (SELECT max(day) AS ref_day FROM e)
+        |SELECT user_id,
+        | sum(CASE WHEN least(date_diff('day', day, ref_day) // 7, 62) >= 62
+        |   THEN 0.0
+        |   ELSE 1.0 / (1::BIGINT <<
+        |     least(date_diff('day', day, ref_day) // 7, 62)) END)
+        |   AS engagement,
+        | count(*) AS n_events,
+        | max(day) AS last_day
+        |FROM e CROSS JOIN r
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "q_heavy_tokens" ->
       """WITH toks AS (
         | SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok

@@ -94,4 +94,46 @@ object Behavioral {
       .select(col("event_type"), col("bucket"), col("n"), col("z"))
       .orderBy(col("event_type"), col("bucket"))
   }
+
+  /** Half-life-decayed engagement — the recency-weighted activity
+    * score a feature store derives from an event log (recent activity
+    * counts full, activity `halfLifeDays` old counts half, and so on).
+    *
+    * Exactness trick that keeps a decay score on the DuckDB oracle
+    * surface: weights are restricted to POWERS OF TWO —
+    * w = 1 / 2^(days_ago div halfLife) via integer shift and one
+    * division, both IEEE-exact, so per-user sums are exact dyadic
+    * rationals, order-independent, and bit-identical across engines
+    * and partitionings. The usual exp(−λΔt) would be transcendental
+    * (libm last-ulp skew → rows-only); stepped halving IS the
+    * half-life semantics, quantized to the audit grain.
+    *
+    * Scale shape: one row-local projection against the broadcast
+    * 1-row reference day, then a map-side-combined groupBy(user) —
+    * the shuffle carries one partial sum per (partition, user). The
+    * shift exponent is capped at 62 (beyond that the weight
+    * underflows long shift; events older than 62 half-lives
+    * contribute a true zero). */
+  def decayedEngagement(spark: SparkSession, dir: String,
+      halfLifeDays: Int = 7): DataFrame =
+    decayedEngagementOn(Tables.events(spark, dir), halfLifeDays)
+
+  /** Core of [[decayedEngagement]] over any (user_id, ts) frame. */
+  def decayedEngagementOn(events: DataFrame,
+      halfLifeDays: Int = 7): DataFrame = {
+    val e = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val refDf = e.agg(max(col("day")).as("ref_day"))
+    e.crossJoin(broadcast(refDf))
+      .withColumn("k",
+        least(expr(s"datediff(ref_day, day) div $halfLifeDays"), lit(62)))
+      .withColumn("w",
+        when(col("k") >= 62, lit(0.0))
+          .otherwise(lit(1.0) / expr("shiftleft(1L, cast(k AS int))")))
+      .groupBy(col("user_id"))
+      .agg(sum(col("w")).as("engagement"),
+        count(lit(1)).as("n_events"),
+        max(col("day")).as("last_day"))
+      .orderBy(col("user_id"))
+  }
 }

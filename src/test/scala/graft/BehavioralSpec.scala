@@ -84,4 +84,42 @@ class BehavioralSpec extends AnyFunSuite {
       .filter(col("z").isNotNull && col("rk") <= 12).count()
     assert(firstNonNull == 0, "scores inside the warmup prefix must be null")
   }
+
+  test("decayed engagement: stepped half-life weights are exact dyadics") {
+    val sp = spark
+    import sp.implicits._
+    def t(day: String) = java.sql.Timestamp.valueOf(s"$day 10:00:00")
+    // user 1: events at ref (w=1), ref-7d (w=1/2), ref-14d (w=1/4),
+    // ref-15d (same week bucket, w=1/4) → 2.0 exactly; user 2: only
+    // the ref-day event of another user sets ref, their own is 21d old
+    val df = Seq(
+      (1L, t("2024-03-31")), (1L, t("2024-03-24")),
+      (1L, t("2024-03-17")), (1L, t("2024-03-16")),
+      (2L, t("2024-03-10"))
+    ).toDF("user_id", "ts")
+    val res = graft.operators.Behavioral.decayedEngagementOn(df)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(res(1L) === ((1.0 + 0.5 + 0.25 + 0.25, 4L)))
+    assert(res(2L) === ((0.125, 1L)), "21 days = 3 half-lives → 1/8")
+  }
+
+  test("decayed engagement: real-log invariants and dyadic exactness") {
+    val df = graft.operators.Behavioral.decayedEngagement(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (eng, n) = (r.getDouble(1), r.getLong(2))
+      assert(eng > 0.0 && eng <= n.toDouble,
+        s"engagement $eng outside (0, n_events=$n]")
+      // 30-day span / 7-day half-life → k <= 4: engagement scaled by
+      // 2^4 must be integral (the exactness contract the oracle
+      // comparison relies on)
+      val scaled = eng * 16.0
+      assert(scaled == math.floor(scaled), s"non-dyadic engagement $eng")
+    }
+    // one row per active user
+    val users = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.length.toLong == users)
+  }
 }
