@@ -549,4 +549,34 @@ object TextAnalysis {
         round(min(col("s")), 4).as("worst_lp"))
       .orderBy(col("lang"), col("tier"))
   }
+
+  /** Token-budget selection — "assemble the best N tokens": admit
+    * whole quality-score groups from the top down while the cumulative
+    * token count stays within budget (the boundary group that would
+    * overflow is excluded, so the kept set is deterministic and
+    * tie-safe: equal-scoring docs are admitted or excluded together,
+    * never split by an arbitrary doc ordering).
+    *
+    * Scale shape (the `qualityTiers` argument, sharpened): the global
+    * cumulative window runs over the DISTINCT rounded-score relation,
+    * which is hard-capped at 10,001 rows (quality ∈ [0,1] at 4
+    * decimals) REGARDLESS of corpus size — a corpus-level greedy
+    * selection whose windowed state never grows with the corpus. The
+    * heavy work is one map-side-combined groupBy(score) over the docs
+    * scan. All-integer token sums → exact cross-engine. */
+  def tokenBudgetSelect(spark: SparkSession, dir: String,
+      budgetTokens: Long = 20000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), qualityCol.as("quality"),
+        size(tokensCol).cast("long").as("n_tok"))
+    val dist = docs.groupBy(col("quality"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("grp_tokens"))
+    val wCum = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dist
+      .withColumn("cum_tokens", sum(col("grp_tokens")).over(wCum))
+      .withColumn("selected", col("cum_tokens") <= budgetTokens)
+      .orderBy(col("quality").desc)
+  }
 }

@@ -110,4 +110,36 @@ class TextStatsSpec extends AnyFunSuite {
     assert(totBigrams == expected,
       s"scored $totBigrams bigram positions, corpus has $expected")
   }
+
+  test("token budget: greedy prefix is maximal, tie-safe, and score-bounded") {
+    val budget = 20000L
+    val rows = TextAnalysis.tokenBudgetSelect(spark, sf, budget).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // the windowed relation is the distinct rounded-score set: hard
+    // bound 10001 at ANY corpus size
+    assert(rows.length <= 10001)
+    val (sel, unsel) = rows.partition(_._5)
+    assert(sel.nonEmpty, "budget admits nothing — corpus/budget mismatch")
+    val selTotal = sel.map(_._3).sum
+    assert(selTotal <= budget, s"selected $selTotal exceeds budget")
+    // maximality: the best unselected group would overflow
+    if (unsel.nonEmpty) {
+      val bestUnsel = unsel.maxBy(_._1)
+      assert(selTotal + bestUnsel._3 > budget,
+        "a whole excluded group still fits — selection not maximal")
+      // prefix property: every selected score beats every unselected
+      assert(sel.map(_._1).min > unsel.map(_._1).max)
+    }
+    // cum_tokens is the running sum in quality-descending order
+    val sorted = rows.sortBy(-_._1)
+    sorted.foldLeft(0L) { case (acc, (_, _, grp, cum, _)) =>
+      assert(cum == acc + grp); cum
+    }
+    // group token mass re-derived from the per-doc frame
+    val totalTokens = graft.sources.Tables.documents(spark, sf)
+      .select(size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(rows.map(_._3).sum == totalTokens)
+  }
 }
