@@ -63,9 +63,9 @@ object ScaleProbe {
     // --- events: each replica is a fresh user population (id offset)
     // with the original timelines — per-user activity, session shape
     // and hourly seasonality are preserved, only the population grows.
-    // ts is read as raw nanos (the source is TIMESTAMP(NANOS)) and
-    // written as plain int64, which Tables.events floor-divides the
-    // same way.
+    // ts passes through in whatever physical shape the source has
+    // (nanos-as-long under the legacy conf, or µs timestamp);
+    // Tables.events normalizes either on read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val Array(maxUser, maxEvent) = events
@@ -119,6 +119,15 @@ object ScaleProbe {
       ("q_funnel", 1.0, (d, _) => graft.operators.Behavioral.funnel(spark, d)),
       ("q_retention", 1.0, (d, _) => graft.operators.Behavioral.retention(spark, d)),
       ("q_anomaly_score", 1.0, (d, _) => graft.operators.Behavioral.anomalyScore(spark, d)),
+      ("q_k_anonymity", 1.0, (d, _) => graft.operators.Privacy.kAnonymity(spark, d)),
+      ("q_dp_bounded", 1.0, (d, _) => graft.operators.Privacy.dpBounded(spark, d)),
+      ("q_decayed_engagement", 1.0, (d, _) => graft.operators.Behavioral.decayedEngagement(spark, d)),
+      // documents, score-distribution-driven (window state is bounded)
+      ("q_token_budget", 1.0, (d, _) => graft.operators.TextAnalysis.tokenBudgetSelect(spark, d)),
+      // NOT q_media_phash_dup / q_split_leakage / q_blast_radius: like
+      // minhashPairs, their OUTPUT is pair-shaped over template
+      // families, so the replicated corpus grows it ~N²/2 by
+      // construction — that measures the data, not the plan.
       // embeddings: index ops on their documented parameter-growth path
       ("q_embed_quantize", 1.0, (d, _) => graft.operators.Similarity.embedQuantize(spark, d)),
       ("q_ann_lsh", 1.0, (d, big) => graft.operators.Similarity.annLsh(spark, d,
