@@ -78,6 +78,7 @@ object SparkEntry {
     "q_scd2_intervals" -> (Temporal.scd2Intervals _),
     "q_cdc_diff" -> (Temporal.cdcDiff _),
     "q_time_bucket" -> (Temporal.timeBucket _),
+    "q_sliding_distinct" -> ((s: SparkSession, d: String) => Temporal.slidingDistinct(s, d)),
     "q_json_extract" -> (Temporal.jsonExtract _),
     "q_gap_fill" -> (Temporal.gapFill _),
     "q_triangle_count" -> ((s: SparkSession, d: String) =>
@@ -1419,6 +1420,20 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY event_type ORDER BY bucket
         |  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
         |ORDER BY event_type, bucket""".stripMargin,
+    "q_sliding_distinct" ->
+      """WITH e AS (
+        | SELECT DISTINCT user_id,
+        |   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        | FROM events),
+        |ends AS (
+        | SELECT DISTINCT e.day + INTERVAL 1 DAY * g.i AS w_end
+        | FROM e, generate_series(0, 6) AS g(i)
+        | WHERE e.day + INTERVAL 1 DAY * g.i <= (SELECT max(day) FROM e))
+        |SELECT w_end, count(DISTINCT u.user_id) AS active_users
+        |FROM ends JOIN e u
+        |  ON u.day BETWEEN w_end - INTERVAL 6 DAY AND w_end
+        |GROUP BY w_end
+        |ORDER BY w_end""".stripMargin,
     "q_decayed_engagement" ->
       """WITH e AS (
         | SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day

@@ -266,4 +266,38 @@ object Temporal {
         (col("t").cast("double") / 10000.0).as("interp"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
+
+  /** Sliding-window distinct users (rolling 7-day actives) — the
+    * aggregate Spark's window functions cannot express natively
+    * (COUNT(DISTINCT) OVER a moving frame is unsupported), filled with
+    * the scatter-to-window-ends pattern: reduce the log to the
+    * per-(user, day) DISTINCT frame first, then explode each row onto
+    * the `windowDays` window-end days it serves and count distinct per
+    * end day.
+    *
+    * Scale shape: the expansion factor is exactly `windowDays`, and it
+    * applies to the per-day distinct frame (bounded by users × active
+    * days), NOT the raw event log — the usual self-join/range-join
+    * formulation shuffles the log against a day spine instead and
+    * re-scans it per window. One distinct, one explode, one
+    * map-side-combined distinct count. Window ends past the observed
+    * range are clamped by the broadcast 1-row max-day frame (partial
+    * leading windows are part of the semantics: day 1 of a corpus has
+    * a 1-day window). */
+  def slidingDistinct(spark: SparkSession, dir: String,
+      windowDays: Int = 7): DataFrame = {
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val refDf = userDays.agg(max(col("day")).as("max_day"))
+    userDays
+      .select(col("user_id"), explode(expr(
+        s"sequence(day, day + interval ${windowDays - 1} days, " +
+          "interval 1 day)")).as("w_end"))
+      .crossJoin(broadcast(refDf))
+      .filter(col("w_end") <= col("max_day"))
+      .groupBy(col("w_end"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("w_end"))
+  }
 }

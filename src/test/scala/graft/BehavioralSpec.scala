@@ -122,4 +122,29 @@ class BehavioralSpec extends AnyFunSuite {
       .select(col("user_id")).distinct().count()
     assert(rows.length.toLong == users)
   }
+
+  test("sliding distinct: scatter construction equals a driver recount, " +
+    "partial leading windows included") {
+    val res = graft.operators.Temporal.slidingDistinct(spark, sf).collect()
+      .map(r => r.getTimestamp(0).toString.take(10) -> r.getLong(1)).toMap
+    val userDays = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toLocalDateTime.toLocalDate))
+    val maxDay = userDays.map(_._2).max
+    // driver recount with the textbook BETWEEN semantics
+    val allEnds = userDays.flatMap { case (_, d) =>
+      (0 until 7).map(i => d.plusDays(i.toLong)) }.distinct
+      .filter(!_.isAfter(maxDay))
+    val expect = allEnds.map { e =>
+      e.toString -> userDays.collect {
+        case (u, d) if !d.isAfter(e) && !d.isBefore(e.minusDays(6)) => u
+      }.distinct.length.toLong
+    }.toMap
+    assert(res === expect)
+    // leading partial window: the first active day counts only itself
+    val firstDay = userDays.map(_._2).min
+    val firstDayUsers = userDays.filter(_._2 == firstDay).map(_._1).distinct.length
+    assert(res(firstDay.toString) == firstDayUsers.toLong)
+  }
 }

@@ -34,7 +34,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_pmi_collocations", "q_bigram_logprob", "q22_dormant",
     "q11_important_parts", "q_audience_overlap",
     // broadcast 1-row reference-day frame (scalar pattern)
-    "q_decayed_engagement")
+    "q_decayed_engagement", "q_sliding_distinct")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
