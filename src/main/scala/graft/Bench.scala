@@ -47,6 +47,14 @@ object Bench {
     // reset sits OUTSIDE the timed region and before the next query,
     // so each measurement starts from the same near-empty block
     // manager instead of whatever the previous 139 queries left.
+    // 1-minute system load at start/end rides along in the JSON:
+    // wall-times swing ±25% with background machine load, and a
+    // number without its load context is what made round 4's bench
+    // unusable.
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg
     val results = queries.map { case (name, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
       resetSessionState()
@@ -75,7 +83,7 @@ object Bench {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val extra = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadAvg)},"queries":$qs$extra,"sf":"$sfDir"}"""
     }
     var line = render(sorted, 0)
     var keep = sorted.size
