@@ -131,11 +131,16 @@ object Modern {
     * (cycles, chains, diamonds) through the recursion. */
   def blastRadiusOn(spark: SparkSession, pairs: DataFrame,
       maxHops: Int): DataFrame = {
-    pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    // materialize the pair computation ONCE: the temp views below are
+    // logical plans, and the recursive member re-evaluates its edge
+    // subtree every round — an un-checkpointed containment join would
+    // re-run per hop (measured 29s vs 7s at sf0.1 for maxHops=2)
+    val p = pairs.localCheckpoint()
+    p.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(p.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
       .createOrReplaceTempView("blast_edges")
-    pairs.filter(col("containment") === 1.0)
+    p.filter(col("containment") === 1.0)
       .select(col("doc_a").as("doc_id")).distinct()
       .createOrReplaceTempView("blast_seeds")
     spark.sql(
