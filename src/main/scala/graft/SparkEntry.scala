@@ -44,6 +44,8 @@ object SparkEntry {
     "q_crosstab_chi2" -> (RelationalExt.crosstabChi2 _),
     "q_histogram" -> ((s: SparkSession, d: String) =>
       RelationalExt.histogram(s, d)),
+    "q_equidepth_hist" -> ((s: SparkSession, d: String) =>
+      RelationalExt.equiDepthHistogram(s, d)),
     "q13_custdist" -> (RelationalExt.custDist _),
     "q_multiset_ops" -> (RelationalExt.multisetOps _),
     "q_window_battery" -> (RelationalExt.windowBattery _),
@@ -394,6 +396,20 @@ object SparkEntry {
         |  round(s.mn + (b.bin + 1) * ((s.mx - s.mn) / 20), 4) AS bin_hi,
         |  b.n
         |FROM b, s ORDER BY b.bin""".stripMargin,
+    "q_equidepth_hist" ->
+      """WITH thr AS (
+        | SELECT unnest(quantile_cont(o_totalprice,
+        |   [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])) AS t
+        | FROM orders),
+        |bk AS (
+        | SELECT o.o_orderkey, max(o.o_totalprice) AS v,
+        |  CAST(sum(CASE WHEN o.o_totalprice > thr.t THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS bucket
+        | FROM orders o CROSS JOIN thr
+        | GROUP BY o.o_orderkey)
+        |SELECT bucket, count(*) AS n,
+        | round(min(v), 2) AS lo, round(max(v), 2) AS hi
+        |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_trend_slope" ->
       """WITH xy AS (
         |  SELECT o_custkey,

@@ -337,6 +337,37 @@ object RelationalExt {
       .orderBy(col("bin"))
   }
 
+  /** Equi-DEPTH histogram — [[histogram]]'s partner: bucket boundaries
+    * at exact interpolated quantiles so every bucket holds ~equal row mass
+    * (the shape skewed money columns need; equi-width puts 95% of rows
+    * in bin 0 there). Bucket of a row = number of interior thresholds
+    * strictly below its value, computed row-locally against the
+    * broadcast (nBuckets−1)-element threshold array.
+    *
+    * Boundary determinism across engines: both compute the same
+    * lower + (upper−lower)·frac interpolation; when frac = 0 the
+    * threshold IS an exact data value (comparison exact), and when
+    * frac ≠ 0 it lies strictly between two 2-decimal data values, so
+    * a last-ulp interpolation skew has no data value inside the skew
+    * window to flip. One percentile aggregate (KB output, broadcast),
+    * one row-local projection, one map-side-combined count. */
+  def equiDepthHistogram(spark: SparkSession, dir: String,
+      nBuckets: Int = 8): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val thr = o.agg(percentile(col("o_totalprice"),
+      typedLit(fracs)).as("thr"))
+    o.crossJoin(broadcast(thr))
+      .select(size(filter(col("thr"),
+        t => col("o_totalprice") > t)).cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   /** Per-key OLS trend slope — the "is this series rising" feature
     * every behavioral/feature pipeline derives, computed with EXACT
     * integer moment sums so it hash-matches across engines: x = days

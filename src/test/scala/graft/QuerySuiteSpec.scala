@@ -469,6 +469,30 @@ class QuerySuiteSpec extends AnyFunSuite {
       "outer bin bounds must meet the data min/max (up to output rounding)")
   }
 
+  test("equi-depth histogram: mass conserved, buckets ordered and " +
+      "near-balanced") {
+    import org.apache.spark.sql.functions._
+    val h = graft.operators.RelationalExt.equiDepthHistogram(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    val total = graft.sources.Tables.orders(spark, sf).count()
+    assert(h.map(_.getLong(1)).sum == total, "bucket mass must sum to total")
+    assert(h.length <= 8 && h.nonEmpty)
+    // value ranges are ordered and non-overlapping across buckets
+    h.foreach(r => assert(r.getDouble(2) <= r.getDouble(3)))
+    h.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(2),
+        s"bucket ranges overlap: ${a.getLong(0)} vs ${b.getLong(0)}")
+      case _ =>
+    }
+    // equal-depth contract: on continuous-ish price data every bucket
+    // holds total/8 within a generous 2x tie allowance
+    val ideal = total.toDouble / 8
+    h.foreach { r =>
+      assert(r.getLong(1) > ideal / 2 && r.getLong(1) < ideal * 2,
+        s"bucket ${r.getLong(0)} holds ${r.getLong(1)} vs ideal $ideal")
+    }
+  }
+
   test("gap fill: observed rows pass through, fills stay inside the " +
       "customer's observed envelope, nulls only on all-null keys") {
     import org.apache.spark.sql.functions._
