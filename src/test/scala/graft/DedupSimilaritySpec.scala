@@ -317,7 +317,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val funnel = Pipeline.curationFunnel(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(funnel("0_ingested") >= funnel("1_quality_pass"))
-    assert(funnel("3_final_corpus") == corpus.length)
+    assert(funnel("4_final_corpus") == corpus.length)
+    // leakage suppression: no surviving train doc appears in the
+    // full-corpus leak list
+    val leaks = Dedup.splitLeakage(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val survivingTrain = corpus
+      .filter(_.getAs[String]("split") == "train")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(survivingTrain.intersect(leaks).isEmpty,
+      "curated train split still contains leaky docs")
   }
 
   test("rolling shingles: deterministic, k-sensitive") {
