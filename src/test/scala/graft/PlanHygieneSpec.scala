@@ -33,8 +33,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_tfidf", "q_bm25", "q_source_mix",
     "q_pmi_collocations", "q_bigram_logprob", "q22_dormant",
     "q11_important_parts", "q_audience_overlap",
-    // broadcast 1-row reference-day frame (scalar pattern)
-    "q_decayed_engagement", "q_sliding_distinct")
+    // broadcast 1-row scalar frames (reference day / threshold array)
+    "q_decayed_engagement", "q_sliding_distinct", "q_equidepth_hist")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
