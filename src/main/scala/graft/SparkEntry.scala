@@ -128,6 +128,7 @@ object SparkEntry {
     "q_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
     "q_quality_tiers" -> ((s: SparkSession, d: String) => TextAnalysis.qualityTiers(s, d)),
     "q_token_budget" -> ((s: SparkSession, d: String) => TextAnalysis.tokenBudgetSelect(s, d)),
+    "q_source_quota" -> ((s: SparkSession, d: String) => TextAnalysis.sourceQuotaSelect(s, d)),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "q_corpus_pipeline" -> ((s: SparkSession, d: String) => Pipeline.curateCorpus(s, d)),
     // §2c multimodal plumbing
@@ -1003,6 +1004,31 @@ object SparkEntry {
         |   <= 20000 AS selected
         |FROM dist
         |ORDER BY quality DESC""".stripMargin,
+    "q_source_quota" ->
+      """WITH t AS (SELECT source,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
+        |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |   + least(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |       x -> list_contains(['the','a','and','of','to','in','is','for'], x))) AS DOUBLE)
+        |     / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) * 4.0, 1.0) * 0.4
+        |   + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |     / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2, 4) AS quality
+        | FROM documents),
+        |dist AS (
+        | SELECT source, quality, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS grp_tokens
+        | FROM t GROUP BY source, quality)
+        |SELECT source, quality, n_docs, grp_tokens,
+        | CAST(sum(grp_tokens) OVER (PARTITION BY source
+        |   ORDER BY quality DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_tokens,
+        | CAST(sum(grp_tokens) OVER (PARTITION BY source
+        |   ORDER BY quality DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   <= 5000 AS selected
+        |FROM dist
+        |ORDER BY source, quality DESC""".stripMargin,
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, lang AS lang_label,
         |  CAST(len(regexp_extract_all(text, '(?i)\bthe\b')) + len(regexp_extract_all(text, '(?i)\band\b'))

@@ -579,4 +579,30 @@ object TextAnalysis {
       .withColumn("selected", col("cum_tokens") <= budgetTokens)
       .orderBy(col("quality").desc)
   }
+
+  /** Per-source token quotas — the domain-capping step of mixture
+    * control (no source may contribute more than its quota to the
+    * training mix, regardless of how much raw text it crawled):
+    * [[tokenBudgetSelect]]'s greedy score-group prefix, partitioned by
+    * source. Every window partition is one source's distinct
+    * rounded-score relation (≤ 10,001 rows by construction), so no
+    * source — however large its crawl — ever concentrates more than a
+    * bounded slice of window state on one task. Whole-group admission
+    * keeps the per-source kept set deterministic and tie-safe. */
+  def sourceQuotaSelect(spark: SparkSession, dir: String,
+      quotaTokens: Long = 5000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), qualityCol.as("quality"),
+        size(tokensCol).cast("long").as("n_tok"))
+    val dist = docs.groupBy(col("source"), col("quality"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("grp_tokens"))
+    val wCum = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dist
+      .withColumn("cum_tokens", sum(col("grp_tokens")).over(wCum))
+      .withColumn("selected", col("cum_tokens") <= quotaTokens)
+      .orderBy(col("source"), col("quality").desc)
+  }
 }

@@ -142,4 +142,25 @@ class TextStatsSpec extends AnyFunSuite {
       .agg(sum(col("n"))).head.getLong(0)
     assert(rows.map(_._3).sum == totalTokens)
   }
+
+  test("source quota: per-source maximal greedy prefix, quota respected " +
+    "independently per source") {
+    val quota = 5000L
+    val rows = TextAnalysis.sourceQuotaSelect(spark, sf, quota).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(3), r.getBoolean(5)))
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.size > 1, "need multiple sources to test capping")
+    bySource.foreach { case (src, grps) =>
+      val (sel, unsel) = grps.partition(_._4)
+      val selTotal = sel.map(_._3).sum
+      assert(selTotal <= quota, s"$src exceeded quota: $selTotal")
+      if (unsel.nonEmpty && sel.nonEmpty) {
+        // maximality within the source
+        assert(selTotal + unsel.maxBy(_._2)._3 > quota,
+          s"$src selection not maximal")
+        // prefix property within the source
+        assert(sel.map(_._2).min > unsel.map(_._2).max, s"$src not a prefix")
+      }
+    }
+  }
 }
