@@ -79,11 +79,15 @@ object Bench {
     // on the host locale.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // getSystemLoadAverage returns -1.0 where unavailable — emit JSON
+    // null rather than a value tooling could mistake for a real
+    // quiet-machine reading
+    def fmtLoad(v: Double): String = if (v < 0) "null" else fmt(v)
     def render(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val extra = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadAvg)},"queries":$qs$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"load_avg_start":${fmtLoad(loadStart)},"load_avg_end":${fmtLoad(loadAvg)},"queries":$qs$extra,"sf":"$sfDir"}"""
     }
     var line = render(sorted, 0)
     var keep = sorted.size

@@ -1482,10 +1482,11 @@ object SparkEntry {
         | FROM events),
         |r AS (SELECT max(day) AS ref_day FROM e)
         |SELECT user_id,
-        | sum(CASE WHEN least(date_diff('day', day, ref_day) // 7, 62) >= 62
-        |   THEN 0.0
-        |   ELSE 1.0 / (1::BIGINT <<
-        |     least(date_diff('day', day, ref_day) // 7, 62)) END)
+        | CAST(sum(CASE WHEN (date_diff('day', day, ref_day) // 7) >= 62
+        |   THEN 0
+        |   ELSE 1::BIGINT <<
+        |     (62 - (date_diff('day', day, ref_day) // 7)) END)
+        |   AS DOUBLE) / 4611686018427387904.0
         |   AS engagement,
         | count(*) AS n_events,
         | max(day) AS last_day

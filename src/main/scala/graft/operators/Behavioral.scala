@@ -101,12 +101,22 @@ object Behavioral {
     *
     * Exactness trick that keeps a decay score on the DuckDB oracle
     * surface: weights are restricted to POWERS OF TWO —
-    * w = 1 / 2^(days_ago div halfLife) via integer shift and one
-    * division, both IEEE-exact, so per-user sums are exact dyadic
-    * rationals, order-independent, and bit-identical across engines
-    * and partitionings. The usual exp(−λΔt) would be transcendental
-    * (libm last-ulp skew → rows-only); stepped halving IS the
-    * half-life semantics, quantized to the audit grain.
+    * w = 1 / 2^(days_ago div halfLife) — and the per-user sum is
+    * accumulated in EXACT INTEGER UNITS of 2^-62: each event
+    * contributes 2^(62-k) summed as decimal(38,0), and the total is
+    * converted to a score by ONE division by 2^62 at the end. The
+    * integer sum is exact at any event count and any exponent span
+    * (a 53-bit double sum would silently lose exactness once a
+    * user's weights span ≥ 53 bits — e.g. one year-old event plus 64
+    * recent ones), so the result stays order-independent and
+    * bit-identical across engines and partitionings: the only
+    * rounding anywhere is the correctly-rounded integer→double
+    * conversion of the exact sum (identical in both engines), and
+    * the final division by a power of two is a float exponent shift,
+    * exact by construction. The usual exp(−λΔt) would be
+    * transcendental (libm last-ulp skew → rows-only); stepped
+    * halving IS the half-life semantics, quantized to the audit
+    * grain.
     *
     * Scale shape: one row-local projection against the broadcast
     * 1-row reference day, then a map-side-combined groupBy(user) —
@@ -127,11 +137,13 @@ object Behavioral {
     e.crossJoin(broadcast(refDf))
       .withColumn("k",
         least(expr(s"datediff(ref_day, day) div $halfLifeDays"), lit(62)))
-      .withColumn("w",
-        when(col("k") >= 62, lit(0.0))
-          .otherwise(lit(1.0) / expr("shiftleft(1L, cast(k AS int))")))
+      .withColumn("units",
+        when(col("k") >= 62, lit(0L))
+          .otherwise(expr("shiftleft(1L, cast(62 - k AS int))"))
+          .cast("decimal(38,0)"))
       .groupBy(col("user_id"))
-      .agg(sum(col("w")).as("engagement"),
+      .agg((sum(col("units")).cast("double") /
+          lit(4611686018427387904L).cast("double")).as("engagement"),
         count(lit(1)).as("n_events"),
         max(col("day")).as("last_day"))
       .orderBy(col("user_id"))

@@ -136,21 +136,33 @@ object Modern {
     // subtree every round — an un-checkpointed containment join would
     // re-run per hop (measured 29s vs 7s at sf0.1 for maxHops=2)
     val p = pairs.localCheckpoint()
+    // per-invocation view names: fixed names would clobber caller
+    // views and race concurrent invocations sharing one session; the
+    // views are dropped once the (eagerly analyzed) plan holds their
+    // resolved subtrees
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val edgesV = s"blast_edges_$tag"
+    val seedsV = s"blast_seeds_$tag"
     p.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(p.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
-      .createOrReplaceTempView("blast_edges")
+      .createOrReplaceTempView(edgesV)
     p.filter(col("containment") === 1.0)
       .select(col("doc_a").as("doc_id")).distinct()
-      .createOrReplaceTempView("blast_seeds")
-    spark.sql(
-      s"""WITH RECURSIVE reach(doc_id, hop, path) AS (
-         |  SELECT doc_id, 0, array(doc_id) FROM blast_seeds
-         |  UNION ALL
-         |  SELECT e.b, r.hop + 1, array_append(r.path, e.b)
-         |  FROM reach r JOIN blast_edges e ON e.a = r.doc_id
-         |  WHERE r.hop < $maxHops AND NOT array_contains(r.path, e.b))
-         |SELECT doc_id, CAST(min(hop) AS BIGINT) AS hop
-         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+      .createOrReplaceTempView(seedsV)
+    try {
+      spark.sql(
+        s"""WITH RECURSIVE reach(doc_id, hop, path) AS (
+           |  SELECT doc_id, 0, array(doc_id) FROM $seedsV
+           |  UNION ALL
+           |  SELECT e.b, r.hop + 1, array_append(r.path, e.b)
+           |  FROM reach r JOIN $edgesV e ON e.a = r.doc_id
+           |  WHERE r.hop < $maxHops AND NOT array_contains(r.path, e.b))
+           |SELECT doc_id, CAST(min(hop) AS BIGINT) AS hop
+           |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    } finally {
+      spark.catalog.dropTempView(edgesV)
+      spark.catalog.dropTempView(seedsV)
+    }
   }
 }

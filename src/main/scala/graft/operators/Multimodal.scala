@@ -228,26 +228,215 @@ object Multimodal {
 
   case class MediaHash(doc_id: Long, phash: Long)
 
+  /** Decoded raster: row-major grayscale luminance in [0, 1]. */
+  case class DecodedImage(doc_id: Long, width: Int, height: Int,
+      gray: Array[Double])
+  case class ImageFrame(doc_id: Long, frame_no: Long, width: Int,
+      height: Int, frame_phash: Long)
+
+  /** REAL image codec — pure-JDK `javax.imageio` (PNG/JPEG/GIF/BMP/
+    * TIFF readers ship with Java 17; no container dependency). This is
+    * the stage the stubs stand in for: same batched-partition
+    * signature, real pixels. Kernels are deterministic — integer
+    * ITU-R 601 luma, fixed row-major accumulation order — so decoded
+    * features are bit-stable across runs and partitionings. */
+  object ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
+
+    /** BufferedImage → row-major grayscale [0,1] via integer 601 luma
+      * (299r + 587g + 114b) / 1000 — exact for the 0/255 extremes. */
+    def toGray(img: java.awt.image.BufferedImage): Array[Double] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = 299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)
+          out(y * w + x) = luma / 255000.0
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Decode one payload; None when no registered reader claims the
+      * bytes (magic-header probe — plain text never decodes). */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
+      try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)))
+        .map(img => (img.getWidth, img.getHeight, toGray(img)))
+      catch { case _: java.io.IOException => None }
+
+    /** Batched partition decode — the real twin of
+      * [[StubDecoder.decodeBatch]]: undecodable payloads drop (flatMap),
+      * decoder state is partition-local. */
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[DecodedImage] =
+      rows.flatMap { r =>
+        decode(r.media).map { case (w, h, g) => DecodedImage(r.doc_id, w, h, g) }
+      }
+
+    /** Area-averaged box resize of a row-major grayscale raster onto a
+      * `side`×`side` grid. Integer block boundaries. Accumulation is
+      * EXACT: [[toGray]] emits L/255000.0 with integer L, recovered
+      * exactly by rounding and summed as Long, so each cell is ONE
+      * correctly-rounded division of an exact rational — a k×-scaled
+      * block image resizes to bit-identical cell values (the aHash
+      * scale-invariance property the spec pins), where a running
+      * double sum would drift by an ulp per 64 additions. */
+    def grayResize(gray: Array[Double], w: Int, h: Int,
+        side: Int): Array[Double] = {
+      val out = new Array[Double](side * side)
+      var cy = 0
+      while (cy < side) {
+        val y0 = cy * h / side
+        val y1 = math.max(y0 + 1, (cy + 1) * h / side)
+        var cx = 0
+        while (cx < side) {
+          val x0 = cx * w / side
+          val x1 = math.max(x0 + 1, (cx + 1) * w / side)
+          var s = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              s += Math.round(gray(y * w + x) * 255000.0)
+              x += 1
+            }
+            y += 1
+          }
+          out(cy * side + cx) =
+            s.toDouble / ((y1 - y0).toLong * (x1 - x0) * 255000L).toDouble
+          cx += 1
+        }
+        cy += 1
+      }
+      out
+    }
+
+    /** Average hash over a cell grid: bit i set iff cell i is brighter
+      * than the grid mean. Shared by the stub and real paths — the
+      * published algorithm is identical, only the pixels differ. */
+    def ahash64(cells: Array[Double]): Long = {
+      val mean = cells.sum / cells.length
+      var h = 0L
+      var i = 0
+      while (i < cells.length && i < 64) {
+        if (cells(i) > mean) h |= (1L << i)
+        i += 1
+      }
+      h
+    }
+
+    /** Multi-frame containers (animated GIF, multi-page TIFF) → up to
+      * `maxFrames` decoded frames; single-frame formats yield one. */
+    def frames(bytes: Array[Byte],
+        maxFrames: Int): Seq[(Int, Int, Int, Array[Double])] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      if (iis == null) return Seq.empty
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Seq.empty
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = math.min(reader.getNumImages(true), maxFrames)
+            (0 until n).map { i =>
+              val img = reader.read(i)
+              (i, img.getWidth, img.getHeight, toGray(img))
+            }
+          } finally reader.dispose()
+        }
+      } catch { case _: java.io.IOException => Seq.empty }
+      finally iis.close()
+    }
+  }
+
   /** Average-hash (aHash) perceptual fingerprint: threshold each cell
     * of the [[StubResizer]] 8×8 grid against the grid mean — bit i set
     * iff cell i is brighter than average. The HASH is the real
-    * published algorithm; only the decode underneath it is the stub
-    * (a real deployment swaps the resizer for a codec-backed one and
-    * this stage is unchanged). Near-identical payloads differ in a few
-    * cells → small Hamming distance. */
+    * published algorithm ([[ImageCodec.ahash64]], shared with the
+    * real-pixel path); only the decode underneath it is the stub. */
   object StubPerceptualHasher {
     def hashBatch(rows: Iterator[MediaRow]): Iterator[MediaHash] =
       StubResizer.resizeBatch(8)(rows).map { rm =>
-        val mean = rm.pixels.sum / rm.pixels.length
-        var h = 0L
-        var i = 0
-        while (i < 64) {
-          if (rm.pixels(i) > mean) h |= (1L << i)
-          i += 1
-        }
-        MediaHash(rm.doc_id, h)
+        MediaHash(rm.doc_id, ImageCodec.ahash64(rm.pixels))
       }
   }
+
+  /** Real decode over any media frame — crafted datasets in specs,
+    * `binaryFile` directories in production. */
+  def decodeImages(spark: SparkSession,
+      rows: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import spark.implicits._
+    rows.mapPartitions(ImageCodec.decodeBatch _)
+  }
+
+  /** binaryFile directory → REAL decoded metadata: true raster
+    * dimensions + content digest, batched exactly like
+    * [[mediaMetaFromFiles]] but with pixels under it. Undecodable
+    * files drop at the decode stage (count them upstream via the
+    * listing if auditing coverage). */
+  def imageMetaFromFiles(spark: SparkSession, path: String,
+      glob: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    decodeImages(spark, ingestFiles(spark, path, glob))
+      .map { d =>
+        val mean = if (d.gray.isEmpty) 0.0 else d.gray.sum / d.gray.length
+        (d.doc_id, d.width.toLong, d.height.toLong,
+          d.gray.length.toLong, math.rint(mean * 1e6) / 1e6)
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "mean_luma")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Real resize stage: decoded rasters → fixed `side`×`side`
+    * area-averaged grids (the real twin of [[resized]]). */
+  def imageResized(spark: SparkSession, rows: Dataset[MediaRow],
+      side: Int = 8): DataFrame = {
+    import spark.implicits._
+    decodeImages(spark, rows)
+      .map(d => ResizedMedia(d.doc_id, side, side,
+        ImageCodec.grayResize(d.gray, d.width, d.height, side)))
+      .toDF()
+  }
+
+  /** Real frame sampling: multi-frame containers fan out to one row
+    * per frame (bounded by `maxFrames`), each carrying its own aHash —
+    * the real twin of [[frames]]. */
+  def imageFrames(spark: SparkSession, rows: Dataset[MediaRow],
+      maxFrames: Int = 8): DataFrame = {
+    import spark.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        ImageCodec.frames(r.media, maxFrames).map { case (i, w, h, gray) =>
+          ImageFrame(r.doc_id, i.toLong, w, h,
+            ImageCodec.ahash64(ImageCodec.grayResize(gray, w, h, 8)))
+        }
+      }
+    }.toDF().orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  /** Real perceptual hash: decode → 8×8 area resize → aHash. */
+  def imagePhashOn(spark: SparkSession,
+      rows: Dataset[MediaRow]): DataFrame = {
+    import spark.implicits._
+    decodeImages(spark, rows)
+      .map(d => MediaHash(d.doc_id,
+        ImageCodec.ahash64(ImageCodec.grayResize(d.gray, d.width, d.height, 8))))
+      .toDF()
+  }
+
+  /** Real-pixel near-duplicate pairs over an image directory: decode →
+    * aHash → the same banded Hamming join as [[mediaPhashDup]]. */
+  def imagePhashDupFromFiles(spark: SparkSession, path: String,
+      r: Int = 3, glob: Option[String] = None): DataFrame =
+    phashDupOn(imagePhashOn(spark, ingestFiles(spark, path, glob)), r)
 
   /** Payload → 64-bit perceptual hash, one partition-batched pass. */
   def mediaPhash(spark: SparkSession, dir: String): DataFrame = {
@@ -265,9 +454,13 @@ object Multimodal {
     * the exact ball. The SimHash text pipeline's shape applied to the
     * media column: linear band shuffle, no all-pairs stage, scales to
     * any corpus the band buckets stay sparse on. */
-  def mediaPhashDup(spark: SparkSession, dir: String, r: Int = 3): DataFrame = {
+  def mediaPhashDup(spark: SparkSession, dir: String, r: Int = 3): DataFrame =
+    phashDupOn(mediaPhash(spark, dir), r)
+
+  /** Band core shared by the stub and real-pixel phash-dup paths:
+    * takes any (doc_id, phash) frame. */
+  def phashDupOn(hashes: DataFrame, r: Int): DataFrame = {
     require(r <= 3, s"4x16 banding is pigeonhole-lossless only to r=3, got $r")
-    val hashes = mediaPhash(spark, dir)
     val bands = hashes.select(col("doc_id"), col("phash"),
         explode(expr(
           "transform(sequence(0, 3), " +

@@ -43,7 +43,15 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        // fail fast at the loader: a third physical shape (INT96,
+        // string, …) from a future testdata regeneration must not
+        // propagate into every downstream operator as confusing
+        // type errors far from the cause
+        sys.error(s"events.ts: unexpected physical type $other — " +
+          "expected TIMESTAMP(NANOS) (long under legacy conf), " +
+          "TIMESTAMP(MICROS) (NTZ), or session-zoned TimestampType")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

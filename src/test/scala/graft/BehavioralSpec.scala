@@ -123,6 +123,39 @@ class BehavioralSpec extends AnyFunSuite {
     assert(rows.length.toLong == users)
   }
 
+  test("decayed engagement: integer-unit accumulation stays exact beyond " +
+    "a 53-bit weight span (64 recent events + one 54-half-life-old one)") {
+    val sp = spark
+    import sp.implicits._
+    def t(day: java.time.LocalDate) =
+      java.sql.Timestamp.valueOf(day.atTime(10, 0))
+    val ref = java.time.LocalDate.parse("2024-03-31")
+    // 64 ref-day events (2^62 units each) + one event 54 half-lives old
+    // (2^8 units): the exact unit sum 2^68 + 2^8 spans 61 bits — a plain
+    // double accumulation would make the result depend on summation
+    // order, silently breaking the determinism/oracle contract
+    val rows = (1 to 64).map(_ => (1L, t(ref))) :+ (1L, t(ref.minusDays(54L * 7)))
+    val df = rows.toDF("user_id", "ts")
+    // driver-side expectation: the exact integer sum, correctly rounded
+    // to double ONCE, then an exact power-of-two division
+    val exactUnits = (BigInt(2).pow(68) + BigInt(2).pow(8)).bigInteger
+    val expected =
+      new java.math.BigDecimal(exactUnits).doubleValue() / 4611686018427387904.0
+    val base = graft.operators.Behavioral.decayedEngagementOn(df)
+      .collect().head.getDouble(1)
+    assert(java.lang.Double.doubleToLongBits(base) ==
+      java.lang.Double.doubleToLongBits(expected),
+      s"engagement $base != correctly-rounded exact value $expected")
+    // bit-identical under reversed input order and a different
+    // partitioning — the property the dyadic claim promises
+    val shuffled = graft.operators.Behavioral.decayedEngagementOn(
+        rows.reverse.toDF("user_id", "ts").repartition(13))
+      .collect().head.getDouble(1)
+    assert(java.lang.Double.doubleToLongBits(shuffled) ==
+      java.lang.Double.doubleToLongBits(base),
+      "engagement must be partition/order independent")
+  }
+
   test("sliding distinct: scatter construction equals a driver recount, " +
     "partial leading windows included") {
     val res = graft.operators.Temporal.slidingDistinct(spark, sf).collect()
