@@ -184,7 +184,14 @@ object SparkEntry {
     "q_audience_overlap" -> (Federation.audienceOverlap _),
     "q_char_entropy" -> (TextAnalysis.charEntropyProfile _),
     "q_jaccard_prefix" -> ((s: SparkSession, d: String) => Dedup.jaccardPrefixJoin(s, d)),
-    "q_containment_join" -> ((s: SparkSession, d: String) => Dedup.containmentJoin(s, d)),
+    // containment family: audits the deterministic md5-top-1000 panel
+    // (all 500 docs at sf0.01; 1000 of 5000 at sf0.1) so the oracle's
+    // all-pairs checker stays feasible at every SF — the library
+    // operators (containmentJoin/blastRadius/splitLeakage) run the
+    // full corpus
+    "q_containment_join" -> ((s: SparkSession, d: String) =>
+      Dedup.containmentJoinOn(
+        Sampling.md5TopN(Tables.documents(s, d), "doc_id", 1000))),
     "q_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     "q_vocab_coverage" -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "q_bigram_logprob" -> ((s: SparkSession, d: String) => TextAnalysis.bigramLogprob(s, d)),
@@ -201,8 +208,14 @@ object SparkEntry {
     // last-ulp skew across engines; mechanism correctness carried by
     // PrivacySpec (ε-rescaling law, symmetry, seed determinism).
     "q_dp_release" -> ((s: SparkSession, d: String) => Privacy.dpRelease(s, d)),
-    "q_blast_radius" -> ((s: SparkSession, d: String) => Modern.blastRadius(s, d)),
-    "q_split_leakage" -> ((s: SparkSession, d: String) => Dedup.splitLeakage(s, d)),
+    "q_blast_radius" -> ((s: SparkSession, d: String) =>
+      Modern.blastRadiusOn(s, Dedup.containmentJoinOn(
+        Sampling.md5TopN(Tables.documents(s, d), "doc_id", 1000)), 2)),
+    // 1500 (not 1000): the smallest panel whose sf0.1 slice contains
+    // actual cross-split leaks — a 0-row oracle would pass vacuously
+    "q_split_leakage" -> ((s: SparkSession, d: String) =>
+      Dedup.splitLeakageOn(
+        Sampling.md5TopN(Tables.documents(s, d), "doc_id", 1500))),
     // rows-only: the hash rides on the stubbed media decode (§2c);
     // recall/exactness carried by MultimodalSpec's brute-force parity.
     "q_media_phash_dup" -> ((s: SparkSession, d: String) => Multimodal.mediaPhashDup(s, d))
@@ -1788,10 +1801,13 @@ object SparkEntry {
         |   / (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_containment_join" ->
-      """WITH t AS (
+      """WITH panel AS (
+        | SELECT doc_id FROM documents
+        | ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1000),
+        |t AS (
         | SELECT doc_id, string_split(
         |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        | FROM documents),
+        | FROM documents WHERE doc_id IN (SELECT doc_id FROM panel)),
         |s AS (
         | SELECT doc_id,
         |  list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -2062,10 +2078,13 @@ object SparkEntry {
         |GROUP BY event_type, day
         |ORDER BY event_type, day""".stripMargin,
     "q_blast_radius" ->
-      """WITH RECURSIVE t AS (
+      """WITH RECURSIVE panel AS (
+        | SELECT doc_id FROM documents
+        | ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1000),
+        |t AS (
         | SELECT doc_id, string_split(
         |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        | FROM documents),
+        | FROM documents WHERE doc_id IN (SELECT doc_id FROM panel)),
         |s AS (
         | SELECT doc_id,
         |  list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -2090,10 +2109,13 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(hop) AS BIGINT) AS hop
         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_split_leakage" ->
-      """WITH t AS (
+      """WITH panel AS (
+        | SELECT doc_id FROM documents
+        | ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1500),
+        |t AS (
         | SELECT doc_id, string_split(
         |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        | FROM documents),
+        | FROM documents WHERE doc_id IN (SELECT doc_id FROM panel)),
         |s AS (
         | SELECT doc_id,
         |  list_distinct(list_transform(generate_series(1, len(toks) - 2),

@@ -376,8 +376,17 @@ object Dedup {
     * [[jaccardPrefixJoin]]. Boilerplate shingles surviving into many
     * prefixes are the AQE-skew-split case again. */
   def containmentJoin(spark: SparkSession, dir: String,
+      tau: Double = 0.6, shingle: Int = 3): DataFrame =
+    containmentJoinOn(Tables.documents(spark, dir), tau, shingle)
+
+  /** Core of [[containmentJoin]] over any (doc_id, text) frame — the
+    * query entry drives it with a deterministic md5-top-N audit panel
+    * ([[Sampling.md5TopN]]) so the quadratic DuckDB oracle stays
+    * checker-feasible at every SF; the full-corpus operator is this
+    * same plan over the whole documents table. */
+  def containmentJoinOn(docs: DataFrame,
       tau: Double = 0.6, shingle: Int = 3): DataFrame = {
-    val setsPlan = tokenShingleSets(spark, dir, shingle)
+    val setsPlan = tokenShingleSetsOf(docs, shingle)
     // the frequency/prefix pipeline reads the shingles twice → one
     // materialized copy for that side only
     val sets = setsPlan.localCheckpoint()
@@ -651,10 +660,16 @@ object Dedup {
     * [[containmentJoin]]) + one broadcast-sized split map derived
     * row-locally from the key — the boundary filter adds no shuffle. */
   def splitLeakage(spark: SparkSession, dir: String, tau: Double = 0.6,
+      shingle: Int = 3): DataFrame =
+    splitLeakageOn(Tables.documents(spark, dir), tau, shingle)
+
+  /** Core of [[splitLeakage]] over any (doc_id, text) frame (audit
+    * panel or full corpus — see [[containmentJoinOn]]). */
+  def splitLeakageOn(docs: DataFrame, tau: Double = 0.6,
       shingle: Int = 3): DataFrame = {
-    val pairs = containmentJoin(spark, dir, tau, shingle)
+    val pairs = containmentJoinOn(docs, tau, shingle)
     val nibble = substring(md5(col("doc_id").cast("string")), 1, 1)
-    val splits = Tables.documents(spark, dir)
+    val splits = docs
       .select(col("doc_id"),
         when(nibble.isin("0", "1"), "test")
           .when(nibble.isin("2", "3"), "val")

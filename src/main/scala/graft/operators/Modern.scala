@@ -128,8 +128,33 @@ object Modern {
 
   /** Core of [[blastRadius]] over any (doc_a, doc_b, containment)
     * pair frame — split out so specs can drive crafted graphs
-    * (cycles, chains, diamonds) through the recursion. */
+    * (cycles, chains, diamonds, cliques) through the recursion.
+    *
+    * Two physical strategies with identical min-hop semantics,
+    * dispatched on the hop bound:
+    *
+    *  - `maxHops` ≤ 2: the recursive CTE. Its simple-path visited
+    *    guard bounds revisits, but inside a dense clique of k docs it
+    *    still materializes O(k^maxHops) simple paths per seed before
+    *    the outer min(hop) collapses them — fine at ≤ 2 hops on
+    *    post-dedup graphs, a real blowup deeper on boilerplate-heavy
+    *    corpora.
+    *  - `maxHops` ≥ 3: iterative frontier joins with PER-ROUND
+    *    frontier dedup and an anti-join against the reached set —
+    *    textbook distributed BFS. Intermediate rows per round are
+    *    bounded by |edges| regardless of density (each edge
+    *    contributes at most one candidate per round), so a k-clique
+    *    costs O(k²) per round, not O(k^H) paths. Each round's
+    *    frontier is localCheckpoint'd: bounded lineage, and the next
+    *    round's join reads materialized blocks (cluster deployments
+    *    would use reliable checkpoints; the plan shape is the same).
+    */
   def blastRadiusOn(spark: SparkSession, pairs: DataFrame,
+      maxHops: Int): DataFrame =
+    if (maxHops <= 2) blastRadiusRecursive(spark, pairs, maxHops)
+    else blastRadiusIterative(pairs, maxHops)
+
+  private def blastRadiusRecursive(spark: SparkSession, pairs: DataFrame,
       maxHops: Int): DataFrame = {
     // materialize the pair computation ONCE: the temp views below are
     // logical plans, and the recursive member re-evaluates its edge
@@ -164,5 +189,36 @@ object Modern {
       spark.catalog.dropTempView(edgesV)
       spark.catalog.dropTempView(seedsV)
     }
+  }
+
+  /** Iterative-join BFS (the `maxHops` ≥ 3 path of [[blastRadiusOn]]):
+    * reached ∪= (frontier ⋈ edges) \ reached, one round per hop. */
+  private def blastRadiusIterative(pairs: DataFrame,
+      maxHops: Int): DataFrame = {
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(p.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var reached = p.filter(col("containment") === 1.0)
+      .select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("hop", lit(0L))
+      .localCheckpoint()
+    var frontier = reached.select(col("doc_id"))
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      // per-round dedup BEFORE the anti-join: a dense clique fans a
+      // frontier node into k candidates, but distinct collapses them
+      // to one row per doc before anything accumulates
+      val next = frontier.join(edges, frontier("doc_id") === edges("a"))
+        .select(col("b").as("doc_id")).distinct()
+        .join(reached.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .localCheckpoint()
+      reached = reached.union(next).localCheckpoint()
+      frontier = next.select(col("doc_id"))
+    }
+    reached.select(col("doc_id"), col("hop")).orderBy(col("doc_id"))
   }
 }

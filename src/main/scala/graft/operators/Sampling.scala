@@ -29,6 +29,22 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("split"), col("lang"))
 
+  /** Deterministic md5-top-N audit panel: the `n` keys with the
+    * lexicographically smallest md5(key) digests (ties broken by key).
+    * A content-hash panel, not a sample-by-rng: both engines compute
+    * the identical set, so a quadratic ORACLE (all-pairs containment,
+    * transitive reach) stays checker-feasible at any corpus size by
+    * auditing the panel while the library operator runs full-corpus.
+    * Scale shape: TakeOrderedAndProject over bare keys (no global
+    * sort materializes), then a broadcast semi-join back. */
+  def md5TopN(docs: DataFrame, keyCol: String, n: Int): DataFrame = {
+    val panel = docs
+      .select(col(keyCol), md5(col(keyCol).cast("string")).as("h"))
+      .orderBy(col("h"), col(keyCol)).limit(n)
+      .select(col(keyCol))
+    docs.join(broadcast(panel), Seq(keyCol))
+  }
+
   /** Stratified sampling by a category column (seeded Bernoulli per
     * stratum — Spark's sampleBy). Approximate by design; the spec
     * checks proportions, not exact counts. */
