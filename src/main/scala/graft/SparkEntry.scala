@@ -86,6 +86,7 @@ object SparkEntry {
     "q_triangle_count" -> ((s: SparkSession, d: String) =>
       Graph.coorderTriangles(s, d)),
     "q_edit_join" -> (Dedup.editNeighbors _),
+    "q_edit_join_tau2" -> (Dedup.editNeighborsTau2 _),
     "q_entity_resolution" -> (Dedup.entityResolution _),
     // §2a reference-derived
     "q_meta_extract" -> (Clif.metaExtract _),
@@ -731,6 +732,14 @@ object SparkEntry {
         |  ON a.c_custkey < b.c_custkey
         |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY key_a, key_b""".stripMargin,
+    "q_edit_join_tau2" ->
+      """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        | CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |  AND abs(length(a.c_name) - length(b.c_name)) <= 2
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY key_a, key_b""".stripMargin,
     "q_entity_resolution" ->
       """WITH RECURSIVE

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.HashExpressions._
 import graft.sources.Tables
@@ -275,7 +275,7 @@ object Dedup {
       shingle: Int): DataFrame =
     tokenShingleSetsOf(Tables.documents(spark, dir), shingle)
 
-  private def tokenShingleSetsOf(docs: DataFrame, shingle: Int): DataFrame =
+  private[graft] def tokenShingleSetsOf(docs: DataFrame, shingle: Int): DataFrame =
     docs
       .select(col("doc_id"), col("text"))
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
@@ -285,8 +285,78 @@ object Dedup {
         s"transform(sequence(1, size(toks) - ${shingle - 1}), " +
           s"i -> concat_ws(' ', slice(toks, i, $shingle)))")).as("st"))
 
+  /** Per-occurrence SUFFIX bound (PPJoin+ depth-1 median partition,
+    * Xiao et al. WWW'08 §4): both sides' sets live in ONE global
+    * canonical order, so for suffixes SA (the la elements after A's
+    * shared token) and SB, any cut element c bounds
+    * |SA∩SB| ≤ min(|SA<c|,|SB<c|) + min(|SA≥c|,|SB≥c|). Each prefix
+    * occurrence carries its suffix's MEDIAN element; cutting at the
+    * smaller median m (where the OTHER side's below-m count is ≤ its
+    * own below-median count) gives
+    * |SA∩SB| ≤ min(la_l, lb_l) + 1 + (ma ≤ mb ? la_r : lb_r) —
+    * valid for EVERY shared occurrence, so pruning stays lossless via
+    * the first-shared-token argument. Cost: one struct per occurrence
+    * row; no arrays ride the candidate join. */
+  private[graft] def suffixOverlapBound(la: Column, lb: Column): Column = {
+    val laL = floor((la - 1) / lit(2))
+    val lbL = floor((lb - 1) / lit(2))
+    val median = lit(1) + least(laL, lbL) +
+      when(col("mid_a") <= col("mid_b"), la - 1 - laL).otherwise(lb - 1 - lbL)
+    when(la > 0 && lb > 0, least(least(la, lb), median))
+      .otherwise(least(la, lb))
+  }
+
+  /** (doc_id, sz, pos, tok [, mid]): the df-ordered prefix occurrences
+    * of each set — `prefLen(sz)` picks the prefix length (Jaccard and
+    * containment differ only here). With `withMid` each occurrence also
+    * carries the median element of the suffix AFTER its position — the
+    * [[suffixOverlapBound]] descriptor. */
+  private[graft] def orderedPrefixes(sets: DataFrame, dfreq: DataFrame,
+      prefLen: Column => Column, withMid: Boolean = false): DataFrame = {
+    val ordered = sets
+      .select(col("doc_id"), size(col("st")).as("sz"), explode(col("st")).as("tok"))
+      .join(dfreq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("sz")).as("sz"),
+        array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
+    if (!withMid)
+      ordered
+        .select(col("doc_id"), col("sz"),
+          posexplode(slice(col("ordered"), lit(1), prefLen(col("sz")).cast("int"))))
+        .select(col("doc_id"), col("sz"), (col("pos") + 1).as("pos"),
+          col("col.tok").as("tok"))
+    else
+      // (pos, tok, suffix-median) packed into a per-doc array
+      // ROW-LOCALLY, then exploded: a generator whose output references
+      // the full `ordered` array would copy that array into every
+      // emitted row (measured 12× on the containment join at sf0.1);
+      // packing first keeps the emitted rows narrow. The suffix after
+      // 1-based pos i has length sz−i; its median sits at index
+      // i+1+⌊(sz−i−1)/2⌋.
+      ordered
+        .select(col("doc_id"), col("sz"), explode(
+          transform(sequence(lit(1), least(prefLen(col("sz")), col("sz")).cast("int")),
+            i => struct(
+              i.as("pos"),
+              element_at(col("ordered"), i).getField("tok").as("tok"),
+              when(col("sz") > i, element_at(col("ordered"),
+                (i + lit(1) + floor((col("sz") - i - 1) / lit(2))).cast("int")))
+                .as("mid")))).as("e"))
+        .select(col("doc_id"), col("sz"), col("e.pos").as("pos"),
+          col("e.tok").as("tok"), col("e.mid").as("mid"))
+  }
+
+  /** `suffixFilter` adds the [[suffixOverlapBound]] prune (PPJoin+
+    * depth-1). MEASURED OFF by default at sf0.1: the median bound
+    * prunes 0 of the 124,979 candidates the length+positional filters
+    * leave (the two-sided positional bound is already maximal on this
+    * corpus's prefix geometry), so the descriptor build and the
+    * per-occurrence struct comparison are pure cost here. The flag is
+    * the documented lever for corpora where candidate volume, not the
+    * occurrence scan, dominates. */
   def jaccardPrefixJoin(spark: SparkSession, dir: String,
-      tau: Double = 0.5, shingle: Int = 3): DataFrame = {
+      tau: Double = 0.5, shingle: Int = 3,
+      suffixFilter: Boolean = false): DataFrame = {
     val setsPlan = tokenShingleSets(spark, dir, shingle)
     // the frequency/prefix pipeline reads the shingles twice → one
     // materialized copy for that side only
@@ -295,19 +365,10 @@ object Dedup {
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // per-doc tokens re-ordered by (df asc, tok asc); prefix keeps the
     // first |x| - ceil(tau*|x|) + 1 — the rarest tokens of each set
-    val prefixes = sets
-      .select(col("doc_id"), size(col("st")).as("sz"), explode(col("st")).as("tok"))
-      .join(dfreq, Seq("tok"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("sz")).as("sz"),
-        array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
-      .select(col("doc_id"), col("sz"),
-        posexplode(slice(col("ordered"), lit(1),
-          (col("sz") - ceil(lit(tau) * col("sz") - lit(PruneEps)) + 1).cast("int"))))
-      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("pos"),
-        col("col.tok").as("tok"))
+    val prefixes = orderedPrefixes(sets, dfreq,
+      sz => sz - ceil(lit(tau) * sz - lit(PruneEps)) + 1, withMid = suffixFilter)
       .localCheckpoint() // consumed by both sides of the candidate join
-    // two PPJoin prunes INSIDE the candidate join, before the distinct
+    // PPJoin prunes INSIDE the candidate join, before the distinct
     // and before any set rides anywhere:
     //  - length filter: J ≥ τ forces min(|A|,|B|) ≥ τ·max(|A|,|B|) —
     //    kills short-doc × long-doc pairs sharing one boilerplate
@@ -317,17 +378,23 @@ object Dedup {
     //    which must reach α = ⌈τ/(1+τ)·(|A|+|B|)⌉ (the overlap J ≥ τ
     //    implies); a qualifying pair always passes via its FIRST
     //    shared token, so occurrence-level pruning is lossless
+    //  - optional suffix filter: [[suffixOverlapBound]] tightens the
+    //    same bound with the carried suffix medians
     val alphaNeeded =
       ceil(lit(tau / (1.0 + tau)) * (col("sz_a") + col("sz_b")) - lit(PruneEps))
-    val cands = prefixes.select(col("doc_id").as("doc_a"),
-        col("sz").as("sz_a"), col("pos").as("pos_a"), col("tok"))
-      .join(prefixes.select(col("doc_id").as("doc_b"),
-        col("sz").as("sz_b"), col("pos").as("pos_b"), col("tok")), Seq("tok"))
+    val la = col("sz_a") - col("pos_a")
+    val lb = col("sz_b") - col("pos_b")
+    val overlapBound =
+      if (suffixFilter) suffixOverlapBound(la, lb) else least(la, lb)
+    def side(s: String): DataFrame = prefixes.select(
+      col("doc_id").as(s"doc_$s") +: col("sz").as(s"sz_$s") +:
+        col("pos").as(s"pos_$s") +: col("tok") +:
+        (if (suffixFilter) Seq(col("mid").as(s"mid_$s")) else Nil): _*)
+    val cands = side("a").join(side("b"), Seq("tok"))
       .filter(col("doc_a") < col("doc_b") &&
         least(col("sz_a"), col("sz_b")).cast("double") >=
           lit(tau) * greatest(col("sz_a"), col("sz_b")) - lit(PruneEps) &&
-        (lit(1) + least(col("sz_a") - col("pos_a"),
-          col("sz_b") - col("pos_b"))) >= alphaNeeded)
+        (lit(1) + overlapBound) >= alphaNeeded)
       .select(col("doc_a"), col("doc_b")).distinct()
     // the intersection is computed ONCE per candidate (a naive
     // `filter(j) … select(j)` re-evaluates array_intersect four times —
@@ -376,42 +443,78 @@ object Dedup {
     * [[jaccardPrefixJoin]]. Boilerplate shingles surviving into many
     * prefixes are the AQE-skew-split case again. */
   def containmentJoin(spark: SparkSession, dir: String,
-      tau: Double = 0.6, shingle: Int = 3): DataFrame =
-    containmentJoinOn(Tables.documents(spark, dir), tau, shingle)
+      tau: Double = 0.6, shingle: Int = 3,
+      suffixFilter: Boolean = false): DataFrame =
+    containmentJoinOn(Tables.documents(spark, dir), tau, shingle, suffixFilter)
 
   /** Core of [[containmentJoin]] over any (doc_id, text) frame — the
     * query entry drives it with a deterministic md5-top-N audit panel
     * ([[Sampling.md5TopN]]) so the quadratic DuckDB oracle stays
     * checker-feasible at every SF; the full-corpus operator is this
-    * same plan over the whole documents table. */
+    * same plan over the whole documents table.
+    *
+    * `suffixFilter` switches the B side from the orderless posting
+    * explosion to the df-ordered occurrence relation (shared with the
+    * A side), buying the B-positional and suffix-median prunes —
+    * measured at sf0.1: candidates into the verify drop 570,038 →
+    * 462,434 (−19%), but the ordered-B build (df join + per-doc sort
+    * over every occurrence) costs more than the pruned fifth saves, so
+    * the flag defaults OFF at this SF. It is the documented lever for
+    * the candidate-bound regime (boilerplate-heavy corpora / higher
+    * SF, where pair volume grows faster than the linear occurrence
+    * scan). */
   def containmentJoinOn(docs: DataFrame,
-      tau: Double = 0.6, shingle: Int = 3): DataFrame = {
+      tau: Double = 0.6, shingle: Int = 3,
+      suffixFilter: Boolean = false): DataFrame = {
     val setsPlan = tokenShingleSetsOf(docs, shingle)
     // the frequency/prefix pipeline reads the shingles twice → one
     // materialized copy for that side only
     val sets = setsPlan.localCheckpoint()
     val dfreq = sets.select(explode(col("st")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val prefixes = sets
-      .select(col("doc_id"), size(col("st")).as("sz"), explode(col("st")).as("tok"))
-      .join(dfreq, Seq("tok"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("sz")).as("sz"),
-        array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
-      .select(col("doc_id"), col("sz"),
-        posexplode(slice(col("ordered"), lit(1),
-          (col("sz") - ceil(lit(tau) * col("sz") - lit(PruneEps)) + 1).cast("int"))))
-      .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
-        (col("pos") + 1).as("pos_a"), col("col.tok").as("tok"))
-    val postings = sets
-      .select(col("doc_id").as("doc_b"), size(col("st")).as("sz_b"),
-        explode(col("st")).as("tok"))
+    val prefLen: Column => Column =
+      sz => sz - ceil(lit(tau) * sz - lit(PruneEps)) + 1
     val needA = ceil(lit(tau) * col("sz_a") - lit(PruneEps))
-    val cands = prefixes.join(postings, Seq("tok"))
-      .filter(col("doc_a") =!= col("doc_b") &&
-        col("sz_b") >= needA &&
-        (lit(1) + col("sz_a") - col("pos_a")) >= needA)
-      .select(col("doc_a"), col("doc_b")).distinct()
+    // prunes, all lossless via the FIRST shared token (in canonical
+    // order no overlap element precedes it on EITHER side — an earlier
+    // shared element would itself be the first):
+    //  - B length: |B| ≥ overlap ≥ ⌈τ·|A|⌉
+    //  - A-positional: overlap ≤ 1 + (|A| − i)
+    //  - with suffixFilter also B-positional + suffix-median
+    //    ([[suffixOverlapBound]]) over the shared ordered relation
+    val cands = (if (!suffixFilter) {
+      val prefixes = orderedPrefixes(sets, dfreq, prefLen)
+        .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+          col("pos").as("pos_a"), col("tok"))
+      // the posting side skips the df join — it needs no ordering
+      val postings = sets
+        .select(col("doc_id").as("doc_b"), size(col("st")).as("sz_b"),
+          explode(col("st")).as("tok"))
+      prefixes.join(postings, Seq("tok"))
+        .filter(col("doc_a") =!= col("doc_b") &&
+          col("sz_b") >= needA &&
+          (lit(1) + col("sz_a") - col("pos_a")) >= needA)
+    } else {
+      // ONE df-ordered occurrence relation serves BOTH sides: the A
+      // side filters down to its prefix, the B side keeps every
+      // occurrence — B cannot be prefix-pruned (containment is
+      // one-sided), but deriving it from the ordered aggregation gives
+      // it POSITIONS and suffix medians
+      val occs = orderedPrefixes(sets, dfreq, sz => sz, withMid = true)
+        .localCheckpoint()
+      val prefixes = occs
+        .filter(col("pos") <= prefLen(col("sz")))
+        .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+          col("pos").as("pos_a"), col("tok"), col("mid").as("mid_a"))
+      val postings = occs
+        .select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+          col("pos").as("pos_b"), col("tok"), col("mid").as("mid_b"))
+      prefixes.join(postings, Seq("tok"))
+        .filter(col("doc_a") =!= col("doc_b") &&
+          col("sz_b") >= needA &&
+          (lit(1) + suffixOverlapBound(col("sz_a") - col("pos_a"),
+            col("sz_b") - col("pos_b"))) >= needA)
+    }).select(col("doc_a"), col("doc_b")).distinct()
     cands
       .join(setsPlan.select(col("doc_id").as("doc_a"), col("st").as("sa")), Seq("doc_a"))
       .join(setsPlan.select(col("doc_id").as("doc_b"), col("st").as("sb")), Seq("doc_b"))
@@ -559,53 +662,81 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** EDIT-DISTANCE similarity self-join (τ = 1) by SYMMETRIC DELETION
-    * (the SymSpell scheme): every string emits itself plus each of its
-    * single-character-deletion variants as join keys; two strings
-    * within edit distance 1 MUST share a key (substitution at i →
-    * both delete position i; insertion/deletion → the shorter string
-    * IS a deletion variant of the longer; equality → the identity
-    * key), so candidate generation is a plain equi-join — lossless by
-    * pigeonhole, recall 1.0 — and `levenshtein` verifies candidates
-    * exactly. Compare PassJoin-style segment indexing: on keys with a
-    * long SHARED prefix (IDs, URLs, padded codes — exactly what
-    * real-world entity keys look like) the constant segment puts every
-    * row in one bucket and the join degenerates quadratic, while
+  /** EDIT-DISTANCE similarity self-join (τ ∈ {1, 2}) by SYMMETRIC
+    * DELETION (the SymSpell scheme): every string emits itself plus
+    * each variant reachable by deleting up to τ characters as join
+    * keys; two strings within edit distance τ MUST share a key — take
+    * an optimal alignment with s substitutions, i insertions, d
+    * deletions (s+i+d ≤ τ): the aligned common string is reachable
+    * from side A by s+d ≤ τ deletions and from side B by s+i ≤ τ
+    * deletions. Candidate generation is therefore a plain equi-join —
+    * lossless by construction, recall 1.0 — and `levenshtein` verifies
+    * candidates exactly. Compare PassJoin-style segment indexing: on
+    * keys with a long SHARED prefix (IDs, URLs, padded codes — exactly
+    * what real-world entity keys look like) the constant segment puts
+    * every row in one bucket and the join degenerates quadratic, while
     * deletion variants keep buckets near-dup-sized BECAUSE a shared
-    * variant already implies the pair is one edit apart modulo
-    * verification. Cost: (len+1) keys per row — linear expansion, one
-    * equi-join shuffle, no pair enumeration stage anywhere; bucket
-    * skew tracks true duplicate mass, the same property the MinHash
-    * band join relies on. */
+    * variant already implies the pair is within τ edits modulo
+    * verification.
+    *
+    * Cost: τ=1 emits len+1 keys per row (linear expansion); τ=2 emits
+    * O(len²/2) keys — the right trade for SHORT entity keys (names,
+    * codes; a 25-char name is ~325 keys), and fenced for anything else
+    * by `maxKeyLen`: a longer string raises loudly instead of silently
+    * exploding the shuffle (long-string similarity belongs to the
+    * shingle family — [[jaccardPrefixJoin]] / [[segmentDedup]]). One
+    * equi-join shuffle, no pair enumeration stage anywhere; bucket skew
+    * tracks true duplicate mass, the same property the MinHash band
+    * join relies on. A length-band predicate (||a|−|b|| ≤ τ) prunes the
+    * collapse-to-short collisions τ=2 creates among very short strings
+    * before the pair shuffle. */
   def editJoin(df: DataFrame, keyCol: String, strCol: String,
-      blockCols: Seq[String] = Nil): DataFrame = {
-    val keyed = df
+      blockCols: Seq[String] = Nil, tau: Int = 1,
+      maxKeyLen: Int = 256): DataFrame = {
+    require(tau == 1 || tau == 2, s"editJoin supports tau 1 or 2, got $tau")
+    // variant 0 = the string itself; 1-deletions; for τ=2 also the
+    // (i < j) 2-deletions, distinct'd (repeated chars collide)
+    val del1 = "if(length(s) < 1, array(), transform(sequence(1, length(s)), " +
+      "i -> concat(substring(s, 1, i - 1), substring(s, i + 1))))"
+    val del2 = "if(length(s) < 2, array(), flatten(transform(" +
+      "sequence(1, length(s) - 1), i -> transform(sequence(i + 1, length(s)), " +
+      "j -> concat(substring(s, 1, i - 1), substring(s, i + 1, j - i - 1), " +
+      "substring(s, j + 1))))))"
+    val variants =
+      if (tau == 1) s"array_union(array(s), $del1)"
+      else s"array_distinct(concat(array(s), $del1, $del2))"
+    val fenced = df
       .select(col(keyCol).as("k") +: col(strCol).as("s") +:
         blockCols.map(col): _*)
-      .select(col("k") +: col("s") +: blockCols.map(col) :+ explode(expr(
-        // variant 0 = the string itself; variant i = s with char i removed
-        "array_union(array(s), transform(sequence(1, length(s)), " +
-          "i -> concat(substring(s, 1, i - 1), substring(s, i + 1))))"))
-        .as("variant"): _*)
+      .withColumn("s",
+        if (tau == 1) col("s")
+        else when(length(col("s")) <= maxKeyLen, col("s")).otherwise(raise_error(
+          concat(lit(s"editJoin tau=2 key longer than maxKeyLen=$maxKeyLen " +
+            "(O(len^2) key fan-out) - raise maxKeyLen deliberately or use " +
+            "the shingle-family joins for long strings: "), col("s")))))
+    val keyed = fenced
+      .select(col("k") +: col("s") +: blockCols.map(col) :+
+        explode(expr(variants)).as("variant"): _*)
     val a = keyed.select(col("k").as("key_a") +: col("s").as("s_a") +:
       col("variant") +: blockCols.map(col): _*)
     val b = keyed.select(col("k").as("key_b") +: col("s").as("s_b") +:
       col("variant") +: blockCols.map(col): _*)
     a.join(b, "variant" +: blockCols)
-      .filter(col("key_a") < col("key_b"))
+      .filter(col("key_a") < col("key_b") &&
+        abs(length(col("s_a")) - length(col("s_b"))) <= tau)
       // collapse multi-variant collisions BEFORE the verify: a pair
       // sharing v variants must pay ONE levenshtein, not v (the verify
-      // is the CPU hot spot — O(len²) per call); the pair groupBy is a
+      // is the CPU hot spot — O(len·τ) per call); the pair groupBy is a
       // shuffle of candidate pairs, which the lossless deletion
       // blocking already bounded near the true output size
       .groupBy(col("key_a"), col("key_b"))
       .agg(first(col("s_a")).as("s_a"), first(col("s_b")).as("s_b"))
       // thresholded levenshtein: the engine's banded DP abandons a
-      // pair the moment its distance provably exceeds 1 (returns -1)
+      // pair the moment its distance provably exceeds τ (returns -1)
       // — O(len·τ) per verify instead of O(len²)
       .select(col("key_a"), col("key_b"),
-        levenshtein(col("s_a"), col("s_b"), 1).cast("long").as("edit_distance"))
-      .filter(col("edit_distance") >= 0 && col("edit_distance") <= 1)
+        levenshtein(col("s_a"), col("s_b"), tau).cast("long").as("edit_distance"))
+      .filter(col("edit_distance") >= 0 && col("edit_distance") <= tau)
   }
 
   /** q_edit_join: customer names within one edit of each other — the
@@ -614,6 +745,13 @@ object Dedup {
     * which the lossless candidate generation must reproduce exactly. */
   def editNeighbors(spark: SparkSession, dir: String): DataFrame =
     editJoin(Tables.customer(spark, dir), "c_custkey", "c_name")
+      .orderBy(col("key_a"), col("key_b"))
+
+  /** q_edit_join_tau2: the τ=2 instance over the same names — the
+    * 2-deletion neighborhood join, oracle-checked against the naive
+    * length-banded quadratic `levenshtein ≤ 2` verify. */
+  def editNeighborsTau2(spark: SparkSession, dir: String): DataFrame =
+    editJoin(Tables.customer(spark, dir), "c_custkey", "c_name", tau = 2)
       .orderBy(col("key_a"), col("key_b"))
 
   /** END-TO-END entity resolution: blocked fuzzy matching → transitive

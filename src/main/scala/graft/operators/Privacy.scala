@@ -49,13 +49,17 @@ object Privacy {
     val l0 = e.groupBy(col("event_type"), col("day"), col("value_band"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("user_id")).as("n_users"))
-    val l1 = e.groupBy(col("event_type"),
+    // join keys renamed on the broadcast side: l0/l1 share lineage (a
+    // self-join over `e`), and same-name keys make the analyzer resolve
+    // both sides to one attribute — a trivially-true predicate WARN that
+    // buries real warnings in the bench log
+    val l1 = e.groupBy(col("event_type").as("l1_event_type"),
         date_trunc("month", col("day")).as("month"))
       .agg(countDistinct(col("user_id")).as("l1_users"))
     l0.join(broadcast(l1),
-        l0("event_type") === l1("event_type") &&
-          date_trunc("month", l0("day")) === l1("month"))
-      .select(l0("event_type"), col("day"), col("value_band"),
+        col("event_type") === col("l1_event_type") &&
+          date_trunc("month", col("day")) === col("month"))
+      .select(col("event_type"), col("day"), col("value_band"),
         col("n_rows"), col("n_users"),
         (col("n_users") < k).as("at_risk"),
         (col("n_users") < k && col("l1_users") >= k)

@@ -182,14 +182,21 @@ object Similarity {
     * driver. Partial-sum order varies with partitioning, so centroids
     * carry ~1e-16 noise across runs — assignment flips only when a
     * vector's top-two centroid margins are inside that epsilon
-    * (audited bit-stable across thread counts at test SFs). */
+    * (audited bit-stable across thread counts at test SFs).
+    *
+    * Iteration count is PINNED (no convergence early-exit): training
+    * cost is exactly `kmeansIters` assignment scans regardless of
+    * data, so scale probes measure index-build cost, not Lloyd
+    * variance. Per-iteration max centroid shift is logged (INFO) so a
+    * probe run can verify the pinning and read convergence anyway. */
+  private val kmeansLog = org.slf4j.LoggerFactory.getLogger("graft.Similarity.kmeans")
   private def trainCentroids(spark: SparkSession, normed: DataFrame,
       nCentroids: Int, kmeansIters: Int): Array[Array[Double]] = {
     import spark.implicits._
     var centroids = normed.orderBy(col("vec_id")).limit(nCentroids)
       .as[(Long, Array[Double])].collect().map(_._2)
     val dim = centroids.headOption.map(_.length).getOrElse(0)
-    for (_ <- 0 until kmeansIters if centroids.nonEmpty) {
+    for (iter <- 0 until kmeansIters if centroids.nonEmpty) {
       val dotsIter = array(centroids.toIndexedSeq.map(c =>
         dotProduct(col("vn"), typedlit(c.toSeq))): _*)
       val means = normed.withColumn("dots", dotsIter)
@@ -199,7 +206,7 @@ object Similarity {
           count(lit(1)).as("n"))
         .as[(Long, Array[Double], Long)].collect()
         .map { case (b, s, n) => b -> s.map(_ / n) }.toMap
-      centroids = centroids.indices.map { i =>
+      val next = centroids.indices.map { i =>
         means.get(i + 1L) match { // array_position is 1-based
           case Some(m) =>
             val norm = math.sqrt(m.map(x => x * x).sum)
@@ -207,6 +214,13 @@ object Similarity {
           case None => centroids(i) // empty bucket keeps its centroid
         }
       }.toArray
+      val maxShift = centroids.indices.iterator.map { i =>
+        math.sqrt(centroids(i).indices.iterator
+          .map(j => { val d = next(i)(j) - centroids(i)(j); d * d }).sum)
+      }.foldLeft(0.0)(math.max)
+      kmeansLog.info(f"lloyd iter ${iter + 1}/$kmeansIters k=$nCentroids " +
+        f"maxShift=$maxShift%.6g")
+      centroids = next
     }
     centroids
   }

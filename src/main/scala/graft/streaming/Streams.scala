@@ -461,10 +461,18 @@ object Streams {
     * the τ=1 banded distance and emits confirmed pairs — incremental
     * entity-resolution candidate maintenance at O(batch × len) per
     * wave, state partitioned by variant so probes never shuffle the
-    * index. `maxBucket` caps residents per bucket exactly like the
-    * MinHash index (membership only — a full bucket still yields pairs
-    * against its residents). A pair sharing several variants surfaces
-    * once per variant; downstream dedups like the batch `.distinct()`. */
+    * index. `maxBucket` bounds residents per bucket by RECENCY
+    * eviction (drop the oldest stored resident when full), not
+    * cap-freeze: a saturated bucket keeps its `maxBucket` most recent
+    * residents probeable, so a post-saturation arrival still pairs
+    * across batches with recent neighbors — the temporally-close
+    * near-dups streaming ingest actually produces — and the recall
+    * loss moves to the OLDEST residents (the ones a frozen cap would
+    * have kept at the cost of everything after them). State stays
+    * bounded at maxBucket either way; an evicted key that re-arrives
+    * is re-admitted (and re-pairs) like any new resident. A pair
+    * sharing several variants surfaces once per variant; downstream
+    * dedups like the batch `.distinct()`. */
   class EditIndexProcessor(maxBucket: Int)
       extends StatefulProcessor[String, VariantEntry, EditPair] {
     @transient private var bucket: ListState[NamedKey] = _
@@ -474,29 +482,30 @@ object Streams {
     override def handleInputRows(variant: String,
         rows: Iterator[VariantEntry],
         timers: TimerValues): Iterator[EditPair] = {
-      val residents = scala.collection.mutable.ArrayBuffer.empty[NamedKey]
-      bucket.get().foreach(residents += _)
-      var stored = residents.size
+      // stored = what survives to state (recency ring, ≤ maxBucket);
+      // probe = everything pair-visible this wave (stored ∪ this
+      // batch's arrivals, including ones whose insert evicted others)
+      val stored = scala.collection.mutable.ArrayBuffer.empty[NamedKey]
+      bucket.get().foreach(stored += _)
+      val probe = stored.clone()
+      var mutated = false
       val out = Seq.newBuilder[EditPair]
       rows.toSeq.sortBy(_.key).foreach { e =>
-        if (!residents.exists(_.key == e.key)) {
-          residents.foreach { r =>
+        if (!probe.exists(_.key == e.key)) {
+          probe.foreach { r =>
             val d = editDistanceLe1(r.name, e.name)
             if (d >= 0L)
               out += EditPair(math.min(r.key, e.key),
                 math.max(r.key, e.key), d)
           }
-          if (stored < maxBucket) {
-            bucket.appendValue(NamedKey(e.key, e.name))
-            stored += 1
-          }
-          // probe-visible within the batch even when the bucket is
-          // full: two post-cap arrivals sharing a variant still pair
-          // with EACH OTHER this wave — only cross-batch pairs between
-          // post-cap arrivals are lost to the cap (spec-documented)
-          residents += NamedKey(e.key, e.name)
+          if (stored.size >= maxBucket) stored.remove(0) // evict oldest
+          stored += NamedKey(e.key, e.name)
+          mutated = true
+          probe += NamedKey(e.key, e.name)
         }
       }
+      // ONE state write per (variant, wave), not per arrival
+      if (mutated) bucket.put(stored.toArray)
       out.result().iterator
     }
   }

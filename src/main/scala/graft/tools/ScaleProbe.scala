@@ -26,12 +26,16 @@ import org.apache.spark.sql.functions._
   * scales" from an assertion into a number, at the largest size the
   * local harness can hold.
   *
-  * usage: runMain graft.tools.ScaleProbe [sfDir] [multiplier]
+  * usage: runMain graft.tools.ScaleProbe [sfDir] [multiplier] [op1,op2,...]
+  * (the optional op list restricts the battery — e.g. re-running a
+  * flagged operator twice without paying for the full sweep)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val mult = if (args.length > 1) args(1).toInt else 8
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -148,13 +152,20 @@ object ScaleProbe {
       System.gc()
     }
 
-    val rows = ops.map { case (name, exp, fn) =>
+    // min-of-2 timed runs after a warm run: operator cost is
+    // deterministic (fixed Lloyd iterations, no data-dependent loops),
+    // so the MIN is the pinned cost and the spread between runs is the
+    // machine noise a single-shot probe would mistake for a budget miss
+    def timedMin(run: => Unit): Double = {
+      run // warm: JIT + shuffle-file reuse paths
+      math.min(time(run), time(run))
+    }
+    val rows = ops.filter(o => only.forall(_.contains(o._1)))
+      .map { case (name, exp, fn) =>
       reset()
-      fn(sfDir, false).write.mode("overwrite").format("noop").save() // warm
-      val t1 = time(fn(sfDir, false).write.mode("overwrite").format("noop").save())
+      val t1 = timedMin(fn(sfDir, false).write.mode("overwrite").format("noop").save())
       reset()
-      fn(bigDir, true).write.mode("overwrite").format("noop").save()
-      val tN = time(fn(bigDir, true).write.mode("overwrite").format("noop").save())
+      val tN = timedMin(fn(bigDir, true).write.mode("overwrite").format("noop").save())
       val ratio = tN / t1
       val budget = math.pow(mult, exp)
       println(f"[scale] $name%-18s 1x=$t1%7.2fs ${mult}x=$tN%7.2fs " +

@@ -236,6 +236,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("PPJoin+ suffix-filter path (suffixFilter=true) is lossless: " +
+      "equal results to the default plan on both joins, boundary taus") {
+    // the flagged plan carries suffix medians and, for containment, the
+    // ordered B side — candidates drop (−19% measured at sf0.1) but the
+    // RESULT must be bit-identical to the positional-only default
+    for ((dir, tauJ, tauC) <- Seq(
+      ("/root/testdata/sf0.001", 0.3, 0.35),
+      ("/root/testdata/sf0.01", 0.5, 0.6))) {
+      val jDefault = Dedup.jaccardPrefixJoin(spark, dir, tauJ)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val jSuffix = Dedup.jaccardPrefixJoin(spark, dir, tauJ, suffixFilter = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(jSuffix == jDefault,
+        s"jaccard suffix path diverged at $dir tau=$tauJ: " +
+          s"missing=${jDefault -- jSuffix} extra=${jSuffix -- jDefault}")
+      val cDefault = Dedup.containmentJoin(spark, dir, tauC)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val cSuffix = Dedup.containmentJoin(spark, dir, tauC, suffixFilter = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(cSuffix == cDefault,
+        s"containment suffix path diverged at $dir tau=$tauC: " +
+          s"missing=${cDefault -- cSuffix} extra=${cSuffix -- cDefault}")
+    }
+  }
+
   test("contamination: shares bounded, counts consistent, overlap detected") {
     val c = TextAnalysis.contamination(spark, sf)
     assert(c.count() > 0)
@@ -485,6 +510,63 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .count()
     assert(real == naiveReal,
       s"real-table deletion join $real vs naive $naiveReal")
+  }
+
+  test("edit join tau=2: 2-deletion neighborhood equals the naive quadratic " +
+      "on every edit species, and the long-key fence raises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // every species at τ≤2: each single edit, each double (sub+sub,
+    // ins+ins, del+del, sub+ins, sub+del, ins+del), a transposition
+    // (distance 2 in plain Levenshtein), distance-3 decoys, very short
+    // strings whose 2-deletions collapse to "" / single chars, exact dups
+    val data = Seq(
+      (1L, "window"), (2L, "wandow"),    // 1 substitution
+      (3L, "wandaw"),                    // 2 substitutions
+      (4L, "windowxy"),                  // 2 insertions
+      (5L, "wind"),                      // 2 deletions
+      (6L, "xwandow"),                   // sub + ins
+      (7L, "windo"),                     // 1 deletion
+      (8L, "wndot"),                     // del + sub
+      (9L, "wnidow"),                    // transposition = 2 (sub+sub path)
+      (10L, "walrus"),                   // distance ≥3 decoy
+      (11L, "window"),                   // exact duplicate of 1
+      (12L, "ab"), (13L, "ba"), (14L, ""), (15L, "a"), (16L, "cd"))
+    val rows = data.toDF("id", "s")
+    val got = graft.operators.Dedup.editJoin(rows, "id", "s", tau = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val naive = (for {
+      (ia, sa) <- data; (ib, sb) <- data
+      if ia < ib && lev(sa, sb) <= 2
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+    assert(got == naive, s"tau=2 deletion join $got vs naive $naive")
+    // real table at sf0.001 — parity with the length-banded quadratic
+    val real = graft.operators.Dedup.editNeighborsTau2(spark, sf).count()
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey").as("k"), col("c_name").as("s"))
+    val naiveReal = cust.as("a").join(cust.as("b"),
+        col("a.k") < col("b.k") &&
+          abs(length(col("a.s")) - length(col("b.s"))) <= 2 &&
+          levenshtein(col("a.s"), col("b.s")) <= 2)
+      .count()
+    assert(real == naiveReal,
+      s"real-table tau=2 join $real vs naive $naiveReal")
+    // the O(len²) fence: a key past maxKeyLen raises loudly at τ=2
+    val long = Seq((1L, "x" * 40), (2L, "x" * 40)).toDF("id", "s")
+    val err = intercept[Exception] {
+      graft.operators.Dedup.editJoin(long, "id", "s", tau = 2, maxKeyLen = 30)
+        .collect()
+    }
+    assert(err.getMessage.contains("maxKeyLen"),
+      s"expected the maxKeyLen fence, got: ${err.getMessage}")
   }
 
   test("split leakage: exactly the cross-boundary containment pairs, " +

@@ -884,9 +884,9 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("streaming edit index: FULL bucket still pairs arrivals with " +
-    "residents AND with each other within a batch; only cross-batch " +
-    "post-cap pairs are lost to the cap") {
+  test("streaming edit index: saturated bucket evicts by recency — a " +
+    "post-saturation arrival still pairs cross-batch with RECENT " +
+    "residents; the loss moves to the oldest, state stays bounded") {
     val sp = spark
     import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
@@ -900,19 +900,21 @@ class StreamingSpec extends AnyFunSuite {
         .outputMode("append").start()
       input.addData(Streams.NamedKey(1, "abc"))
       q.processAllAvailable()
-      // buckets now at cap (1 resident each). Same-batch post-cap
-      // arrivals must pair with the resident AND with each other.
+      // bucket at cap (1 resident). Same-batch arrivals pair with the
+      // resident AND each other; inserts evict by recency (1→2→3).
       input.addData(Streams.NamedKey(2, "abc"), Streams.NamedKey(3, "abc"))
       q.processAllAvailable()
-      // a LATER post-cap arrival pairs only with stored residents:
-      // (2,4)/(3,4) are the documented recall loss of the cap.
+      // the post-saturation CROSS-BATCH pair: 4 probes the surviving
+      // recent resident 3 — under cap-freeze this pair was lost (only
+      // the frozen (1,4) surfaced); the recall loss is now (1,4)/(2,4),
+      // the evicted OLDEST residents
       input.addData(Streams.NamedKey(4, "abc"))
       q.processAllAvailable()
       val pairs = sp.sql("SELECT DISTINCT key_a, key_b FROM edit_cap_out")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       q.stop()
-      assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)),
-        s"cap semantics drifted: $pairs")
+      assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)),
+        s"recency-eviction semantics drifted: $pairs")
     } finally prior match {
       case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
       case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
