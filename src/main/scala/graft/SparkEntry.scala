@@ -87,7 +87,7 @@ object SparkEntry {
       Graph.coorderTriangles(s, d)),
     "q_edit_join" -> (Dedup.editNeighbors _),
     "q_edit_join_tau2" -> (Dedup.editNeighborsTau2 _),
-    "q_entity_resolution" -> (Dedup.entityResolution _),
+    "q_entity_resolution" -> ((s, d) => Dedup.entityResolution(s, d)),
     // §2a reference-derived
     "q_meta_extract" -> (Clif.metaExtract _),
     "q_meta_typed" -> (Clif.metaTypedOracle _),
@@ -734,9 +734,14 @@ object SparkEntry {
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY key_a, key_b""".stripMargin,
     "q_edit_join_tau2" ->
-      """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+      """WITH panel AS (
+        | SELECT c_custkey FROM customer
+        | ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey LIMIT 1500),
+        |c AS (SELECT c_custkey, c_name FROM customer
+        | WHERE c_custkey IN (SELECT c_custkey FROM panel))
+        |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
         | CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
-        |FROM customer a JOIN customer b
+        |FROM c a JOIN c b
         |  ON a.c_custkey < b.c_custkey
         |  AND abs(length(a.c_name) - length(b.c_name)) <= 2
         |WHERE levenshtein(a.c_name, b.c_name) <= 2

@@ -749,9 +749,19 @@ object Dedup {
 
   /** q_edit_join_tau2: the τ=2 instance over the same names — the
     * 2-deletion neighborhood join, oracle-checked against the naive
-    * length-banded quadratic `levenshtein ≤ 2` verify. */
+    * length-banded quadratic `levenshtein ≤ 2` verify. The QUERY
+    * audits a deterministic md5-top-1500 customer panel (the
+    * containment-family pattern, [[graft.operators.Sampling.md5TopN]]):
+    * at sf0.01 the panel is the whole table so the driver gate is
+    * unchanged, and at larger SFs both the quadratic DuckDB checker
+    * AND this join's candidate volume stay bounded — structured
+    * low-entropy keys (`Customer#000…` differs only in digit tails)
+    * make τ=2 TRUE-pair volume itself grow ~quadratically with the
+    * table, so a fixed panel is the honest audit surface; the
+    * full-table operator remains [[editJoin]] with tau=2. */
   def editNeighborsTau2(spark: SparkSession, dir: String): DataFrame =
-    editJoin(Tables.customer(spark, dir), "c_custkey", "c_name", tau = 2)
+    editJoin(Sampling.md5TopN(Tables.customer(spark, dir), "c_custkey", 1500),
+      "c_custkey", "c_name", tau = 2)
       .orderBy(col("key_a"), col("key_b"))
 
   /** END-TO-END entity resolution: blocked fuzzy matching → transitive
@@ -768,11 +778,12 @@ object Dedup {
     * which makes this the operator family's oracle-CHECKED instance:
     * the star-contraction labels are verified equal to an
     * independently-computed closure, not just spec'd. */
-  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
+  def entityResolution(spark: SparkSession, dir: String,
+      tau: Int = 1): DataFrame = {
     val cust = Tables.customer(spark, dir)
     val pairs = editJoin(
       cust.select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
-      "c_custkey", "c_name", Seq("c_mktsegment"))
+      "c_custkey", "c_name", Seq("c_mktsegment"), tau = tau)
     val cc = Graph.connectedComponents(pairs, "key_a", "key_b")
     cust.select(col("c_custkey"))
       .join(cc.withColumnRenamed("id", "c_custkey"), Seq("c_custkey"), "left")

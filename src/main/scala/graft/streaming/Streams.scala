@@ -365,13 +365,16 @@ object Streams {
     * in a non-empty bucket emits a candidate pair against each resident
     * — the incremental form of the batch band equi-join, with state
     * partitioned by (band_id, band_sig) so bucket lookups never shuffle
-    * the index. `maxBucket` caps RESIDENTS per bucket: a degenerate
+    * the index. `maxBucket` bounds RESIDENTS per bucket: a degenerate
     * bucket (boilerplate shingles) would otherwise grow candidate
     * volume quadratically — the streaming analogue of the batch path's
-    * banding-bounded candidate count. Arrivals at a full bucket still
-    * emit pairs against the capped residents (no recall loss vs. the
-    * batch band equi-join for those pairs) — only their own membership
-    * is dropped, bounding per-arrival candidate volume at `maxBucket`.
+    * banding-bounded candidate count. The bound is enforced by RECENCY
+    * eviction (drop the oldest stored resident), the same policy as
+    * [[EditIndexProcessor]]: per-arrival candidate volume stays capped
+    * at `maxBucket` pairs either way, but a saturated bucket keeps its
+    * most RECENT residents probeable, so late arrivals still pair
+    * cross-batch with the temporally-close near-dups streaming ingest
+    * actually produces; the recall loss moves to the oldest residents.
     * A pair colliding in several bands surfaces once per band (carrying
     * band_id); downstream consumers dedup exactly like the batch
     * `.distinct()`. */
@@ -383,23 +386,27 @@ object Streams {
         TTLConfig.NONE)
     override def handleInputRows(key: (Int, Long), rows: Iterator[BandDoc],
         timers: TimerValues): Iterator[CandidatePair] = {
-      val residents = scala.collection.mutable.ArrayBuffer.empty[Long]
-      bucket.get().foreach(residents += _)
+      // stored = recency ring that survives to state (≤ maxBucket);
+      // probe = everything pair-visible this wave (stored ∪ arrivals)
+      val stored = scala.collection.mutable.ArrayBuffer.empty[Long]
+      bucket.get().foreach(stored += _)
+      val probe = stored.clone()
+      var mutated = false
       val out = Seq.newBuilder[CandidatePair]
       rows.toSeq.sortBy(_.doc_id).foreach { d =>
-        if (!residents.contains(d.doc_id)) {
-          residents.foreach { r =>
+        if (!probe.contains(d.doc_id)) {
+          probe.foreach { r =>
             out += CandidatePair(math.min(r, d.doc_id),
               math.max(r, d.doc_id), d.band_id)
           }
-          // cap applies to MEMBERSHIP only: a full bucket still yields
-          // candidates against its residents, it just stops growing
-          if (residents.size < maxBucket) {
-            bucket.appendValue(d.doc_id)
-            residents += d.doc_id
-          }
+          if (stored.size >= maxBucket) stored.remove(0) // evict oldest
+          stored += d.doc_id
+          mutated = true
+          probe += d.doc_id
         }
       }
+      // ONE state write per (bucket, wave), not per arrival
+      if (mutated) bucket.put(stored.toArray)
       out.result().iterator
     }
   }

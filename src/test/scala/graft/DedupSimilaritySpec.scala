@@ -569,6 +569,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"expected the maxKeyLen fence, got: ${err.getMessage}")
   }
 
+  test("entity resolution at tau=2: labels equal a driver union-find over " +
+      "the naive quadratic tau=2 blocked pairs") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Dedup.entityResolution(spark, sf, tau = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val parent = scala.collection.mutable.Map(cust.map(c => c._1 -> c._1): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for {
+      (ka, na, sa) <- cust; (kb, nb, sb) <- cust
+      if ka < kb && sa == sb && math.abs(na.length - nb.length) <= 2 &&
+        lev(na, nb) <= 2
+    } {
+      val (ra, rb) = (find(ka), find(kb))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = cust.map(c => c._1 -> find(c._1)).toMap
+    assert(got == want, s"tau=2 ER labels diverge: " +
+      s"${(got.toSet -- want.toSet).take(5)} vs ${(want.toSet -- got.toSet).take(5)}")
+    // tau=2 must merge at least as aggressively as tau=1
+    val n1 = graft.operators.Dedup.entityResolution(spark, sf)
+      .select(col("entity_id")).distinct().count()
+    assert(want.values.toSet.size <= n1,
+      "tau=2 components must be no finer than tau=1")
+  }
+
   test("split leakage: exactly the cross-boundary containment pairs, " +
     "train/test roles straight") {
     val leaks = Dedup.splitLeakage(spark, sf).collect()

@@ -382,8 +382,8 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("streaming MinHash index: arrivals at a FULL bucket still emit " +
-    "pairs against residents (cap bounds membership, not recall)") {
+  test("streaming MinHash index: saturated bucket evicts by recency — " +
+    "later dups pair with the RECENT resident, state stays bounded") {
     val sp = spark
     import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
@@ -398,8 +398,9 @@ class StreamingSpec extends AnyFunSuite {
         .outputMode("append").start()
       input.addData(Streams.Doc(1, ts(1), dupText))
       q.processAllAvailable()
-      // bucket is now at cap (1 resident). Later dups must STILL pair
-      // with the resident — only their own membership is dropped.
+      // bucket at cap (1 resident). An arrival pairs with the resident
+      // and REPLACES it (drop-oldest), so the next arrival pairs with
+      // the recent doc instead of the frozen first one.
       input.addData(Streams.Doc(2, ts(2), dupText))
       q.processAllAvailable()
       input.addData(Streams.Doc(3, ts(3), dupText))
@@ -407,9 +408,10 @@ class StreamingSpec extends AnyFunSuite {
       val pairs = sp.sql("SELECT DISTINCT doc_a, doc_b FROM mh_full_out")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       q.stop()
-      // (2,3) is absent by design: neither joined the full bucket
-      assert(pairs == Set((1L, 2L), (1L, 3L)),
-        s"full-bucket arrivals lost recall vs residents: $pairs")
+      // (1,3) is the eviction's recall loss (oldest resident); under
+      // the old cap-freeze the loss was (2,3) — everything post-cap
+      assert(pairs == Set((1L, 2L), (2L, 3L)),
+        s"recency-eviction semantics drifted: $pairs")
     } finally prior match {
       case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
       case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
