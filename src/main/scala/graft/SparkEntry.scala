@@ -219,7 +219,13 @@ object SparkEntry {
         Sampling.md5TopN(Tables.documents(s, d), "doc_id", 1500))),
     // rows-only: the hash rides on the stubbed media decode (§2c);
     // recall/exactness carried by MultimodalSpec's brute-force parity.
-    "q_media_phash_dup" -> ((s: SparkSession, d: String) => Multimodal.mediaPhashDup(s, d))
+    "q_media_phash_dup" -> ((s: SparkSession, d: String) => Multimodal.mediaPhashDup(s, d)),
+    "q_markov_transitions" -> (Behavioral.markovTransitions _),
+    "q_hybrid_rrf" -> ((s: SparkSession, d: String) => Search.hybridRrf(s, d)),
+    // rows-only: iterative peeling fixpoint (like CC/PageRank — no
+    // clean SQL oracle); semantics carried by GraphSpec's crafted
+    // clique-plus-tail peel and the driver brute-force parity.
+    "q_kcore" -> ((s: SparkSession, d: String) => Graph.kCoreParts(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2162,6 +2168,76 @@ object SparkEntry {
         |SELECT doc_b AS train_doc, doc_a AS test_doc, containment,
         | 'test_in_train' AS direction
         |FROM tagged WHERE split_a = 'test' AND split_b = 'train'
-        |ORDER BY train_doc, test_doc, direction""".stripMargin
+        |ORDER BY train_doc, test_doc, direction""".stripMargin,
+    "q_markov_transitions" ->
+      """WITH seq AS (
+        | SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS from_type
+        | FROM events),
+        |pairs AS (
+        | SELECT from_type, event_type AS to_type, CAST(count(*) AS BIGINT) AS n
+        | FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n) AS row_total FROM pairs GROUP BY 1)
+        |SELECT pr.from_type, pr.to_type, pr.n,
+        | round(CAST(pr.n AS DOUBLE) / t.row_total, 6) AS p
+        |FROM pairs pr JOIN tot t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    "q_hybrid_rrf" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        | FROM documents),
+        |lens AS (
+        | SELECT doc_id,
+        |        CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS dl
+        | FROM documents),
+        |stats AS (
+        | SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+        |tf AS (
+        | SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+        | FROM toks WHERE tok IN ('data', 'model', 'spark') GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |idf AS (
+        | SELECT tok, ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) AS idf,
+        |        s.avgdl AS avgdl
+        | FROM df CROSS JOIN stats s),
+        |scored AS (
+        | SELECT tf.doc_id,
+        |        idf.idf * (tf.tf * 2.2)
+        |          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / idf.avgdl)) AS term_score
+        | FROM tf JOIN idf USING (tok) JOIN lens l ON tf.doc_id = l.doc_id),
+        |bm AS (
+        | SELECT doc_id, round(sum(term_score), 4) AS bm25
+        | FROM scored GROUP BY doc_id),
+        |bleg AS (
+        | SELECT doc_id, bm25_rank FROM (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+        |    AS BIGINT) AS bm25_rank FROM bm)
+        | WHERE bm25_rank <= 50),
+        |v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |nrm AS (SELECT vec_id,
+        |  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM v),
+        |q AS (SELECT vn AS qn FROM nrm WHERE vec_id = 0),
+        |cos0 AS (
+        | SELECT nrm.vec_id AS doc_id,
+        |  round(list_dot_product(nrm.vn, q.qn), 6) AS cos
+        | FROM nrm CROSS JOIN q WHERE nrm.vec_id <> 0),
+        |vleg AS (
+        | SELECT doc_id, cos_rank FROM (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+        |    AS BIGINT) AS cos_rank FROM cos0)
+        | WHERE cos_rank <= 50),
+        |fused AS (
+        | SELECT COALESCE(b.doc_id, w.doc_id) AS doc_id,
+        |  b.bm25_rank, w.cos_rank,
+        |  round(COALESCE(1.0 / (60 + b.bm25_rank), 0)
+        |    + COALESCE(1.0 / (60 + w.cos_rank), 0), 6) AS rrf
+        | FROM bleg b FULL OUTER JOIN vleg w ON b.doc_id = w.doc_id)
+        |SELECT doc_id, bm25_rank, cos_rank, rrf, rank FROM (
+        | SELECT doc_id, bm25_rank, cos_rank, rrf,
+        |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+        | FROM fused)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin
   )
 }

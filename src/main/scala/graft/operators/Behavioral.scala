@@ -148,4 +148,35 @@ object Behavioral {
         max(col("day")).as("last_day"))
       .orderBy(col("user_id"))
   }
+
+  /** First-order Markov transition matrix of the event stream: for
+    * every ordered pair of event types, how often (count and empirical
+    * probability) a user's event of type `from_type` is IMMEDIATELY
+    * followed by one of type `to_type` — the next-event model behind
+    * session prediction, anomalous-flow detection, and funnel design.
+    *
+    * Plan shape: ONE user-keyed window (lag over (ts, event_id) — the
+    * same keyed-window contract as sessionization: partition count
+    * scales with |users|, each partition is one user's timeline), then
+    * a map-side-combined groupBy on the (from, to) pair — the second
+    * shuffle carries at most |types|² rows per map partition. Row
+    * probabilities come from a |types|-sized broadcast join, not a
+    * window over the pair relation. Counts are integers and p is a
+    * single rounded division — exact cross-engine. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("row_total"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("row_total"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

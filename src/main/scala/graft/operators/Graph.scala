@@ -320,21 +320,96 @@ object Graph {
   }
 
   def coorderTriangles(spark: SparkSession, dir: String,
+      minWeight: Int = 2): DataFrame =
+    triangleParticipation(copurchaseEdges(spark, dir, minWeight), "u", "v")
+      .orderBy(col("n_tri").desc, col("p")).limit(20)
+
+  /** The co-purchase part graph shared by [[coorderTriangles]] and
+    * [[kCoreParts]]: parts co-ordered in ≥ `minWeight` distinct orders.
+    * Basket pair-generation is row-local over each order's sorted part
+    * set (baskets are bounded small); the weight floor is the density
+    * lever that keeps the edge list sparse at any corpus size. */
+  def copurchaseEdges(spark: SparkSession, dir: String,
       minWeight: Int = 2): DataFrame = {
     val op = graft.sources.Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val pairs = op.groupBy(col("o"))
+    op.groupBy(col("o"))
       .agg(sort_array(collect_set(col("p"))).as("ps"))
       .select(explode(expr(
         "flatten(transform(ps, (x, i) -> " +
           "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
         .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-    val e0 = pairs.groupBy(col("u"), col("v"))
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= minWeight)
       .select(col("u"), col("v"))
-    triangleParticipation(e0, "u", "v")
-      .orderBy(col("n_tri").desc, col("p")).limit(20)
   }
+
+  /** K-CORE decomposition membership: the maximal subgraph in which
+    * every node keeps degree ≥ k — the standard density filter for
+    * link-graph cleaning (crawl spam rings and boilerplate mirror
+    * clusters survive k-cores that organic link neighborhoods don't)
+    * and for selecting well-connected duplicate neighborhoods worth
+    * clustering at all.
+    *
+    * Iterative PEELING, the textbook fixpoint: each round computes
+    * degrees (one groupBy over the current edge list) and drops every
+    * node below k together with its incident edges (two semi-joins).
+    * Both sides only ever SHRINK, so each round costs at most one
+    * degree aggregation + edge-list filter over the surviving graph —
+    * per-round cost tracks the surviving edge count, and the
+    * edge-count signature detects the fixpoint (edges unchanged ⇒
+    * degrees unchanged ⇒ nothing left below k). Lineage is cut per
+    * round like [[connectedComponents]]. Round count is bounded by the
+    * graph's degeneracy ordering depth — tens on real link graphs; the
+    * `maxRounds` fence fails LOUDLY on adversarial path-shaped inputs
+    * (each round peels only the frontier) rather than looping
+    * unbounded.
+    *
+    * Returns (p, core_deg): nodes of the k-core with their degree
+    * WITHIN the core. */
+  def kCore(edges: DataFrame, uCol: String, vCol: String, k: Int,
+      maxRounds: Int = 40): DataFrame = {
+    def bothDirs(df: DataFrame): DataFrame =
+      df.select(col("u"), col("v"))
+        .union(df.select(col("v").as("u"), col("u").as("v")))
+    var e = edges.select(
+      least(col(uCol), col(vCol)).as("u"),
+      greatest(col(uCol), col(vCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var nEdges = e.count()
+    var round = 0
+    var done = nEdges == 0L
+    while (round < maxRounds && !done) {
+      val deg = bothDirs(e).groupBy(col("u").as("p"))
+        .agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("p"))
+      val next = e
+        .join(keep.select(col("p").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("p").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val n2 = next.count()
+      done = n2 == nEdges
+      e = next
+      nEdges = n2
+      round += 1
+    }
+    require(done,
+      s"kCore did not reach its fixpoint within $maxRounds peeling rounds; " +
+        "raise maxRounds (peel depth exceeds the budget on this graph)")
+    bothDirs(e).groupBy(col("u").as("p"))
+      .agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** q_kcore: the 3-core of the co-purchase part graph — parts that
+    * stay mutually densely co-ordered after everything weakly attached
+    * is peeled away. */
+  def kCoreParts(spark: SparkSession, dir: String, k: Int = 3,
+      minWeight: Int = 2): DataFrame =
+    kCore(copurchaseEdges(spark, dir, minWeight), "u", "v", k)
+      .orderBy(col("core_deg").desc, col("p")).limit(50)
 }

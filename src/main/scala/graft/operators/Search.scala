@@ -90,7 +90,17 @@ object Search {
     * column-pruned length scan; per-term IDF is |terms| rows. */
   def bm25Search(spark: SparkSession, dir: String,
       terms: Seq[String] = Seq("data", "model", "spark"),
-      topN: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      topN: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(spark, dir, terms, k1, b)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topN)
+
+  /** Full BM25 score relation (every matching doc, unranked) — the
+    * shared core of [[bm25Search]] and the keyword leg of
+    * [[hybridRrf]]. Same plan shape as documented on [[bm25Search]]. */
+  def bm25Scores(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("data", "model", "spark"),
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val lens = docs.select(col("doc_id"), size(tokensCol).cast("double").as("dl"))
     val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
@@ -117,7 +127,78 @@ object Search {
       .agg(round(sum(col("term_score")), 4).as("bm25"),
         count(lit(1)).as("n_terms_matched"))
     scored
+  }
+
+  /** HYBRID retrieval by Reciprocal Rank Fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009): fuse a keyword leg (BM25 over the query
+    * terms) with a dense leg (cosine against a query embedding) as
+    * score(d) = Σ_legs 1/(rrfK + rank_leg(d)) — rank fusion needs no
+    * score calibration between legs, which is why it is the standard
+    * first fusion in hybrid (sparse+dense) search stacks.
+    *
+    * Determinism/oracle contract: each leg ranks on its ROUNDED score
+    * (bm25 4dp, cosine 6dp) with a doc_id tiebreak, so cross-engine
+    * ulp noise cannot flip a rank; the fused score is a sum of exactly
+    * two IEEE-exact reciprocals in fixed order, rounded at the edge.
+    *
+    * Plan shape at 100 TB: the BM25 leg is [[bm25Scores]] (postings of
+    * query terms only move); the dense leg is a BROADCAST of the 1-row
+    * query vector against a column-pruned embeddings scan — one
+    * row-local dot product per vector, no pair shuffle, then two
+    * `TakeOrderedAndProject`-able legK windows over leg-sized
+    * relations and a legK-row fuse join. Nothing here is O(corpus²):
+    * at real scale the dense leg's top-legK comes from [[Similarity]]'s
+    * IVF/LSH index probes instead of the exhaustive scan — the fusion
+    * stage is identical either way. */
+  def hybridRrf(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("data", "model", "spark"),
+      queryVecId: Long = 0L, legK: Int = 50, rrfK: Int = 60,
+      topN: Int = 20): DataFrame = {
+    import graft.functions.HashExpressions.dotProduct
+    // each leg: TakeOrderedAndProject to legK rows FIRST (scales — no
+    // global window over the corpus-sized score relation), then the
+    // rank window runs over exactly legK rows. Rank-after-limit equals
+    // rank-then-filter because both use the same total order. The
+    // partition key is constant-VALUED but non-foldable (a literal
+    // would be optimized away, re-emptying the spec): same single
+    // group, but no misleading global-window WARN for a frame that is
+    // legK-bounded by construction.
+    def oneGroup: Column = pmod(col("doc_id"), lit(1))
+    val wB = Window.partitionBy(oneGroup)
       .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(topN)
+    val bmLeg = bm25Scores(spark, dir, terms)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(legK)
+      .withColumn("bm25_rank", row_number().over(wB).cast("long"))
+      .select(col("doc_id"), col("bm25_rank"))
+    val normed = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(cast(embedding as array<double>), " +
+          "x -> x / sqrt(aggregate(cast(embedding as array<double>), " +
+          "0D, (acc, y) -> acc + y * y)))").as("vn"))
+    val qv = normed.filter(col("vec_id") === queryVecId)
+      .select(col("vn").as("qn"))
+    val wV = Window.partitionBy(oneGroup)
+      .orderBy(col("cos").desc, col("doc_id"))
+    // vec_id IS the doc_id (the embeddings table is the documents
+    // table's dense view; ids align by construction of the testdata)
+    val vecLeg = normed.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(dotProduct(col("vn"), col("qn")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(legK)
+      .withColumn("cos_rank", row_number().over(wV).cast("long"))
+      .select(col("doc_id"), col("cos_rank"))
+    // fuse join + final window both run over <= 2·legK rows
+    val wF = Window.partitionBy(oneGroup)
+      .orderBy(col("rrf").desc, col("doc_id"))
+    bmLeg.join(vecLeg, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("cos_rank")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        col("rrf"), col("rank"))
+      .orderBy(col("rank"))
   }
 }

@@ -1018,4 +1018,74 @@ object Streams {
     storeName.foreach(s => r = r.option("storeName", s))
     r.load(checkpoint)
   }
+
+  case class ViewPtr(view_id: Long, view_ts: Timestamp)
+  case class AsOfMatch(event_id: Long, user_id: Long, ts: Timestamp,
+      last_view_id: Option[Long], last_view_ts: Option[Timestamp])
+
+  /** Full-precision event-time ordering key — `Timestamp.getTime` is
+    * ms-truncated and a µs-level tie would mis-order the walk. */
+  private def tsKey(t: Timestamp): Long =
+    (t.getTime / 1000L) * 1000000000L + t.getNanos
+
+  /** Streaming AS-OF join — the stateful twin of `Temporal.asofJoin` /
+    * the custom AsOfJoin Catalyst operator: every arriving purchase is
+    * matched to the most recent view of the same user with
+    * view_ts ≤ purchase_ts (equal timestamps match, like the batch
+    * window's view-first ordering). Spark's built-in stream-stream
+    * joins can express interval predicates ([[purchaseViewJoin]]) but
+    * not "the single LATEST prior row", so this is `transformWithState`
+    * with ONE ViewPtr per user — state is O(users), never O(views):
+    * the batch operator's whole-log window re-scan becomes an O(batch)
+    * pointer update per wave.
+    *
+    * Each micro-batch walks its rows in full-precision event-time
+    * order (views before purchases on ties, event_id as final key), so
+    * batch boundaries are invisible whenever arrivals are event-time
+    * ordered ACROSS batches — the same parity contract as the funnel
+    * cursor, spec-proved against the batch operator on the real log.
+    * A purchase arriving LATE (behind a newer view pointer) emits a
+    * null match rather than resurrecting an already-replaced older
+    * view — the standard streaming caveat, corrected by batch
+    * backfill. `toleranceMs` mirrors the native operator's staleness
+    * bound: matches older than the tolerance emit null. */
+  class AsOfJoinProcessor(toleranceMs: Long = Long.MaxValue)
+      extends StatefulProcessor[Long, Event, AsOfMatch] {
+    @transient private var ptr: ValueState[ViewPtr] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ptr = getHandle.getValueState[ViewPtr]("last_view",
+        Encoders.product[ViewPtr], TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[AsOfMatch] = {
+      val sorted = rows.toArray.sortBy(e =>
+        (tsKey(e.ts), if (e.event_type == "view") 0 else 1, e.event_id))
+      val out = Vector.newBuilder[AsOfMatch]
+      var cur = if (ptr.exists) Some(ptr.get()) else None
+      sorted.foreach {
+        case v if v.event_type == "view" =>
+          // advance-only: an out-of-order old view must not rewind the
+          // pointer the ordered stream has already moved past
+          if (cur.forall(c => tsKey(v.ts) > tsKey(c.view_ts) ||
+              (tsKey(v.ts) == tsKey(c.view_ts) && v.event_id > c.view_id)))
+            cur = Some(ViewPtr(v.event_id, v.ts))
+        case p if p.event_type == "purchase" =>
+          val m = cur.filter(c => tsKey(c.view_ts) <= tsKey(p.ts) &&
+            p.ts.getTime - c.view_ts.getTime <= toleranceMs)
+          out += AsOfMatch(p.event_id, userId, p.ts,
+            m.map(_.view_id), m.map(_.view_ts))
+        case _ => ()
+      }
+      cur.foreach(ptr.update)
+      out.result().iterator
+    }
+  }
+
+  def asofJoinStream(spark: SparkSession, events: Dataset[Event],
+      toleranceMs: Long = Long.MaxValue): Dataset[AsOfMatch] = {
+    import spark.implicits._
+    events.filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .transformWithState(new AsOfJoinProcessor(toleranceMs),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -126,6 +126,14 @@ object ScaleProbe {
       ("q_k_anonymity", 1.0, (d, _) => graft.operators.Privacy.kAnonymity(spark, d)),
       ("q_dp_bounded", 1.0, (d, _) => graft.operators.Privacy.dpBounded(spark, d)),
       ("q_decayed_engagement", 1.0, (d, _) => graft.operators.Behavioral.decayedEngagement(spark, d)),
+      ("q_markov_transitions", 1.0, (d, _) => graft.operators.Behavioral.markovTransitions(spark, d)),
+      // lineitem-derived co-purchase graph: replica populations add
+      // edges ~linearly and reuse the 1× structure, so peel depth (and
+      // round count) holds while per-round cost tracks the edge list
+      ("q_kcore", 1.0, (d, _) => graft.operators.Graph.kCoreParts(spark, d)),
+      // legs are one postings probe + one column-pruned scan, fusion is
+      // legK-bounded
+      ("q_hybrid_rrf", 1.0, (d, _) => graft.operators.Search.hybridRrf(spark, d)),
       // documents, score-distribution-driven (window state is bounded)
       ("q_token_budget", 1.0, (d, _) => graft.operators.TextAnalysis.tokenBudgetSelect(spark, d)),
       // NOT q_media_phash_dup / q_split_leakage / q_blast_radius: like

@@ -180,4 +180,41 @@ class BehavioralSpec extends AnyFunSuite {
     val firstDayUsers = userDays.filter(_._2 == firstDay).map(_._1).distinct.length
     assert(res(firstDay.toString) == firstDayUsers.toLong)
   }
+
+  test("markov transitions: counts equal a driver walk of every user's " +
+      "timeline, row probabilities sum to one") {
+    val got = graft.operators.Behavioral.markovTransitions(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    // driver reference: per user, sort by (ts, event_id), emit
+    // consecutive pairs
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map { r =>
+        val t = r.getTimestamp(1)
+        // full sub-second precision — .getTime alone is ms-truncated
+        // and a µs-level tie would flip the driver's sort order
+        (r.getLong(0), (t.getTime / 1000) * 1000000000L + t.getNanos,
+          r.getLong(2), r.getString(3))
+      }
+    val pairs = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      sorted.zip(sorted.tail)
+    }.toSeq
+    val expectN = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.view.mapValues(_._1).toMap == expectN,
+      "transition counts disagree with the driver walk")
+    // total transitions = events - users with at least one event
+    val nUsers = ev.map(_._1).distinct.length
+    assert(got.values.map(_._1).sum == ev.length - nUsers)
+    // each from-row's probabilities sum to 1 up to rounding grain
+    got.keys.toSeq.groupBy(_._1).foreach { case (from, ks) =>
+      // toSeq first — a key SET mapped to p values would collapse
+      // duplicate probabilities before the sum
+      val s = ks.map(got(_)._2).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"row $from sums to $s")
+    }
+  }
 }

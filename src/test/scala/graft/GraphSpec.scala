@@ -172,4 +172,69 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == brute, s"oriented $got vs brute $brute")
   }
+
+  test("k-core: clique survives with its full degree, attached tail " +
+      "peels away over multiple rounds") {
+    // K5 (nodes 0..4) with a path tail 4-5-6-7: the 3-core is exactly
+    // the clique (tail degrees are 2,2,1), and peeling must cascade —
+    // 7 goes first, which drops 6 under k, which drops 5
+    val k5 = for { i <- 0L to 4L; j <- 0L to 4L if i < j } yield (i, j)
+    val edges = (k5 ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))).toDF("u", "v")
+    val got = graft.operators.Graph.kCore(edges, "u", "v", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 4L).map(_ -> 4L).toMap, s"3-core got $got")
+    // k above the max degree peels everything
+    assert(graft.operators.Graph.kCore(edges, "u", "v", k = 10).count() == 0)
+    // a pure path has no 2-core: peeling consumes it end-in over
+    // ~n/2 rounds — exercises the multi-round fixpoint loop
+    val path = (0L until 10L).map(i => (i, i + 1)).toDF("u", "v")
+    assert(graft.operators.Graph.kCore(path, "u", "v", k = 2).count() == 0)
+  }
+
+  test("k-core equals a brute-force driver peel on a deterministic " +
+      "irregular graph") {
+    val edges = for {
+      i <- 0L until 20L; j <- 0L until 20L
+      if i < j && (i * 7 + j * 13) % 5 == 0
+    } yield (i, j)
+    val k = 4
+    var adj = edges.toSet
+    var changed = true
+    while (changed) {
+      val deg = adj.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = adj.filter(e => keep(e._1) && keep(e._2))
+      changed = next != adj
+      adj = next
+    }
+    val brute = adj.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Graph.kCore(edges.toDF("u", "v"), "u", "v", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute, s"kCore $got vs brute peel $brute")
+  }
+
+  test("q_kcore: co-purchase 3-core members all hold core degree >= 3, " +
+      "core_deg is the within-core degree, and the query is its top slice") {
+    val full = graft.operators.Graph.kCore(
+      graft.operators.Graph.copurchaseEdges(spark, sf), "u", "v", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("core_deg")).toMap
+    full.foreach { case (p, d) =>
+      assert(d >= 3L, s"node $p below k in its own core") }
+    // membership is closed: every core member's degree counted over
+    // core-internal edges only equals the reported core_deg
+    if (full.nonEmpty) {
+      val e = graft.operators.Graph.copurchaseEdges(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter(e => full.contains(e._1) && full.contains(e._2))
+      val deg = e.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      assert(deg == full, "core_deg must be the within-core degree")
+    }
+    // the query entry is the top-50 slice of the same relation
+    val q = graft.operators.Graph.kCoreParts(spark, sf, k = 3).collect()
+    assert(q.length <= 50)
+    q.foreach(r => assert(full.get(r.getLong(0)).contains(r.getAs[Long]("core_deg"))))
+  }
 }

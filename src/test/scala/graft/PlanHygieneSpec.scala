@@ -34,7 +34,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_pmi_collocations", "q_bigram_logprob", "q22_dormant",
     "q11_important_parts", "q_audience_overlap",
     // broadcast 1-row scalar frames (reference day / threshold array)
-    "q_decayed_engagement", "q_sliding_distinct", "q_equidepth_hist")
+    "q_decayed_engagement", "q_sliding_distinct", "q_equidepth_hist",
+    // broadcast 1-row normalized query vector against the embeddings
+    // scan (the dense leg's per-row dot product) — same class as the
+    // lazily-attached scalars above
+    "q_hybrid_rrf")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>

@@ -74,4 +74,42 @@ class SearchSpec extends AnyFunSuite {
       assert(m >= 1L && m <= terms.length)
     }
   }
+
+  test("hybrid RRF: fused score is the exact reciprocal sum of the leg " +
+      "ranks, legs agree with standalone rankings, deterministic") {
+    val rows = Search.hybridRrf(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // rrf = 1/(60+bm25_rank) + 1/(60+cos_rank), null legs contribute 0
+    rows.foreach { r =>
+      val b = Option(r.getAs[java.lang.Long]("bm25_rank")).map(_.toLong)
+      val v = Option(r.getAs[java.lang.Long]("cos_rank")).map(_.toLong)
+      assert(b.isDefined || v.isDefined, "a fused doc must appear in a leg")
+      val expect = BigDecimal(
+        b.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+          v.map(x => 1.0 / (60 + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-9,
+        s"rrf mismatch for doc ${r.getLong(0)}")
+    }
+    // final ranks are 1..n in rrf-descending order with doc_id tiebreak
+    val ranks = rows.map(_.getAs[Long]("rank"))
+    assert(ranks.toSeq == (1L to rows.length.toLong))
+    val key = rows.map(r => (-r.getAs[Double]("rrf"), r.getLong(0)))
+    assert(key.sameElements(key.sorted), "fused order must follow (rrf desc, doc)")
+    // bm25 leg ranks equal the standalone BM25 ranking (rounded score,
+    // doc tiebreak)
+    val bmRanks = Search.bm25Scores(spark, sf).collect()
+      .map(r => (r.getAs[Double]("bm25"), r.getAs[Long]("doc_id")))
+      .sortBy { case (s, d) => (-s, d) }.map(_._2).zipWithIndex
+      .map { case (d, i) => d -> (i + 1L) }.toMap
+    rows.foreach { r =>
+      Option(r.getAs[java.lang.Long]("bm25_rank")).foreach { br =>
+        assert(bmRanks(r.getLong(0)) == br.toLong,
+          s"bm25 leg rank disagrees for doc ${r.getLong(0)}")
+      }
+    }
+    // determinism
+    val again = Search.hybridRrf(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }

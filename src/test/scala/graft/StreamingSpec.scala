@@ -1114,4 +1114,98 @@ class StreamingSpec extends AnyFunSuite {
       case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming as-of join equals the batch as-of operator on the real " +
+    "log split across micro-batches; state is one pointer per user") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val all = graft.sources.Tables.events(sp, sf)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      val input = MemoryStream[Event]
+      val q = Streams.asofJoinStream(sp, input.toDS())
+        .writeStream.format("memory").queryName("asof_out")
+        .outputMode("update").start()
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = sp.sql("SELECT * FROM asof_out").collect()
+        .map(r => r.getLong(0) ->
+          (Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Timestamp])))
+      // every purchase emitted exactly once
+      assert(streamed.map(_._1).distinct.length == streamed.length)
+      val batch = graft.operators.Temporal.asofJoin(sp, sf).collect()
+        .map(r => r.getLong(0) ->
+          (Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Timestamp]))).toMap
+      assert(batch.nonEmpty)
+      assert(streamed.length == batch.size,
+        s"stream emitted ${streamed.length} purchases, batch has ${batch.size}")
+      streamed.foreach { case (id, m) =>
+        assert(batch(id) == m, s"purchase $id: stream $m vs batch ${batch(id)}")
+      }
+      // a LATE purchase behind a newer view pointer emits a null match
+      // (never resurrects a replaced older view); a late OLD view never
+      // rewinds the pointer for subsequent purchases. Fresh user id —
+      // a real user's log history would contaminate the pointer.
+      val u = 99999999L
+      input.addData(Event(20000001L, tsH(10, 0), u, "view", 0.0),
+        Event(20000002L, tsH(11, 0), u, "purchase", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(20000003L, tsH(9, 0), u, "purchase", 0.0), // late
+        Event(20000004L, tsH(8, 0), u, "view", 0.0)) // late old view
+      input.addData(Event(20000005L, tsH(12, 0), u, "purchase", 0.0))
+      q.processAllAvailable()
+      val tail = sp.sql("SELECT * FROM asof_out WHERE event_id >= 20000000")
+        .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+      q.stop()
+      assert(tail(20000002L).contains(20000001L))
+      assert(tail(20000003L).isEmpty, "late purchase must null-match")
+      assert(tail(20000005L).contains(20000001L),
+        "late old view must not steal the pointer")
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming as-of join: equal-timestamp view matches, tolerance " +
+    "bound nulls stale matches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = Streams.asofJoinStream(sp, input.toDS(),
+          toleranceMs = 30L * 60 * 1000)
+        .writeStream.format("memory").queryName("asof_tol_out")
+        .outputMode("update").start()
+      input.addData(
+        Event(1, tsH(1, 0), 10, "view", 0.0),
+        Event(2, tsH(1, 0), 10, "purchase", 0.0), // same instant: matches
+        Event(3, tsH(1, 20), 10, "purchase", 0.0), // within tolerance
+        Event(4, tsH(2, 0), 10, "purchase", 0.0)) // 60 min: stale → null
+      q.processAllAvailable()
+      val got = sp.sql("SELECT * FROM asof_tol_out").collect()
+        .map(r => r.getLong(0) -> Option(r.get(3))).toMap
+      q.stop()
+      assert(got(2L).contains(1L), "equal-ts view must match (<= semantics)")
+      assert(got(3L).contains(1L))
+      assert(got(4L).isEmpty, "match older than tolerance must be null")
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
