@@ -160,9 +160,12 @@ object Behavioral {
     * scales with |users|, each partition is one user's timeline), then
     * a map-side-combined groupBy on the (from, to) pair — the second
     * shuffle carries at most |types|² rows per map partition. Row
-    * probabilities come from a |types|-sized broadcast join, not a
-    * window over the pair relation. Counts are integers and p is a
-    * single rounded division — exact cross-engine. */
+    * totals come from a keyed window OVER THE AGGREGATED pair relation
+    * (|types|² rows — dimension-sized at any log volume), so the log
+    * is scanned and lag-windowed exactly ONCE; a totals-side
+    * aggregate-and-join would re-run the whole subtree. Counts are
+    * integers and p is a single rounded division — exact
+    * cross-engine. */
   def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -172,9 +175,9 @@ object Behavioral {
       .filter(col("from_type").isNotNull)
       .groupBy(col("from_type"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy(col("from_type"))
-      .agg(sum(col("n")).as("row_total"))
-    pairs.join(broadcast(totals), Seq("from_type"))
+    val wTot = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("row_total", sum(col("n")).over(wTot))
       .select(col("from_type"), col("to_type"), col("n"),
         round(col("n").cast("double") / col("row_total"), 6).as("p"))
       .orderBy(col("from_type"), col("to_type"))

@@ -129,6 +129,110 @@ object Search {
     scored
   }
 
+  /** Persist the corpus side of BM25 as a PROBE-ABLE index — the
+    * search-family instance of the build/probe split the MinHash,
+    * containment and IVF indexes already follow: staging is the
+    * untimed build half, and each query probe touches only the
+    * postings of ITS terms. Three relations:
+    *  - `<name>_postings` (tok, doc_id, tf), BUCKETED AND SORTED by
+    *    tok — a term probe prunes to its term's buckets and reads
+    *    postings co-located, no Exchange on the corpus side;
+    *  - `<name>_lens` (doc_id, dl), bucketed by doc_id — the
+    *    doc-length norms join reads co-located by doc;
+    *  - `<name>_stats` (n_docs, avgdl) — the 1-row corpus constants.
+    * Per-term df is NOT materialized separately: it is derivable from
+    * the matched postings at probe time with one |terms|-sized
+    * aggregate, which keeps the index two bucketed tables + one row
+    * rather than a third relation to keep consistent. */
+  def buildSearchIndex(spark: SparkSession, dir: String, name: String,
+      nBuckets: Int = 8): Unit = {
+    val docs = Tables.documents(spark, dir)
+    val lens = docs.select(col("doc_id"), size(tokensCol).cast("double").as("dl"))
+    graft.sources.FormatIO.writeBucketed(
+      docs.select(col("doc_id"), explode(tokensCol).as("tok"))
+        .groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("tf")),
+      s"${name}_postings", "tok", nBuckets, sortCol = Some("tok"))
+    graft.sources.FormatIO.writeBucketed(lens, s"${name}_lens", "doc_id",
+      nBuckets)
+    lens.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      .write.format("parquet").mode("overwrite").saveAsTable(s"${name}_stats")
+  }
+
+  /** Probe the persisted index with a bag of query terms: exactly
+    * [[bm25Search]]'s scoring (parity spec-proved) without touching
+    * the documents table — probe cost scales with the MATCHED posting
+    * volume. The matched-postings relation is filtered at the bucketed
+    * scan (bucket pruning on the isin predicate), df/idf are
+    * |terms|-row broadcasts, and the norms join hits the doc-bucketed
+    * lens table. */
+  def probeSearchIndex(spark: SparkSession, name: String,
+      terms: Seq[String] = Seq("data", "model", "spark"),
+      topN: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = spark.table(s"${name}_postings")
+      .filter(col("tok").isInCollection(terms))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = spark.table(s"${name}_stats")
+    val idf = df.crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .select(col("tok"), col("idf"), col("avgdl"))
+    tf.join(broadcast(idf), Seq("tok"))
+      .join(spark.table(s"${name}_lens"), Seq("doc_id"))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * (k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("term_score")), 4).as("bm25"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  /** Probe the persisted index with a BATCH of keyword queries —
+    * `queries` is (query_id, tok), one row per query term. The probe
+    * is one |batch-terms|-sized broadcast against the bucketed
+    * postings (matched postings move once), per-term df/idf derive
+    * from the matched relation, and the final ranking is a
+    * query-KEYED window (partition count = |queries in the batch|,
+    * each partition ≤ the query's match volume). Single-query parity
+    * with [[probeSearchIndex]] / [[bm25Search]] is spec-proved. */
+  def probeSearchIndexMany(spark: SparkSession, name: String,
+      queries: DataFrame, topN: Int = 20, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val qterms = queries.select(col("query_id"), col("tok")).distinct()
+    val toks = qterms.select(col("tok")).distinct()
+    val matched = spark.table(s"${name}_postings")
+      .join(broadcast(toks), Seq("tok"))
+    // postings are unique per (tok, doc) — count IS the doc frequency
+    val df = matched.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = spark.table(s"${name}_stats")
+    val idf = df.crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .select(col("tok"), col("idf"), col("avgdl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    matched
+      .join(broadcast(idf), Seq("tok"))
+      .join(spark.table(s"${name}_lens"), Seq("doc_id"))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * (k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .join(broadcast(qterms), Seq("tok"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("term_score")), 4).as("bm25"),
+        count(lit(1)).as("n_terms_matched"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("query_id"), col("doc_id"), col("bm25"),
+        col("n_terms_matched"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** HYBRID retrieval by Reciprocal Rank Fusion (Cormack, Clarke &
     * Buettcher, SIGIR 2009): fuse a keyword leg (BM25 over the query
     * terms) with a dense leg (cosine against a query embedding) as

@@ -1019,6 +1019,25 @@ object Streams {
     r.load(checkpoint)
   }
 
+  /** Streaming keyword search against the PERSISTED BM25 index
+    * ([[graft.operators.Search.buildSearchIndex]]): each micro-batch
+    * of arriving queries (query_id, tok rows) probes the bucketed
+    * postings and appends its per-query top-N — "search the corpus as
+    * queries arrive" with per-wave cost scaling in the batch's match
+    * volume, the corpus never reshuffling. Same foreachBatch shape as
+    * the MinHash/containment index probes. */
+  def searchProbeStream(spark: SparkSession, queries: DataFrame,
+      indexName: String, outPath: String, checkpoint: String,
+      topN: Int = 20): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Search.probeSearchIndexMany(spark, indexName,
+            batch, topN)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   case class ViewPtr(view_id: Long, view_ts: Timestamp)
   case class AsOfMatch(event_id: Long, user_id: Long, ts: Timestamp,
       last_view_id: Option[Long], last_view_ts: Option[Timestamp])

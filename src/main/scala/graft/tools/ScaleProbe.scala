@@ -83,6 +83,24 @@ object ScaleProbe {
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
 
+    // --- lineitem (co-purchase graph source): each replica is a fresh
+    // order AND part population — per-replica basket structure (and so
+    // graph topology, degree profile, peel depth) repeats on disjoint
+    // node sets, which is how a marketplace actually grows; keeping
+    // parts shared instead would only multiply edge WEIGHTS, leaving
+    // the weight-pruned edge list the same size (a 1× graph in an 8×
+    // costume)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val Array(maxOrder, maxPart) = li
+      .agg(max("l_orderkey"), max("l_partkey")).head().toSeq
+      .map(_.asInstanceOf[Long] + 1).toArray
+    replicas.crossJoin(li)
+      .select((col("l_orderkey") + col("replica") * maxOrder).as("l_orderkey") +:
+        (col("l_partkey") + col("replica") * maxPart).as("l_partkey") +:
+        li.columns.filter(c => c != "l_orderkey" && c != "l_partkey")
+          .map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
+
     // --- embeddings: replica vectors get one coordinate nudged (a
     // replica-dependent dimension), so directions shift slightly —
     // template families again, not exact cosine twins (a pure rescale

@@ -75,6 +75,36 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted search index: single- and multi-query probes equal " +
+    "the live BM25 scan exactly") {
+    Search.buildSearchIndex(spark, sf, "srch_spec_idx")
+    val live = Search.bm25Search(spark, sf).collect().map(_.toString).toSeq
+    val probed = Search.probeSearchIndex(spark, "srch_spec_idx")
+      .collect().map(_.toString).toSeq
+    assert(probed == live, "index probe must equal the live BM25 scan")
+    // multi-query probe: each query's slice equals its own standalone
+    // probe (modulo the added query_id/rank columns)
+    import spark.implicits._
+    val q1 = Seq("data", "model", "spark")
+    val q2 = Seq("table", "join")
+    val queries = (q1.map(t => (1L, t)) ++ q2.map(t => (2L, t)))
+      .toDF("query_id", "tok")
+    val many = Search.probeSearchIndexMany(spark, "srch_spec_idx", queries)
+      .collect()
+    for ((qid, terms) <- Seq(1L -> q1, 2L -> q2)) {
+      val slice = many.filter(_.getLong(0) == qid)
+        .sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      val solo = Search.probeSearchIndex(spark, "srch_spec_idx", terms)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      assert(slice.toSeq == solo.toSeq, s"query $qid diverged from its solo probe")
+      // ranks are 1..n within the query
+      assert(many.filter(_.getLong(0) == qid).map(_.getAs[Long]("rank")).sorted
+        .sameElements(1L to slice.length.toLong))
+    }
+  }
+
   test("hybrid RRF: fused score is the exact reciprocal sum of the leg " +
       "ranks, legs agree with standalone rankings, deterministic") {
     val rows = Search.hybridRrf(spark, sf).collect()

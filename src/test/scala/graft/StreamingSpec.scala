@@ -615,6 +615,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "expected candidates: the index contains the arrivals")
   }
 
+  test("streaming search probe: micro-batched query arrivals get exactly " +
+    "the per-query top-N one batch probe computes") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.operators.Search.buildSearchIndex(sp, sf, "srch_stream_idx")
+    val queries = Seq(
+      (1L, "data"), (1L, "model"), (1L, "spark"),
+      (2L, "table"), (2L, "join"),
+      (3L, "window"), (3L, "batch"), (3L, "stream"))
+    val out = java.nio.file.Files.createTempDirectory("graft-srch-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-srch-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.searchProbeStream(sp,
+      input.toDF().toDF("query_id", "tok"), "srch_stream_idx", out, ckpt)
+    // queries must arrive whole (a query IS its term bag) — batches
+    // split BETWEEN queries
+    Seq(queries.filter(_._1 == 1L), queries.filter(_._1 >= 2L)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = sp.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(4))).toSet
+    val batch = graft.operators.Search.probeSearchIndexMany(sp,
+        "srch_stream_idx", queries.toDF("query_id", "tok"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(4))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"streamed search diverged: only-stream=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming containment probe: micro-batched arrivals find the " +
     "same directed containments as one batch probe of the arrival set") {
     val sp = spark
