@@ -221,6 +221,8 @@ object SparkEntry {
     // recall/exactness carried by MultimodalSpec's brute-force parity.
     "q_media_phash_dup" -> ((s: SparkSession, d: String) => Multimodal.mediaPhashDup(s, d)),
     "q_markov_transitions" -> (Behavioral.markovTransitions _),
+    "q_dedup_keep_best" -> (Dedup.keepBest _),
+    "q_churn_labels" -> ((s: SparkSession, d: String) => Behavioral.churnLabels(s, d)),
     "q_hybrid_rrf" -> ((s: SparkSession, d: String) => Search.hybridRrf(s, d)),
     // rows-only: iterative peeling fixpoint (like CC/PageRank — no
     // clean SQL oracle); semantics carried by GraphSpec's crafted
@@ -2169,6 +2171,42 @@ object SparkEntry {
         | 'test_in_train' AS direction
         |FROM tagged WHERE split_a = 'test' AND split_b = 'train'
         |ORDER BY train_doc, test_doc, direction""".stripMargin,
+    "q_dedup_keep_best" ->
+      """WITH g AS (
+        | SELECT doc_id, n_chars,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
+        | FROM documents),
+        |r AS (
+        | SELECT text_hash, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY text_hash
+        |    ORDER BY n_chars DESC, doc_id) AS rn
+        | FROM g)
+        |SELECT text_hash,
+        | max(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+        | max(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars,
+        | count(*) AS n_copies,
+        | CAST(coalesce(sum(CASE WHEN rn > 1 THEN n_chars END), 0) AS BIGINT)
+        |   AS dropped_chars
+        |FROM r GROUP BY text_hash ORDER BY keep_id""".stripMargin,
+    "q_churn_labels" ->
+      """WITH ref AS (
+        | SELECT CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) - 7 AS cut_day
+        | FROM events),
+        |f AS (
+        | SELECT user_id, count(*) AS n_events,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_day
+        | FROM events, ref
+        | WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) <= ref.cut_day
+        | GROUP BY user_id),
+        |a AS (
+        | SELECT DISTINCT user_id FROM events, ref
+        | WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) > ref.cut_day)
+        |SELECT f.user_id, f.n_events, f.n_types,
+        | CAST(date_diff('day', f.last_day, r.cut_day) AS BIGINT) AS recency_days,
+        | CAST(CASE WHEN a.user_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS churned
+        |FROM f CROSS JOIN ref r LEFT JOIN a ON f.user_id = a.user_id
+        |ORDER BY f.user_id""".stripMargin,
     "q_markov_transitions" ->
       """WITH seq AS (
         | SELECT user_id, event_type,

@@ -149,6 +149,48 @@ object Behavioral {
       .orderBy(col("user_id"))
   }
 
+  /** Supervised CHURN label + feature generation from the raw event
+    * log — the label-join step a behavioral training pipeline runs
+    * before model fitting: observation window = everything up to
+    * `horizonDays` before the log's end, label window = the remaining
+    * tail; a user churned iff they were active in the observation
+    * window and silent in the label window. Features are the standard
+    * RFM trio over the observation window (event count, distinct
+    * types, days since last activity at the cut), all integer/exact.
+    *
+    * Plan shape: the reference instant rides as a broadcast 1-row
+    * frame (no driver round trip); one map-side-combined groupBy(user)
+    * per window; the label attach is a user-keyed left join against
+    * the distinct label-window actives — every shuffle is user-keyed,
+    * nothing global. Leakage hygiene by CONSTRUCTION: features read
+    * only pre-cut rows, the label only post-cut rows. */
+  def churnLabels(spark: SparkSession, dir: String,
+      horizonDays: Int = 7): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val refDf = ev.agg(date_sub(max(col("ts")).cast("date"), horizonDays)
+      .as("cut_day"))
+    val tagged = ev.crossJoin(broadcast(refDf))
+    val features = tagged
+      .filter(col("ts").cast("date") <= col("cut_day"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        max(col("ts").cast("date")).as("last_day"),
+        first(col("cut_day")).as("cut_day"))
+      .withColumn("recency_days",
+        datediff(col("cut_day"), col("last_day")).cast("long"))
+    val active = tagged
+      .filter(col("ts").cast("date") > col("cut_day"))
+      .select(col("user_id")).distinct()
+      .withColumn("active_after", lit(1))
+    features.join(active, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        col("recency_days"),
+        when(col("active_after").isNull, 1L).otherwise(0L).as("churned"))
+      .orderBy(col("user_id"))
+  }
+
   /** First-order Markov transition matrix of the event stream: for
     * every ordered pair of event types, how often (count and empirical
     * probability) a user's event of type `from_type` is IMMEDIATELY

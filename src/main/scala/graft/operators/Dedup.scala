@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.HashExpressions._
 import graft.sources.Tables
 
@@ -66,6 +67,36 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
+
+  /** Quality-aware exact-dup canonicalization — the keep POLICY layer
+    * over [[exact]]'s groups: real pipelines keep the most complete
+    * copy, not the smallest id (truncated mirrors and snippet copies
+    * share the normalized text hash with the full page whenever the
+    * normalizer collapses their differences). Per digest group, keep
+    * the longest raw copy (n_chars desc), doc_id as the deterministic
+    * tiebreak, and report the chars the drop saves — the utility
+    * metric a dedup pass is judged by.
+    *
+    * Plan shape: one digest-KEYED ranking window (partition per
+    * digest, rows = that digest's copies — the groups a 100 TB corpus
+    * actually has are small) feeding an aggregation on the SAME key,
+    * so the ranking exchange is reused by the groupBy. */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("text_hash"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("text_hash"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("text_hash"))
+      .agg(
+        max(when(col("rn") === 1, col("doc_id"))).as("keep_id"),
+        max(when(col("rn") === 1, col("n_chars"))).as("kept_chars"),
+        count(lit(1)).as("n_copies"),
+        coalesce(sum(when(col("rn") > 1, col("n_chars"))), lit(0L))
+          .as("dropped_chars"))
+      .orderBy(col("keep_id"))
+  }
 
   /** MinHash+LSH near-dup candidate pairs: equi-join on band signature. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {

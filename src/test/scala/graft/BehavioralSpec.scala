@@ -181,6 +181,35 @@ class BehavioralSpec extends AnyFunSuite {
     assert(res(firstDay.toString) == firstDayUsers.toLong)
   }
 
+  test("churn labels: label and features equal a driver recount, and no " +
+    "churned user has a label-window event (leakage closure)") {
+    val got = graft.operators.Behavioral.churnLabels(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("recency_days"), r.getAs[Long]("churned"))).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("date").cast("string"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1)),
+        r.getString(2)))
+    val cut = ev.map(_._2).max.minusDays(7)
+    val pre = ev.filter(!_._2.isAfter(cut))
+    val post = ev.filter(_._2.isAfter(cut)).map(_._1).toSet
+    val expect = pre.groupBy(_._1).map { case (u, rows) =>
+      u -> (rows.length.toLong, rows.map(_._3).distinct.length.toLong,
+        java.time.temporal.ChronoUnit.DAYS.between(rows.map(_._2).max, cut),
+        if (post(u)) 0L else 1L)
+    }
+    assert(got == expect, "driver recount disagrees")
+    // only observation-window users carry labels; churned means silent
+    // after the cut BY the raw log, not just by the query's own filter
+    assert(got.keySet == pre.map(_._1).toSet)
+    got.foreach { case (u, (_, _, _, churned)) =>
+      assert((churned == 1L) == !post(u), s"user $u mislabeled")
+    }
+  }
+
   test("markov transitions: counts equal a driver walk of every user's " +
       "timeline, row probabilities sum to one") {
     val got = graft.operators.Behavioral.markovTransitions(spark, sf)

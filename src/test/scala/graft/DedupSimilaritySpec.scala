@@ -638,4 +638,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(leaks.forall { case (tr, te, _, _) =>
       split(tr) != "val" && split(te) != "val" })
   }
+
+  test("keep-best dedup: same groups as exact dedup, keeper is the " +
+    "longest copy with id tiebreak, char accounting closes") {
+    import org.apache.spark.sql.functions._
+    val best = graft.operators.Dedup.keepBest(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("keep_id"), r.getAs[Long]("kept_chars"),
+          r.getAs[Long]("n_copies"), r.getAs[Long]("dropped_chars"))).toMap
+    val exact = graft.operators.Dedup.exact(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_copies")).toMap
+    assert(best.keySet == exact.keySet, "policy must not change the groups")
+    assert(best.view.mapValues(_._3).toMap == exact,
+      "copy counts must match exact dedup")
+    // driver recount of the policy over the raw table
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    docs.groupBy(_._3).foreach { case (h, rows) =>
+      val keeper = rows.minBy(r => (-r._2, r._1))
+      val (keepId, keptChars, _, dropped) = best(h)
+      assert(keepId == keeper._1 && keptChars == keeper._2,
+        s"group $h keeps $keepId, driver policy picks ${keeper._1}")
+      assert(dropped == rows.map(_._2).sum - keeper._2,
+        s"group $h char accounting must close")
+    }
+  }
 }
