@@ -61,6 +61,70 @@ object FormatIO {
     w.saveAsTable(table)
   }
 
+  case class CompactStats(filesBefore: Long, bytesBefore: Long,
+      filesAfter: Long, bytesAfter: Long)
+
+  /** Per-file row counts of a parquet directory — the small-file
+    * diagnostic that decides whether [[compact]] is worth a rewrite.
+    * One aggregation keyed on `input_file_name()`; no footer round
+    * trips on the driver. */
+  def fileStats(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("file"))
+  }
+
+  /** SMALL-FILE COMPACTION — the table-maintenance pass every
+    * long-lived ingest target needs (streaming sinks and per-batch
+    * appends accrete thousands of KB-sized files; at 100 TB the
+    * listing alone becomes a scheduler stall and each task reads one
+    * tiny footer). Rewrites the directory into
+    * ceil(bytes / targetBytes) files via a staging + rename swap — the
+    * same crash-safe promotion protocol as the streaming upsert sink
+    * (a complete copy exists on disk at every instant; an interrupted
+    * swap self-heals on the next pass; a partial staging write is
+    * discarded because the rewrite always starts fresh). Returns
+    * before/after file and byte counts so callers can assert the
+    * rewrite paid for itself.
+    *
+    * `repartition(n)` (round-robin, no key) is deliberate: compaction
+    * must balance BYTES across output files, and any keyed layout
+    * worth preserving belongs to [[writeZOrdered]]/[[writeBucketed]],
+    * not an unkeyed maintenance pass. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).toIndexedSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+    val staging = new org.apache.hadoop.fs.Path(path + ".compact-staging")
+    val backup = new org.apache.hadoop.fs.Path(path + ".compact-backup")
+    // finish an interrupted promotion first: a missing live dir with a
+    // complete backup means the previous pass died mid-swap
+    if (!fs.exists(hPath) && fs.exists(backup)) {
+      require(fs.rename(backup, hPath), s"could not restore $backup")
+    }
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val before = dataFiles(hPath)
+    val bytesBefore = before.map(_.getLen).sum
+    val nOut = math.max(1L, (bytesBefore + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(path)
+      .repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // swap: live -> backup, staging -> live, drop backup
+    if (fs.exists(backup)) fs.delete(backup, true)
+    require(fs.rename(hPath, backup), s"could not retire $path")
+    require(fs.rename(staging, hPath), s"could not promote $staging")
+    fs.delete(backup, true)
+    val after = dataFiles(hPath)
+    CompactStats(before.length.toLong, bytesBefore,
+      after.length.toLong, after.map(_.getLen).sum)
+  }
+
   /** Raw-file ingest via the `binaryFile` source — the front door for
     * multimodal payloads (images/audio/video land as files, not rows).
     * Yields (path, modificationTime, length, content) with the payload

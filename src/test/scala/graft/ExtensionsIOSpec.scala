@@ -320,4 +320,39 @@ class ExtensionsIOSpec extends AnyFunSuite {
     assert(j.count() > 0)
     assert(exchanges.isEmpty, "bucketed join must be shuffle-free")
   }
+
+  test("compaction: collapses a small-file directory losslessly, " +
+    "idempotent second pass, interrupted swap self-heals") {
+    import graft.sources.FormatIO
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val tbl = s"$dir/docs"
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    docs.repartition(64).write.parquet(tbl)
+    val statsBefore = FormatIO.fileStats(spark, tbl).collect()
+    assert(statsBefore.length == 64, s"expected 64 files, got ${statsBefore.length}")
+    val expect = docs.collect().map(_.toString).sorted.toSeq
+    val s1 = FormatIO.compact(spark, tbl, targetBytes = Long.MaxValue)
+    assert(s1.filesBefore == 64L && s1.filesAfter == 1L,
+      s"compaction must collapse 64 -> 1, got $s1")
+    assert(spark.read.parquet(tbl).collect().map(_.toString).sorted.toSeq
+      == expect, "compaction must be lossless")
+    // idempotent: nothing left to merge
+    val s2 = FormatIO.compact(spark, tbl, targetBytes = Long.MaxValue)
+    assert(s2.filesBefore == 1L && s2.filesAfter == 1L)
+    // interrupted promotion: live dir retired to backup, process died
+    // before staging promoted — the next pass must restore and proceed
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tbl),
+      new org.apache.hadoop.fs.Path(tbl + ".compact-backup")))
+    val s3 = FormatIO.compact(spark, tbl, targetBytes = Long.MaxValue)
+    assert(s3.filesAfter == 1L)
+    assert(spark.read.parquet(tbl).collect().map(_.toString).sorted.toSeq
+      == expect, "self-healed compaction must preserve the snapshot")
+    // target sizing: a small target yields multiple balanced files
+    val sized = FormatIO.compact(spark, tbl,
+      targetBytes = math.max(1L, s1.bytesAfter / 4))
+    assert(sized.filesAfter >= 2L, s"expected a multi-file rewrite, got $sized")
+  }
 }
