@@ -530,4 +530,17 @@ object Sketches {
     val uni = countBelow(array_union(a, b), cut)
     when(uni === 0.0, lit(null).cast("double")).otherwise(inter / uni)
   }
+
+  /** MERGE an array of stored sketches (array<array<long>>) into one:
+    * bottom-k of the union of their hash sets — the KMV algebra that
+    * makes persisted sketches composable across runs/sites/days
+    * (merge-of-bottom-ks == bottom-k-of-union, so the merged sketch is
+    * BIT-IDENTICAL to sketching the concatenated raw data). Pure
+    * built-ins: flip to signed order, distinct+sort, keep k, flip
+    * back — output format matches [[KmvSketch]] (unsigned-ascending
+    * originals). */
+  def kmvMerge(sks: Column, k: Int): Column =
+    transform(
+      slice(array_sort(transform(array_distinct(flatten(sks)), h => flip(h))), 1, k),
+      h => flip(h))
 }

@@ -11,6 +11,41 @@ import graft.sources.Tables
   */
 object Incremental {
 
+  /** Per-key bottom-k DISTINCT sketch snapshot — the incremental
+    * answer to "distinct users per key, maintained across daily runs"
+    * that [[mergeAggSnapshots]]'s sum/min/max algebra cannot give
+    * (distinct does not re-sum). One map-side-combined aggregation;
+    * each group's state is ≤ k longs, persistable as a plain
+    * array<long> parquet column. */
+  def distinctSketchSnapshot(df: DataFrame, keys: Seq[String],
+      keyCol: String, k: Int = 1024): DataFrame = {
+    import graft.functions.Aggregates
+    df.groupBy(keys.map(col): _*)
+      .agg(Aggregates.kmvSketch(col(keyCol), k).as("sk"))
+  }
+
+  /** Fold a delta snapshot into the standing one: per key, merge the
+    * stored sketches (KMV algebra — merge-of-bottom-ks equals
+    * bottom-k-of-union, so the merged snapshot is BIT-IDENTICAL to
+    * [[distinctSketchSnapshot]] over the concatenated raw data, which
+    * is what the spec asserts). Shuffle carries sketches (≤ k longs
+    * per group per side), never raw keys — the delta-sized refresh. */
+  def mergeDistinctSnapshots(snapshot: DataFrame, delta: DataFrame,
+      keys: Seq[String], k: Int = 1024): DataFrame = {
+    import graft.functions.Sketches
+    snapshot.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(Sketches.kmvMerge(collect_list(col("sk")), k).as("sk"))
+  }
+
+  /** Read an estimate off a snapshot: exact (whole-number) below k
+    * distinct keys, ~1/√k beyond. */
+  def estimateDistinct(snapshot: DataFrame, k: Int = 1024): DataFrame = {
+    import graft.functions.Sketches
+    snapshot.withColumn("distinct_est",
+      round(Sketches.kmvEstimate(col("sk"), k)).cast("long"))
+  }
+
   /** Merge two partial-aggregate tables that share `keys` and the
     * mergeable metric columns: sums/counts re-sum, mins/maxs re-min/max. */
   def mergeAggSnapshots(snapshot: DataFrame, delta: DataFrame,

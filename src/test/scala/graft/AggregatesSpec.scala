@@ -224,4 +224,49 @@ class AggregatesSpec extends AnyFunSuite {
     assert(got.sameElements(exact),
       "unsaturated KMV sketches must reproduce exact overlap counts")
   }
+
+  test("incremental distinct sketches: merged snapshot is bit-identical " +
+    "to sketching the whole log, estimates exact below saturation") {
+    import graft.operators.Incremental
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("ts"))
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    val k = 64
+    val snapA = Incremental.distinctSketchSnapshot(
+      ev.filter(col("ts") < cut), Seq("event_type"), "user_id", k)
+    val snapB = Incremental.distinctSketchSnapshot(
+      ev.filter(col("ts") >= cut), Seq("event_type"), "user_id", k)
+    val merged = Incremental.mergeDistinctSnapshots(snapA, snapB,
+      Seq("event_type"), k)
+    val whole = Incremental.distinctSketchSnapshot(ev, Seq("event_type"),
+      "user_id", k)
+    val m = merged.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val w = whole.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(m == w, "KMV merge must equal the whole-log sketch bit for bit")
+    // persistence round trip: sketches survive parquet as plain arrays
+    val dir = java.nio.file.Files.createTempDirectory("graft-sk").toString
+    snapA.write.parquet(s"$dir/snap")
+    val reloaded = Incremental.mergeDistinctSnapshots(
+      spark.read.parquet(s"$dir/snap"), snapB, Seq("event_type"), k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(reloaded == w, "persisted sketches must merge identically")
+    // below saturation (choose k above the per-type distinct count):
+    // estimates are exact
+    val k2 = 4096
+    val est = Incremental.estimateDistinct(
+      Incremental.mergeDistinctSnapshots(
+        Incremental.distinctSketchSnapshot(
+          ev.filter(col("ts") < cut), Seq("event_type"), "user_id", k2),
+        Incremental.distinctSketchSnapshot(
+          ev.filter(col("ts") >= cut), Seq("event_type"), "user_id", k2),
+        Seq("event_type"), k2), k2)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("distinct_est")).toMap
+    val exactDistinct = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == exactDistinct,
+      "unsaturated incremental estimate must be exact")
+  }
 }
