@@ -33,8 +33,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_tfidf", "q_bm25", "q_source_mix",
     "q_pmi_collocations", "q_bigram_logprob", "q22_dormant",
     "q11_important_parts", "q_audience_overlap",
-    // broadcast 1-row scalar frames (reference day / threshold array)
+    // broadcast 1-row scalar frames (reference day / cut instant /
+    // threshold array)
     "q_decayed_engagement", "q_sliding_distinct", "q_equidepth_hist",
+    "q_churn_labels",
     // broadcast 1-row normalized query vector against the embeddings
     // scan (the dense leg's per-row dot product) — same class as the
     // lazily-attached scalars above
@@ -133,7 +135,11 @@ class PlanHygieneSpec extends AnyFunSuite {
   }
 
   test("top-N queries plan TakeOrderedAndProject, never a global sort") {
-    for (q <- Seq("q10_returned_items", "q3_join_agg", "q_weighted_sample")) {
+    // q_hybrid_rrf: BOTH leg cuts must be TakeOrderedAndProject — a
+    // global sort here would mean the rank windows see the corpus-sized
+    // score relation instead of legK rows
+    for (q <- Seq("q10_returned_items", "q3_join_agg", "q_weighted_sample",
+      "q_hybrid_rrf")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       assert(plan.contains("TakeOrderedAndProject"),
         s"$q: expected TakeOrderedAndProject in:\n$plan")
