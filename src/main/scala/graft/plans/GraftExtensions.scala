@@ -95,6 +95,26 @@ object GraftFunctionRegistry {
       "graft_might_contain(bloom, xxhash64_key) - bloom membership probe"),
       (es: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions
-          .BloomFilterMightContain(es(0), es(1)))
+          .BloomFilterMightContain(es(0), es(1))),
+    // Composed-builtin surface: registered so SQL pipelines can fold
+    // persisted sketch columns without the DataFrame bridge. Built
+    // from raw catalyst nodes — a bridged Column tree would reach the
+    // SQL analyzer as an opaque ColumnNodeExpression and fail codegen.
+    ("kmv_merge", info("kmv_merge",
+      "kmv_merge(sketches_array, k) - bottom-k merge of stored KMV sketches"),
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct,
+          ArraySort, ArrayTransform, BitwiseXor, Flatten, LambdaFunction,
+          Literal, Slice, UnresolvedNamedLambdaVariable}
+        def flipped(arr: Expression, v: String): Expression = {
+          val h = UnresolvedNamedLambdaVariable(Seq(v))
+          ArrayTransform(arr,
+            LambdaFunction(BitwiseXor(h, Literal(Long.MinValue)), Seq(h)))
+        }
+        flipped(
+          Slice(new ArraySort(flipped(ArrayDistinct(Flatten(es(0))), "h1")),
+            Literal(1), es(1)),
+          "h2")
+      })
   )
 }

@@ -54,6 +54,21 @@ class EmptyInputSpec extends AnyFunSuite {
     graft.operators.Dedup.buildContainmentIndex(spark, emptyDir, "cont_empty")
     assert(graft.operators.Dedup.probeContainmentIndex(spark, "cont_empty",
       graft.sources.Tables.documents(spark, emptyDir)).count() == 0)
+    // round-6 continuation off-map surface
+    graft.operators.Search.buildSearchIndex(spark, emptyDir, "srch_empty")
+    assert(graft.operators.Search.probeSearchIndex(spark, "srch_empty").count() == 0)
+    import spark.implicits._
+    assert(graft.operators.Search.probeSearchIndexMany(spark, "srch_empty",
+      Seq((1L, "data")).toDF("query_id", "tok")).count() == 0)
+    val emptySnap = graft.operators.Incremental.distinctSketchSnapshot(
+      graft.sources.Tables.events(spark, emptyDir), Seq("event_type"), "user_id")
+    assert(graft.operators.Incremental.mergeDistinctSnapshots(
+      emptySnap, emptySnap, Seq("event_type")).count() == 0)
+    // compacting an empty-but-present parquet dir is a no-op rewrite
+    val cdir = java.nio.file.Files.createTempDirectory("graft-empty-compact").toString
+    graft.sources.Tables.documents(spark, emptyDir).write.parquet(s"$cdir/t")
+    val cs = graft.sources.FormatIO.compact(spark, s"$cdir/t")
+    assert(cs.filesAfter >= 1L && spark.read.parquet(s"$cdir/t").count() == 0)
   }
 
   test("every query runs to completion on an empty dataset") {

@@ -76,6 +76,18 @@ class ExtensionsIOSpec extends AnyFunSuite {
         |WHERE NOT graft_might_contain((SELECT b FROM bf), xxhash64(doc_id))"""
         .stripMargin).head.getAs[Long]("missed")
     assert(miss == 0, "bloom must have no false negatives")
+    // kmv_merge in SQL folds per-part sketches into the whole-table
+    // sketch bit for bit (same algebra the Incremental spec proves on
+    // the Column API)
+    val km = spark.sql(
+      """WITH parts AS (
+        |  SELECT doc_id % 4 AS part, kmv_sketch(xxhash64(doc_id), 32) AS sk
+        |  FROM docs_agg GROUP BY doc_id % 4),
+        |whole AS (SELECT kmv_sketch(xxhash64(doc_id), 32) AS sk FROM docs_agg)
+        |SELECT (SELECT kmv_merge(collect_list(sk), 32) FROM parts) =
+        |       (SELECT first(sk) FROM whole) AS same""".stripMargin)
+      .head.getAs[Boolean]("same")
+    assert(km, "kmv_merge(parts) must equal the whole-table sketch")
   }
 
   test("cosine_similarity in SQL matches self-similarity = 1") {
