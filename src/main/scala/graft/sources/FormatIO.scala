@@ -109,6 +109,16 @@ object FormatIO {
       require(fs.rename(backup, hPath), s"could not restore $backup")
     }
     if (fs.exists(staging)) fs.delete(staging, true)
+    // a partitioned layout (col=value/ subdirs) must not be silently
+    // flattened into one dir — that would destroy the partition
+    // pruning the layout exists for; compact partitioned tables one
+    // leaf directory at a time
+    val subdirs = fs.listStatus(hPath).filter(_.isDirectory)
+      .map(_.getPath.getName)
+    require(subdirs.isEmpty,
+      s"compact($path): directory contains subdirectories " +
+        s"(${subdirs.take(3).mkString(", ")}…) — a partitioned layout " +
+        "would be flattened; compact each leaf partition directory instead")
     val before = dataFiles(hPath)
     val bytesBefore = before.map(_.getLen).sum
     val nOut = math.max(1L, (bytesBefore + targetBytes - 1) / targetBytes).toInt

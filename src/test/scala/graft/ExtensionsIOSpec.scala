@@ -366,5 +366,14 @@ class ExtensionsIOSpec extends AnyFunSuite {
     val sized = FormatIO.compact(spark, tbl,
       targetBytes = math.max(1L, s1.bytesAfter / 4))
     assert(sized.filesAfter >= 2L, s"expected a multi-file rewrite, got $sized")
+    // a partitioned layout must be REFUSED, not silently flattened
+    val part = s"$dir/parted"
+    graft.sources.Tables.documents(spark, sf)
+      .write.partitionBy("lang").parquet(part)
+    val err = intercept[IllegalArgumentException] {
+      FormatIO.compact(spark, part)
+    }
+    assert(err.getMessage.contains("partitioned layout"),
+      s"expected the flattening guard, got: ${err.getMessage}")
   }
 }
