@@ -341,17 +341,24 @@ object Similarity {
     * bit-equal when probing the index's own corpus with the same
     * parameters (spec-checked). */
   def probeIvfIndex(spark: SparkSession, name: String, dir: String,
+      k: Int = 3, nProbe: Int = 8): DataFrame =
+    probeIvfIndexOn(spark, name, vecs(spark, dir), k, nProbe)
+
+  /** Core of [[probeIvfIndex]] over any (vec_id, v: array<double>)
+    * query frame — the unit the streaming probe feeds one micro-batch
+    * at a time. */
+  def probeIvfIndexOn(spark: SparkSession, name: String, queries: DataFrame,
       k: Int = 3, nProbe: Int = 8): DataFrame = {
     import spark.implicits._
     val centroids = spark.table(s"${name}_centroids")
       .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
     if (centroids.isEmpty)
-      return vecs(spark, dir).select(col("vec_id").as("id_a"),
+      return queries.select(col("vec_id").as("id_a"),
         col("vec_id").as("id_b"), lit(0.0).as("cosine"), lit(0L).as("rank"))
         .limit(0)
     val dots = array(centroids.toIndexedSeq.map(c =>
       dotProduct(col("vn"), typedlit(c.toSeq))): _*)
-    val probed = vecs(spark, dir)
+    val probed = queries
       .select(col("vec_id"),
         expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
           .as("vn"))

@@ -1038,6 +1038,25 @@ object Streams {
       }
       .start()
 
+  /** Streaming ANN against the PERSISTED IVF index
+    * ([[graft.operators.Similarity.buildIvfIndex]]): each micro-batch
+    * of arriving query vectors (vec_id, v: array<double>, raw —
+    * normalization happens in the probe) fans out to its nProbe
+    * nearest lists and appends per-query top-k — the fourth index
+    * family probe-able from a stream (MinHash, containment, BM25,
+    * IVF), same foreachBatch shape, corpus postings never reshuffle. */
+  def ivfProbeStream(spark: SparkSession, queries: DataFrame,
+      indexName: String, outPath: String, checkpoint: String,
+      k: Int = 3, nProbe: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.probeIvfIndexOn(spark, indexName,
+            batch, k, nProbe)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   case class ViewPtr(view_id: Long, view_ts: Timestamp)
   case class AsOfMatch(event_id: Long, user_id: Long, ts: Timestamp,
       last_view_id: Option[Long], last_view_ts: Option[Timestamp])
@@ -1106,5 +1125,54 @@ object Streams {
       .groupByKey(_.user_id)
       .transformWithState(new AsOfJoinProcessor(toleranceMs),
         TimeMode.None(), OutputMode.Update())
+  }
+
+  case class LastEvent(etype: String, ts_key: Long, event_id: Long)
+  case class TransitionDelta(from_type: String, to_type: String, dn: Long)
+
+  /** Streaming Markov transition maintenance — the stateful twin of
+    * `Behavioral.markovTransitions`: per user, ONE LastEvent pointer
+    * (state O(users)); each micro-batch walks its rows in
+    * full-precision event-time order and emits the batch's transition
+    * count DELTAS (from_type, to_type, +n). Summing every emitted
+    * delta equals the batch operator's counts whenever arrivals are
+    * event-time ordered across batches (the funnel/as-of parity
+    * contract, spec-proved on the real log); an event arriving BEHIND
+    * the advanced pointer is dropped, never counted backwards. Deltas
+    * rather than running totals keep the processor append-only and the
+    * downstream aggregation a plain streaming sum. */
+  class MarkovProcessor extends StatefulProcessor[Long, Event, TransitionDelta] {
+    @transient private var last: ValueState[LastEvent] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastEvent]("last_event",
+        Encoders.product[LastEvent], TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[TransitionDelta] = {
+      val sorted = rows.toArray.sortBy(e => (tsKey(e.ts), e.event_id))
+      var cur = if (last.exists) Some(last.get()) else None
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      sorted.foreach { e =>
+        val k = tsKey(e.ts)
+        cur match {
+          case Some(p) if k > p.ts_key ||
+              (k == p.ts_key && e.event_id > p.event_id) =>
+            counts((p.etype, e.event_type)) =
+              counts.getOrElse((p.etype, e.event_type), 0L) + 1L
+            cur = Some(LastEvent(e.event_type, k, e.event_id))
+          case Some(_) => () // late: behind the pointer, dropped
+          case None => cur = Some(LastEvent(e.event_type, k, e.event_id))
+        }
+      }
+      cur.foreach(last.update)
+      counts.iterator.map { case ((f, t), n) => TransitionDelta(f, t, n) }
+        .toIndexedSeq.sortBy(d => (d.from_type, d.to_type)).iterator
+    }
+  }
+
+  def markovStream(spark: SparkSession, events: Dataset[Event]): Dataset[TransitionDelta] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new MarkovProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 }

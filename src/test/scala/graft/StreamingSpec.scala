@@ -1149,6 +1149,88 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming IVF probe: micro-batched query vectors get exactly the " +
+    "batch probe's per-query top-k") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.operators.Similarity.buildIvfIndex(sp, sf, "ivf_stream_idx")
+    val queries = sp.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val out = java.nio.file.Files.createTempDirectory("graft-ivfp-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivfp-ck").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.ivfProbeStream(sp,
+      input.toDF().toDF("vec_id", "v"), "ivf_stream_idx", out, ckpt)
+    queries.grouped(math.max(1, queries.length / 2 + 1)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = sp.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val batch = graft.operators.Similarity.probeIvfIndex(sp, "ivf_stream_idx", sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"streamed IVF probe diverged: only-stream=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
+
+  test("streaming markov deltas sum to the batch transition counts on the " +
+    "real log; late events never count backwards") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val all = graft.sources.Tables.events(sp, sf)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      val input = MemoryStream[Event]
+      val q = Streams.markovStream(sp, input.toDS())
+        .writeStream.format("memory").queryName("markov_out")
+        .outputMode("append").start()
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = sp.sql(
+        "SELECT from_type, to_type, sum(dn) FROM markov_out GROUP BY 1, 2")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.Behavioral.markovTransitions(sp, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"delta sums diverge from batch counts: " +
+          s"stream-only=${(streamed.toSet -- batch.toSet).take(3)} " +
+          s"batch-only=${(batch.toSet -- streamed.toSet).take(3)}")
+      // a late event behind the pointer is dropped: no new deltas
+      val u = 88888888L
+      input.addData(Event(30000001L, tsH(10, 0), u, "view", 0.0),
+        Event(30000002L, tsH(11, 0), u, "purchase", 0.0))
+      q.processAllAvailable()
+      val before = sp.sql("SELECT coalesce(sum(dn), 0) FROM markov_out")
+        .head.getLong(0)
+      input.addData(Event(30000003L, tsH(9, 0), u, "click", 0.0)) // late
+      q.processAllAvailable()
+      val after = sp.sql("SELECT coalesce(sum(dn), 0) FROM markov_out")
+        .head.getLong(0)
+      q.stop()
+      assert(after == before, "a late event must not add transitions")
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming as-of join equals the batch as-of operator on the real " +
     "log split across micro-batches; state is one pointer per user") {
     val sp = spark
