@@ -222,6 +222,7 @@ object SparkEntry {
     "q_media_phash_dup" -> ((s: SparkSession, d: String) => Multimodal.mediaPhashDup(s, d)),
     "q_markov_transitions" -> (Behavioral.markovTransitions _),
     "q_dedup_keep_best" -> (Dedup.keepBest _),
+    "q_ab_lift" -> ((s: SparkSession, d: String) => Behavioral.abLift(s, d)),
     "q_churn_labels" -> ((s: SparkSession, d: String) => Behavioral.churnLabels(s, d)),
     "q_hybrid_rrf" -> ((s: SparkSession, d: String) => Search.hybridRrf(s, d)),
     // rows-only: iterative peeling fixpoint (like CC/PageRank — no
@@ -2171,6 +2172,32 @@ object SparkEntry {
         | 'test_in_train' AS direction
         |FROM tagged WHERE split_a = 'test' AND split_b = 'train'
         |ORDER BY train_doc, test_doc, direction""".stripMargin,
+    "q_ab_lift" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+        |  user_id % 2 AS cohort
+        | FROM events GROUP BY user_id),
+        |s AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN cohort = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        |  CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN cohort = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        | FROM u)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        | round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+        | round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+        | round(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b, 6)
+        |   AS lift,
+        | CASE WHEN CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) > 0.0
+        |       AND CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) < 1.0
+        |  THEN round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |   / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |     * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |     * (1.0 / n_a + 1.0 / n_b)), 6)
+        | END AS z
+        |FROM s""".stripMargin,
     "q_dedup_keep_best" ->
       """WITH g AS (
         | SELECT doc_id, n_chars,

@@ -191,6 +191,50 @@ object Behavioral {
       .orderBy(col("user_id"))
   }
 
+  /** Two-cohort conversion LIFT with the two-proportion z statistic —
+    * the A/B readout layer over the event log (cohorts here by user-id
+    * parity, the deterministic stand-in for an assignment column).
+    * Stays on the ORACLE surface because every step is a correctly-
+    * rounded IEEE operation on integer-derived values: counts are
+    * exact longs, rates/pooled-p are single divisions, and z =
+    * (pa−pb)/sqrt(p(1−p)(1/na+1/nb)) composes ÷ and sqrt — both
+    * correctly rounded per IEEE 754 — in a FIXED expression tree, so
+    * both engines produce the identical double (unlike ln/exp, where
+    * libm last-ulp skew forces rows-only). Rounded at the edge anyway.
+    *
+    * Plan: one map-side-combined groupBy(user) for per-user conversion
+    * flags, then a single conditional aggregation to one summary row. */
+  def abLift(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("cohort", pmod(col("user_id"), lit(2)))
+    val s = users.agg(
+      sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("cohort") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("cohort") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+    // pooled p of 0 or 1 has zero variance — the z statistic is
+    // undefined (and ANSI division would throw); emit null, the same
+    // way the anomaly scorer nulls flat windows
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    s.select(
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(col("conv_a").cast("double") / col("n_a"), 6).as("rate_a"),
+      round(col("conv_b").cast("double") / col("n_b"), 6).as("rate_b"),
+      round(col("conv_a").cast("double") / col("n_a")
+        - col("conv_b").cast("double") / col("n_b"), 6).as("lift"),
+      when(pooled > 0.0 && pooled < 1.0,
+        round(
+          (col("conv_a").cast("double") / col("n_a")
+            - col("conv_b").cast("double") / col("n_b"))
+            / sqrt(pooled * (lit(1.0) - pooled)
+              * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+        .as("z"))
+  }
+
   /** First-order Markov transition matrix of the event stream: for
     * every ordered pair of event types, how often (count and empirical
     * probability) a user's event of type `from_type` is IMMEDIATELY

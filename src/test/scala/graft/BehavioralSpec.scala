@@ -181,6 +181,30 @@ class BehavioralSpec extends AnyFunSuite {
     assert(res(firstDay.toString) == firstDayUsers.toLong)
   }
 
+  test("ab lift: cohort counts equal a driver recount; degenerate pooled " +
+    "variance emits a null z, not a division error") {
+    val row = graft.operators.Behavioral.abLift(spark, sf).collect().head
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val conv = ev.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.exists(_._2 == "purchase") }
+    def cnt(par: Long) = conv.count(_._1 % 2 == par).toLong
+    def cv(par: Long) = conv.count(kv => kv._1 % 2 == par && kv._2).toLong
+    assert(row.getAs[Long]("n_a") == cnt(0) && row.getAs[Long]("conv_a") == cv(0))
+    assert(row.getAs[Long]("n_b") == cnt(1) && row.getAs[Long]("conv_b") == cv(1))
+    val pooled = (cv(0) + cv(1)).toDouble / (cnt(0) + cnt(1))
+    if (pooled == 0.0 || pooled == 1.0)
+      assert(row.isNullAt(row.fieldIndex("z")),
+        "zero pooled variance must null the z statistic")
+    else {
+      val z = row.getAs[Double]("z")
+      val expect = (cv(0).toDouble / cnt(0) - cv(1).toDouble / cnt(1)) /
+        math.sqrt(pooled * (1.0 - pooled) * (1.0 / cnt(0) + 1.0 / cnt(1)))
+      assert(math.abs(z - expect) < 1e-6)
+    }
+  }
+
   test("churn labels: label and features equal a driver recount, and no " +
     "churned user has a label-window event (leakage closure)") {
     val got = graft.operators.Behavioral.churnLabels(spark, sf).collect()
