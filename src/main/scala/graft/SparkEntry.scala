@@ -223,6 +223,8 @@ object SparkEntry {
     "q_markov_transitions" -> (Behavioral.markovTransitions _),
     "q_dedup_keep_best" -> (Dedup.keepBest _),
     "q_ab_lift" -> ((s: SparkSession, d: String) => Behavioral.abLift(s, d)),
+    "q_basket_rules" -> ((s: SparkSession, d: String) => Graph.basketRules(s, d)),
+    "q_session_paths" -> ((s: SparkSession, d: String) => Temporal.sessionPaths(s, d)),
     "q_churn_labels" -> ((s: SparkSession, d: String) => Behavioral.churnLabels(s, d)),
     "q_hybrid_rrf" -> ((s: SparkSession, d: String) => Search.hybridRrf(s, d)),
     // rows-only: iterative peeling fixpoint (like CC/PageRank — no
@@ -2172,6 +2174,57 @@ object SparkEntry {
         | 'test_in_train' AS direction
         |FROM tagged WHERE split_a = 'test' AND split_b = 'train'
         |ORDER BY train_doc, test_doc, direction""".stripMargin,
+    "q_basket_rules" ->
+      """WITH op AS (
+        | SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+        |pn AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM op GROUP BY p),
+        |pairs AS (
+        | SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS n_uv
+        | FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        | GROUP BY a.p, b.p HAVING count(*) >= 2),
+        |directed AS (
+        | SELECT u AS antecedent, v AS consequent, n_uv AS n_both FROM pairs
+        | UNION ALL
+        | SELECT v AS antecedent, u AS consequent, n_uv AS n_both FROM pairs)
+        |SELECT d.antecedent, d.consequent, d.n_both,
+        | pa.n_p AS n_ant, pc.n_p AS n_cons,
+        | round(CAST(d.n_both AS DOUBLE) / pa.n_p, 6) AS confidence,
+        | round(CAST(d.n_both AS DOUBLE) * n.n_orders
+        |   / (CAST(pa.n_p AS DOUBLE) * pc.n_p), 6) AS lift
+        |FROM directed d
+        |JOIN pn pa ON d.antecedent = pa.p
+        |JOIN pn pc ON d.consequent = pc.p
+        |CROSS JOIN n
+        |ORDER BY lift DESC, antecedent, consequent
+        |LIMIT 50""".stripMargin,
+    "q_session_paths" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+        |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        | FROM events),
+        |s AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  sum(CASE WHEN prev_ts IS NULL
+        |        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM e),
+        |r AS (
+        | SELECT user_id, session_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id, session_id
+        |    ORDER BY ts, event_id) AS rn
+        | FROM s),
+        |p AS (
+        | SELECT user_id, session_id,
+        |  string_agg(event_type, ' > ' ORDER BY rn) AS path
+        | FROM r WHERE rn <= 8 GROUP BY user_id, session_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path
+        |LIMIT 20""".stripMargin,
     "q_ab_lift" ->
       """WITH u AS (
         | SELECT user_id,

@@ -405,6 +405,57 @@ object Graph {
       .agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Market-basket ASSOCIATION RULES over the order/part baskets —
+    * support, confidence and lift for every directed part pair
+    * co-ordered in ≥ `minSupport` orders (Agrawal & Srikant's Apriori
+    * readout at the pair level, which is where retail/corpus
+    * co-occurrence mining starts). Oracle-surface arithmetic: supports
+    * are exact longs; confidence (n_ab/n_a) and lift (n_ab·N /
+    * (n_a·n_b)) are fixed trees of correctly-rounded IEEE divisions,
+    * rounded at the edge, ranked on the rounded value with pair
+    * tiebreaks.
+    *
+    * Plan: row-local basket pair generation (sorted per-order part
+    * sets, the same prologue as [[copurchaseEdges]]), one pair-keyed
+    * count, a |parts|-sized count relation joined twice (broadcast at
+    * dimension scale), the order total as a 1-row broadcast, and a
+    * `TakeOrderedAndProject` top-N. */
+  def basketRules(spark: SparkSession, dir: String, minSupport: Int = 2,
+      topN: Int = 50): DataFrame = {
+    val op = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val nOrders = op.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val partN = op.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val pairN = op.groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
+        .as("e"))
+      .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+      .agg(count(lit(1)).as("n_uv"))
+      .filter(col("n_uv") >= minSupport)
+    val directed = pairN.select(col("u").as("antecedent"),
+        col("v").as("consequent"), col("n_uv").as("n_both"))
+      .unionByName(pairN.select(col("v").as("antecedent"),
+        col("u").as("consequent"), col("n_uv").as("n_both")))
+    directed
+      .join(partN.select(col("p").as("antecedent"), col("n_p").as("n_ant")),
+        Seq("antecedent"))
+      .join(partN.select(col("p").as("consequent"), col("n_p").as("n_cons")),
+        Seq("consequent"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        col("n_ant"), col("n_cons"),
+        round(col("n_both").cast("double") / col("n_ant"), 6).as("confidence"),
+        round(col("n_both").cast("double") * col("n_orders")
+          / (col("n_ant").cast("double") * col("n_cons")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(topN)
+  }
+
   /** q_kcore: the 3-core of the co-purchase part graph — parts that
     * stay mutually densely co-ordered after everything weakly attached
     * is peeled away. */

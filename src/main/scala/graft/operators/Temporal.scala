@@ -138,6 +138,39 @@ object Temporal {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Top SESSION PATHS — the "what do users actually do" readout over
+    * [[sessionize]]'s 30-minute-gap sessions: each session becomes its
+    * ordered event-type sequence (truncated at 8 steps, so the path
+    * string is bounded regardless of session length), and the query
+    * reports the most common paths. Per-session event lists are
+    * bounded by the sessionization contract; the final count is
+    * path-keyed and `TakeOrderedAndProject`-cut. */
+  def sessionPaths(spark: SparkSession, dir: String,
+      maxSteps: Int = 8, topN: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(
+        transform(
+          slice(array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type").as("etype")))), 1, maxSteps),
+          e => e.getField("etype")),
+        " > ").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topN)
+  }
+
   /** Tumbling time-bucket aggregate — the batch twin of the streaming
     * windowed agg (graft.streaming). */
   def timeBucket(spark: SparkSession, dir: String): DataFrame =

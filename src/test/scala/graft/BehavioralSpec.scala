@@ -181,6 +181,41 @@ class BehavioralSpec extends AnyFunSuite {
     assert(res(firstDay.toString) == firstDayUsers.toLong)
   }
 
+  test("session paths: counts equal a driver walk with the 30-minute gap " +
+    "and 8-step truncation") {
+    val got = graft.operators.Temporal.sessionPaths(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_sessions"))
+    assert(got.nonEmpty && got.length <= 20)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map { r =>
+        val t = r.getTimestamp(1)
+        (r.getLong(0), (t.getTime / 1000) * 1000000L + t.getNanos / 1000,
+          r.getLong(2), r.getString(3))
+      }
+    val paths = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      var prev = Long.MinValue
+      sorted.foreach { r =>
+        if (prev != Long.MinValue && r._2 - prev > 1800000000L)
+          sessions += scala.collection.mutable.ArrayBuffer.empty[String]
+        sessions.last += r._4
+        prev = r._2
+      }
+      sessions.map(_.take(8).mkString(" > "))
+    }
+    val expect = paths.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // every reported path matches the driver count; the report is the
+    // top-20 under (count desc, path)
+    got.foreach { case (p, n) =>
+      assert(expect.getOrElse(p, -1L) == n, s"path '$p'") }
+    val cut = expect.toSeq.sortBy { case (p, n) => (-n, p) }.take(got.length)
+    assert(got.toSeq == cut, "report must be the exact top-N slice")
+  }
+
   test("ab lift: cohort counts equal a driver recount; degenerate pooled " +
     "variance emits a null z, not a division error") {
     val row = graft.operators.Behavioral.abLift(spark, sf).collect().head

@@ -215,6 +215,37 @@ class GraphSpec extends AnyFunSuite {
     assert(got == brute, s"kCore $got vs brute peel $brute")
   }
 
+  test("basket rules: supports, confidence and lift equal a driver " +
+    "recount over the raw baskets") {
+    val got = graft.operators.Graph.basketRules(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 50)
+    val op = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = op.map(_._1).distinct.length.toLong
+    val partN = op.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val baskets = op.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val pairN = baskets.flatMap(ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2L)
+    got.foreach { r =>
+      val (a, c) = (r.getLong(0), r.getLong(1))
+      val nBoth = pairN.getOrElse(if (a < c) (a, c) else (c, a), -1L)
+      assert(r.getAs[Long]("n_both") == nBoth, s"support for ($a,$c)")
+      assert(r.getAs[Long]("n_ant") == partN(a) &&
+        r.getAs[Long]("n_cons") == partN(c))
+      val conf = BigDecimal(nBoth.toDouble / partN(a))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("confidence") - conf) < 1e-9)
+      val lift = BigDecimal(nBoth.toDouble * nOrders / (partN(a).toDouble * partN(c)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("lift") - lift) < 1e-9)
+    }
+    // ranked by (lift desc, antecedent, consequent) — a total order
+    val key = got.map(r => (-r.getAs[Double]("lift"), r.getLong(0), r.getLong(1)))
+    assert(key.sameElements(key.sorted), "rule ranking must follow the total order")
+  }
+
   test("q_kcore: co-purchase 3-core members all hold core degree >= 3, " +
       "core_deg is the within-core degree, and the query is its top slice") {
     val full = graft.operators.Graph.kCore(
