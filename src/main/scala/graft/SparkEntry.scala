@@ -224,6 +224,9 @@ object SparkEntry {
     "q_dedup_keep_best" -> (Dedup.keepBest _),
     "q_ab_lift" -> ((s: SparkSession, d: String) => Behavioral.abLift(s, d)),
     "q_basket_rules" -> ((s: SparkSession, d: String) => Graph.basketRules(s, d)),
+    "q_fk_orphans" -> (Quality.fkOrphans _),
+    "q_benford" -> (Quality.benfordDigits _),
+    "q_source_drift" -> ((s: SparkSession, d: String) => Quality.sourceDrift(s, d)),
     "q_session_paths" -> ((s: SparkSession, d: String) => Temporal.sessionPaths(s, d)),
     "q_churn_labels" -> ((s: SparkSession, d: String) => Behavioral.churnLabels(s, d)),
     "q_hybrid_rrf" -> ((s: SparkSession, d: String) => Search.hybridRrf(s, d)),
@@ -2174,6 +2177,82 @@ object SparkEntry {
         | 'test_in_train' AS direction
         |FROM tagged WHERE split_a = 'test' AND split_b = 'train'
         |ORDER BY train_doc, test_doc, direction""".stripMargin,
+    "q_fk_orphans" ->
+      """SELECT * FROM (
+        | SELECT 'customer.c_nationkey -> nation' AS fk_edge,
+        |  CAST(count(*) AS BIGINT) AS n_orphans
+        | FROM customer c
+        | WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |                   WHERE n.n_nationkey = c.c_nationkey)
+        | UNION ALL
+        | SELECT 'lineitem.l_orderkey -> orders',
+        |  CAST(count(*) AS BIGINT)
+        | FROM lineitem l
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                   WHERE o.o_orderkey = l.l_orderkey)
+        | UNION ALL
+        | SELECT 'lineitem.l_partkey -> part', CAST(count(*) AS BIGINT)
+        | FROM lineitem l
+        | WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                   WHERE p.p_partkey = l.l_partkey)
+        | UNION ALL
+        | SELECT 'lineitem.l_suppkey -> supplier', CAST(count(*) AS BIGINT)
+        | FROM lineitem l
+        | WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |                   WHERE s.s_suppkey = l.l_suppkey)
+        | UNION ALL
+        | SELECT 'orders.o_custkey -> customer', CAST(count(*) AS BIGINT)
+        | FROM orders o
+        | WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                   WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY fk_edge""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (
+        | SELECT CAST(substring(CAST(l_extendedprice AS VARCHAR), 1, 1) AS INT)
+        |   AS digit
+        | FROM lineitem),
+        |c AS (
+        | SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+        | WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |e AS (
+        | SELECT digit, CAST(expected_p AS DOUBLE) AS expected_p FROM (VALUES
+        |  (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+        |  (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+        |  (9, 0.045757)) AS v(digit, expected_p))
+        |SELECT CAST(c.digit AS BIGINT) AS digit, c.n, e.expected_p,
+        | round(CAST(c.n AS DOUBLE) / t.total, 6) AS observed_p,
+        | round((CAST(c.n AS DOUBLE) - e.expected_p * t.total)
+        |   * (CAST(c.n AS DOUBLE) - e.expected_p * t.total)
+        |   / (e.expected_p * t.total), 6) AS chi2_part
+        |FROM c JOIN e USING (digit) CROSS JOIN t
+        |ORDER BY digit""".stripMargin,
+    "q_source_drift" ->
+      """WITH toks AS (
+        | SELECT source,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        | FROM documents),
+        |counts AS (
+        | SELECT tok,
+        |  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_in,
+        |  CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_out
+        | FROM toks GROUP BY tok
+        | HAVING n_in + n_out >= 20),
+        |totals AS (
+        | SELECT CAST(sum(n_in) AS BIGINT) AS t_in,
+        |  CAST(sum(n_out) AS BIGINT) AS t_out FROM counts)
+        |SELECT tok, n_in, n_out,
+        | round((CAST(n_in AS DOUBLE)
+        |     - CAST(n_in + n_out AS DOUBLE) * t_in / (t_in + t_out))
+        |   * (CAST(n_in AS DOUBLE)
+        |     - CAST(n_in + n_out AS DOUBLE) * t_in / (t_in + t_out))
+        |   / (CAST(n_in + n_out AS DOUBLE) * t_in / (t_in + t_out)), 6)
+        |   AS chi2_in
+        |FROM counts CROSS JOIN totals
+        |ORDER BY chi2_in DESC, tok
+        |LIMIT 30""".stripMargin,
     "q_basket_rules" ->
       """WITH op AS (
         | SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -156,4 +156,112 @@ object Quality {
     * see the corpus-adaptation note above). */
   def gopherRulesDocs(spark: SparkSession, dir: String): DataFrame =
     gopherRules(spark, dir, minStopHits = 1)
+
+  /** REFERENTIAL-INTEGRITY audit across the star schema: per foreign-key
+    * edge, how many child rows point at a missing parent — the
+    * ingest-health check a warehouse runs after every load (orphans mean
+    * a partial load, a late dimension, or key corruption). One
+    * left-anti join per edge (parent side column-pruned to its key;
+    * broadcast at dimension scale, shuffle at fact scale — AQE's call),
+    * unioned into a fixed |edges|-row report. */
+  def fkOrphans(spark: SparkSession, dir: String): DataFrame = {
+    def orphanCount(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame =
+      child.select(col(childKey))
+        .join(parent.select(col(parentKey)),
+          col(childKey) === col(parentKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_orphans"))
+    orphanCount("lineitem.l_orderkey -> orders",
+        Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey")
+      .unionByName(orphanCount("lineitem.l_partkey -> part",
+        Tables.lineitem(spark, dir), "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionByName(orphanCount("lineitem.l_suppkey -> supplier",
+        Tables.lineitem(spark, dir), "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .unionByName(orphanCount("orders.o_custkey -> customer",
+        Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .unionByName(orphanCount("customer.c_nationkey -> nation",
+        Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"))
+      .orderBy(col("fk_edge"))
+  }
+
+  /** BENFORD first-digit screening of a monetary column — the classic
+    * fabricated-data / unit-mixing detector: observed first-significant-
+    * digit shares vs Benford's log distribution, with each digit's
+    * chi-square contribution. The Benford expectations are nine LITERAL
+    * constants (log10(1+1/d) pre-rounded to 6dp), so every figure is a
+    * fixed tree of exact counts and correctly-rounded divisions — fully
+    * oracle-checkable, no libm in either engine. One map-side-combined
+    * digit groupBy; the total rides as a window over the 9-row result. */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val expected = Map(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+      4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+      8 -> 0.051153, 9 -> 0.045757)
+    val expCol = expected.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("digit"), lit(1)))
+    // first char of the plain decimal rendering — prices sit far from
+    // the 1e7 threshold where either engine would switch to E-notation,
+    // and a numeric floor(x/10^floor(log10 x)) would drag libm log10
+    // onto the oracle surface
+    Tables.lineitem(spark, dir)
+      .select(substring(col("l_extendedprice").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .filter(col("digit").between(1, 9))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(w))
+      .select(col("digit").cast("long").as("digit"), col("n"),
+        expCol.as("expected_p"),
+        round(col("n").cast("double") / col("total"), 6).as("observed_p"),
+        round(
+          (col("n").cast("double") - expCol * col("total"))
+            * (col("n").cast("double") - expCol * col("total"))
+            / (expCol * col("total")), 6).as("chi2_part"))
+      .orderBy(col("digit"))
+  }
+
+  /** SOURCE token-distribution DRIFT — "which tokens make source X read
+    * differently from the rest of the corpus", the monitoring question
+    * behind mixture rebalancing and contamination triage. Per token, a
+    * 2×2 chi-square contribution comparing in-source vs rest-of-corpus
+    * counts (expected under independence) — chi-square rather than KL
+    * because it is POLYNOMIAL in the counts (KL's ln is libm-skewed →
+    * rows-only; this stays on the oracle surface). Two map-side token
+    * counts + a |vocab|-row join; top-N cut on (rounded chi2, token),
+    * a total order. */
+  def sourceDrift(spark: SparkSession, dir: String,
+      source: String = "src0", minCount: Long = 20L,
+      topN: Int = 30): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+"))
+        .as("tok"))
+    val counts = toks
+      .groupBy(col("tok"))
+      .agg(sum(when(col("source") === source, 1L).otherwise(0L)).as("n_in"),
+        sum(when(col("source") =!= source, 1L).otherwise(0L)).as("n_out"))
+      .filter(col("n_in") + col("n_out") >= minCount)
+    val totals = counts.agg(sum(col("n_in")).as("t_in"),
+      sum(col("n_out")).as("t_out"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("tok"), col("n_in"), col("n_out"),
+        round(
+          ((col("n_in").cast("double")
+              - (col("n_in") + col("n_out")).cast("double") * col("t_in")
+                / (col("t_in") + col("t_out")))
+            * (col("n_in").cast("double")
+              - (col("n_in") + col("n_out")).cast("double") * col("t_in")
+                / (col("t_in") + col("t_out")))
+            / ((col("n_in") + col("n_out")).cast("double") * col("t_in")
+              / (col("t_in") + col("t_out")))), 6).as("chi2_in"))
+      .orderBy(col("chi2_in").desc, col("tok"))
+      .limit(topN)
+  }
 }

@@ -36,7 +36,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     // broadcast 1-row scalar frames (reference day / cut instant /
     // threshold array)
     "q_decayed_engagement", "q_sliding_distinct", "q_equidepth_hist",
-    "q_churn_labels", "q_basket_rules",
+    "q_churn_labels", "q_basket_rules", "q_source_drift",
     // broadcast 1-row normalized query vector against the embeddings
     // scan (the dense leg's per-row dot product) — same class as the
     // lazily-attached scalars above
