@@ -225,6 +225,8 @@ object SparkEntry {
     "q_ab_lift" -> ((s: SparkSession, d: String) => Behavioral.abLift(s, d)),
     "q_basket_rules" -> ((s: SparkSession, d: String) => Graph.basketRules(s, d)),
     "q_fk_orphans" -> (Quality.fkOrphans _),
+    "q_score_calibration" -> (Quality.scoreCalibration _),
+    "q_dup_rate_source" -> (Quality.dupRateBySource _),
     "q_benford" -> (Quality.benfordDigits _),
     "q_source_drift" -> ((s: SparkSession, d: String) => Quality.sourceDrift(s, d)),
     "q_session_paths" -> ((s: SparkSession, d: String) => Temporal.sessionPaths(s, d)),
@@ -2177,6 +2179,38 @@ object SparkEntry {
         | 'test_in_train' AS direction
         |FROM tagged WHERE split_a = 'test' AND split_b = 'train'
         |ORDER BY train_doc, test_doc, direction""".stripMargin,
+    "q_score_calibration" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS n_tok,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> list_contains(['the','a','and','of','to','in','is','for'], x))) AS DOUBLE) AS n_stop,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS n_punct,
+        |  CAST(length(text) AS DOUBLE) AS len
+        | FROM documents),
+        |q AS (
+        | SELECT doc_id, source,
+        |  round(least(len / 500.0, 1.0) * 0.4
+        |    + least(n_stop / n_tok * 4.0, 1.0) * 0.4
+        |    + (1.0 - least(n_punct / len * 10.0, 1.0)) * 0.2, 4) AS quality
+        | FROM t)
+        |SELECT doc_id, source, quality,
+        | round(CAST(percent_rank() OVER (PARTITION BY source ORDER BY quality)
+        |   AS DOUBLE), 6) AS calib
+        |FROM q
+        |ORDER BY doc_id""".stripMargin,
+    "q_dup_rate_source" ->
+      """WITH keepers AS (
+        | SELECT min(doc_id) AS doc_id
+        | FROM documents
+        | GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dups,
+        | round(CAST(sum(CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END)
+        |     AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM documents d LEFT JOIN keepers k ON d.doc_id = k.doc_id
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin,
     "q_fk_orphans" ->
       """SELECT * FROM (
         | SELECT 'customer.c_nationkey -> nation' AS fk_edge,

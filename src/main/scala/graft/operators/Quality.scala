@@ -157,6 +157,64 @@ object Quality {
   def gopherRulesDocs(spark: SparkSession, dir: String): DataFrame =
     gopherRules(spark, dir, minStopHits = 1)
 
+  /** Per-source QUALITY-SCORE CALIBRATION: replace each document's raw
+    * quality score with its within-source percentile — the
+    * rank-transform that makes incomparable per-source score scales
+    * mixable (source A's "0.5" may be source B's top decile). Semantics
+    * are exactly `percent_rank() OVER (PARTITION BY source ORDER BY
+    * quality)` — ties share a percentile, so no arbitrary tiebreak can
+    * flip anything — but built the `q_quality_tiers` way: a cumulative
+    * window over the per-(source, rounded-score) DISTINCT-SCORE
+    * relation (thousands of rows per source) joined back to the docs,
+    * never a window that puts an entire source's documents in one
+    * partition. Integer rank arithmetic + one division → oracle-exact. */
+  def scoreCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.operators.TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    val groups = scored.groupBy(col("source"), col("quality"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val ranked = groups
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("n_src", sum(col("n")).over(wTot))
+      .select(col("source"), col("quality"),
+        // docs strictly worse / (n-1): percent_rank with shared ties;
+        // a single-doc source has no rank spread — calib 0 (the ANSI
+        // division would otherwise hit 0/0)
+        when(col("n_src") > 1,
+          round((col("cum") - col("n")).cast("double")
+            / (col("n_src") - 1), 6)).otherwise(lit(0.0)).as("calib"))
+    scored.join(ranked, Seq("source", "quality"))
+      .select(col("doc_id"), col("source"), col("quality"), col("calib"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Duplication rate PER SOURCE — "which sources are copying whom",
+    * the curation diagnostic that decides where dedup budget goes:
+    * share of each source's documents that lose [[Dedup.exact]]'s
+    * keep-one vote (they duplicate a smaller-id doc, here or
+    * elsewhere). Keep set from the digest groupBy; one left join on
+    * the keeper flag; per-source conditional aggregation. */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val keepers = graft.operators.Dedup.exact(spark, dir)
+      .select(col("keep_id").as("doc_id"), lit(1).as("is_keeper"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(keepers, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_keeper").isNull, 1L).otherwise(0L)).as("n_dups"))
+      .withColumn("dup_rate",
+        round(col("n_dups").cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
   /** REFERENTIAL-INTEGRITY audit across the star schema: per foreign-key
     * edge, how many child rows point at a missing parent — the
     * ingest-health check a warehouse runs after every load (orphans mean

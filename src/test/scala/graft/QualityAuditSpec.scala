@@ -46,6 +46,43 @@ class QualityAuditSpec extends AnyFunSuite {
     assert(n == direct, "every price has a first digit in 1..9")
   }
 
+  test("score calibration: equals a driver percent_rank with shared ties, " +
+    "bounded in [0,1]") {
+    val got = graft.operators.Quality.scoreCalibration(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val bySource = got.groupBy(_._2._1)
+    bySource.foreach { case (_, docs) =>
+      val n = docs.length
+      docs.foreach { case (id, (_, q, calib)) =>
+        val worse = docs.count(_._2._2 < q)
+        val expect = if (n > 1)
+          BigDecimal(worse.toDouble / (n - 1))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0
+        assert(math.abs(calib - expect) < 1e-9,
+          s"doc $id calib $calib vs driver $expect")
+        assert(calib >= 0.0 && calib <= 1.0)
+      }
+    }
+  }
+
+  test("dup rate by source: equals a recount over the exact-dedup groups") {
+    val got = graft.operators.Quality.dupRateBySource(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_dups"))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val keepers = docs.groupBy(_._3).values.map(_.map(_._1).min).toSet
+    val expect = docs.groupBy(_._2).map { case (s, rows) =>
+      s -> (rows.length.toLong, rows.count(r => !keepers(r._1)).toLong)
+    }
+    assert(got == expect)
+  }
+
   test("source drift: reported counts equal a driver token recount and " +
     "the cut follows the (chi2 desc, token) total order") {
     val got = graft.operators.Quality.sourceDrift(spark, sf).collect()
