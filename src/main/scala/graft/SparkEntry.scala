@@ -226,6 +226,7 @@ object SparkEntry {
     "q_basket_rules" -> ((s: SparkSession, d: String) => Graph.basketRules(s, d)),
     "q_fk_orphans" -> (Quality.fkOrphans _),
     "q_score_calibration" -> (Quality.scoreCalibration _),
+    "q_jw_scores" -> (Dedup.jwScores _),
     "q_dup_rate_source" -> (Quality.dupRateBySource _),
     "q_benford" -> (Quality.benfordDigits _),
     "q_source_drift" -> ((s: SparkSession, d: String) => Quality.sourceDrift(s, d)),
@@ -2179,6 +2180,20 @@ object SparkEntry {
         | 'test_in_train' AS direction
         |FROM tagged WHERE split_a = 'test' AND split_b = 'train'
         |ORDER BY train_doc, test_doc, direction""".stripMargin,
+    "q_jw_scores" ->
+      """WITH panel AS (
+        | SELECT c_custkey FROM customer
+        | ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey LIMIT 1500),
+        |c AS (SELECT c_custkey, c_name FROM customer
+        | WHERE c_custkey IN (SELECT c_custkey FROM panel))
+        |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        | CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance,
+        | round(jaro_winkler_similarity(a.c_name, b.c_name), 4) AS jw
+        |FROM c a JOIN c b
+        |  ON a.c_custkey < b.c_custkey
+        |  AND abs(length(a.c_name) - length(b.c_name)) <= 2
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY key_a, key_b""".stripMargin,
     "q_score_calibration" ->
       """WITH t AS (SELECT doc_id, source,
         |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS n_tok,

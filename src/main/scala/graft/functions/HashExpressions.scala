@@ -35,6 +35,7 @@ object HashExpressions {
   def hammingDistance(a: Column, b: Column): Column = toCol(HammingDistance(toExpr(a), toExpr(b)))
   def rollingShingles(c: Column, k: Int): Column = toCol(RollingShingles(toExpr(c), Literal(k)))
   def cosineSimilarity(a: Column, b: Column): Column = toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+  def jaroWinkler(a: Column, b: Column): Column = toCol(JaroWinkler(toExpr(a), toExpr(b)))
   def dotProduct(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
   def minhashSignature(c: Column, k: Int): Column = toCol(MinHashSignature(toExpr(c), Literal(k)))
   def zorder2(a: Column, b: Column): Column = toCol(ZOrder2(toExpr(a), toExpr(b)))
@@ -92,6 +93,28 @@ case class RollingShingles(child: Expression, kExpr: Expression)
 /** Fused cosine similarity over two double arrays: one sequential pass
   * accumulating dot, |a|², |b|² — index order is fixed, which keeps the
   * result bit-stable across engines for oracle comparison. */
+/** Jaro-Winkler string similarity — the standard record-linkage name
+  * scorer (Winkler 1990): Jaro match/transposition similarity boosted
+  * by up to 4 chars of common prefix when the base similarity clears
+  * 0.7. Canonical semantics verified value-for-value against DuckDB's
+  * `jaro_winkler_similarity` (same 0.7 boost threshold, 0.0 for any
+  * empty side), which is what lets JW-scored pairs stay on the DuckDB
+  * oracle surface. O(|s|·window) with two small boolean scratch
+  * arrays; codegen'd via the static kernel like the other
+  * expressions. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(ExprRuntime.jaroWinkler(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprRuntime.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinkler =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaro_winkler"
+}
+
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -201,6 +224,59 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
   * forwarder, breaking whole-stage codegen compilation.
   */
 object ExprRuntime {
+
+  /** Canonical Jaro-Winkler; see [[JaroWinkler]]. Operates on the
+    * decoded strings (char-level, like DuckDB) rather than UTF-8
+    * bytes — a multi-byte code point must count as one position. */
+  def jaroWinkler(aRaw: UTF8String, bRaw: UTF8String): Double = {
+    val a = aRaw.toString
+    val b = bRaw.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aMatch = new Array[Boolean](la)
+    val bMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+          aMatch(i) = true; bMatch(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: matched chars out of relative order, halved
+    var halfT = 0
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (aMatch(i)) {
+        while (!bMatch(j)) j += 1
+        if (a.charAt(i) != b.charAt(j)) halfT += 1
+        j += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    // transpositions FLOOR the half-count (rapidfuzz/DuckDB semantics,
+    // also Winkler's original tables) — the continuous halfT/2.0 was
+    // measured to diverge from DuckDB on odd half-counts
+    val jaro = (md / la + md / lb + (md - (halfT / 2)) / md) / 3.0
+    if (jaro > 0.7) {
+      val maxL = math.min(4, math.min(la, lb))
+      var l = 0
+      while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
 
   def simhash64(s: UTF8String): Long = {
     val bytes = s.getBytes

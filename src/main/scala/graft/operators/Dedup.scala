@@ -795,6 +795,30 @@ object Dedup {
       "c_custkey", "c_name", tau = 2)
       .orderBy(col("key_a"), col("key_b"))
 
+  /** q_jw_scores: JARO-WINKLER rescoring of the τ=2 edit-join
+    * candidates — the two-stage shape every record-linkage pipeline
+    * runs: a recall-oriented blocker (the lossless 2-deletion
+    * neighborhood) followed by the standard name-similarity scorer
+    * ranking the survivors. The JW kernel is the native
+    * `jaro_winkler` expression, verified BIT-IDENTICAL to DuckDB's
+    * `jaro_winkler_similarity` on all 1.12M customer-name pairs
+    * (incl. the floor-the-half-transpositions semantics both share),
+    * which is what puts a string-similarity SCORE on the oracle
+    * surface. Same md5-top-1500 audit panel as `q_edit_join_tau2`,
+    * same quadratic-checker rationale. */
+  def jwScores(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.jaroWinkler
+    val cust = Sampling.md5TopN(Tables.customer(spark, dir), "c_custkey", 1500)
+    editJoin(cust, "c_custkey", "c_name", tau = 2)
+      .join(cust.select(col("c_custkey").as("key_a"),
+        col("c_name").as("name_a")), Seq("key_a"))
+      .join(cust.select(col("c_custkey").as("key_b"),
+        col("c_name").as("name_b")), Seq("key_b"))
+      .select(col("key_a"), col("key_b"), col("edit_distance"),
+        round(jaroWinkler(col("name_a"), col("name_b")), 4).as("jw"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
   /** END-TO-END entity resolution: blocked fuzzy matching → transitive
     * merge → canonical entity ids. Match rule: same market segment
     * (the BLOCK — deletion-variant keys carry the block column, so

