@@ -721,21 +721,26 @@ object Dedup {
     * join relies on. A length-band predicate (||a|−|b|| ≤ τ) prunes the
     * collapse-to-short collisions τ=2 creates among very short strings
     * before the pair shuffle. */
-  def editJoin(df: DataFrame, keyCol: String, strCol: String,
-      blockCols: Seq[String] = Nil, tau: Int = 1,
-      maxKeyLen: Int = 256): DataFrame = {
-    require(tau == 1 || tau == 2, s"editJoin supports tau 1 or 2, got $tau")
-    // variant 0 = the string itself; 1-deletions; for τ=2 also the
-    // (i < j) 2-deletions, distinct'd (repeated chars collide)
+  /** The τ-deletion variant set of column `s` as a SQL expression —
+    * variant 0 = the string itself; 1-deletions; for τ=2 also the
+    * (i < j) 2-deletions, distinct'd (repeated chars collide). Shared
+    * by [[editJoin]] and the persisted edit index. */
+  private def deletionVariantsExpr(tau: Int): String = {
     val del1 = "if(length(s) < 1, array(), transform(sequence(1, length(s)), " +
       "i -> concat(substring(s, 1, i - 1), substring(s, i + 1))))"
     val del2 = "if(length(s) < 2, array(), flatten(transform(" +
       "sequence(1, length(s) - 1), i -> transform(sequence(i + 1, length(s)), " +
       "j -> concat(substring(s, 1, i - 1), substring(s, i + 1, j - i - 1), " +
       "substring(s, j + 1))))))"
-    val variants =
-      if (tau == 1) s"array_union(array(s), $del1)"
-      else s"array_distinct(concat(array(s), $del1, $del2))"
+    if (tau == 1) s"array_union(array(s), $del1)"
+    else s"array_distinct(concat(array(s), $del1, $del2))"
+  }
+
+  def editJoin(df: DataFrame, keyCol: String, strCol: String,
+      blockCols: Seq[String] = Nil, tau: Int = 1,
+      maxKeyLen: Int = 256): DataFrame = {
+    require(tau == 1 || tau == 2, s"editJoin supports tau 1 or 2, got $tau")
+    val variants = deletionVariantsExpr(tau)
     val fenced = df
       .select(col(keyCol).as("k") +: col(strCol).as("s") +:
         blockCols.map(col): _*)
@@ -794,6 +799,56 @@ object Dedup {
     editJoin(Sampling.md5TopN(Tables.customer(spark, dir), "c_custkey", 1500),
       "c_custkey", "c_name", tau = 2)
       .orderBy(col("key_a"), col("key_b"))
+
+  /** Persist the corpus side of the edit join as a PROBE-ABLE index —
+    * the FIFTH index family with the build/probe split (MinHash,
+    * containment, BM25, IVF, edit): deletion-variant postings
+    * (variant, key, name) BUCKETED AND SORTED by variant, so an
+    * arrival batch's variant equi-join reads the corpus co-located
+    * with no Exchange and per-wave cost scales with the batch's
+    * variant fan-out, never the corpus. The transformWithState
+    * [[graft.streaming.Streams]].editIndexStream is the
+    * recency-bounded STATE flavor of the same idea; this is the
+    * unbounded persisted-corpus flavor (the full entity registry,
+    * grown by batch appends). */
+  def buildEditIndex(spark: SparkSession, dir: String, name: String,
+      nBuckets: Int = 8, tau: Int = 1, maxKeyLen: Int = 256): Unit = {
+    require(tau == 1 || tau == 2, s"edit index supports tau 1 or 2, got $tau")
+    val postings = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_name").as("s"))
+      .withColumn("s",
+        when(length(col("s")) <= maxKeyLen, col("s")).otherwise(raise_error(
+          concat(lit(s"edit index key longer than maxKeyLen=$maxKeyLen: "),
+            col("s")))))
+      .select(col("k"), col("s"),
+        explode(expr(deletionVariantsExpr(tau))).as("variant"))
+    graft.sources.FormatIO.writeBucketed(
+      postings.select(col("variant"), col("k").as("index_key"),
+        col("s").as("index_name")),
+      s"${name}_postings", "variant", nBuckets, sortCol = Some("variant"))
+  }
+
+  /** Probe the persisted edit index with a batch of (key, name) rows:
+    * directed candidates (probe → index) within edit distance ≤ τ,
+    * verified with the banded `levenshtein`. Probing the index's own
+    * corpus reproduces [[editJoin]]'s pairs symmetrized
+    * (spec-proved). */
+  def probeEditIndex(spark: SparkSession, name: String, probes: DataFrame,
+      tau: Int = 1): DataFrame = {
+    val p = probes
+      .select(col("probe_key"), col("probe_name").as("s"))
+      .select(col("probe_key"), col("s").as("probe_name"),
+        explode(expr(deletionVariantsExpr(tau))).as("variant"))
+    p.join(spark.table(s"${name}_postings"), Seq("variant"))
+      .filter(col("probe_key") =!= col("index_key") &&
+        abs(length(col("probe_name")) - length(col("index_name"))) <= tau)
+      .groupBy(col("probe_key"), col("index_key"))
+      .agg(first(col("probe_name")).as("pn"), first(col("index_name")).as("in_"))
+      .select(col("probe_key"), col("index_key"),
+        levenshtein(col("pn"), col("in_"), tau).cast("long").as("edit_distance"))
+      .filter(col("edit_distance") >= 0 && col("edit_distance") <= tau)
+      .orderBy(col("probe_key"), col("index_key"))
+  }
 
   /** q_jw_scores: JARO-WINKLER rescoring of the τ=2 edit-join
     * candidates — the two-stage shape every record-linkage pipeline

@@ -1038,6 +1038,25 @@ object Streams {
       }
       .start()
 
+  /** Streaming fuzzy-key screening against the PERSISTED edit index
+    * ([[graft.operators.Dedup.buildEditIndex]]): each micro-batch of
+    * arriving (probe_key, probe_name) rows asks "which registry
+    * entries is this within τ edits of" — the persisted-corpus
+    * complement of [[editIndexStream]]'s recency-bounded state flavor
+    * (full entity registry vs recent arrivals); per-wave cost scales
+    * with the batch's deletion-variant fan-out, the variant-bucketed
+    * postings never reshuffle. */
+  def editProbeStream(spark: SparkSession, probes: DataFrame,
+      indexName: String, outPath: String, checkpoint: String,
+      tau: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
+    probes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.probeEditIndex(spark, indexName, batch, tau)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** Streaming ANN against the PERSISTED IVF index
     * ([[graft.operators.Similarity.buildIvfIndex]]): each micro-batch
     * of arriving query vectors (vec_id, v: array<double>, raw —

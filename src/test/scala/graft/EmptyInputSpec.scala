@@ -64,6 +64,9 @@ class EmptyInputSpec extends AnyFunSuite {
       graft.sources.Tables.events(spark, emptyDir), Seq("event_type"), "user_id")
     assert(graft.operators.Incremental.mergeDistinctSnapshots(
       emptySnap, emptySnap, Seq("event_type")).count() == 0)
+    graft.operators.Dedup.buildEditIndex(spark, emptyDir, "edit_empty")
+    assert(graft.operators.Dedup.probeEditIndex(spark, "edit_empty",
+      Seq((1L, "name")).toDF("probe_key", "probe_name")).count() == 0)
     // compacting an empty-but-present parquet dir is a no-op rewrite
     val cdir = java.nio.file.Files.createTempDirectory("graft-empty-compact").toString
     graft.sources.Tables.documents(spark, emptyDir).write.parquet(s"$cdir/t")

@@ -1149,6 +1149,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted edit index: self-probe reproduces the batch editJoin " +
+    "symmetrized; streaming probe equals one batch probe") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.operators.Dedup.buildEditIndex(sp, sf, "edit_persist_idx")
+    val cust = graft.sources.Tables.customer(sp, sf)
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // self-probe == editJoin pairs, both directions
+    val self = graft.operators.Dedup.probeEditIndex(sp, "edit_persist_idx",
+        cust.toSeq.toDF("probe_key", "probe_name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Dedup.editNeighbors(sp, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(batch.nonEmpty)
+    assert(self == batch.flatMap(p => Seq(p, p.swap)).toSet,
+      "self-probe must be the symmetrized editJoin")
+    // micro-batched arrivals == one batch probe of the arrival set
+    val arrivals = cust.take(60)
+    val out = java.nio.file.Files.createTempDirectory("graft-editp-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-editp-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.editProbeStream(sp,
+      input.toDF().toDF("probe_key", "probe_name"), "edit_persist_idx", out, ckpt)
+    arrivals.grouped(25).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = sp.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneProbe = graft.operators.Dedup.probeEditIndex(sp, "edit_persist_idx",
+        arrivals.toSeq.toDF("probe_key", "probe_name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == oneProbe,
+      s"streamed edit probe diverged: only-stream=${(streamed -- oneProbe).take(3)} " +
+        s"only-batch=${(oneProbe -- streamed).take(3)}")
+  }
+
   test("streaming IVF probe: micro-batched query vectors get exactly the " +
     "batch probe's per-query top-k") {
     val sp = spark
