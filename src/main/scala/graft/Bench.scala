@@ -95,7 +95,16 @@ object Bench {
       keep -= 1
       line = render(sorted.take(keep), sorted.size - keep)
     }
-    println(line)
+    // The stdout line interleaves with log4j output (round 6's harness
+    // tail glued a WARN line in front of the JSON and parsed null), so:
+    // (a) a leading newline guarantees the JSON starts at column 0, and
+    // (b) the UNTRUNCATED line goes to its own file — the
+    // machine-readable artifact, free of both the tail budget and any
+    // logger interleaving. Path override via SPARK_GRAFT_BENCH_OUT.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (render(sorted, 0) + "\n").getBytes("UTF-8"))
+    println("\n" + line)
     spark.stop()
   }
 }

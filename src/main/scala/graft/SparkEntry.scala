@@ -2257,7 +2257,7 @@ object SparkEntry {
         |ORDER BY fk_edge""".stripMargin,
     "q_benford" ->
       """WITH d AS (
-        | SELECT CAST(substring(CAST(l_extendedprice AS VARCHAR), 1, 1) AS INT)
+        | SELECT TRY_CAST(regexp_extract(CAST(l_extendedprice AS VARCHAR), '[1-9]') AS INT)
         |   AS digit
         | FROM lineitem),
         |c AS (

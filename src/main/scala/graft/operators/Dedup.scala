@@ -248,12 +248,34 @@ object Dedup {
       .withColumn("band_key", xxhash64(col("band_id"), col("band_sig")))
     val index = spark.table(s"${name}_bands")
       .withColumnRenamed("doc_id", "idx_doc")
+    // no terminal orderBy: probes are LIBRARY operators feeding further
+    // plans — presentation ordering belongs at the caller's edge, not
+    // as a global Exchange inside every probe (PlanHygieneSpec asserts)
     probe.join(index, Seq("band_key", "band_id", "band_sig"))
       .filter(col("doc_id") =!= col("idx_doc"))
       .select(least(col("doc_id"), col("idx_doc")).as("doc_a"),
         greatest(col("doc_id"), col("idx_doc")).as("doc_b"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DELTA APPEND a batch of new documents (`doc_id`, `text`) into the
+    * persisted MinHash band index — the maintenance operation that was
+    * missing from the build/probe pair: [[buildMinhashIndex]] is a full
+    * corpus rebuild, so before this, keeping the index current cost
+    * O(corpus) per ingest wave even though probing cost O(batch). The
+    * batch's band rows are row-local to compute and land in the SAME
+    * buckets a rebuild would place them (append reuses the table's own
+    * bucket spec), so `append(batch) ∘ build(corpus)` is
+    * probe-indistinguishable from `build(corpus ∪ batch)`
+    * (parity-spec-proved) and per-wave cost is O(batch). Compose with
+    * [[graft.sources.FormatIO.compactBucketedTable]] to fold the
+    * per-wave file accretion back to one file per bucket. */
+  def appendToMinhashIndex(spark: SparkSession, name: String,
+      newDocs: DataFrame): Unit = {
+    val bands = banded(shingledOf(newDocs))
+      .select(col("doc_id"), col("band_id"), col("band_sig"))
+      .withColumn("band_key", xxhash64(col("band_id"), col("band_sig")))
+    graft.sources.FormatIO.appendBucketed(spark, bands, s"${name}_bands")
   }
 
   /** Normalized whitespace tokens (single-space split after collapsing
@@ -595,7 +617,13 @@ object Dedup {
   def probeContainmentIndex(spark: SparkSession, name: String,
       newDocs: DataFrame, tau: Double = 0.6, shingle: Int = 3): DataFrame = {
     val sets = tokenShingleSetsOf(newDocs, shingle).localCheckpoint()
+    // the df relation is LOG-STRUCTURED: the build writes one segment of
+    // per-shingle counts and every append adds another, so the true df
+    // is the merge-on-read sum (exact — integer counts). Keeps append
+    // O(batch): updating a single materialized df relation in place
+    // would be an O(distinct-shingles) rewrite per wave.
     val dfreq = spark.table(s"${name}_df")
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
     val prefixes = sets
       .select(col("doc_id"), size(col("st")).as("sz"), explode(col("st")).as("tok"))
       .join(dfreq, Seq("tok"), "left")
@@ -622,7 +650,33 @@ object Dedup {
           size(col("sa"))).as("c"))
       .filter(col("c") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("c"), 4).as("containment"))
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DELTA APPEND a batch of new documents into the persisted
+    * containment index — same maintenance contract as
+    * [[appendToMinhashIndex]]: the batch's postings and shingle sets
+    * append into the index's own bucket layouts (bucket placement
+    * matches a rebuild's, so probes stay shuffle-free on the index
+    * side), and the df relation gets one more log segment that probes
+    * sum on read. `append(batch) ∘ build(corpus)` is probe-equal to
+    * `build(corpus ∪ batch)` — the df merge is exact integer
+    * arithmetic, and candidate-prefix ORDER differences cannot change
+    * results anyway (prefix filtering is recall-lossless under any
+    * order; the verify join makes precision exact). */
+  def appendToContainmentIndex(spark: SparkSession, name: String,
+      newDocs: DataFrame, shingle: Int = 3): Unit = {
+    val sets = tokenShingleSetsOf(newDocs, shingle).localCheckpoint()
+    graft.sources.FormatIO.appendBucketed(spark,
+      sets.select(col("doc_id").as("doc_b"), size(col("st")).as("sz_b"),
+        explode(col("st")).as("tok")),
+      s"${name}_postings")
+    graft.sources.FormatIO.appendBucketed(spark,
+      sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("st", "sb"),
+      s"${name}_sets")
+    sets.select(explode(col("st")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(s"${name}_df")
   }
 
   /** C4-style SEGMENT-level dedup (Raffel et al. 2020 dedup lines;
@@ -814,40 +868,93 @@ object Dedup {
   def buildEditIndex(spark: SparkSession, dir: String, name: String,
       nBuckets: Int = 8, tau: Int = 1, maxKeyLen: Int = 256): Unit = {
     require(tau == 1 || tau == 2, s"edit index supports tau 1 or 2, got $tau")
-    val postings = Tables.customer(spark, dir)
-      .select(col("c_custkey").as("k"), col("c_name").as("s"))
+    graft.sources.FormatIO.writeBucketed(
+      editPostingsOf(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("k"), col("c_name").as("s")),
+        tau, maxKeyLen),
+      s"${name}_postings", "variant", nBuckets, sortCol = Some("variant"))
+    // build parameters PERSIST WITH the index: SymSpell completeness
+    // needs up-to-τ deletions on BOTH sides, so probing a τ=1-built
+    // index at τ=2 would silently lose distance-2 pairs whose variants
+    // require two index-side deletions — the probe reads this meta row
+    // and refuses a τ above the build's instead
+    import spark.implicits._
+    Seq((tau, maxKeyLen)).toDF("tau", "max_key_len")
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_meta")
+  }
+
+  /** (k, s) → fenced τ-deletion-variant postings (variant, index_key,
+    * index_name) — shared by [[buildEditIndex]] and
+    * [[appendToEditIndex]] so both sides of the index are generated by
+    * the identical plan. */
+  private def editPostingsOf(rows: DataFrame, tau: Int,
+      maxKeyLen: Int): DataFrame =
+    rows
       .withColumn("s",
         when(length(col("s")) <= maxKeyLen, col("s")).otherwise(raise_error(
           concat(lit(s"edit index key longer than maxKeyLen=$maxKeyLen: "),
             col("s")))))
       .select(col("k"), col("s"),
         explode(expr(deletionVariantsExpr(tau))).as("variant"))
-    graft.sources.FormatIO.writeBucketed(
-      postings.select(col("variant"), col("k").as("index_key"),
-        col("s").as("index_name")),
-      s"${name}_postings", "variant", nBuckets, sortCol = Some("variant"))
+      .select(col("variant"), col("k").as("index_key"),
+        col("s").as("index_name"))
+
+  /** DELTA APPEND a batch of (key, name) rows into the persisted edit
+    * index — same maintenance contract as [[appendToMinhashIndex]]: the
+    * batch's deletion-variant postings are generated under the INDEX'S
+    * OWN build parameters (τ, maxKeyLen — read from the `_meta` row, so
+    * an append can never mix variant neighborhoods) and land in the
+    * same buckets a rebuild would place them. */
+  def appendToEditIndex(spark: SparkSession, name: String,
+      batch: DataFrame): Unit = {
+    val meta = spark.table(s"${name}_meta").collect().head
+    graft.sources.FormatIO.appendBucketed(spark,
+      editPostingsOf(batch.select(col("key").as("k"), col("name").as("s")),
+        meta.getAs[Int]("tau"), meta.getAs[Int]("max_key_len")),
+      s"${name}_postings")
   }
 
-  /** Probe the persisted edit index with a batch of (key, name) rows:
-    * directed candidates (probe → index) within edit distance ≤ τ,
-    * verified with the banded `levenshtein`. Probing the index's own
-    * corpus reproduces [[editJoin]]'s pairs symmetrized
-    * (spec-proved). */
+  /** Probe the persisted edit index with a batch of (probe_key,
+    * probe_name) rows: directed candidates (probe → index) within edit
+    * distance ≤ τ, verified with the banded `levenshtein`. The probe τ
+    * must not exceed the τ the index was BUILT with (enforced against
+    * the persisted `_meta` row — a larger probe τ would silently lose
+    * recall, see [[buildEditIndex]]); a smaller τ is sound, because
+    * distance-≤τ' pairs need only τ' deletions on either side. A
+    * probe key carrying several distinct names is matched on each name
+    * and reports the BEST (minimum) verified distance per (probe,
+    * index) pair — deterministic, where a `first(name)` would verify
+    * against an arbitrary one. Probing the index's own corpus
+    * reproduces [[editJoin]]'s pairs symmetrized (spec-proved). */
   def probeEditIndex(spark: SparkSession, name: String, probes: DataFrame,
       tau: Int = 1): DataFrame = {
+    val builtTau = spark.table(s"${name}_meta").collect().head.getAs[Int]("tau")
+    require(tau <= builtTau,
+      s"probe tau=$tau exceeds the index's build tau=$builtTau " +
+        s"($name was built with $builtTau-deletion variants; probing " +
+        "above that silently loses recall — rebuild the index at the " +
+        "larger tau instead)")
     val p = probes
+      .select(col("probe_key"), col("probe_name")).distinct()
       .select(col("probe_key"), col("probe_name").as("s"))
       .select(col("probe_key"), col("s").as("probe_name"),
         explode(expr(deletionVariantsExpr(tau))).as("variant"))
     p.join(spark.table(s"${name}_postings"), Seq("variant"))
       .filter(col("probe_key") =!= col("index_key") &&
         abs(length(col("probe_name")) - length(col("index_name"))) <= tau)
-      .groupBy(col("probe_key"), col("index_key"))
-      .agg(first(col("probe_name")).as("pn"), first(col("index_name")).as("in_"))
+      // collapse multi-variant collisions to ONE verify per (probe row,
+      // index row) — grouping carries both NAMES, so no nondeterministic
+      // first() ever picks which string gets verified
+      .select(col("probe_key"), col("probe_name"),
+        col("index_key"), col("index_name"))
+      .distinct()
       .select(col("probe_key"), col("index_key"),
-        levenshtein(col("pn"), col("in_"), tau).cast("long").as("edit_distance"))
+        levenshtein(col("probe_name"), col("index_name"), tau)
+          .cast("long").as("edit_distance"))
       .filter(col("edit_distance") >= 0 && col("edit_distance") <= tau)
-      .orderBy(col("probe_key"), col("index_key"))
+      .groupBy(col("probe_key"), col("index_key"))
+      .agg(min(col("edit_distance")).as("edit_distance"))
   }
 
   /** q_jw_scores: JARO-WINKLER rescoring of the τ=2 edit-join

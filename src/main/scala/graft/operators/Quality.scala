@@ -265,13 +265,17 @@ object Quality {
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pmod(col("digit"), lit(1)))
-    // first char of the plain decimal rendering — prices sit far from
-    // the 1e7 threshold where either engine would switch to E-notation,
-    // and a numeric floor(x/10^floor(log10 x)) would drag libm log10
-    // onto the oracle surface
+    // first NONZERO char of the decimal rendering — i.e. the first
+    // significant digit even for values in (0,1) ("0.042" -> 4), which
+    // a substring(…,1,1) would misread as '0' and silently drop. The
+    // [1-9] scan is render-robust: in E-notation the mantissa leads
+    // with its first significant digit, so both engines agree without
+    // dragging libm log10 onto the oracle surface.
+    // ANSI cast of the no-match "" (an all-zero value) must yield null,
+    // not throw — hence the nullif guard on both engines
     Tables.lineitem(spark, dir)
-      .select(substring(col("l_extendedprice").cast("string"), 1, 1)
-        .cast("int").as("digit"))
+      .select(nullif(regexp_extract(col("l_extendedprice").cast("string"),
+        "[1-9]", 0), lit("")).cast("int").as("digit"))
       .filter(col("digit").between(1, 9))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n"))

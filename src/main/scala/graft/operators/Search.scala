@@ -155,9 +155,42 @@ object Search {
       s"${name}_postings", "tok", nBuckets, sortCol = Some("tok"))
     graft.sources.FormatIO.writeBucketed(lens, s"${name}_lens", "doc_id",
       nBuckets)
-    lens.agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(col("dl")).as("avgdl"))
+    // stats persist as MERGEABLE moments (count, Σdl) rather than the
+    // finished avgdl: the build writes one segment and every
+    // [[appendToSearchIndex]] adds another, so probes derive
+    // avgdl = ΣΣdl / Σn on read — exact (dl is a whole number, the sums
+    // never leave the 2^53 integer-exact range at any plausible corpus)
+    lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.format("parquet").mode("overwrite").saveAsTable(s"${name}_stats")
+  }
+
+  /** The 1-row merged corpus stats (n_docs, avgdl) from the
+    * log-structured `_stats` segments. */
+  private def mergedStats(spark: SparkSession, name: String): DataFrame =
+    spark.table(s"${name}_stats")
+      .agg(sum(col("n_docs")).cast("double").as("n_docs"),
+        (sum(col("sum_dl")) / sum(col("n_docs")).cast("double")).as("avgdl"))
+
+  /** DELTA APPEND a batch of new documents (`doc_id`, `text`) into the
+    * persisted BM25 index — same maintenance contract as
+    * [[graft.operators.Dedup.appendToMinhashIndex]]: postings and
+    * doc-length norms append into the index's own bucket layouts, the
+    * stats relation gets one more (count, Σdl) segment. Appended doc
+    * ids must be NEW (the standard immutable-corpus ingest contract —
+    * postings are unique per (tok, doc), which is what lets probes
+    * derive df by counting matched postings). */
+  def appendToSearchIndex(spark: SparkSession, name: String,
+      newDocs: DataFrame): Unit = {
+    val lens = newDocs.select(col("doc_id"),
+      size(tokensCol).cast("double").as("dl"))
+    graft.sources.FormatIO.appendBucketed(spark,
+      newDocs.select(col("doc_id"), explode(tokensCol).as("tok"))
+        .groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("tf")),
+      s"${name}_postings")
+    graft.sources.FormatIO.appendBucketed(spark, lens, s"${name}_lens")
+    lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.format("parquet").mode("append").saveAsTable(s"${name}_stats")
   }
 
   /** Probe the persisted index with a bag of query terms: exactly
@@ -173,7 +206,7 @@ object Search {
     val tf = spark.table(s"${name}_postings")
       .filter(col("tok").isInCollection(terms))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val stats = spark.table(s"${name}_stats")
+    val stats = mergedStats(spark, name)
     val idf = df.crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
@@ -208,7 +241,7 @@ object Search {
       .join(broadcast(toks), Seq("tok"))
     // postings are unique per (tok, doc) — count IS the doc frequency
     val df = matched.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val stats = spark.table(s"${name}_stats")
+    val stats = mergedStats(spark, name)
     val idf = df.crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
@@ -230,7 +263,9 @@ object Search {
       .filter(col("rank") <= topN)
       .select(col("query_id"), col("doc_id"), col("bm25"),
         col("n_terms_matched"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    // no terminal orderBy: the per-query rank column already carries the
+    // semantics; global presentation ordering belongs at the caller's
+    // edge, not as an Exchange inside a library probe
   }
 
   /** HYBRID retrieval by Reciprocal Rank Fusion (Cormack, Clarke &

@@ -301,7 +301,8 @@ object Similarity {
     * many times; at 100 TB this converts the per-query index shuffle
     * into a one-time write. */
   def buildIvfIndex(spark: SparkSession, dir: String, name: String,
-      nCentroids: Int = 16, kmeansIters: Int = 3, nBuckets: Int = 8): Unit = {
+      nCentroids: Int = 16, kmeansIters: Int = 3, nBuckets: Int = 8,
+      centroidSource: Option[String] = None): Unit = {
     import spark.implicits._
     // materialized once — Lloyd iterations + the posting-list write all
     // re-read this working set (see annIvf)
@@ -310,7 +311,15 @@ object Similarity {
         expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
           .as("vn"))
       .localCheckpoint()
-    val centroids = trainCentroids(spark, normed, nCentroids, kmeansIters)
+    // centroidSource REUSES another index's trained codebook instead of
+    // running Lloyd — the "re-shard with frozen centroids" maintenance
+    // rebuild, and the pinned-codebook reference the append parity spec
+    // compares [[appendToIvfIndex]] against (append assigns under the
+    // existing centroids; retraining is by definition a full rebuild)
+    val centroids = centroidSource match {
+      case Some(src) => loadCentroids(spark, src)
+      case None => trainCentroids(spark, normed, nCentroids, kmeansIters)
+    }
     centroids.zipWithIndex
       .map { case (c, i) => ((i + 1).toLong, c) }.toSeq
       .toDF("bucket", "centroid")
@@ -334,6 +343,45 @@ object Similarity {
       "bucket", nBuckets, sortCol = Some("bucket"))
   }
 
+  /** The stored codebook of index `name` as K×dim doubles —
+    * dim-bounded driver state (K centroids, never corpus rows). */
+  private def loadCentroids(spark: SparkSession,
+      name: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.table(s"${name}_centroids")
+      .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
+  }
+
+  /** DELTA APPEND a batch of (vec_id, v) vectors into the persisted IVF
+    * index — same maintenance contract as
+    * [[graft.operators.Dedup.appendToMinhashIndex]]: each batch vector
+    * is assigned to its nearest EXISTING centroid (the codebook is
+    * frozen on append, as in every production IVF — retraining is by
+    * definition a rebuild) and its posting appends into the index's own
+    * bucket layout. `append(batch) ∘ build(corpus)` is probe-equal to
+    * `build(corpus ∪ batch, centroidSource = the corpus codebook)`
+    * (parity-spec-proved). Periodically rebuild when the appended mass
+    * shifts the data distribution enough that frozen-codebook recall
+    * decays — the standard IVF maintenance trade. */
+  def appendToIvfIndex(spark: SparkSession, name: String,
+      batch: DataFrame): Unit = {
+    val centroids = loadCentroids(spark, name)
+    require(centroids.nonEmpty,
+      s"appendToIvfIndex($name): index has no centroids (built on an " +
+        "empty corpus) — rebuild on a non-empty corpus before appending")
+    val dots = array(centroids.toIndexedSeq.map(c =>
+      dotProduct(col("vn"), typedlit(c.toSeq))): _*)
+    val postings = batch
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+          .as("vn"))
+      .withColumn("dots", dots)
+      .withColumn("bucket",
+        expr("array_position(dots, array_max(dots))").cast("long"))
+      .select(col("vec_id").as("id_b"), col("vn").as("vb"), col("bucket"))
+    graft.sources.FormatIO.appendBucketed(spark, postings, s"${name}_postings")
+  }
+
   /** Probe a persisted IVF index: centroids load as K×dim doubles (a
     * broadcast-sized read), the query side explodes to its nProbe
     * nearest lists, and the candidate join hits the bucketed posting
@@ -349,9 +397,7 @@ object Similarity {
     * at a time. */
   def probeIvfIndexOn(spark: SparkSession, name: String, queries: DataFrame,
       k: Int = 3, nProbe: Int = 8): DataFrame = {
-    import spark.implicits._
-    val centroids = spark.table(s"${name}_centroids")
-      .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val centroids = loadCentroids(spark, name)
     if (centroids.isEmpty)
       return queries.select(col("vec_id").as("id_a"),
         col("vec_id").as("id_b"), lit(0.0).as("cosine"), lit(0L).as("rank"))
@@ -377,7 +423,9 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"), col("rank"))
-      .orderBy(col("id_a"), col("rank"))
+    // no terminal orderBy: the rank column carries the per-query order;
+    // presentation sorting belongs at the caller's edge, not as a
+    // global Exchange inside a library probe
   }
 
   /** Sample-based nProbe auto-tuning: estimate recall@k on a

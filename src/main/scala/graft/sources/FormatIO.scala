@@ -61,6 +61,91 @@ object FormatIO {
     w.saveAsTable(table)
   }
 
+  /** The bucket spec of an existing bucketed table, read from the
+    * catalog — [[appendBucketed]] and [[compactBucketedTable]] derive
+    * the layout from the table itself, so a caller can never mismatch
+    * the bucket count or key and silently break the co-location the
+    * index probes rely on. */
+  private def bucketSpecOf(spark: SparkSession, table: String)
+      : org.apache.spark.sql.catalyst.catalog.BucketSpec = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table carries no bucket spec — appendBucketed/compactBucketedTable " +
+        "exist to preserve a bucketed layout; use plain append/compact " +
+        "for unbucketed tables"))
+  }
+
+  /** DELTA APPEND into an existing bucketed table, preserving its
+    * layout. Bucket ids come from the same Murmur3-pmod hash as shuffle
+    * HashPartitioning, so appended rows land in the SAME logical bucket
+    * as a full rebuild would place them — probes keep reading the index
+    * side co-located, and maintenance cost becomes O(batch) instead of
+    * the O(corpus) full rebuild. The pre-write `repartition` onto the
+    * bucket key bounds the small-file accretion to ≤ nBuckets files per
+    * append wave (each task then holds exactly one bucket); periodic
+    * [[compactBucketedTable]] folds the waves back to one file per
+    * bucket. */
+  def appendBucketed(spark: SparkSession, df: DataFrame, table: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spec = bucketSpecOf(spark, table)
+    var w = df.repartition(spec.numBuckets, col(spec.bucketColumnNames.head))
+      .write.format("parquet").mode(SaveMode.Append)
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    if (spec.sortColumnNames.nonEmpty)
+      w = w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    w.saveAsTable(table)
+  }
+
+  case class TableCompactStats(filesBefore: Long, filesAfter: Long)
+
+  /** Bucket-PRESERVING compaction for an appended-to bucketed table —
+    * the maintenance half of [[appendBucketed]]. [[compact]]'s
+    * round-robin rewrite would destroy the bucket layout (and with it
+    * every probe's shuffle-freedom), so this rewrites through the SAME
+    * bucket spec: one shuffle onto the bucket key (one task per bucket
+    * → one file per bucket), staged as `<table>_compact_tmp`, then
+    * promoted by a catalog drop + rename. A crash between the drop and
+    * the rename self-heals on the next call (the staged table is
+    * complete before the live one is dropped). Same single-writer
+    * maintenance-window contract as [[compact]]: run with appends to
+    * this table quiesced. */
+  def compactBucketedTable(spark: SparkSession, table: String): TableCompactStats = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.functions.col
+    val cat = spark.sessionState.catalog
+    val tmp = table + "_compact_tmp"
+    // self-heal an interrupted promotion: live dropped, staging complete
+    if (!cat.tableExists(TableIdentifier(table))
+        && cat.tableExists(TableIdentifier(tmp)))
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    val spec = bucketSpecOf(spark, table)
+    val before = spark.table(table).inputFiles.length.toLong
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // read the RAW parquet files, not the catalog table: a catalog scan
+    // advertises the bucket layout, which lets the planner elide the
+    // repartition below — but the multi-file-per-bucket read it elides
+    // it FOR does not put each bucket in its own task, so the rewrite
+    // would re-emit one file per (task, bucket) instead of folding to
+    // one per bucket. A raw scan has unknown partitioning, the shuffle
+    // stays, and task i == bucket i (same Murmur3-pmod hash).
+    val live = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table))
+    var w = spark.read.schema(spark.table(table).schema)
+      .parquet(live.location.toString)
+      .repartition(spec.numBuckets, col(spec.bucketColumnNames.head))
+      .write.format("parquet").mode(SaveMode.Overwrite)
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    if (spec.sortColumnNames.nonEmpty)
+      w = w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    w.saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    TableCompactStats(before, spark.table(table).inputFiles.length.toLong)
+  }
+
   case class CompactStats(filesBefore: Long, bytesBefore: Long,
       filesAfter: Long, bytesAfter: Long)
 
@@ -92,11 +177,39 @@ object FormatIO {
     * `repartition(n)` (round-robin, no key) is deliberate: compaction
     * must balance BYTES across output files, and any keyed layout
     * worth preserving belongs to [[writeZOrdered]]/[[writeBucketed]],
-    * not an unkeyed maintenance pass. */
+    * not an unkeyed maintenance pass.
+    *
+    * SINGLE-WRITER MAINTENANCE WINDOW — stated contract, not an
+    * accident: the swap leaves the live path absent for the instant
+    * between the retire and promote renames (a concurrent reader can
+    * hit FileNotFound and should retry), and rows appended by a
+    * concurrent WRITER after the snapshot read would be dropped by the
+    * overwrite. Run compaction like every table-maintenance pass: with
+    * ingest to this path quiesced. A `<path>.compact-lock` marker makes
+    * a second concurrent compact fail loudly instead of corrupting the
+    * swap; a crashed run leaves the marker behind, and the loud failure
+    * names it so the operator deletes it after confirming no compactor
+    * is alive (preferable to silently stealing a possibly-live lock). */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(path + ".compact-lock")
+    val lockStream = try fs.create(lock, false) catch {
+      case _: java.io.IOException => throw new IllegalStateException(
+        s"compact($path): lock file $lock exists — another compaction " +
+          "is running (or crashed without cleanup); compaction is " +
+          "single-writer. Delete the lock only after confirming no " +
+          "compactor is alive.")
+    }
+    lockStream.close()
+    try compactLocked(spark, path, targetBytes, fs, hPath)
+    finally fs.delete(lock, false)
+  }
+
+  private def compactLocked(spark: SparkSession, path: String,
+      targetBytes: Long, fs: org.apache.hadoop.fs.FileSystem,
+      hPath: org.apache.hadoop.fs.Path): CompactStats = {
     def dataFiles(p: org.apache.hadoop.fs.Path) =
       fs.listStatus(p).toIndexedSeq
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_")

@@ -1076,14 +1076,94 @@ object Streams {
       }
       .start()
 
+  /** Streaming index APPEND — the ingest half of the persisted-index
+    * story, closing the loop the probe streams left open: before this,
+    * streams could only PROBE a persisted index (or hold
+    * recency-bounded state), so growing the corpus index still meant a
+    * batch full rebuild. Each micro-batch appends into the index's own
+    * bucketed layout via the family's `appendToXIndex` (O(batch) per
+    * wave, bucket placement identical to a rebuild's — the batch
+    * parity specs), so `stream appends then probe ≡ batch rebuild then
+    * probe` (spec-proved). Exactly-once caveat, stated not hidden:
+    * `foreachBatch` into a parquet APPEND is at-least-once on restart
+    * after a mid-batch crash (the same contract as every probe stream
+    * above); duplicated postings widen candidate sets but every family
+    * dedups/verifies candidates, so probe RESULTS stay correct except
+    * BM25's df-by-counting — run
+    * [[graft.sources.FormatIO.compactBucketedTable]] + a distinct
+    * rewrite in the recovery runbook, or key batches idempotently
+    * upstream. */
+  def minhashAppendStream(spark: SparkSession, docs: DataFrame,
+      indexName: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.appendToMinhashIndex(spark, indexName, batch)
+      }
+      .start()
+
+  /** Streaming append into the persisted containment index — see
+    * [[minhashAppendStream]] for the shared contract. */
+  def containmentAppendStream(spark: SparkSession, docs: DataFrame,
+      indexName: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.appendToContainmentIndex(spark, indexName, batch)
+      }
+      .start()
+
+  /** Streaming append into the persisted BM25 index — see
+    * [[minhashAppendStream]] for the shared contract. */
+  def searchAppendStream(spark: SparkSession, docs: DataFrame,
+      indexName: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Search.appendToSearchIndex(spark, indexName, batch)
+      }
+      .start()
+
+  /** Streaming append into the persisted edit index (rows: key, name)
+    * — see [[minhashAppendStream]] for the shared contract. */
+  def editAppendStream(spark: SparkSession, rows: DataFrame,
+      indexName: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.appendToEditIndex(spark, indexName, batch)
+      }
+      .start()
+
+  /** Streaming append into the persisted IVF index (rows: vec_id, v) —
+    * frozen-codebook assignment, see [[minhashAppendStream]] for the
+    * shared contract. */
+  def ivfAppendStream(spark: SparkSession, vectors: DataFrame,
+      indexName: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.appendToIvfIndex(spark, indexName, batch)
+      }
+      .start()
+
   case class ViewPtr(view_id: Long, view_ts: Timestamp)
   case class AsOfMatch(event_id: Long, user_id: Long, ts: Timestamp,
       last_view_id: Option[Long], last_view_ts: Option[Timestamp])
 
   /** Full-precision event-time ordering key — `Timestamp.getTime` is
-    * ms-truncated and a µs-level tie would mis-order the walk. */
+    * ms-truncated and a µs-level tie would mis-order the walk.
+    * `floorDiv` (not `/`): truncating division rounds pre-epoch
+    * timestamps TOWARD zero, putting sub-second events before 1970
+    * into the wrong seconds bucket relative to their whole-second
+    * neighbors (`getNanos` is always the non-negative fraction). */
   private def tsKey(t: Timestamp): Long =
-    (t.getTime / 1000L) * 1000000000L + t.getNanos
+    Math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
 
   /** Streaming AS-OF join — the stateful twin of `Temporal.asofJoin` /
     * the custom AsOfJoin Catalyst operator: every arriving purchase is

@@ -241,7 +241,10 @@ class ExtensionsIOSpec extends AnyFunSuite {
     import graft.operators.Similarity
     Similarity.buildIvfIndex(spark, sf, "ivf_idx",
       nCentroids = 16, kmeansIters = 3, nBuckets = 4)
+    // probes return unordered frames (no Exchange for presentation) —
+    // ordering happens here, at the assertion edge
     val probe = Similarity.probeIvfIndex(spark, "ivf_idx", sf, k = 3, nProbe = 8)
+      .orderBy(col("id_a"), col("rank"))
     val direct = Similarity.annIvf(spark, sf, k = 3)
     assert(probe.collect().sameElements(direct.collect()),
       "probing the stored index must reproduce the in-memory operator")
@@ -259,6 +262,7 @@ class ExtensionsIOSpec extends AnyFunSuite {
     Dedup.buildMinhashIndex(spark, sf, "mh_idx", nBuckets = 4)
     val probeDocs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     val probed = Dedup.probeMinhashIndex(spark, "mh_idx", probeDocs)
+      .orderBy(col("doc_a"), col("doc_b"))
     val direct = Dedup.minhashPairs(spark, sf)
     assert(probed.collect().sameElements(direct.collect()),
       "probing the stored index must reproduce the batch band equi-join")
@@ -276,6 +280,7 @@ class ExtensionsIOSpec extends AnyFunSuite {
     Dedup.buildContainmentIndex(spark, sf, "cont_idx", nBuckets = 4)
     val probeDocs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     val probed = Dedup.probeContainmentIndex(spark, "cont_idx", probeDocs)
+      .orderBy(col("doc_a"), col("doc_b"))
     val direct = Dedup.containmentJoin(spark, sf)
     assert(probed.collect().sameElements(direct.collect()),
       "probing the stored index must reproduce the batch containment join")

@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Search, Similarity}
+import graft.sources.{FormatIO, Tables}
+
+/** DELTA APPEND for the five persisted index families (MinHash,
+  * containment, BM25, IVF, edit) — the maintenance half of the
+  * build/probe contract. Each family's parity law:
+  *
+  *   append(batch) ∘ build(corpus)  ≡  build(corpus ∪ batch)
+  *
+  * with ≡ meaning PROBE results are equal (the index is defined by what
+  * probes read from it). Before these appends existed, probes were
+  * O(batch) but keeping an index current was an O(corpus) full rebuild
+  * per ingest wave — the one operation that could not run at 100 TB
+  * cadence. Plus the file-hygiene half:
+  * [[FormatIO.compactBucketedTable]] folds per-wave file accretion back
+  * to one file per bucket WITHOUT changing probe results or breaking
+  * the bucketed layout.
+  */
+class IndexAppendSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  /** Write the corpus split of `table` (rows with key % 3 != 0) into a
+    * temp dir laid out like a testdata SF dir, so the family's builder
+    * can read it; return (corpusDir, batchDf). The batch is the
+    * complement, so corpus ∪ batch == the full sf table and the
+    * full-build reference can read `sf` directly. */
+  private def splitDir(table: String, keyCol: String): (String, DataFrame) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-app-$table").toString
+    val full = Tables.load(spark, sf, table)
+    full.filter(pmod(col(keyCol), lit(3)) =!= 0)
+      .write.parquet(s"$dir/$table.parquet")
+    (dir, full.filter(pmod(col(keyCol), lit(3)) === 0))
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("minhash append: append∘build == build(union), probe-equal; " +
+    "compaction folds the appended files without changing probes") {
+    val (corpusDir, batch) = splitDir("documents", "doc_id")
+    Dedup.buildMinhashIndex(spark, corpusDir, "mh_app_inc", nBuckets = 4)
+    Dedup.appendToMinhashIndex(spark, "mh_app_inc",
+      batch.select(col("doc_id"), col("text")))
+    Dedup.buildMinhashIndex(spark, sf, "mh_app_full", nBuckets = 4)
+    val probes = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .limit(60).localCheckpoint()
+    val inc = rows(Dedup.probeMinhashIndex(spark, "mh_app_inc", probes))
+    val full = rows(Dedup.probeMinhashIndex(spark, "mh_app_full", probes))
+    assert(inc.nonEmpty, "probe must find candidates on this corpus")
+    assert(inc == full, "append∘build must be probe-equal to build(union)")
+    // the appended wave accreted files; compaction folds them back to
+    // one per bucket, probes unchanged, layout still bucketed
+    val stats = FormatIO.compactBucketedTable(spark, "mh_app_inc_bands")
+    assert(stats.filesAfter < stats.filesBefore,
+      s"compaction must reduce the appended file count, got $stats")
+    val compacted = Dedup.probeMinhashIndex(spark, "mh_app_inc", probes)
+    assert(rows(compacted) == full, "compaction must not change probe results")
+    val formatted = compacted.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("Bucketed: true"),
+      s"compacted index must still read bucketed:\n$formatted")
+  }
+
+  test("containment append: probe-equal to build(union) — including the " +
+    "log-structured df relation's merge-on-read") {
+    val (corpusDir, batch) = splitDir("documents", "doc_id")
+    Dedup.buildContainmentIndex(spark, corpusDir, "cont_app_inc", nBuckets = 4)
+    Dedup.appendToContainmentIndex(spark, "cont_app_inc",
+      batch.select(col("doc_id"), col("text")))
+    Dedup.buildContainmentIndex(spark, sf, "cont_app_full", nBuckets = 4)
+    val probes = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .limit(80).localCheckpoint()
+    val inc = rows(Dedup.probeContainmentIndex(spark, "cont_app_inc", probes))
+    val full = rows(Dedup.probeContainmentIndex(spark, "cont_app_full", probes))
+    assert(full.nonEmpty, "probe must find containments on this corpus")
+    assert(inc == full, "append∘build must be probe-equal to build(union)")
+    // the df relation really is segmented (build segment + append
+    // segment), and the merged sums equal the full build's one-shot df
+    assert(spark.table("cont_app_inc_df").select(col("tok")).distinct().count()
+      == spark.table("cont_app_full_df").count(),
+      "merged df vocabulary must equal the one-shot build's")
+  }
+
+  test("bm25 append: probe-equal to build(union) — postings, norms and " +
+    "the mergeable (count, sum_dl) stats segments") {
+    val (corpusDir, batch) = splitDir("documents", "doc_id")
+    Search.buildSearchIndex(spark, corpusDir, "srch_app_inc", nBuckets = 4)
+    Search.appendToSearchIndex(spark, "srch_app_inc",
+      batch.select(col("doc_id"), col("text")))
+    Search.buildSearchIndex(spark, sf, "srch_app_full", nBuckets = 4)
+    val inc = rows(Search.probeSearchIndex(spark, "srch_app_inc"))
+    val full = rows(Search.probeSearchIndex(spark, "srch_app_full"))
+    assert(full.nonEmpty)
+    assert(inc == full, "append∘build must be probe-equal to build(union)")
+    import spark.implicits._
+    val queries = Seq((1L, "data"), (1L, "model"), (2L, "table"), (2L, "join"))
+      .toDF("query_id", "tok")
+    assert(rows(Search.probeSearchIndexMany(spark, "srch_app_inc", queries))
+      == rows(Search.probeSearchIndexMany(spark, "srch_app_full", queries)),
+      "multi-query probe must agree too")
+    assert(spark.table("srch_app_inc_stats").count() == 2L,
+      "stats must be two log segments (build + append), merged on read")
+  }
+
+  test("edit append: probe-equal to build(union); build params persist " +
+    "in _meta and fence an over-tau probe loudly") {
+    val (corpusDir, batch) = splitDir("customer", "c_custkey")
+    Dedup.buildEditIndex(spark, corpusDir, "edit_app_inc", nBuckets = 4)
+    Dedup.appendToEditIndex(spark, "edit_app_inc",
+      batch.select(col("c_custkey").as("key"), col("c_name").as("name")))
+    Dedup.buildEditIndex(spark, sf, "edit_app_full", nBuckets = 4)
+    val probes = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("probe_key"), col("c_name").as("probe_name"))
+      .localCheckpoint()
+    val inc = rows(Dedup.probeEditIndex(spark, "edit_app_inc", probes))
+    val full = rows(Dedup.probeEditIndex(spark, "edit_app_full", probes))
+    assert(full.nonEmpty, "self-probe must find within-1-edit neighbors")
+    assert(inc == full, "append∘build must be probe-equal to build(union)")
+    // probing above the build tau must fail LOUDLY (silent recall loss
+    // otherwise: SymSpell completeness needs tau deletions on BOTH sides)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.probeEditIndex(spark, "edit_app_inc", probes, tau = 2)
+    }
+    assert(err.getMessage.contains("build tau"))
+    // a SMALLER probe tau is sound: tau=1 probe of a tau=2-built index
+    // equals the tau=1-built index's probe (the completeness argument,
+    // measured)
+    Dedup.buildEditIndex(spark, sf, "edit_app_t2", nBuckets = 4, tau = 2,
+      maxKeyLen = 64)
+    assert(rows(Dedup.probeEditIndex(spark, "edit_app_t2", probes, tau = 1))
+      == full, "tau=1 probe must be invariant to the index's larger build tau")
+  }
+
+  test("ivf append: frozen-codebook append is probe-equal to a " +
+    "pinned-centroid rebuild over the union") {
+    val (corpusDir, _) = splitDir("embeddings", "vec_id")
+    val batch = Tables.embeddings(spark, sf)
+      .filter(pmod(col("vec_id"), lit(3)) === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    Similarity.buildIvfIndex(spark, corpusDir, "ivf_app_inc", nBuckets = 4)
+    // the reference: same UNION of vectors, centroids PINNED to the
+    // corpus-trained codebook (append never retrains — that's a rebuild)
+    Similarity.buildIvfIndex(spark, sf, "ivf_app_ref", nBuckets = 4,
+      centroidSource = Some("ivf_app_inc"))
+    Similarity.appendToIvfIndex(spark, "ivf_app_inc", batch)
+    val queries = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50).localCheckpoint()
+    val inc = rows(Similarity.probeIvfIndexOn(spark, "ivf_app_inc", queries))
+    val ref = rows(Similarity.probeIvfIndexOn(spark, "ivf_app_ref", queries))
+    assert(ref.nonEmpty)
+    assert(inc == ref,
+      "append∘build must be probe-equal to the pinned-centroid rebuild")
+  }
+
+  test("compactBucketedTable refuses unbucketed tables; concurrent " +
+    "compact() fails loudly on the lock") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").saveAsTable("plain_tbl")
+    val err = intercept[IllegalArgumentException] {
+      FormatIO.compactBucketedTable(spark, "plain_tbl")
+    }
+    assert(err.getMessage.contains("bucket"))
+    // directory-compaction single-writer guard: a held lock makes a
+    // second compact fail loudly instead of corrupting the swap
+    val dir = java.nio.file.Files.createTempDirectory("graft-lock").toString
+    val tbl = s"$dir/t"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(tbl)
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(tbl + ".compact-lock"), false).close()
+    val lockErr = intercept[IllegalStateException] {
+      FormatIO.compact(spark, tbl)
+    }
+    assert(lockErr.getMessage.contains("compact-lock"))
+    fs.delete(new org.apache.hadoop.fs.Path(tbl + ".compact-lock"), false)
+    // with the lock released the same compact succeeds
+    assert(FormatIO.compact(spark, tbl, targetBytes = Long.MaxValue)
+      .filesAfter >= 1L)
+  }
+}

@@ -145,4 +145,50 @@ class PlanHygieneSpec extends AnyFunSuite {
         s"$q: expected TakeOrderedAndProject in:\n$plan")
     }
   }
+
+  test("index probes plan no global sort — presentation ordering belongs " +
+    "at the caller's edge, not as an Exchange inside a library operator") {
+    import org.apache.spark.sql.functions.col
+    graft.operators.Dedup.buildMinhashIndex(spark, sf, "ph_mh", nBuckets = 4)
+    graft.operators.Dedup.buildContainmentIndex(spark, sf, "ph_cont", nBuckets = 4)
+    graft.operators.Dedup.buildEditIndex(spark, sf, "ph_edit", nBuckets = 4)
+    graft.operators.Search.buildSearchIndex(spark, sf, "ph_srch", nBuckets = 4)
+    graft.operators.Similarity.buildIvfIndex(spark, sf, "ph_ivf", nBuckets = 4)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(20)
+    val custs = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey").as("probe_key"), col("c_name").as("probe_name"))
+      .limit(20)
+    val qvecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(20)
+    import spark.implicits._
+    val qterms = Seq((1L, "data"), (1L, "model")).toDF("query_id", "tok")
+    val probes: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "probeMinhashIndex" ->
+        graft.operators.Dedup.probeMinhashIndex(spark, "ph_mh", docs),
+      "probeContainmentIndex" ->
+        graft.operators.Dedup.probeContainmentIndex(spark, "ph_cont", docs),
+      "probeEditIndex" ->
+        graft.operators.Dedup.probeEditIndex(spark, "ph_edit", custs),
+      "probeSearchIndexMany" ->
+        graft.operators.Search.probeSearchIndexMany(spark, "ph_srch", qterms),
+      "probeIvfIndexOn" ->
+        graft.operators.Similarity.probeIvfIndexOn(spark, "ph_ivf", qvecs))
+    for ((name, df) <- probes) {
+      // a global sort plans as a range-partitioning Exchange; the
+      // windowed ranks' partition-LOCAL sorts are fine and stay
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("rangepartitioning"),
+        s"$name plans a global sort:\n$plan")
+    }
+    // the single-query search probe is the exception that PROVES the
+    // rule: its ordering is top-N semantics and must plan as
+    // TakeOrderedAndProject, not a global sort either
+    val topn = graft.operators.Search.probeSearchIndex(spark, "ph_srch")
+      .queryExecution.executedPlan.toString
+    assert(topn.contains("TakeOrderedAndProject") &&
+      !topn.contains("rangepartitioning"),
+      s"probeSearchIndex must cut top-N without a global sort:\n$topn")
+  }
 }

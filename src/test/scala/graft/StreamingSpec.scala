@@ -1364,4 +1364,77 @@ class StreamingSpec extends AnyFunSuite {
       case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming index append: micro-batched appends grow the persisted " +
+    "indexes to probe-equality with a batch full rebuild") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // corpus = doc_id % 3 != 0, streamed arrivals = the complement, so
+    // corpus + stream == the full sf table and the full rebuild can
+    // read sf directly (the batch append parity spec's construction)
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-sapp-docs").toString
+    val docs = graft.sources.Tables.documents(sp, sf)
+      .select(col("doc_id"), col("text"))
+    docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .write.parquet(s"$corpusDir/documents.parquet")
+    graft.operators.Dedup.buildMinhashIndex(sp, corpusDir, "mh_sapp_idx",
+      nBuckets = 4)
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sapp-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.minhashAppendStream(sp,
+      input.toDF().toDF("doc_id", "text"), "mh_sapp_idx", ckpt)
+    arrivals.grouped(math.max(1, arrivals.length / 3 + 1)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    graft.operators.Dedup.buildMinhashIndex(sp, sf, "mh_sapp_full",
+      nBuckets = 4)
+    val probes = docs.limit(60).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val streamed = rows(graft.operators.Dedup
+      .probeMinhashIndex(sp, "mh_sapp_idx", probes))
+    val rebuilt = rows(graft.operators.Dedup
+      .probeMinhashIndex(sp, "mh_sapp_full", probes))
+    assert(rebuilt.nonEmpty)
+    assert(streamed == rebuilt,
+      "streamed appends then probe must equal batch rebuild then probe")
+    // second family through the same stream shape: the edit index
+    val custDir = java.nio.file.Files
+      .createTempDirectory("graft-sapp-cust").toString
+    val cust = graft.sources.Tables.customer(sp, sf)
+      .select(col("c_custkey"), col("c_name"))
+    cust.filter(pmod(col("c_custkey"), lit(3)) =!= 0)
+      .write.parquet(s"$custDir/customer.parquet")
+    graft.operators.Dedup.buildEditIndex(sp, custDir, "edit_sapp_idx",
+      nBuckets = 4)
+    val keyArrivals = cust.filter(pmod(col("c_custkey"), lit(3)) === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val eCkpt = java.nio.file.Files.createTempDirectory("graft-sapp-eck").toString
+    val eInput = MemoryStream[(Long, String)]
+    val eq = Streams.editAppendStream(sp,
+      eInput.toDF().toDF("key", "name"), "edit_sapp_idx", eCkpt)
+    keyArrivals.grouped(math.max(1, keyArrivals.length / 2 + 1)).foreach { chunk =>
+      eInput.addData(chunk.toIndexedSeq)
+      eq.processAllAvailable()
+    }
+    eq.stop()
+    graft.operators.Dedup.buildEditIndex(sp, sf, "edit_sapp_full",
+      nBuckets = 4)
+    val eProbes = cust
+      .select(col("c_custkey").as("probe_key"), col("c_name").as("probe_name"))
+      .localCheckpoint()
+    val eStreamed = rows(graft.operators.Dedup
+      .probeEditIndex(sp, "edit_sapp_idx", eProbes))
+    val eRebuilt = rows(graft.operators.Dedup
+      .probeEditIndex(sp, "edit_sapp_full", eProbes))
+    assert(eRebuilt.nonEmpty)
+    assert(eStreamed == eRebuilt,
+      "streamed edit appends then probe must equal batch rebuild then probe")
+  }
 }
