@@ -99,14 +99,19 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup candidate pairs: equi-join on band signature. */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = banded(shingled(spark, dir)).select("doc_id", "band_id", "band_sig")
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(Tables.documents(spark, dir))
+      .orderBy("doc_a", "doc_b")
+
+  /** Core of [[minhashPairs]] over any (doc_id, text) frame — the unit
+    * the skew-stress probes drive with crafted boilerplate corpora. */
+  def minhashPairsOf(docs: DataFrame): DataFrame = {
+    val bands = banded(shingledOf(docs)).select("doc_id", "band_id", "band_sig")
     val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_id"), col("band_sig"))
     a.join(b, Seq("band_id", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Exact n-gram Jaccard on LSH candidates, single scan: shingle arrays

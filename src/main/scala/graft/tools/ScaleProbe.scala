@@ -154,6 +154,23 @@ object ScaleProbe {
       ("q_hybrid_rrf", 1.0, (d, _) => graft.operators.Search.hybridRrf(spark, d)),
       // documents, score-distribution-driven (window state is bounded)
       ("q_token_budget", 1.0, (d, _) => graft.operators.TextAnalysis.tokenBudgetSelect(spark, d)),
+      // skew stress: a CONSTANT 300-copy boilerplate family planted
+      // into the growing corpus — the hot band buckets (and their
+      // quadratic pair mass) are the same at 1× and N×, so the probe
+      // measures whether a hot bucket's PRESENCE breaks the
+      // background's linear scaling (a straggler that serializes the
+      // stage would blow the ratio), complementing SkewStressSpec's
+      // plan-level asserts. Growing the family instead would measure
+      // data-quadratic output, not the plan — the minhashPairs
+      // exclusion above.
+      ("skew_hot_band", 1.0, (d, _) => {
+        val boiler = (1 to 60).map(i => s"boiler$i").mkString(" ")
+        val hot = spark.range(300).select((-col("id") - 1).as("doc_id"),
+          lit(boiler).as("text"))
+        graft.operators.Dedup.minhashPairsOf(
+          spark.read.parquet(s"$d/documents.parquet")
+            .select(col("doc_id"), col("text")).unionByName(hot))
+      }),
       // NOT q_media_phash_dup / q_split_leakage / q_blast_radius: like
       // minhashPairs, their OUTPUT is pair-shaped over template
       // families, so the replicated corpus grows it ~N²/2 by
