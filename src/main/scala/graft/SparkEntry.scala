@@ -236,8 +236,52 @@ object SparkEntry {
     // rows-only: iterative peeling fixpoint (like CC/PageRank — no
     // clean SQL oracle); semantics carried by GraphSpec's crafted
     // clique-plus-tail peel and the driver brute-force parity.
-    "q_kcore" -> ((s: SparkSession, d: String) => Graph.kCoreParts(s, d))
+    "q_kcore" -> ((s: SparkSession, d: String) => Graph.kCoreParts(s, d)),
+    // ...but the peel ITSELF rides the oracle on a bounded md5 panel:
+    // the DuckDB side unrolls the same KCorePanelRounds rounds as
+    // chained CTEs (exact whenever the peel converges inside them —
+    // the Spark side throws on non-convergence, same budget)
+    "q_kcore_panel" -> ((s: SparkSession, d: String) => Graph.kCorePanel(s, d))
   )
+
+  /** The unrolled peel oracle for `q_kcore_panel` — generated so the
+    * round count is [[graft.operators.Graph.KCorePanelRounds]] BY
+    * CONSTRUCTION, not a copy that can drift. Round i filters the
+    * round-(i-1) edge list to endpoints whose degree in it is ≥ k;
+    * extra rounds past the fixpoint are no-ops. The round CTEs are
+    * `AS MATERIALIZED`: DuckDB inlines CTEs by default, and each round
+    * referencing its predecessor three times would expand the 16-round
+    * chain into a 3^16 scan tree (measured: it exhausts the process's
+    * file descriptors on the parquet re-opens before ever finishing). */
+  private def kcorePanelOracleSql(k: Int, panelN: Int): String = {
+    val rounds = graft.operators.Graph.KCorePanelRounds
+    val base =
+      s"""WITH panel AS (
+         | SELECT o_orderkey FROM orders
+         | ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT $panelN),
+         |op AS (
+         | SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+         | WHERE l_orderkey IN (SELECT o_orderkey FROM panel)),
+         |e0 AS MATERIALIZED (
+         | SELECT a.p AS u, b.p AS v FROM op a JOIN op b
+         |  ON a.o = b.o AND a.p < b.p
+         | GROUP BY 1, 2)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      val p = i - 1
+      s""",
+         |k$i AS MATERIALIZED (
+         | SELECT p FROM (SELECT u AS p FROM e$p UNION ALL SELECT v FROM e$p) t
+         | GROUP BY p HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         | SELECT u, v FROM e$p
+         | WHERE u IN (SELECT p FROM k$i) AND v IN (SELECT p FROM k$i))""".stripMargin
+    }.mkString
+    base + iters +
+      s"""
+         |SELECT CAST(p AS BIGINT) AS p, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM (SELECT u AS p FROM e$rounds UNION ALL SELECT v FROM e$rounds) t
+         |GROUP BY p ORDER BY p""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_agg" ->
@@ -778,6 +822,7 @@ object SparkEntry {
         |  SELECT ud.b, r.l FROM reach r JOIN ud ON ud.a = r.n)
         |SELECT n AS c_custkey, min(l) AS entity_id
         |FROM reach GROUP BY n ORDER BY n""".stripMargin,
+    "q_kcore_panel" -> kcorePanelOracleSql(k = 2, panelN = 2000),
     "q_triangle_count" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS (SELECT a.p AS u, b.p AS v FROM op a JOIN op b

@@ -330,9 +330,13 @@ object Graph {
     * set (baskets are bounded small); the weight floor is the density
     * lever that keeps the edge list sparse at any corpus size. */
   def copurchaseEdges(spark: SparkSession, dir: String,
-      minWeight: Int = 2): DataFrame = {
-    val op = graft.sources.Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      minWeight: Int = 2): DataFrame =
+    copurchaseEdgesOf(graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")), minWeight)
+
+  /** Core of [[copurchaseEdges]] over any (o, p) order-part frame —
+    * the unit the panel-bounded oracle queries drive. */
+  def copurchaseEdgesOf(op: DataFrame, minWeight: Int): DataFrame = {
     op.groupBy(col("o"))
       .agg(sort_array(collect_set(col("p"))).as("ps"))
       .select(explode(expr(
@@ -463,4 +467,43 @@ object Graph {
       minWeight: Int = 2): DataFrame =
     kCore(copurchaseEdges(spark, dir, minWeight), "u", "v", k)
       .orderBy(col("core_deg").desc, col("p")).limit(50)
+
+  /** The number of peel rounds [[kCorePanel]] runs AND its DuckDB
+    * oracle unrolls — shared so the two computations are the same
+    * algorithm by construction. */
+  val KCorePanelRounds = 16
+
+  /** ORACLE-CHECKED k-core: the peeling fixpoint over the subgraph
+    * induced by a deterministic md5-top-N part panel (the containment
+    * family's audit-surface pattern). The full-graph operator stays
+    * [[kCoreParts]] (rows-only — an unbounded fixpoint has no clean
+    * SQL form); THIS query makes the peel itself oracle-checkable by
+    * bounding the graph and UNROLLING the rounds: peeling is a nested
+    * fixpoint (each round aggregates the full surviving state, which a
+    * recursive CTE's bag-union semantics cannot express), but a fixed
+    * unroll of [[KCorePanelRounds]] chained CTE rounds is exact
+    * whenever the peel converges within them — extra rounds past the
+    * fixpoint are no-ops, and NON-convergence cannot pass silently:
+    * the Spark side throws (same round budget), and an unconverged
+    * oracle side would still hold sub-k nodes and hash-mismatch. */
+  def kCorePanel(spark: SparkSession, dir: String, k: Int = 2,
+      panelN: Int = 2000): DataFrame = {
+    // the panel bounds ORDERS, not parts: each surviving basket is a
+    // clique (so ≥3-part baskets guarantee the 2-core is non-empty at
+    // every SF — a part panel would starve the induced graph as the
+    // corpus grows), the edge list is ≤ panel × basket² at any scale,
+    // and 2-part baskets / chains still give the peel real work
+    val panel = graft.operators.Sampling.md5TopN(
+      graft.sources.Tables.orders(spark, dir).select(col("o_orderkey")),
+      "o_orderkey", panelN)
+    val op = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .join(broadcast(panel.select(col("o_orderkey").as("o"))), Seq("o"),
+        "left_semi")
+    kCore(copurchaseEdgesOf(op, minWeight = 1), "u", "v", k,
+      maxRounds = KCorePanelRounds)
+      .select(col("p").cast("long").as("p"),
+        col("core_deg").cast("long").as("core_deg"))
+      .orderBy(col("p"))
+  }
 }
