@@ -241,7 +241,10 @@ object SparkEntry {
     // the DuckDB side unrolls the same KCorePanelRounds rounds as
     // chained CTEs (exact whenever the peel converges inside them —
     // the Spark side throws on non-convergence, same budget)
-    "q_kcore_panel" -> ((s: SparkSession, d: String) => Graph.kCorePanel(s, d))
+    "q_kcore_panel" -> ((s: SparkSession, d: String) => Graph.kCorePanel(s, d)),
+    "q_chunk_spans" -> ((s: SparkSession, d: String) => TextAnalysis.chunkSpans(s, d)),
+    "q_mixture_weights" -> ((s: SparkSession, d: String) => Sampling.mixtureWeights(s, d)),
+    "q_embed_outliers" -> ((s: SparkSession, d: String) => Embeddings.embedOutliers(s, d))
   )
 
   /** The unrolled peel oracle for `q_kcore_panel` — generated so the
@@ -823,6 +826,50 @@ object SparkEntry {
         |SELECT n AS c_custkey, min(l) AS entity_id
         |FROM reach GROUP BY n ORDER BY n""".stripMargin,
     "q_kcore_panel" -> kcorePanelOracleSql(k = 2, panelN = 2000),
+    "q_chunk_spans" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS toks
+        | FROM documents),
+        |l AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        |c AS (
+        | SELECT doc_id, n, unnest(range(0,
+        |   CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT) + 1)) AS i
+        | FROM l)
+        |SELECT c.doc_id, CAST(c.i AS BIGINT) AS chunk_idx,
+        | CAST(c.i * 24 + 1 AS BIGINT) AS start_tok,
+        | CAST(least(32, c.n - c.i * 24) AS BIGINT) AS n_toks,
+        | array_to_string(list_slice(l.toks, c.i * 24 + 1,
+        |   least(c.i * 24 + 32, c.n)), ' ') AS chunk
+        |FROM c JOIN l USING (doc_id)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_mixture_weights" ->
+      """WITH counts AS (
+        | SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs
+        | FROM documents GROUP BY 1),
+        |m AS (SELECT max(n_docs) AS n_max FROM counts)
+        |SELECT domain, n_docs,
+        | CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |   AS w_micro,
+        | round(sqrt(CAST(n_docs AS DOUBLE)) / sqrt(CAST(n_max AS DOUBLE)), 6)
+        |   AS rel_rate
+        |FROM counts CROSS JOIN m
+        |ORDER BY domain""".stripMargin,
+    "q_embed_outliers" ->
+      """WITH q AS (
+        | SELECT vec_id,
+        |  unnest(range(1, len(embedding) + 1)) AS pos,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+        |    AS qv
+        | FROM embeddings),
+        |s AS (
+        | SELECT pos, sum(qv) AS s, CAST(count(*) AS BIGINT) AS n
+        | FROM q GROUP BY pos)
+        |SELECT vec_id, CAST(sum((n * qv - s) * (n * qv - s)) AS BIGINT)
+        |  AS dist2n2
+        |FROM q JOIN s USING (pos)
+        |GROUP BY vec_id
+        |ORDER BY dist2n2 DESC, vec_id LIMIT 30""".stripMargin,
     "q_triangle_count" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS (SELECT a.p AS u, b.p AS v FROM op a JOIN op b

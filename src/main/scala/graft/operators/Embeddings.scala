@@ -137,4 +137,37 @@ object Embeddings {
         round(lit(explained), 6).as("var_explained"))
       .orderBy(col("vec_id"))
   }
+
+  /** CENTROID-DISTANCE OUTLIERS, integer-exact: the embedding-quality
+    * screen "which vectors sit farthest from the corpus centroid"
+    * (mislabeled / corrupted / off-distribution rows — the first
+    * triage of every embedding batch), made fully oracle-checkable by
+    * the fixed-point trick (the DSIR λ-micro-units pattern): each
+    * coordinate quantizes to q = ⌊x·10³ + ½⌋ (exact — float32 → double
+    * is lossless and one correctly-rounded multiply is identical on
+    * every engine), and the squared distance to the mean scales to the
+    * INTEGER form Σ_d (n·q_d − S_d)² where S_d is the per-dimension
+    * sum — exact 64-bit arithmetic on both engines, no float
+    * accumulation order anywhere.
+    *
+    * Scale shape: one map-side-combined per-dimension aggregation
+    * (|dims| rows out), broadcast back, one row-local rescan, and a
+    * `TakeOrderedAndProject` top-N on (dist², id) — two scans and a
+    * KB-sized shuffle at any corpus size, same contract as [[pca]]. */
+  def embedOutliers(spark: SparkSession, dir: String,
+      topN: Int = 30): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+        .as("q"))
+    val dims = q.select(col("vec_id"), posexplode(col("q")))
+    val sums = dims.groupBy(col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+    dims.join(broadcast(sums), Seq("pos"))
+      .select(col("vec_id"), (col("n") * col("col") - col("s")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("d") * col("d")).as("dist2n2"))
+      .orderBy(col("dist2n2").desc, col("vec_id"))
+      .limit(topN)
+  }
 }

@@ -206,6 +206,35 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** TEMPERATURE-SCALED source mixture weights (α = 0.5): the standard
+    * multilingual/multi-source rebalancing rule (sample source i
+    * ∝ nᵢ^α, α < 1 upsamples the tail — mT5/XLM-R's recipe) computed
+    * per source over the documents table. α is PINNED to 1/2 because
+    * that is the one temperature whose power is an IEEE
+    * correctly-rounded primitive (`sqrt`) on every engine — an
+    * arbitrary-α `pow` is libm-skewed and would force rows-only. Two
+    * deterministic outputs per source: the fixed-point weight
+    * w_micro = ⌊√n·10⁶ + ½⌋ (exact integer, no cross-source float
+    * sums on the oracle surface) and rel_rate = √n / √n_max rounded
+    * 6dp — the relative up/down-sampling factor vs the largest source
+    * (a single correctly-rounded division, deterministic; a
+    * normalized share would sum √n in engine-dependent order).
+    * One tiny aggregation; the 1-row max rides a broadcast. */
+  def mixtureWeights(spark: SparkSession, dir: String,
+      domainCol: String = "source"): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nMax = counts.agg(max(col("n_docs")).as("n_max"))
+    counts.crossJoin(broadcast(nMax))
+      .select(col("domain"), col("n_docs"),
+        floor(sqrt(col("n_docs").cast("double")) * 1e6 + 0.5)
+          .cast("long").as("w_micro"),
+        round(sqrt(col("n_docs").cast("double"))
+          / sqrt(col("n_max").cast("double")), 6).as("rel_rate"))
+      .orderBy(col("domain"))
+  }
+
   /** Pack-level audit of [[sequencePack]]: docs and tokens per pack. */
   def packAudit(spark: SparkSession, dir: String): DataFrame =
     sequencePack(spark, dir)

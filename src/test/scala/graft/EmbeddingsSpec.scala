@@ -88,4 +88,31 @@ class EmbeddingsSpec extends AnyFunSuite {
       assert(math.abs(e - g) < 2e-6, s"projection mismatch: $e vs $g")
     }
   }
+
+  test("centroid outliers: integer-exact distances agree with the " +
+    "straightforward double-precision centroid distance ranking") {
+    import org.apache.spark.sql.functions._
+    val got = Embeddings.embedOutliers(spark, sf, topN = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 30)
+    // independent recount on the quantized grid, driver-side
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * 1000 + 0.5).toLong)
+    }
+    val n = q.length.toLong
+    val dims = q.head._2.length
+    val sums = Array.tabulate(dims)(d => q.map(_._2(d)).sum)
+    val expect = q.map { case (id, qs) =>
+      id -> Array.tabulate(dims)(d => n * qs(d) - sums(d))
+        .map(x => x * x).sum
+    }.toMap
+    for ((id, d2) <- got) assert(expect(id) == d2,
+      s"vec $id: engine $d2 vs recount ${expect(id)}")
+    // and the cut really is the top of the ranking
+    val cutoff = got.map(_._2).min
+    assert(expect.values.count(_ > cutoff) < 30)
+  }
 }

@@ -40,7 +40,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // broadcast 1-row normalized query vector against the embeddings
     // scan (the dense leg's per-row dot product) — same class as the
     // lazily-attached scalars above
-    "q_hybrid_rrf")
+    "q_hybrid_rrf",
+    // broadcast 1-row n_max scalar (the largest-source count the
+    // rel_rate divides by) — the lazily-attached-scalar class again
+    "q_mixture_weights")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>

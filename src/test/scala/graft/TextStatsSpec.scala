@@ -163,4 +163,49 @@ class TextStatsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("chunking: windows tile every token, offsets map chunks back into " +
+    "the source exactly, tail chunk truncated never dropped") {
+    import org.apache.spark.sql.functions._
+    val w = 32; val stride = 24
+    val chunks = TextAnalysis.chunkSpans(spark, sf, w, stride).collect()
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == toks.filter(_._2.nonEmpty).keySet)
+    for ((doc, cs) <- byDoc) {
+      val t = toks(doc)
+      // chunk text IS the token slice at its offsets
+      for (c <- cs) {
+        val start = c.getLong(2).toInt; val n = c.getLong(3).toInt
+        assert(c.getString(4) == t.slice(start - 1, start - 1 + n).mkString(" "),
+          s"doc $doc chunk ${c.getLong(1)} does not match its offsets")
+      }
+      // full coverage: every token position is inside some chunk, and the
+      // last chunk reaches the final token
+      val covered = cs.flatMap(c =>
+        c.getLong(2) to (c.getLong(2) + c.getLong(3) - 1)).toSet
+      assert(covered == (1L to t.length.toLong).toSet, s"doc $doc has gaps")
+      // chunk count matches the documented formula
+      val expect = 1 + math.ceil(math.max(0, t.length - w) / stride.toDouble).toInt
+      assert(cs.length == expect, s"doc $doc: ${cs.length} chunks, want $expect")
+    }
+  }
+
+  test("mixture weights: w_micro is the fixed-point sqrt, rel_rate is 1 " +
+    "exactly for the largest source and monotone in source size") {
+    val rows = graft.operators.Sampling.mixtureWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    for ((_, n, wMicro, rel) <- rows) {
+      assert(wMicro == math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong)
+      assert(rel > 0 && rel <= 1.0)
+    }
+    val nMax = rows.map(_._2).max
+    assert(rows.filter(_._2 == nMax).forall(_._4 == 1.0))
+    // alpha < 1 compresses: rel_rate ordering follows n but sub-linearly
+    val sorted = rows.sortBy(_._2)
+    assert(sorted.map(_._4).zip(sorted.tail.map(_._4)).forall { case (a, b) => a <= b })
+  }
 }
