@@ -244,7 +244,11 @@ object SparkEntry {
     "q_kcore_panel" -> ((s: SparkSession, d: String) => Graph.kCorePanel(s, d)),
     "q_chunk_spans" -> ((s: SparkSession, d: String) => TextAnalysis.chunkSpans(s, d)),
     "q_mixture_weights" -> ((s: SparkSession, d: String) => Sampling.mixtureWeights(s, d)),
-    "q_embed_outliers" -> ((s: SparkSession, d: String) => Embeddings.embedOutliers(s, d))
+    "q_embed_outliers" -> ((s: SparkSession, d: String) => Embeddings.embedOutliers(s, d)),
+    // rows-only: within-batch dedup runs the component fixpoint (no
+    // clean SQL form); the defining law — increment == full rebuild
+    // restricted to the batch — is IncrementalCurationSpec's parity
+    "q_corpus_increment" -> ((s: SparkSession, d: String) => Pipeline.corpusIncrement(s, d))
   )
 
   /** The unrolled peel oracle for `q_kcore_panel` — generated so the

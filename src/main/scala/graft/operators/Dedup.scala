@@ -58,12 +58,17 @@ object Dedup {
       .select(col("doc_id"), col("shingles"),
         col("band.band_id"), col("band.band_sig"))
 
+  /** The exact-dup digest expression over a `text` column — shared by
+    * [[exact]], [[keepBest]], the persisted digest relation and the
+    * incremental curation path. */
+  private[graft] def digestCol: org.apache.spark.sql.Column =
+    md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+
   /** Exact dedup: md5 over normalized text, keep the smallest doc_id per
     * digest. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("text_hash"))
+      .select(col("doc_id"), digestCol.as("text_hash"))
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
@@ -237,7 +242,27 @@ object Dedup {
       .withColumn("band_key", xxhash64(col("band_id"), col("band_sig")))
     graft.sources.FormatIO.writeBucketed(bands, s"${name}_bands",
       "band_key", nBuckets, sortCol = Some("band_key"))
+    // the EXACT-dup digests ride with the near-dup index: sub-shingle
+    // documents produce no bands (too short to shingle) yet still need
+    // their verbatim twins caught at ingest — the digest relation is
+    // the probe surface for that, bucketed like everything else
+    graft.sources.FormatIO.writeBucketed(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), digestCol.as("digest")),
+      s"${name}_digests", "digest", nBuckets)
   }
+
+  /** Probe the persisted digest relation with a batch of documents:
+    * (doc_id, idx_doc) pairs whose NORMALIZED text is byte-identical —
+    * the exact-dup face of the same index ([[buildMinhashIndex]]);
+    * catches sub-shingle documents the band probe cannot see. */
+  def probeExactIndex(spark: SparkSession, name: String,
+      newDocs: DataFrame): DataFrame =
+    newDocs.select(col("doc_id"), digestCol.as("digest"))
+      .join(spark.table(s"${name}_digests")
+        .select(col("digest"), col("doc_id").as("idx_doc")), Seq("digest"))
+      .filter(col("doc_id") =!= col("idx_doc"))
+      .select(col("doc_id"), col("idx_doc"))
 
   /** Probe the persisted band index with a batch of documents
     * (`doc_id`, `text`): emits candidate near-dup pairs (probe doc,
@@ -281,6 +306,9 @@ object Dedup {
       .select(col("doc_id"), col("band_id"), col("band_sig"))
       .withColumn("band_key", xxhash64(col("band_id"), col("band_sig")))
     graft.sources.FormatIO.appendBucketed(spark, bands, s"${name}_bands")
+    graft.sources.FormatIO.appendBucketed(spark,
+      newDocs.select(col("doc_id"), digestCol.as("digest")),
+      s"${name}_digests")
   }
 
   /** Normalized whitespace tokens (single-space split after collapsing
@@ -597,7 +625,7 @@ object Dedup {
     * short); and the shingle sets, bucketed by doc, for the verify
     * join's corpus side. */
   def buildContainmentIndex(spark: SparkSession, dir: String, name: String,
-      nBuckets: Int = 8, shingle: Int = 3): Unit = {
+      nBuckets: Int = 8, shingle: Int = 3, tau: Double = 0.6): Unit = {
     val sets = tokenShingleSets(spark, dir, shingle).localCheckpoint()
     val postings = sets.select(col("doc_id").as("doc_b"),
       size(col("st")).as("sz_b"), explode(col("st")).as("tok"))
@@ -605,9 +633,28 @@ object Dedup {
       "tok", nBuckets, sortCol = Some("tok"))
     graft.sources.FormatIO.writeBucketed(sets.withColumnRenamed("doc_id", "doc_b")
       .withColumnRenamed("st", "sb"), s"${name}_sets", "doc_b", nBuckets)
-    sets.select(explode(col("st")).as("tok"))
+    val dfreq = sets.select(explode(col("st")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .write.format("parquet").mode("overwrite").saveAsTable(s"${name}_df")
+    dfreq.write.format("parquet").mode("overwrite").saveAsTable(s"${name}_df")
+    // INDEX-SIDE prefixes enable the REVERSE probe direction
+    // (C(index -> probe), [[probeContainmentBoth]]): each corpus doc's
+    // tau-sized rare-first prefix, bucketed by shingle like the
+    // postings. The prefix theorem is subset-choice-free (ANY
+    // |b| - ceil(tau*|b|) + 1 elements of b work), so prefixes built
+    // under TODAY'S df stay lossless after appends shift the df.
+    graft.sources.FormatIO.writeBucketed(
+      orderedPrefixes(sets, dfreq,
+        sz => sz - ceil(lit(tau) * sz - lit(PruneEps)) + 1)
+        .select(col("tok"), col("doc_id").as("doc_b"),
+          col("sz").as("sz_b"), col("pos").as("pos_b")),
+      s"${name}_prefixes", "tok", nBuckets, sortCol = Some("tok"))
+    // build params persist with the index (the edit-index _meta
+    // pattern): prefixes are sized for THIS tau, so reverse-direction
+    // probes below it would silently lose recall and are refused
+    import spark.implicits._
+    Seq((tau, shingle)).toDF("tau", "shingle")
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_meta")
   }
 
   /** Probe the persisted containment index with a batch of documents
@@ -669,7 +716,10 @@ object Dedup {
     * results anyway (prefix filtering is recall-lossless under any
     * order; the verify join makes precision exact). */
   def appendToContainmentIndex(spark: SparkSession, name: String,
-      newDocs: DataFrame, shingle: Int = 3): Unit = {
+      newDocs: DataFrame): Unit = {
+    val meta = spark.table(s"${name}_meta").collect().head
+    val tau = meta.getAs[Double]("tau")
+    val shingle = meta.getAs[Int]("shingle")
     val sets = tokenShingleSetsOf(newDocs, shingle).localCheckpoint()
     graft.sources.FormatIO.appendBucketed(spark,
       sets.select(col("doc_id").as("doc_b"), size(col("st")).as("sz_b"),
@@ -682,6 +732,90 @@ object Dedup {
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
       .saveAsTable(s"${name}_df")
+    // batch prefixes order by the merged df AS OF this append — any
+    // order is recall-lossless (subset-choice freedom, see build)
+    val mergedDf = spark.table(s"${name}_df")
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+    graft.sources.FormatIO.appendBucketed(spark,
+      orderedPrefixes(sets, mergedDf,
+        sz => sz - ceil(lit(tau) * sz - lit(PruneEps)) + 1)
+        .select(col("tok"), col("doc_id").as("doc_b"),
+          col("sz").as("sz_b"), col("pos").as("pos_b")),
+      s"${name}_prefixes")
+  }
+
+  /** BIDIRECTIONAL containment probe — the decontamination form of
+    * [[probeContainmentIndex]]: for a batch of arriving documents,
+    * find every (probe, index) pair where EITHER the probe doc sits
+    * mostly inside a corpus doc (C(probe→index) ≥ τ — the arriving doc
+    * is an excerpt of the corpus) OR a corpus doc sits mostly inside
+    * the probe doc (C(index→probe) ≥ τ — the arrival swallowed a
+    * corpus page, the direction the one-way probe cannot see; for
+    * eval-set hygiene this is the worse leak). Candidates: the forward
+    * direction joins probe PREFIXES against the full corpus postings
+    * (as the one-way probe does); the reverse joins the persisted
+    * index-side prefixes (`_prefixes`, built for the index's τ)
+    * against the batch's full token postings — both directions read
+    * the corpus co-located on its bucket layout, and per-wave cost
+    * scales with the batch. τ must be ≥ the index's build τ (the
+    * stored prefixes are sized for it — probing below would silently
+    * lose reverse-direction recall; enforced against `_meta`). */
+  def probeContainmentBoth(spark: SparkSession, name: String,
+      newDocs: DataFrame, tau: Double = 0.6): DataFrame = {
+    val meta = spark.table(s"${name}_meta").collect().head
+    val tauBuild = meta.getAs[Double]("tau")
+    val shingle = meta.getAs[Int]("shingle")
+    require(tau >= tauBuild - 1e-12,
+      s"probe tau=$tau below the index's build tau=$tauBuild " +
+        s"($name stores prefixes sized for $tauBuild; probing below it " +
+        "silently loses reverse-direction recall - rebuild at the lower tau)")
+    val sets = tokenShingleSetsOf(newDocs, shingle).localCheckpoint()
+    val mergedDf = spark.table(s"${name}_df")
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+    // forward candidates: probe prefixes (corpus-df-ordered, df-0
+    // unseen shingles sort first and match nothing) x full postings
+    val pPref = sets
+      .select(col("doc_id"), size(col("st")).as("sz"), explode(col("st")).as("tok"))
+      .join(mergedDf, Seq("tok"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(max(col("sz")).as("sz"),
+        array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(col("ordered"), lit(1),
+          (col("sz") - ceil(lit(tau) * col("sz") - lit(PruneEps)) + 1).cast("int"))))
+      .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+        (col("pos") + 1).as("pos_a"), col("col.tok").as("tok"))
+    val needA = ceil(lit(tau) * col("sz_a") - lit(PruneEps))
+    val fwd = pPref.join(spark.table(s"${name}_postings"), Seq("tok"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("sz_b") >= needA &&
+        (lit(1) + col("sz_a") - col("pos_a")) >= needA)
+      .select(col("doc_a"), col("doc_b"))
+    // reverse candidates: persisted index prefixes x batch full postings
+    val pPost = sets.select(col("doc_id").as("doc_a"),
+      size(col("st")).as("sz_a"), explode(col("st")).as("tok"))
+    val needB = ceil(lit(tau) * col("sz_b") - lit(PruneEps))
+    val rev = spark.table(s"${name}_prefixes").join(pPost, Seq("tok"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("sz_a") >= needB &&
+        (lit(1) + col("sz_b") - col("pos_b")) >= needB)
+      .select(col("doc_a"), col("doc_b"))
+    // intersection computed ONCE per candidate (the jaccardPrefixJoin
+    // lesson: filter+project re-evaluates an un-CSE'd array_intersect)
+    fwd.unionByName(rev).distinct()
+      .join(sets.select(col("doc_id").as("doc_a"), col("st").as("sa")), Seq("doc_a"))
+      .join(spark.table(s"${name}_sets"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("double").as("inter"),
+        size(col("sa")).as("sz_a"), size(col("sb")).as("sz_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / col("sz_a")).as("c_ab"),
+        (col("inter") / col("sz_b")).as("c_ba"))
+      .filter(col("c_ab") >= tau || col("c_ba") >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c_ab"), 4).as("c_probe_in_index"),
+        round(col("c_ba"), 4).as("c_index_in_probe"))
   }
 
   /** C4-style SEGMENT-level dedup (Raffel et al. 2020 dedup lines;

@@ -126,10 +126,9 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Heuristic language ID: count marker-stopword hits per language,
-    * CJK-codepoint presence short-circuits to zh; deterministic
-    * precedence en > es > de > fr on ties. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  /** The heuristic language-ID expression over a `text` column —
+    * shared by [[langId]] and the incremental curation path. */
+  private[graft] def langPredCol: Column = {
     def hits(words: Seq[String]): Column =
       words.map(w => regexp_count(col("text"),
         lit("(?i)\\b" + w + "\\b")).cast("long")).reduce(_ + _)
@@ -139,16 +138,22 @@ object TextAnalysis {
     val sFr = hits(Seq("le", "les", "des", "est", "et"))
     val sZh = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).cast("long")
     val best = greatest(sEn, sEs, sDe, sFr)
+    when(sZh > 0, "zh")
+      .when(best === lit(0L), "und")
+      .when(sEn === best, "en")
+      .when(sEs === best, "es")
+      .when(sDe === best, "de")
+      .otherwise("fr")
+  }
+
+  /** Heuristic language ID: count marker-stopword hits per language,
+    * CJK-codepoint presence short-circuits to zh; deterministic
+    * precedence en > es > de > fr on ties. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang").as("lang_label"),
-        when(sZh > 0, "zh")
-          .when(best === lit(0L), "und")
-          .when(sEn === best, "en")
-          .when(sEs === best, "es")
-          .when(sDe === best, "de")
-          .otherwise("fr").as("lang_pred"))
+        langPredCol.as("lang_pred"))
       .orderBy(col("doc_id"))
-  }
 
   /** PII detection + redaction battery (training-data hygiene): count
     * and mask email / phone-like / long-digit-run patterns. Pure regexp
