@@ -732,6 +732,7 @@ object Dedup {
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
       .saveAsTable(s"${name}_df")
+    spark.catalog.refreshTable(s"${name}_df") // see FormatIO.appendBucketed
     // batch prefixes order by the merged df AS OF this append — any
     // order is recall-lossless (subset-choice freedom, see build)
     val mergedDf = spark.table(s"${name}_df")

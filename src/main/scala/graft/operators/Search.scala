@@ -191,6 +191,7 @@ object Search {
     graft.sources.FormatIO.appendBucketed(spark, lens, s"${name}_lens")
     lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.format("parquet").mode("append").saveAsTable(s"${name}_stats")
+    spark.catalog.refreshTable(s"${name}_stats") // see FormatIO.appendBucketed
   }
 
   /** Probe the persisted index with a bag of query terms: exactly

@@ -96,6 +96,11 @@ object FormatIO {
     if (spec.sortColumnNames.nonEmpty)
       w = w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
     w.saveAsTable(table)
+    // the write runs through df's OWN session (inside foreachBatch
+    // that is the streaming clone), whose saveAsTable invalidates only
+    // the clone's relation cache — refresh the caller's session too,
+    // or its next probe reads the pre-append file list
+    spark.catalog.refreshTable(table)
   }
 
   case class TableCompactStats(filesBefore: Long, filesAfter: Long)

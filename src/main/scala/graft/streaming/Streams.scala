@@ -1139,6 +1139,46 @@ object Streams {
       }
       .start()
 
+  /** THE FULL INGEST LOOP as one stream — the topology the index
+    * append/probe machinery exists for: each micro-batch of arriving
+    * documents is CURATED against the current corpus
+    * ([[graft.operators.Pipeline.curateIncrement]] — exact/near dedup,
+    * bidirectional decontamination, gates, all O(batch) index probes),
+    * the curated rows land in `outPath`, and the SURVIVORS are
+    * APPENDED into both corpus indexes — so the NEXT wave dedups
+    * against them. The corpus is the curated set, which is why only
+    * survivors are admitted (appending dropped near-dups would grow
+    * the index with copies the corpus rejected; the recall trade — a
+    * future doc duplicating a DROPPED doc but not its kept twin slips
+    * through — is the standard curated-corpus contract). The curation
+    * result is materialized BEFORE the appends so a batch can never
+    * probe index rows it is itself writing. Same at-least-once restart
+    * caveat as [[minhashAppendStream]]. */
+  def curationIncrementStream(spark: SparkSession, docs: DataFrame,
+      mhIndex: String, contIndex: String, outPath: String,
+      checkpoint: String, minQuality: Double = 0.3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // ONE materialized copy of the micro-batch: a foreachBatch
+        // frame is not reliably re-scannable after its first action
+        // (a second evaluation can come back empty), and a silently
+        // empty survivor append here would freeze the corpus — every
+        // later wave would curate against a stale index
+        val docsB = batch.select(col("doc_id"), col("text")).localCheckpoint()
+        val curated = graft.operators.Pipeline
+          .curateIncrement(spark, mhIndex, contIndex, docsB, minQuality)
+          .localCheckpoint()
+        curated.write.mode("append").parquet(outPath)
+        val survivors = docsB
+          .join(curated.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        graft.operators.Dedup.appendToMinhashIndex(spark, mhIndex, survivors)
+        graft.operators.Dedup.appendToContainmentIndex(spark, contIndex,
+          survivors)
+      }
+      .start()
+
   /** Streaming append into the persisted IVF index (rows: vec_id, v) —
     * frozen-codebook assignment, see [[minhashAppendStream]] for the
     * shared contract. */

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Dedup, Pipeline}
+import graft.streaming.Streams
 import graft.sources.Tables
 
 /** The round-7 capstone law: curating ONE ARRIVING BATCH against the
@@ -85,5 +86,76 @@ class IncrementalCurationSpec extends AnyFunSuite {
       Dedup.probeContainmentBoth(spark, "cur_inc_cont", batch, tau = 0.3)
     }
     assert(err.getMessage.contains("build tau"))
+  }
+
+  test("ingest-loop stream: waves curate against a GROWING corpus " +
+    "(survivors admitted between waves) and match the sequential " +
+    "batch reference exactly") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(sp, sf)
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val cut = maxId / 2
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-loop-inc").toString
+    docs.filter(col("doc_id") <= cut)
+      .write.parquet(s"$corpusDir/documents.parquet")
+
+    def buildIdx(tag: String): (String, String) = {
+      Dedup.buildMinhashIndex(sp, corpusDir, s"loop_mh_$tag", nBuckets = 4)
+      Dedup.buildContainmentIndex(sp, corpusDir, s"loop_cont_$tag", nBuckets = 4)
+      (s"loop_mh_$tag", s"loop_cont_$tag")
+    }
+    val rest = docs.filter(col("doc_id") > cut).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val mid = rest.length / 2
+    val wave1 = rest.take(mid)
+
+    // sequential batch reference: curate wave, append survivors, repeat
+    val (mhRef, contRef) = buildIdx("ref")
+    def curateAndAdmit(mh: String, cont: String,
+        wave: Array[(Long, String)]): Set[(Long, String, Double, String)] = {
+      val w = wave.toSeq.toDF("doc_id", "text")
+      val out = Pipeline.curateIncrement(sp, mh, cont, w)
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+      val survivors = w.join(out.map(_._1).toSeq.toDF("doc_id"),
+        Seq("doc_id"), "left_semi")
+      Dedup.appendToMinhashIndex(sp, mh, survivors)
+      Dedup.appendToContainmentIndex(sp, cont, survivors)
+      out.toSet
+    }
+    val ref1 = curateAndAdmit(mhRef, contRef, wave1)
+    assert(ref1.nonEmpty)
+    // wave 2 carries an EXACT COPY of a wave-1 SURVIVOR under a fresh
+    // id: it must be dropped IFF wave 1's survivors entered the index
+    val twinSrc = ref1.map(_._1).min
+    val dupOfWave1 = (maxId + 1000L,
+      wave1.find(_._1 == twinSrc).get._2)
+    val wave2 = rest.drop(mid) :+ dupOfWave1
+    val ref2 = curateAndAdmit(mhRef, contRef, wave2)
+    assert(ref2.nonEmpty)
+    assert(!ref2.exists(_._1 == dupOfWave1._1),
+      "wave-2 duplicate of an admitted wave-1 survivor must be dropped")
+
+    // streamed: same waves through curationIncrementStream
+    val (mhS, contS) = buildIdx("st")
+    val out = java.nio.file.Files.createTempDirectory("graft-loop-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-loop-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.curationIncrementStream(sp,
+      input.toDF().toDF("doc_id", "text"), mhS, contS, out, ckpt)
+    Seq(wave1, wave2).foreach { wave =>
+      input.addData(wave.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = sp.read.parquet(out).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))).toSet
+    assert(streamed == (ref1 ++ ref2),
+      s"streamed loop diverged: only-stream=${(streamed -- (ref1 ++ ref2)).take(5)} " +
+        s"only-ref=${((ref1 ++ ref2) -- streamed).take(5)}")
   }
 }
