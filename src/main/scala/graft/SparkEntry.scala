@@ -248,8 +248,55 @@ object SparkEntry {
     // rows-only: within-batch dedup runs the component fixpoint (no
     // clean SQL form); the defining law — increment == full rebuild
     // restricted to the batch — is IncrementalCurationSpec's parity
-    "q_corpus_increment" -> ((s: SparkSession, d: String) => Pipeline.corpusIncrement(s, d))
+    "q_corpus_increment" -> ((s: SparkSession, d: String) => Pipeline.corpusIncrement(s, d)),
+    // integer-exact power iteration — the second iterative-fixpoint
+    // family on the oracle surface (fixed-point mass, DIV-only rounds)
+    "q_pagerank_panel" -> ((s: SparkSession, d: String) => Graph.pagerankPanel(s, d))
   )
+
+  /** The unrolled INTEGER PageRank oracle for `q_pagerank_panel` —
+    * [[graft.operators.Graph.PagerankPanelRounds]] fixed-point rounds
+    * as chained `AS MATERIALIZED` CTEs (inlining would explode the
+    * multi-reference chain, see the k-core oracle). Every operation is
+    * BIGINT floor division or an integer sum, so the rounds are
+    * bit-identical to the Spark side on any engine. */
+  private def pagerankPanelOracleSql(panelN: Int): String = {
+    val rounds = graft.operators.Graph.PagerankPanelRounds
+    val base =
+      s"""WITH panel AS (
+         | SELECT o_orderkey FROM orders
+         | ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT $panelN),
+         |op AS (
+         | SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+         | WHERE l_orderkey IN (SELECT o_orderkey FROM panel)),
+         |e0 AS MATERIALIZED (
+         | SELECT a.p AS u, b.p AS v FROM op a JOIN op b
+         |  ON a.o = b.o AND a.p < b.p
+         | GROUP BY 1, 2),
+         |bd AS MATERIALIZED (
+         | SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+         |deg AS MATERIALIZED (
+         | SELECT u AS p, CAST(count(*) AS BIGINT) AS d FROM bd GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         |p0 AS MATERIALIZED (
+         | SELECT deg.p, 1000000000000 // nn.n AS pr FROM deg CROSS JOIN nn)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      val prev = i - 1
+      s""",
+         |p$i AS MATERIALIZED (
+         | SELECT deg.p,
+         |  (150000000000 // nn.n) + (85 * COALESCE(c.s, 0)) // 100 AS pr
+         | FROM deg CROSS JOIN nn
+         | LEFT JOIN (
+         |  SELECT bd.v AS p, sum(p$prev.pr // deg.d) AS s
+         |  FROM bd JOIN p$prev ON bd.u = p$prev.p JOIN deg ON deg.p = bd.u
+         |  GROUP BY bd.v) c ON c.p = deg.p)""".stripMargin
+    }.mkString
+    base + iters +
+      s"""
+         |SELECT CAST(p AS BIGINT) AS p, CAST(pr AS BIGINT) AS pr_int
+         |FROM p$rounds ORDER BY p""".stripMargin
+  }
 
   /** The unrolled peel oracle for `q_kcore_panel` — generated so the
     * round count is [[graft.operators.Graph.KCorePanelRounds]] BY
@@ -830,6 +877,7 @@ object SparkEntry {
         |SELECT n AS c_custkey, min(l) AS entity_id
         |FROM reach GROUP BY n ORDER BY n""".stripMargin,
     "q_kcore_panel" -> kcorePanelOracleSql(k = 2, panelN = 2000),
+    "q_pagerank_panel" -> pagerankPanelOracleSql(panelN = 2000),
     "q_chunk_spans" ->
       """WITH d AS (
         | SELECT doc_id,

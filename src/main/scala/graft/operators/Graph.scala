@@ -473,6 +473,57 @@ object Graph {
     * algorithm by construction. */
   val KCorePanelRounds = 16
 
+  /** The iteration count [[pagerankPanel]] runs AND its DuckDB oracle
+    * unrolls — fixed, not convergence-driven: a pinned round count IS
+    * the spec, shared so the two computations are the same algorithm
+    * by construction. */
+  val PagerankPanelRounds = 10
+
+  /** ORACLE-CHECKED PageRank: INTEGER-EXACT power iteration over the
+    * same md5-top-order-panel co-purchase graph as [[kCorePanel]] —
+    * the second iterative-fixpoint family on the oracle surface. The
+    * trick is fixed-point mass in micro-units: total mass 10¹², every
+    * contribution `pr div deg` and damping `(85·Σ) div 100` are
+    * INTEGER floor divisions, and integer sums are order-independent —
+    * so every round is bit-identical on every engine (float PageRank
+    * would die on cross-engine partial-sum order). Truncation loss is
+    * deterministic and part of the spec. Fixed
+    * [[PagerankPanelRounds]] rounds, no convergence question. */
+  def pagerankPanel(spark: SparkSession, dir: String,
+      panelN: Int = 2000): DataFrame = {
+    val panel = graft.operators.Sampling.md5TopN(
+      graft.sources.Tables.orders(spark, dir).select(col("o_orderkey")),
+      "o_orderkey", panelN)
+    val op = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .join(broadcast(panel.select(col("o_orderkey").as("o"))), Seq("o"),
+        "left_semi")
+    val e = copurchaseEdgesOf(op, minWeight = 1).localCheckpoint()
+    val both = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = both.groupBy(col("u").as("p"))
+      .agg(count(lit(1)).as("d")).localCheckpoint()
+    val n = deg.count()
+    if (n == 0L)
+      return deg.select(col("p").cast("long"), col("d").as("pr_int")).limit(0)
+    // driver constants: Scala long division == SQL DIV for positives
+    val base = 1000000000000L / n
+    val teleport = 150000000000L / n
+    var pr = deg.select(col("p"), lit(base).as("pr"))
+    for (_ <- 1 to PagerankPanelRounds) {
+      val contrib = pr.join(deg, Seq("p"))
+        .selectExpr("p AS src", "pr DIV d AS c")
+      val sums = both.join(contrib, col("u") === col("src"))
+        .groupBy(col("v").as("p")).agg(sum(col("c")).as("s"))
+      pr = deg.select(col("p")).join(sums, Seq("p"), "left")
+        .select(col("p"),
+          (lit(teleport) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("p").cast("long").as("p"), col("pr").cast("long").as("pr_int"))
+      .orderBy(col("p"))
+  }
+
   /** ORACLE-CHECKED k-core: the peeling fixpoint over the subgraph
     * induced by a deterministic md5-top-N part panel (the containment
     * family's audit-surface pattern). The full-graph operator stays

@@ -268,4 +268,38 @@ class GraphSpec extends AnyFunSuite {
     assert(q.length <= 50)
     q.foreach(r => assert(full.get(r.getLong(0)).contains(r.getAs[Long]("core_deg"))))
   }
+
+  test("integer pagerank: mass conserved up to deterministic truncation, " +
+    "every rank at least the teleport floor, hubs outrank leaves") {
+    import org.apache.spark.sql.functions._
+    val pr = graft.operators.Graph.pagerankPanel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pr.nonEmpty)
+    val n = pr.length.toLong
+    val teleport = 150000000000L / n
+    assert(pr.forall(_._2 >= teleport),
+      "every node keeps at least its teleport mass")
+    // each round loses < 1 unit per division: n teleport divisions +
+    // one per directed edge contribution + n damping divisions
+    val mass = pr.map(_._2).sum
+    assert(mass <= 1000000000000L && mass > 850000000000L,
+      s"mass $mass outside the deterministic-truncation band")
+    // structural sanity: the max-degree node outranks the min-degree one
+    val deg = graft.operators.Graph.copurchaseEdgesOf(
+      graft.sources.Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .join(broadcast(graft.operators.Sampling.md5TopN(
+          graft.sources.Tables.orders(spark, sf).select(col("o_orderkey")),
+          "o_orderkey", 2000).select(col("o_orderkey").as("o"))), Seq("o"),
+          "left_semi"),
+      minWeight = 1)
+      .select(explode(array(col("u"), col("v"))).as("p"))
+      .groupBy("p").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prMap = pr.toMap
+    val hub = deg.maxBy(_._2)._1
+    val leaf = deg.minBy(_._2)._1
+    assert(prMap(hub) > prMap(leaf),
+      s"hub $hub (deg ${deg(hub)}) must outrank leaf $leaf (deg ${deg(leaf)})")
+  }
 }
