@@ -673,8 +673,13 @@ object Dedup {
     // per-shingle counts and every append adds another, so the true df
     // is the merge-on-read sum (exact — integer counts). Keeps append
     // O(batch): updating a single materialized df relation in place
-    // would be an O(distinct-shingles) rewrite per wave.
+    // would be an O(distinct-shingles) rewrite per wave. The PROBE
+    // only needs df for ITS OWN tokens, so the semi-join sits BELOW
+    // the merge aggregation — per-probe df cost is O(probe vocabulary),
+    // never O(corpus vocabulary).
+    val probeToks = sets.select(explode(col("st")).as("tok")).distinct()
     val dfreq = spark.table(s"${name}_df")
+      .join(probeToks, Seq("tok"), "left_semi")
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
     val prefixes = sets
       .select(col("doc_id"), size(col("st")).as("sz"), explode(col("st")).as("tok"))
@@ -771,7 +776,11 @@ object Dedup {
         s"($name stores prefixes sized for $tauBuild; probing below it " +
         "silently loses reverse-direction recall - rebuild at the lower tau)")
     val sets = tokenShingleSetsOf(newDocs, shingle).localCheckpoint()
+    // probe-vocabulary semi-join below the df merge (see
+    // probeContainmentIndex): O(probe vocab), not O(corpus vocab)
+    val probeToks = sets.select(explode(col("st")).as("tok")).distinct()
     val mergedDf = spark.table(s"${name}_df")
+      .join(probeToks, Seq("tok"), "left_semi")
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
     // forward candidates: probe prefixes (corpus-df-ordered, df-0
     // unseen shingles sort first and match nothing) x full postings

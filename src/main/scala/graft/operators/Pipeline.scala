@@ -161,17 +161,20 @@ object Pipeline {
       (String, String, Long)]()
 
   /** The query-surface instance of [[curateIncrement]]: treat the
-    * first two-thirds of the id range as the ALREADY-CURATED corpus
-    * (indexes staged once per session) and curate the remaining third
-    * as the arriving wave. Rows-only (component fixpoints have no
-    * clean SQL form); the full-rebuild parity is spec-proved. */
+    * first nine-tenths of the id range as the ALREADY-CURATED corpus
+    * (indexes staged once per session) and curate the remaining tenth
+    * as the arriving wave — the regime an increment exists for (a
+    * crawl wave is SMALL relative to the corpus; per-wave cost scales
+    * with the wave, so benching a corpus-sized "wave" would measure
+    * the wrong thing). Rows-only (component fixpoints have no clean
+    * SQL form); the full-rebuild parity is spec-proved. */
   def corpusIncrement(spark: SparkSession, dir: String,
       minQuality: Double = 0.3): DataFrame = {
     val (mh, cont, cut) = incStageCache.computeIfAbsent(
       (spark.sparkContext.applicationId, dir), _ => {
         val docs = Tables.documents(spark, dir)
         val maxRow = docs.agg(max(col("doc_id"))).head
-        val cutId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) * 2 / 3
+        val cutId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) * 9 / 10
         val corpusDir = java.nio.file.Files
           .createTempDirectory("graft-inc-corpus").toString
         docs.filter(col("doc_id") <= cutId)
