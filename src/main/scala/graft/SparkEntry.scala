@@ -245,6 +245,10 @@ object SparkEntry {
     "q_chunk_spans" -> ((s: SparkSession, d: String) => TextAnalysis.chunkSpans(s, d)),
     "q_mixture_weights" -> ((s: SparkSession, d: String) => Sampling.mixtureWeights(s, d)),
     "q_embed_outliers" -> ((s: SparkSession, d: String) => Embeddings.embedOutliers(s, d)),
+    "q_winnow_fingerprint" -> ((s: SparkSession, d: String) => TextAnalysis.winnowFingerprints(s, d)),
+    "q_boilerplate_grams" -> ((s: SparkSession, d: String) => Dedup.boilerplateGrams(s, d)),
+    "q_rfm_segments" -> ((s: SparkSession, d: String) => Behavioral.rfmSegments(s, d)),
+    "q_length_buckets" -> ((s: SparkSession, d: String) => Sampling.lengthBuckets(s, d)),
     // rows-only: within-batch dedup runs the component fixpoint (no
     // clean SQL form); the defining law — increment == full rebuild
     // restricted to the batch — is IncrementalCurationSpec's parity
@@ -907,6 +911,73 @@ object SparkEntry {
         |   AS rel_rate
         |FROM counts CROSS JOIN m
         |ORDER BY domain""".stripMargin,
+    "q_winnow_fingerprint" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS toks
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id,
+        |  list_transform(range(0, len(toks) - 4 + 1),
+        |   i -> substr(md5(array_to_string(toks[i+1:i+4], ' ')), 1, 16)) AS hs
+        | FROM d WHERE len(toks) >= 4),
+        |wn AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(range(0, greatest(len(hs) - 5, 0) + 1),
+        |   i -> list_min(hs[i+1:i+5]))) AS fps
+        | FROM g)
+        |SELECT doc_id, unnest(fps) AS fp
+        |FROM wn ORDER BY doc_id, fp""".stripMargin,
+    "q_boilerplate_grams" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS toks
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(list_transform(range(0, len(toks) - 8 + 1),
+        |   i -> array_to_string(toks[i+1:i+8], ' '))) AS gram
+        | FROM d WHERE len(toks) >= 8)
+        |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, gram LIMIT 100""".stripMargin,
+    "q_rfm_segments" ->
+      """WITH u AS (
+        | SELECT user_id, epoch_us(max(ts)) AS recency_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS monetary_milli
+        | FROM events GROUP BY 1),
+        |p AS (SELECT * FROM u
+        |      ORDER BY md5(CAST(user_id AS VARCHAR)), user_id LIMIT 5000),
+        |q AS (
+        | SELECT user_id, recency_us, n_events, monetary_milli,
+        |  CAST(ntile(5) OVER (ORDER BY recency_us, user_id) AS BIGINT)
+        |    AS r_quintile,
+        |  CAST(ntile(5) OVER (ORDER BY n_events, user_id) AS BIGINT)
+        |    AS f_quintile,
+        |  CAST(ntile(5) OVER (ORDER BY monetary_milli, user_id) AS BIGINT)
+        |    AS m_quintile
+        | FROM p)
+        |SELECT *,
+        | CAST(r_quintile AS VARCHAR) || CAST(f_quintile AS VARCHAR) ||
+        |   CAST(m_quintile AS VARCHAR) AS segment
+        |FROM q ORDER BY user_id""".stripMargin,
+    "q_length_buckets" ->
+      """WITH d AS (
+        | SELECT CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |   AS BIGINT) AS n
+        | FROM documents),
+        |b AS (
+        | SELECT n, CASE WHEN n <= 1 THEN CAST(1 AS BIGINT)
+        |   ELSE (CAST(1 AS BIGINT) << length(bin(n - 1))) END AS len_bucket
+        | FROM d)
+        |SELECT len_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n) AS BIGINT) AS sum_tokens,
+        | CAST(len_bucket * count(*) - sum(n) AS BIGINT) AS padding,
+        | round(CAST(len_bucket * count(*) - sum(n) AS DOUBLE)
+        |   / (len_bucket * count(*)), 4) AS waste_share
+        |FROM b GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
     "q_embed_outliers" ->
       """WITH q AS (
         | SELECT vec_id,

@@ -268,4 +268,54 @@ object Behavioral {
         round(col("n").cast("double") / col("row_total"), 6).as("p"))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** RFM segmentation (recency / frequency / monetary quintiles — the
+    * classic behavioral-cohort operator): per user, last-activity
+    * time, event count, and integer-milli spend, each cut into
+    * quintiles by `ntile(5)`, concatenated into the familiar "r f m"
+    * segment code. Quintiles are 1..5 ASCENDING in the raw metric
+    * (5 = most recent / most active / highest spend).
+    *
+    * Everything on the oracle surface is integer-exact: recency is
+    * epoch MICROS of the max timestamp, spend quantizes each event to
+    * milli-units BEFORE the sum (BIGINT addition is order-free where
+    * a double sum is not), and every ntile ordering carries a
+    * `user_id` tiebreak so the bucket cut is a total order.
+    *
+    * Scale shape: the per-user aggregate is the one corpus-sized
+    * shuffle (map-side combined). The quintile windows then run over
+    * an md5-top-`panelN` user panel — the repo's fixed-audit-surface
+    * pattern ([[Graph]] panels): TakeOrderedAndProject bounds the
+    * frame FIRST, then the three rank windows see ≤ `panelN` rows on
+    * a non-foldable constant partition key. Unbounded quintiles over
+    * billions of users would be a global sort by construction —
+    * panel-bounding is the honest form of this report. */
+  def rfmSegments(spark: SparkSession, dir: String,
+      panelN: Int = 5000): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(unix_micros(max(col("ts"))).as("recency_us"),
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
+          .as("monetary_milli"))
+    val panel = perUser
+      .orderBy(md5(col("user_id").cast("string")), col("user_id"))
+      .limit(panelN)
+    def oneGroup = pmod(col("user_id"), lit(1))
+    val wR = Window.partitionBy(oneGroup)
+      .orderBy(col("recency_us"), col("user_id"))
+    val wF = Window.partitionBy(oneGroup)
+      .orderBy(col("n_events"), col("user_id"))
+    val wM = Window.partitionBy(oneGroup)
+      .orderBy(col("monetary_milli"), col("user_id"))
+    panel
+      .withColumn("r_quintile", ntile(5).over(wR).cast("long"))
+      .withColumn("f_quintile", ntile(5).over(wF).cast("long"))
+      .withColumn("m_quintile", ntile(5).over(wM).cast("long"))
+      .withColumn("segment", concat(
+        col("r_quintile").cast("string"),
+        col("f_quintile").cast("string"),
+        col("m_quintile").cast("string")))
+      .orderBy(col("user_id"))
+  }
 }

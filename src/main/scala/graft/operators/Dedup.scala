@@ -1204,4 +1204,34 @@ object Dedup {
           col("containment"), lit("test_in_train").as("direction")))
       .orderBy(col("train_doc"), col("test_doc"), col("direction"))
   }
+
+  /** Boilerplate n-gram MINING — the lexicon view of [[dupSpans]]:
+    * the top cross-document repeated `n`-token grams, with how many
+    * distinct documents carry each and how often it occurs in total.
+    * This is the artifact a removal pass consumes ([[segmentDedup]]
+    * keeps first occurrences; a gram-lexicon join drops EVERY
+    * occurrence of known boilerplate — headers, licence blocks,
+    * navigation chrome), and the per-corpus report a curation run
+    * publishes.
+    *
+    * Scale shape: gram generation row-local, one gram-keyed aggregate
+    * (count + distinct docs — the distinct rides the same shuffle via
+    * partial aggregation), then a global top-K that plans as
+    * TakeOrderedAndProject (K rows per partition, never a global
+    * sort). Total order: (n_docs DESC, gram) — gram is the grouping
+    * key, so the cut is engine-stable. */
+  def boilerplateGrams(spark: SparkSession, dir: String, n: Int = 8,
+      topK: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), normToks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), " +
+          s"i -> array_join(slice(toks, i + 1, $n), ' '))")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(topK)
 }

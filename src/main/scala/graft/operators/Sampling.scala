@@ -241,4 +241,27 @@ object Sampling {
       .groupBy(col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
       .orderBy(col("pack_id"))
+
+  /** Padding-waste profile under power-of-two length bucketing — the
+    * batching-efficiency report behind length-bucketed training
+    * batches (docs padded to their bucket cap; waste = paid-but-empty
+    * token slots). The bucket cap is the least power of two ≥ the
+    * token count, computed INTEGER-exactly from the bit length of
+    * n−1 (`length(bin(n-1))`) — `ceil(log2(n))` via floating log
+    * misbuckets exact powers of two when `log(2^k)/log(2)` lands a
+    * half-ulp high. Row-local bucket assignment, one ≤ ~30-group
+    * aggregate: linear scan at any corpus size. */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+        " ")).cast("long").as("n"))
+      .withColumn("len_bucket", when(col("n") <= 1, 1L)
+        .otherwise(expr("shiftleft(CAST(1 AS BIGINT), length(bin(n - 1)))")))
+      .groupBy(col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+      .withColumn("padding",
+        col("len_bucket") * col("n_docs") - col("sum_tokens"))
+      .withColumn("waste_share", round(col("padding").cast("double")
+        / (col("len_bucket") * col("n_docs")), 4))
+      .orderBy(col("len_bucket"))
 }

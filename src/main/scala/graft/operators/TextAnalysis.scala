@@ -643,4 +643,39 @@ object TextAnalysis {
       .withColumn("selected", col("cum_tokens") <= quotaTokens)
       .orderBy(col("source"), col("quality").desc)
   }
+
+  /** WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every `k`-token gram, slide
+    * a window of `w` consecutive gram hashes, keep each window's
+    * MINIMUM hash, emit the distinct selected hashes per document.
+    * The winnowing guarantee: any shared token run of length
+    * ≥ `w + k - 1` between two documents produces at least one SHARED
+    * fingerprint, while storage is ~1/w of the gram count — the
+    * standard local fingerprinting scheme for plagiarism / near-dup
+    * detection where [[fingerprint]]'s whole-document digest is too
+    * brittle and the full shingle set too large.
+    *
+    * Scale shape: gram hashing and window-min selection are one
+    * row-local projection chain (nested `transform` over arrays — no
+    * explode before selection, so the shuffle-facing row count is
+    * already down-sampled ~1/w). Hashes are lexicographic-min over
+    * md5 hex prefixes: engine-portable and uniform, which is all the
+    * min-selection needs. Output is the exploded (doc_id, fp)
+    * relation — composable as a join key for fingerprint-overlap
+    * candidate generation. */
+  def winnowFingerprints(spark: SparkSession, dir: String,
+      k: Int = 4, w: Int = 5): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+          .as("toks"))
+      .filter(size(col("toks")) >= k)
+      .withColumn("hs", expr(
+        s"transform(sequence(0, size(toks) - $k), " +
+          s"i -> substring(md5(array_join(slice(toks, i + 1, $k), ' ')), 1, 16))"))
+      .withColumn("fps", expr(
+        s"array_distinct(transform(sequence(0, greatest(size(hs) - $w, 0)), " +
+          s"i -> array_min(slice(hs, i + 1, $w))))"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .orderBy(col("doc_id"), col("fp"))
 }

@@ -305,4 +305,36 @@ class BehavioralSpec extends AnyFunSuite {
       assert(math.abs(s - 1.0) < 1e-4, s"row $from sums to $s")
     }
   }
+
+  test("rfm: quintiles reproduce ntile over the declared total order, " +
+    "sizes balance within 1, segment is the concatenation, and spend " +
+    "recounts integer-exactly from raw events") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Behavioral.rfmSegments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    def ntiles(n: Int, k: Int): Seq[Long] = {
+      val base = n / k; val rem = n % k
+      (0 until k).flatMap(b =>
+        Seq.fill(base + (if (b < rem) 1 else 0))(b + 1L))
+    }
+    // exact ntile recount per metric, ordered by (metric, user_id)
+    val metricIdx = Seq((1, 4), (2, 5), (3, 6)) // (metric col, quintile col)
+    for ((m, q) <- metricIdx) {
+      val sorted = rows.sortBy(r => (r.getLong(m), r.getLong(0)))
+      assert(sorted.map(_.getLong(q)).toSeq == ntiles(n, 5),
+        s"quintile col $q is not ntile(5) over its metric")
+      val sizes = rows.groupBy(_.getLong(q)).view.mapValues(_.size).values
+      assert(sizes.max - sizes.min <= 1, "quintile sizes unbalanced")
+    }
+    rows.foreach(r => assert(r.getString(7) ==
+      s"${r.getLong(4)}${r.getLong(5)}${r.getLong(6)}"))
+    // integer-milli spend recount for the top spender
+    val top = rows.maxBy(_.getLong(3))
+    val raw = graft.sources.Tables.events(spark, sf)
+      .filter(col("user_id") === top.getLong(0))
+      .select(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
+      .collect().map(_.getLong(0)).sum
+    assert(raw == top.getLong(3), "monetary milli-units disagree with raw")
+  }
 }

@@ -665,4 +665,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s"group $h char accounting must close")
     }
   }
+
+  test("boilerplate grams: doc and occurrence counts recount from the " +
+    "raw corpus; the top-K cut follows the declared total order") {
+    import org.apache.spark.sql.functions._
+    val n = 8
+    val got = Dedup.boilerplateGrams(spark, sf, n, 100).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got.length <= 100)
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector)
+    val all = toks.flatMap { case (id, t) =>
+      if (t.length >= n) t.sliding(n).map(g => (id, g.mkString(" ")))
+      else Iterator.empty
+    }
+    val byGram = all.groupBy(_._2).view.mapValues(v =>
+      (v.map(_._1).distinct.size.toLong, v.size.toLong)).toMap
+    got.foreach { case (g, nd, no) =>
+      assert(byGram(g) == ((nd, no)), s"counts for '$g' disagree")
+      assert(nd >= 2L, "below the repeat floor")
+    }
+    val expect = byGram.filter(_._2._1 >= 2L).toSeq
+      .map { case (g, (nd, no)) => (g, nd, no) }
+      .sortBy(t => (-t._2, t._1)).take(100)
+    assert(got == expect, "top-K cut or ordering diverges from the recount")
+  }
 }

@@ -141,8 +141,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // q_hybrid_rrf: BOTH leg cuts must be TakeOrderedAndProject — a
     // global sort here would mean the rank windows see the corpus-sized
     // score relation instead of legK rows
+    // q_boilerplate_grams: the top-K gram cut; q_rfm_segments: the
+    // md5-panel cut that bounds the quintile windows
     for (q <- Seq("q10_returned_items", "q3_join_agg", "q_weighted_sample",
-      "q_hybrid_rrf")) {
+      "q_hybrid_rrf", "q_boilerplate_grams", "q_rfm_segments")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       assert(plan.contains("TakeOrderedAndProject"),
         s"$q: expected TakeOrderedAndProject in:\n$plan")

@@ -208,4 +208,60 @@ class TextStatsSpec extends AnyFunSuite {
     val sorted = rows.sortBy(_._2)
     assert(sorted.map(_._4).zip(sorted.tail.map(_._4)).forall { case (a, b) => a <= b })
   }
+
+  test("winnowing: per-doc fingerprints reproduce the reference " +
+    "algorithm exactly (k-gram md5, window-of-w minimum, distinct)") {
+    val k = 4; val w = 5
+    val got = TextAnalysis.winnowFingerprints(spark, sf, k, w).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    def h(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val expect = toks.collect { case (id, t) if t.length >= k =>
+      val hs = t.sliding(k).map(g => h(g.mkString(" "))).toVector
+      id -> (0 to math.max(hs.length - w, 0)).map(i =>
+        hs.slice(i, i + w).min).toSet
+    }
+    assert(got == expect, "fingerprints disagree with the driver winnow")
+    // density: selection keeps ~1/w of grams — never more than the
+    // window count, and at least one fp per doc that had any gram
+    assert(expect.forall { case (id, fps) => fps.nonEmpty && got(id) == fps })
+    // the winnowing guarantee on real data: two docs sharing a token
+    // run of length >= w + k - 1 share at least one fingerprint
+    val runLen = w + k - 1
+    val runs = toks.toSeq.flatMap { case (id, t) =>
+      if (t.length >= runLen) t.sliding(runLen).map(r => r.mkString(" ") -> id)
+      else Iterator.empty
+    }.groupBy(_._1).values.map(_.map(_._2).distinct).filter(_.size >= 2)
+    runs.take(50).foreach { ids =>
+      val shared = ids.map(got).reduce(_ intersect _)
+      assert(shared.nonEmpty,
+        s"docs $ids share a $runLen-token run but no fingerprint")
+    }
+  }
+
+  test("length buckets: cap is the least power of two >= token count; " +
+    "padding identities and totals hold") {
+    val rows = graft.operators.Sampling.lengthBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, nd, st, p, wsh) =>
+      assert(b >= 1L && (b & (b - 1)) == 0L, s"bucket $b not a power of two")
+      assert(p == b * nd - st, "padding identity broken")
+      assert(p >= 0L && wsh >= 0.0 && wsh < 1.0)
+    }
+    // per-doc recount of bucket assignment and token totals
+    val ns = Tables.documents(spark, sf)
+      .select(size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+        " ")).cast("long")).collect().map(_.getLong(0))
+    def cap(n: Long): Long = { var b = 1L; while (b < n) b <<= 1; b }
+    val expect = ns.map(cap).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(t => t._1 -> t._2).toMap == expect)
+    assert(rows.map(_._3).sum == ns.sum, "token totals disagree")
+  }
 }
