@@ -246,8 +246,11 @@ object SparkEntry {
     "q_mixture_weights" -> ((s: SparkSession, d: String) => Sampling.mixtureWeights(s, d)),
     "q_embed_outliers" -> ((s: SparkSession, d: String) => Embeddings.embedOutliers(s, d)),
     "q_winnow_fingerprint" -> ((s: SparkSession, d: String) => TextAnalysis.winnowFingerprints(s, d)),
+    "q_winnow_candidates" -> ((s: SparkSession, d: String) => TextAnalysis.winnowCandidates(s, d)),
     "q_boilerplate_grams" -> ((s: SparkSession, d: String) => Dedup.boilerplateGrams(s, d)),
     "q_rfm_segments" -> ((s: SparkSession, d: String) => Behavioral.rfmSegments(s, d)),
+    "q_burst_days" -> ((s: SparkSession, d: String) => Behavioral.burstDays(s, d)),
+    "q_gini_sources" -> ((s: SparkSession, d: String) => Quality.giniSources(s, d)),
     "q_length_buckets" -> ((s: SparkSession, d: String) => Sampling.lengthBuckets(s, d)),
     // rows-only: within-batch dedup runs the component fixpoint (no
     // clean SQL form); the defining law — increment == full rebuild
@@ -928,6 +931,29 @@ object SparkEntry {
         | FROM g)
         |SELECT doc_id, unnest(fps) AS fp
         |FROM wn ORDER BY doc_id, fp""".stripMargin,
+    "q_winnow_candidates" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS toks
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id,
+        |  list_transform(range(0, len(toks) - 4 + 1),
+        |   i -> substr(md5(array_to_string(toks[i+1:i+4], ' ')), 1, 16)) AS hs
+        | FROM d WHERE len(toks) >= 4),
+        |wn AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(range(0, greatest(len(hs) - 5, 0) + 1),
+        |   i -> list_min(hs[i+1:i+5]))) AS fps
+        | FROM g),
+        |f AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+        |rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
+        |kept AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(count(*) AS BIGINT) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_boilerplate_grams" ->
       """WITH d AS (
         | SELECT doc_id,
@@ -963,6 +989,39 @@ object SparkEntry {
         | CAST(r_quintile AS VARCHAR) || CAST(f_quintile AS VARCHAR) ||
         |   CAST(m_quintile AS VARCHAR) AS segment
         |FROM q ORDER BY user_id""".stripMargin,
+    "q_burst_days" ->
+      """WITH c AS (
+        | SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |t AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS sq
+        | FROM c GROUP BY 1)
+        |SELECT c.event_type, c.day, c.n,
+        | CAST((c.n * t.n_days - t.s) * (c.n * t.n_days - t.s)
+        |   - 4 * (t.n_days * t.sq - t.s * t.s) AS BIGINT) AS excess
+        |FROM c JOIN t USING (event_type)
+        |WHERE c.n * t.n_days - t.s > 0
+        |  AND (c.n * t.n_days - t.s) * (c.n * t.n_days - t.s)
+        |    > 4 * (t.n_days * t.sq - t.s * t.s)
+        |ORDER BY event_type, day""".stripMargin,
+    "q_gini_sources" ->
+      """WITH c AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS x
+        | FROM documents GROUP BY 1),
+        |r AS (
+        | SELECT source, x,
+        |  CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i,
+        |  CAST(count(*) OVER () AS BIGINT) AS n
+        | FROM c)
+        |SELECT CAST(max(n) AS BIGINT) AS n_sources,
+        | CAST(sum(x) AS BIGINT) AS total_docs,
+        | CAST(sum((2 * i - n - 1) * x) AS BIGINT) AS gini_num,
+        | CAST(max(n) * sum(x) AS BIGINT) AS gini_den,
+        | round(CAST(sum((2 * i - n - 1) * x) AS DOUBLE)
+        |   / (max(n) * sum(x)), 6) AS gini
+        |FROM r""".stripMargin,
     "q_length_buckets" ->
       """WITH d AS (
         | SELECT CAST(len(string_split_regex(lower(trim(text)), '\s+'))

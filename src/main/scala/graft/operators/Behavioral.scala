@@ -269,6 +269,41 @@ object Behavioral {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Daily volume-burst screen, INTEGER-EXACT: flag (event_type, day)
+    * cells whose count exceeds the type's whole-history mean by more
+    * than `zInt` population standard deviations — the load-spike /
+    * incident-detection twin of [[anomalyScore]]'s trailing-window z
+    * (that one scores every bucket against its recent past; this one
+    * is the flags-only report against the full baseline).
+    *
+    * The 100 TB trick is the same as `q_embed_outliers`: clear the
+    * denominators instead of computing μ and σ. With D days, sum S and
+    * square-sum Q for a type,  n > μ + z·σ  ⟺  n·D − S > 0  and
+    * (n·D − S)² > z²·(D·Q − S²)  — all 64-bit integer arithmetic, no
+    * float accumulation order anywhere, so the flag set is bit-stable
+    * on every engine. (Counts beyond ~10⁹·days overflow the square
+    * loudly under ANSI — acceptable: that is 10²-year corpus-total
+    * territory, and a silent float would be worse.)
+    *
+    * Scale shape: one (type, day) count (map-side combined), one
+    * |types|-sized moment aggregate joined back broadcast — the same
+    * two-shuffle profile at any corpus size. */
+  def burstDays(spark: SparkSession, dir: String, zInt: Int = 2): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val moments = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("sq"))
+    val dev = col("n") * col("n_days") - col("s")
+    val varTerm = col("n_days") * col("sq") - col("s") * col("s")
+    daily.join(broadcast(moments), Seq("event_type"))
+      .filter(dev > 0 && dev * dev > lit(zInt.toLong * zInt) * varTerm)
+      .select(col("event_type"), col("day"), col("n"),
+        (dev * dev - lit(zInt.toLong * zInt) * varTerm).as("excess"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** RFM segmentation (recency / frequency / monetary quintiles — the
     * classic behavioral-cohort operator): per user, last-activity
     * time, event count, and integer-milli spend, each cut into

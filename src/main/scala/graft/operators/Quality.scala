@@ -326,4 +326,35 @@ object Quality {
       .orderBy(col("chi2_in").desc, col("tok"))
       .limit(topN)
   }
+
+  /** Source-concentration GINI — one number for "how unbalanced is
+    * the corpus across sources" (the diversity metric a mixture
+    * rebalance run reports before/after). Computed from the closed
+    * form over ascending-sorted source counts x₁ ≤ … ≤ x_n:
+    * G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) — numerator and denominator are
+    * exact BIGINTs (the sort order is totalized by a source tiebreak),
+    * so the only float op is the one final correctly-rounded division.
+    *
+    * Scale shape: one map-side-combined source count; the rank window
+    * runs over the |sources| dimension relation (bounded — the same
+    * fixed-cardinality class every broadcast dim in the repo relies
+    * on) under a non-foldable constant partition key. */
+  def giniSources(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("x"))
+    def oneGroup = pmod(length(col("source")), lit(1))
+    val w = Window.partitionBy(oneGroup).orderBy(col("x"), col("source"))
+    val wAll = Window.partitionBy(oneGroup)
+    counts
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .agg(max(col("n")).as("n_sources"),
+        sum(col("x")).as("total_docs"),
+        sum((lit(2L) * col("i") - col("n") - lit(1L)) * col("x"))
+          .as("gini_num"),
+        (max(col("n")) * sum(col("x"))).as("gini_den"))
+      .withColumn("gini",
+        round(col("gini_num").cast("double") / col("gini_den"), 6))
+  }
 }

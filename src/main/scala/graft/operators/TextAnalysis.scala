@@ -665,7 +665,14 @@ object TextAnalysis {
     * candidate generation. */
   def winnowFingerprints(spark: SparkSession, dir: String,
       k: Int = 4, w: Int = 5): DataFrame =
-    Tables.documents(spark, dir)
+    winnowFpsOf(Tables.documents(spark, dir), k, w)
+      .orderBy(col("doc_id"), col("fp"))
+
+  /** The unordered (doc_id, fp) winnow relation — the library form
+    * [[winnowCandidates]] composes (presentation ordering belongs to
+    * the query edge, not inside an operator another join consumes). */
+  private[graft] def winnowFpsOf(docs: DataFrame, k: Int, w: Int): DataFrame =
+    docs
       .select(col("doc_id"),
         split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
           .as("toks"))
@@ -677,5 +684,37 @@ object TextAnalysis {
         s"array_distinct(transform(sequence(0, greatest(size(hs) - $w, 0)), " +
           s"i -> array_min(slice(hs, i + 1, $w))))"))
       .select(col("doc_id"), explode(col("fps")).as("fp"))
-      .orderBy(col("doc_id"), col("fp"))
+
+  /** Near-dup CANDIDATE pairs from shared winnow fingerprints — the
+    * join [[winnowFingerprints]] exists to feed (MOSS's match step):
+    * doc pairs sharing ≥ `minShared` selected fingerprints, with the
+    * shared count as the match strength. Fingerprints carried by more
+    * than `maxFpDf` documents are EXCLUDED from pair generation — they
+    * are corpus boilerplate (the [[Dedup.boilerplateGrams]] kind), and
+    * a fingerprint shared by d documents emits d·(d−1)/2 pairs: the
+    * cap is what keeps the bucket join's hottest key bounded at any
+    * corpus size (the same df-capping every production fingerprint
+    * index applies), so candidate volume scales with true near-dup
+    * mass, not with how popular one license header is.
+    *
+    * Scale shape: one fp-keyed count (map-side combined) semi-filters
+    * the relation, one fp-keyed self-join emits pairs, one pair-keyed
+    * count — no stage sees more than `maxFpDf`-bounded bucket fanout. */
+  def winnowCandidates(spark: SparkSession, dir: String,
+      k: Int = 4, w: Int = 5, minShared: Int = 2,
+      maxFpDf: Int = 50): DataFrame = {
+    val fps = winnowFpsOf(Tables.documents(spark, dir), k, w)
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df")) // fps are distinct per doc: count == doc df
+      .filter(col("df") <= maxFpDf)
+      .select(col("fp"))
+    val kept = fps.join(rare, Seq("fp"), "left_semi")
+    kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

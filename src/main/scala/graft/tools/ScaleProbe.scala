@@ -154,6 +154,17 @@ object ScaleProbe {
       ("q_hybrid_rrf", 1.0, (d, _) => graft.operators.Search.hybridRrf(spark, d)),
       // documents, score-distribution-driven (window state is bounded)
       ("q_token_budget", 1.0, (d, _) => graft.operators.TextAnalysis.tokenBudgetSelect(spark, d)),
+      // row-local winnow selection + exploded ~1/w fp relation: linear.
+      // winnowCandidates is deliberately NOT probed: the replica corpus
+      // grows every doc a family of mult near-dup siblings, so TRUE
+      // candidate-pair mass is quadratic in mult by construction — the
+      // same reason the raw minhash pair relation isn't in the battery
+      ("q_winnow_fingerprint", 1.0, (d, _) => graft.operators.TextAnalysis.winnowFingerprints(spark, d)),
+      ("q_boilerplate_grams", 1.0, (d, _) => graft.operators.Dedup.boilerplateGrams(spark, d)),
+      ("q_burst_days", 1.0, (d, _) => graft.operators.Behavioral.burstDays(spark, d)),
+      // per-user aggregate linear; quintile windows see only the panel
+      ("q_rfm_segments", 1.0, (d, _) => graft.operators.Behavioral.rfmSegments(spark, d)),
+      ("q_length_buckets", 1.0, (d, _) => graft.operators.Sampling.lengthBuckets(spark, d)),
       // skew stress: a CONSTANT 300-copy boilerplate family planted
       // into the growing corpus — the hot band buckets (and their
       // quadratic pair mass) are the same at 1× and N×, so the probe

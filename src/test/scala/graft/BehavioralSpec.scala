@@ -306,6 +306,40 @@ class BehavioralSpec extends AnyFunSuite {
     }
   }
 
+  test("burst days: flags reproduce the integer inequality from a raw " +
+    "recount and each flagged day's float z clears the threshold") {
+    import org.apache.spark.sql.functions._
+    val zInt = 2
+    val got = graft.operators.Behavioral.burstDays(spark, sf, zInt).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getLong(3)))
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (tpe, rows) =>
+      val d = BigInt(rows.length)
+      val s = rows.map(r => BigInt(r._3)).sum
+      val q = rows.map(r => BigInt(r._3) * r._3).sum
+      val varTerm = d * q - s * s
+      rows.flatMap { case (_, day, n) =>
+        val dev = BigInt(n) * d - s
+        val excess = dev * dev - zInt * zInt * varTerm
+        if (dev > 0 && excess > 0) Some((tpe, day, n, excess.toLong)) else None
+      }
+    }.toSet
+    assert(got.toSet == expect, "flag set disagrees with the driver recount")
+    assert(got.nonEmpty, "the log should contain at least one 2-sigma day")
+    // float cross-check: flagged ⇒ z > zInt under population sigma
+    for ((tpe, day, n, _) <- got) {
+      val rows = daily.filter(_._1 == tpe)
+      val mu = rows.map(_._3).sum.toDouble / rows.length
+      val sigma = math.sqrt(
+        rows.map(r => (r._3 - mu) * (r._3 - mu)).sum / rows.length)
+      assert(n > mu + zInt * sigma - 1e-9, s"$tpe/$day float z disagrees")
+    }
+  }
+
   test("rfm: quintiles reproduce ntile over the declared total order, " +
     "sizes balance within 1, segment is the concatenation, and spend " +
     "recounts integer-exactly from raw events") {

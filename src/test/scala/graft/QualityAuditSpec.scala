@@ -103,4 +103,25 @@ class QualityAuditSpec extends AnyFunSuite {
     val key = got.map(r => (-r.getAs[Double]("chi2_in"), r.getString(0)))
     assert(key.sameElements(key.sorted), "cut must follow the total order")
   }
+
+  test("gini: closed form recounts from raw source counts and sits in " +
+    "[0, 1); integer numerator/denominator close exactly") {
+    val r = graft.operators.Quality.giniSources(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nSrc, total, num, den, gini) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getDouble(4))
+    val xs = graft.sources.Tables.documents(spark, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("x"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+      .sortBy(t => (t._2, t._1))
+    assert(nSrc == xs.length && total == xs.map(_._2).sum)
+    val n = xs.length.toLong
+    val expectNum = xs.zipWithIndex
+      .map { case ((_, x), i0) => (2L * (i0 + 1) - n - 1L) * x }.sum
+    assert(num == expectNum && den == n * total)
+    assert(gini == BigDecimal(num.toDouble / den.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(gini >= 0.0 && gini < 1.0)
+  }
 }

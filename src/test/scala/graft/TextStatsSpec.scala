@@ -244,6 +244,23 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow candidates: pairs recount from the fingerprint relation " +
+    "and no over-df fingerprint contributes") {
+    val (k, w, minShared, maxFpDf) = (4, 5, 2, 50)
+    val got = TextAnalysis.winnowCandidates(spark, sf, k, w, minShared, maxFpDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fps = TextAnalysis.winnowFingerprints(spark, sf, k, w).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byFp = fps.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val expect = byFp.values.filter(_.size <= maxFpDf).toSeq
+      .flatMap(ids => for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield (ids(i), ids(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= minShared)
+    assert(got == expect, "candidate pairs disagree with the driver recount")
+    assert(got.nonEmpty, "corpus should contain at least one near-dup pair")
+  }
+
   test("length buckets: cap is the least power of two >= token count; " +
     "padding identities and totals hold") {
     val rows = graft.operators.Sampling.lengthBuckets(spark, sf).collect()
