@@ -670,20 +670,37 @@ object TextAnalysis {
 
   /** The unordered (doc_id, fp) winnow relation — the library form
     * [[winnowCandidates]] composes (presentation ordering belongs to
-    * the query edge, not inside an operator another join consumes). */
-  private[graft] def winnowFpsOf(docs: DataFrame, k: Int, w: Int): DataFrame =
+    * the query edge, not inside an operator another join consumes).
+    *
+    * The token and gram-hash arrays are LET-BOUND as lambda variables
+    * (`transform(array(x), t -> …)[1]`) instead of aliased projection
+    * columns: CollapseProject inlines a column alias into the lambda
+    * bodies that reference it, and an expression inlined into a
+    * `transform` lambda re-evaluates PER ELEMENT — the chained
+    * toks→hs→fps aliases collapsed into O(tokens³)-per-doc interpreted
+    * eval (caught live by a thread dump: `String.split` at the bottom
+    * of a per-window-element stack). A bound lambda variable cannot be
+    * inlined away, so each array is computed exactly once per row. */
+  private[graft] def winnowFpsOf(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val toksArr = array(
+      split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+    val hs0 = transform(toksArr, t =>
+      when(size(t) >= k,
+        transform(sequence(lit(0), size(t) - k), i =>
+          md5(array_join(slice(t, i + 1, lit(k)), " ")).substr(lit(1), lit(16)))))
+      .getItem(0)
+    val fps = (hs: Column) =>
+      transform(sequence(lit(0), greatest(size(hs) - w, lit(0))), i =>
+        array_min(slice(hs, i + 1, lit(w))))
     docs
+      .select(col("doc_id"), hs0.as("hs0"))
       .select(col("doc_id"),
-        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
-          .as("toks"))
-      .filter(size(col("toks")) >= k)
-      .withColumn("hs", expr(
-        s"transform(sequence(0, size(toks) - $k), " +
-          s"i -> substring(md5(array_join(slice(toks, i + 1, $k), ' ')), 1, 16))"))
-      .withColumn("fps", expr(
-        s"array_distinct(transform(sequence(0, greatest(size(hs) - $w, 0)), " +
-          s"i -> array_min(slice(hs, i + 1, $w))))"))
+        transform(array(col("hs0")),
+          hs => when(hs.isNotNull, array_distinct(fps(hs)))).getItem(0)
+          .as("fps"))
+      .filter(col("fps").isNotNull)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
+  }
 
   /** Near-dup CANDIDATE pairs from shared winnow fingerprints — the
     * join [[winnowFingerprints]] exists to feed (MOSS's match step):
