@@ -57,6 +57,32 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("no split() re-evaluates inside a higher-order-function lambda") {
+    // the trap class behind the winnow cubic: CollapseProject inlines a
+    // tokenizing alias into a transform/aggregate lambda BODY, where it
+    // re-evaluates per array ELEMENT (interpreted — HOFs don't codegen).
+    // Let-binding via a one-element transform (winnowFpsOf) is the fix;
+    // this net catches any query whose optimized plan carries split()
+    // inside a lambdafunction span.
+    def lambdaSpans(s: String): Seq[String] =
+      "lambdafunction\\(".r.findAllMatchIn(s).map(_.end - 1).toSeq.map { open =>
+        var depth = 0; var i = open
+        while (i < s.length && (depth != 0 || i == open)) {
+          if (s.charAt(i) == '(') depth += 1
+          else if (s.charAt(i) == ')') depth -= 1
+          i += 1
+        }
+        s.substring(open, i)
+      }
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan.toString
+      if (lambdaSpans(plan).exists(_.contains("split(")))
+        Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"split() inside a lambda body (re-evaluates per element): $offenders")
+  }
+
   test("star joins broadcast their dimension sides at small SF") {
     for (q <- Seq("q5_multijoin", "q_status_pivot", "q_completion_rate")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
