@@ -720,7 +720,9 @@ object TextAnalysis {
   def winnowCandidates(spark: SparkSession, dir: String,
       k: Int = 4, w: Int = 5, minShared: Int = 2,
       maxFpDf: Int = 50): DataFrame = {
-    val fps = winnowFpsOf(Tables.documents(spark, dir), k, w)
+    // the fp relation feeds the df count AND both self-join sides —
+    // checkpoint once instead of re-hashing the corpus three times
+    val fps = winnowFpsOf(Tables.documents(spark, dir), k, w).localCheckpoint()
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df")) // fps are distinct per doc: count == doc df
       .filter(col("df") <= maxFpDf)
