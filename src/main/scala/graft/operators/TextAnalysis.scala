@@ -736,4 +736,86 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Persisted WINNOW fingerprint index — the sixth index family on
+    * the shared build/probe/append contract (MinHash, containment,
+    * BM25, IVF, edit, winnow): the corpus fp relation stored BUCKETED
+    * BY fp so probing an arriving batch is an equi-join that shuffles
+    * only the batch, plus a LOG-STRUCTURED fp-df relation (build
+    * writes one count segment, appends add segments, probes sum on
+    * read — exact integer merge) for the df cap, and a `_meta` table
+    * pinning (k, w, maxFpDf) so probes can never run with mismatched
+    * shingle parameters (the edit-index `_meta` pattern). Winnow's
+    * niche among the families: substring-robust local fingerprints at
+    * ~1/w the containment index's posting volume. */
+  def buildWinnowIndex(spark: SparkSession, dir: String, name: String,
+      nBuckets: Int = 8, k: Int = 4, w: Int = 5, maxFpDf: Int = 50): Unit = {
+    val fps = winnowFpsOf(Tables.documents(spark, dir), k, w).localCheckpoint()
+    graft.sources.FormatIO.writeBucketed(
+      fps.withColumnRenamed("doc_id", "idx_doc"), s"${name}_fps",
+      "fp", nBuckets, sortCol = Some("fp"))
+    fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_fpdf")
+    import spark.implicits._
+    Seq((k, w, maxFpDf)).toDF("k", "w", "max_fp_df")
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_meta")
+  }
+
+  /** Probe the persisted winnow index with a batch of documents
+    * (`doc_id`, `text`): directed (probe doc → index doc) pairs
+    * sharing ≥ `minShared` fingerprints, with the shared count.
+    * Shingle/window params and the df cap come from the index's
+    * `_meta` (a probe can't silently mismatch the stored layout); the
+    * df merge semi-joins the PROBE's fingerprints below the
+    * log-segment sum, so per-probe df cost is O(probe fingerprints),
+    * never O(corpus vocabulary). Probing the index's own corpus
+    * reproduces [[winnowCandidates]] symmetrized (spec-checked). No
+    * terminal orderBy: probes are library operators (PlanHygieneSpec
+    * asserts no global Sort). */
+  def probeWinnowIndex(spark: SparkSession, name: String,
+      newDocs: DataFrame, minShared: Int = 2): DataFrame = {
+    val meta = spark.table(s"${name}_meta").collect().head
+    val (k, w) = (meta.getAs[Int]("k"), meta.getAs[Int]("w"))
+    val maxFpDf = meta.getAs[Int]("max_fp_df")
+    val probe = winnowFpsOf(newDocs, k, w).localCheckpoint()
+    val probeFps = probe.select(col("fp")).distinct()
+    val dfreq = spark.table(s"${name}_fpdf")
+      .join(probeFps, Seq("fp"), "left_semi")
+      .groupBy(col("fp")).agg(sum(col("df")).as("df"))
+    val rare = dfreq.filter(col("df") <= maxFpDf).select(col("fp"))
+    probe.join(rare, Seq("fp"), "left_semi")
+      .join(spark.table(s"${name}_fps"), Seq("fp"))
+      .filter(col("doc_id") =!= col("idx_doc"))
+      .groupBy(col("doc_id"), col("idx_doc"))
+      // countDistinct, not count: an at-least-once replayed append may
+      // leave duplicate (idx_doc, fp) postings, and a raw join-row
+      // count would inflate the match strength — distinct fps make the
+      // pair count replay-proof (duplicate df rows only push a fp
+      // TOWARD the cap: conservative, never phantom pairs)
+      .agg(countDistinct(col("fp")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** DELTA APPEND a batch into the persisted winnow index — same
+    * maintenance contract as the other five families:
+    * `append(batch) ∘ build(corpus)` is probe-equal to
+    * `build(corpus ∪ batch)` (parity-spec-proved; the fp relation is
+    * append-only rows and the df merge is exact integer arithmetic),
+    * per-wave cost O(batch). Compose with
+    * [[graft.sources.FormatIO.compactBucketedTable]] for file
+    * hygiene. */
+  def appendToWinnowIndex(spark: SparkSession, name: String,
+      newDocs: DataFrame): Unit = {
+    val meta = spark.table(s"${name}_meta").collect().head
+    val (k, w) = (meta.getAs[Int]("k"), meta.getAs[Int]("w"))
+    val fps = winnowFpsOf(newDocs, k, w).localCheckpoint()
+    graft.sources.FormatIO.appendBucketed(spark,
+      fps.withColumnRenamed("doc_id", "idx_doc"), s"${name}_fps")
+    fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(s"${name}_fpdf")
+    spark.catalog.refreshTable(s"${name}_fpdf") // see FormatIO.appendBucketed
+  }
 }

@@ -1076,6 +1076,25 @@ object Streams {
       }
       .start()
 
+  /** Streaming near-dup screening against the PERSISTED winnow
+    * fingerprint index
+    * ([[graft.operators.TextAnalysis.buildWinnowIndex]]): each
+    * micro-batch of arriving documents appends its directed
+    * shared-fingerprint pairs — the sixth index family probe-able from
+    * a stream, same foreachBatch shape, the bucketed fp postings never
+    * reshuffle and the df cap comes from the index's own `_meta`. */
+  def winnowProbeStream(spark: SparkSession, docs: DataFrame,
+      indexName: String, outPath: String, checkpoint: String,
+      minShared: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TextAnalysis.probeWinnowIndex(spark, indexName,
+            batch, minShared)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** Streaming index APPEND — the ingest half of the persisted-index
     * story, closing the loop the probe streams left open: before this,
     * streams could only PROBE a persisted index (or hold
@@ -1136,6 +1155,23 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.Dedup.appendToEditIndex(spark, indexName, batch)
+      }
+      .start()
+
+  /** Streaming append into the persisted winnow fingerprint index —
+    * see [[minhashAppendStream]] for the shared contract. Replay-safe
+    * by probe construction: pair strength counts DISTINCT fps (a
+    * duplicated posting can't inflate it) and duplicate df rows only
+    * push a fingerprint toward the cap — conservative exclusion,
+    * never phantom pairs. */
+  def winnowAppendStream(spark: SparkSession, docs: DataFrame,
+      indexName: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TextAnalysis.appendToWinnowIndex(spark, indexName,
+          batch)
       }
       .start()
 

@@ -160,6 +160,54 @@ class IndexAppendSpec extends AnyFunSuite {
       "append∘build must be probe-equal to the pinned-centroid rebuild")
   }
 
+  test("winnow index: probing its own corpus reproduces winnowCandidates " +
+    "symmetrized, with the df cap applied from _meta") {
+    import graft.operators.TextAnalysis
+    TextAnalysis.buildWinnowIndex(spark, sf, "wn_self_idx", nBuckets = 4)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val probed = TextAnalysis.probeWinnowIndex(spark, "wn_self_idx", docs)
+    // every directed pair appears in both directions, equal strength
+    val asMap = probed.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(asMap.nonEmpty)
+    asMap.foreach { case ((a, b), n) =>
+      assert(asMap.get((b, a)).contains(n), s"pair ($a,$b) not symmetric")
+    }
+    val sym = rows(probed.filter(col("doc_id") < col("idx_doc"))
+      .select(col("doc_id").as("doc_a"), col("idx_doc").as("doc_b"),
+        col("n_shared")))
+    val direct = rows(TextAnalysis.winnowCandidates(spark, sf))
+    assert(sym == direct,
+      "self-probe must reproduce the batch candidate operator")
+  }
+
+  test("winnow append: append∘build == build(union), probe-equal " +
+    "including the log-structured fp-df merge; compaction preserves " +
+    "probes and the bucketed read") {
+    import graft.operators.TextAnalysis
+    val (corpusDir, batch) = splitDir("documents", "doc_id")
+    TextAnalysis.buildWinnowIndex(spark, corpusDir, "wn_app_inc", nBuckets = 4)
+    TextAnalysis.appendToWinnowIndex(spark, "wn_app_inc",
+      batch.select(col("doc_id"), col("text")))
+    TextAnalysis.buildWinnowIndex(spark, sf, "wn_app_full", nBuckets = 4)
+    val probes = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .limit(80).localCheckpoint()
+    val inc = rows(TextAnalysis.probeWinnowIndex(spark, "wn_app_inc", probes))
+    val full = rows(TextAnalysis.probeWinnowIndex(spark, "wn_app_full", probes))
+    assert(inc.nonEmpty, "probe must find shared-fingerprint pairs")
+    assert(inc == full, "append∘build must be probe-equal to build(union)")
+    val stats = FormatIO.compactBucketedTable(spark, "wn_app_inc_fps")
+    assert(stats.filesAfter < stats.filesBefore,
+      s"compaction must reduce the appended file count, got $stats")
+    val compacted = TextAnalysis.probeWinnowIndex(spark, "wn_app_inc", probes)
+    assert(rows(compacted) == full, "compaction must not change probe results")
+    val formatted = compacted.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("Bucketed: true"),
+      s"compacted index must still read bucketed:\n$formatted")
+  }
+
   test("compactBucketedTable refuses unbucketed tables; concurrent " +
     "compact() fails loudly on the lock") {
     import spark.implicits._

@@ -1437,4 +1437,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(eStreamed == eRebuilt,
       "streamed edit appends then probe must equal batch rebuild then probe")
   }
+
+  test("streaming winnow: appends grow the fp index to rebuild parity, " +
+    "and the probe stream emits exactly the batch probe's pairs") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val docs = graft.sources.Tables.documents(sp, sf)
+      .select(col("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // append half: corpus = doc_id % 3 != 0, streamed arrivals the rest
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-wapp-docs").toString
+    docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .write.parquet(s"$corpusDir/documents.parquet")
+    graft.operators.TextAnalysis.buildWinnowIndex(sp, corpusDir,
+      "wn_sapp_idx", nBuckets = 4)
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wapp-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.winnowAppendStream(sp,
+      input.toDF().toDF("doc_id", "text"), "wn_sapp_idx", ckpt)
+    arrivals.grouped(math.max(1, arrivals.length / 3 + 1)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    graft.operators.TextAnalysis.buildWinnowIndex(sp, sf, "wn_sapp_full",
+      nBuckets = 4)
+    val probes = docs.limit(60).localCheckpoint()
+    val streamed = rows(graft.operators.TextAnalysis
+      .probeWinnowIndex(sp, "wn_sapp_idx", probes))
+    val rebuilt = rows(graft.operators.TextAnalysis
+      .probeWinnowIndex(sp, "wn_sapp_full", probes))
+    assert(rebuilt.nonEmpty)
+    assert(streamed == rebuilt,
+      "streamed winnow appends then probe must equal batch rebuild probe")
+    // probe half: micro-batched arrivals through the probe stream land
+    // the same pairs the batch probe computes for the same docs
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-wprobe-out").toString
+    val pCkpt = java.nio.file.Files
+      .createTempDirectory("graft-wprobe-ck").toString
+    val pInput = MemoryStream[(Long, String)]
+    val pq = Streams.winnowProbeStream(sp,
+      pInput.toDF().toDF("doc_id", "text"), "wn_sapp_full", outPath, pCkpt)
+    val probeRows = probes.collect().map(r => (r.getLong(0), r.getString(1)))
+    probeRows.grouped(math.max(1, probeRows.length / 2 + 1)).foreach { chunk =>
+      pInput.addData(chunk.toIndexedSeq)
+      pq.processAllAvailable()
+    }
+    pq.stop()
+    val streamedPairs = rows(sp.read.parquet(outPath))
+    assert(streamedPairs == rebuilt,
+      "probe stream output must equal the batch probe on the same docs")
+  }
 }
