@@ -185,6 +185,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     graft.operators.Dedup.buildEditIndex(spark, sf, "ph_edit", nBuckets = 4)
     graft.operators.Search.buildSearchIndex(spark, sf, "ph_srch", nBuckets = 4)
     graft.operators.Similarity.buildIvfIndex(spark, sf, "ph_ivf", nBuckets = 4)
+    graft.operators.TextAnalysis.buildWinnowIndex(spark, sf, "ph_wn",
+      nBuckets = 4)
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).limit(20)
     val custs = graft.sources.Tables.customer(spark, sf)
@@ -205,7 +207,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       "probeSearchIndexMany" ->
         graft.operators.Search.probeSearchIndexMany(spark, "ph_srch", qterms),
       "probeIvfIndexOn" ->
-        graft.operators.Similarity.probeIvfIndexOn(spark, "ph_ivf", qvecs))
+        graft.operators.Similarity.probeIvfIndexOn(spark, "ph_ivf", qvecs),
+      "probeWinnowIndex" ->
+        graft.operators.TextAnalysis.probeWinnowIndex(spark, "ph_wn", docs))
     for ((name, df) <- probes) {
       // a global sort plans as a range-partitioning Exchange; the
       // windowed ranks' partition-LOCAL sorts are fine and stay
