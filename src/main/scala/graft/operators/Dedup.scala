@@ -250,6 +250,37 @@ object Dedup {
       Tables.documents(spark, dir)
         .select(col("doc_id"), digestCol.as("digest")),
       s"${name}_digests", "digest", nBuckets)
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "doc_id")
+  }
+
+  /** TOMBSTONE-DELETE documents from the persisted MinHash index — the
+    * erasure half of index maintenance (GDPR-class removal runs at
+    * 100 TB cadence too): deleted ids land in a side-table that every
+    * probe anti-joins, so the documents vanish from probe results
+    * IMMEDIATELY at O(deleted ids) cost, with no index rewrite.
+    * [[purgeMinhashTombstones]] later removes the bytes during the
+    * same bucket-preserving rewrite a compaction performs. Deleted ids
+    * are retired permanently — re-appending a tombstoned doc_id is
+    * unsupported (the corpus convention is monotone never-reused ids). */
+  def deleteFromMinhashIndex(spark: SparkSession, name: String,
+      docIds: DataFrame): Unit =
+    graft.sources.FormatIO.appendTombstones(spark,
+      docIds.select(col("doc_id")).distinct(), s"${name}_tombstones")
+
+  /** Physically erase tombstoned documents' rows from the MinHash
+    * index's band and digest relations (bucket-preserving rewrite,
+    * doubles as a compaction), then reset the tombstone table. */
+  def purgeMinhashTombstones(spark: SparkSession, name: String)
+      : graft.sources.FormatIO.TableCompactStats = {
+    val tomb = spark.table(s"${name}_tombstones").localCheckpoint()
+    val stats = graft.sources.FormatIO.purgeBucketedTable(spark,
+      s"${name}_bands", tomb, "doc_id")
+    graft.sources.FormatIO.purgeBucketedTable(spark,
+      s"${name}_digests", tomb, "doc_id")
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "doc_id")
+    stats
   }
 
   /** Probe the persisted digest relation with a batch of documents:
@@ -260,6 +291,9 @@ object Dedup {
       newDocs: DataFrame): DataFrame =
     newDocs.select(col("doc_id"), digestCol.as("digest"))
       .join(spark.table(s"${name}_digests")
+        // tombstoned docs are logically deleted until the purge
+        // rewrites the bytes (see deleteFromMinhashIndex)
+        .join(spark.table(s"${name}_tombstones"), Seq("doc_id"), "left_anti")
         .select(col("digest"), col("doc_id").as("idx_doc")), Seq("digest"))
       .filter(col("doc_id") =!= col("idx_doc"))
       .select(col("doc_id"), col("idx_doc"))
@@ -277,6 +311,9 @@ object Dedup {
       .select(col("doc_id"), col("band_id"), col("band_sig"))
       .withColumn("band_key", xxhash64(col("band_id"), col("band_sig")))
     val index = spark.table(s"${name}_bands")
+      // tombstone anti-join BEFORE the pair symmetrization (deleted
+      // docs must vanish from either side of the emitted pair)
+      .join(spark.table(s"${name}_tombstones"), Seq("doc_id"), "left_anti")
       .withColumnRenamed("doc_id", "idx_doc")
     // no terminal orderBy: probes are LIBRARY operators feeding further
     // plans — presentation ordering belongs at the caller's edge, not

@@ -761,6 +761,58 @@ object TextAnalysis {
     Seq((k, w, maxFpDf)).toDF("k", "w", "max_fp_df")
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_meta")
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "idx_doc")
+  }
+
+  /** TOMBSTONE-DELETE documents from the persisted winnow index (the
+    * erasure op — same contract as `Dedup.deleteFromMinhashIndex`):
+    * ids land in the probe-anti-joined side-table AND a NEGATIVE df
+    * segment derived from the index's OWN postings appends to the
+    * log-structured fp-df relation — the merge-on-read sum then
+    * reports each fingerprint's live document frequency exactly, so
+    * the df cap reflects deletions (a boilerplate fp whose carriers
+    * were erased re-enters candidate generation the moment its live
+    * df drops under the cap). Deriving the negative segment from the
+    * index means the deleted documents' TEXT is not needed — erasure
+    * works after the source rows are gone. Idempotent: already-
+    * tombstoned ids are skipped, so a retried delete cannot
+    * double-subtract. Re-appending a tombstoned doc_id is unsupported
+    * (monotone never-reused ids — the corpus convention). */
+  def deleteFromWinnowIndex(spark: SparkSession, name: String,
+      docIds: DataFrame): Unit = {
+    val fresh = docIds.select(col("doc_id").as("idx_doc")).distinct()
+      .join(spark.table(s"${name}_tombstones"), Seq("idx_doc"), "left_anti")
+      .localCheckpoint()
+    spark.table(s"${name}_fps")
+      .join(fresh, Seq("idx_doc"), "left_semi")
+      .groupBy(col("fp")).agg((-count(lit(1))).as("df"))
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(s"${name}_fpdf")
+    spark.catalog.refreshTable(s"${name}_fpdf")
+    graft.sources.FormatIO.appendTombstones(spark, fresh,
+      s"${name}_tombstones")
+  }
+
+  /** Physically erase tombstoned documents from the winnow index:
+    * bucket-preserving purge of the fp postings, then the df relation
+    * is REBUILT from the purged postings (collapsing every append and
+    * negative-delete segment into one exact relation — the compaction
+    * of the log structure), and the tombstone table resets. */
+  def purgeWinnowTombstones(spark: SparkSession, name: String)
+      : graft.sources.FormatIO.TableCompactStats = {
+    val tomb = spark.table(s"${name}_tombstones").localCheckpoint()
+    val stats = graft.sources.FormatIO.purgeBucketedTable(spark,
+      s"${name}_fps", tomb, "idx_doc")
+    spark.table(s"${name}_fps")
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .localCheckpoint() // materialize BEFORE overwriting the table read
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_fpdf")
+    spark.catalog.refreshTable(s"${name}_fpdf")
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "idx_doc")
+    stats
   }
 
   /** Probe the persisted winnow index with a batch of documents
@@ -786,7 +838,11 @@ object TextAnalysis {
       .groupBy(col("fp")).agg(sum(col("df")).as("df"))
     val rare = dfreq.filter(col("df") <= maxFpDf).select(col("fp"))
     probe.join(rare, Seq("fp"), "left_semi")
-      .join(spark.table(s"${name}_fps"), Seq("fp"))
+      .join(spark.table(s"${name}_fps")
+        // tombstoned docs are logically deleted until the purge; their
+        // df mass is already subtracted by the delete's negative segment
+        .join(spark.table(s"${name}_tombstones"), Seq("idx_doc"), "left_anti"),
+        Seq("fp"))
       .filter(col("doc_id") =!= col("idx_doc"))
       .groupBy(col("doc_id"), col("idx_doc"))
       // countDistinct, not count: an at-least-once replayed append may

@@ -103,6 +103,24 @@ object FormatIO {
     spark.catalog.refreshTable(table)
   }
 
+  /** Create an EMPTY tombstone side-table (one bigint key column) —
+    * index builds call this so probes can anti-join unconditionally. */
+  def initTombstones(spark: SparkSession, table: String,
+      keyCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    spark.range(0).select(col("id").as(keyCol))
+      .write.format("parquet").mode(SaveMode.Overwrite).saveAsTable(table)
+  }
+
+  /** Append keys to a tombstone side-table. The caller dedups against
+    * the existing tombstones where idempotency matters (the winnow
+    * delete must not double-append its negative df segment). */
+  def appendTombstones(spark: SparkSession, keys: DataFrame,
+      table: String): Unit = {
+    keys.write.format("parquet").mode(SaveMode.Append).saveAsTable(table)
+    spark.catalog.refreshTable(table) // see appendBucketed
+  }
+
   case class TableCompactStats(filesBefore: Long, filesAfter: Long)
 
   /** Bucket-PRESERVING compaction for an appended-to bucketed table —
@@ -116,7 +134,30 @@ object FormatIO {
     * complete before the live one is dropped). Same single-writer
     * maintenance-window contract as [[compact]]: run with appends to
     * this table quiesced. */
-  def compactBucketedTable(spark: SparkSession, table: String): TableCompactStats = {
+  def compactBucketedTable(spark: SparkSession, table: String): TableCompactStats =
+    rewriteBucketedTable(spark, table, identity)
+
+  /** PHYSICAL PURGE of tombstoned rows from a bucketed table — the
+    * erasure half of the tombstone-deletion contract (see
+    * `Dedup.deleteFromMinhashIndex` /
+    * `TextAnalysis.deleteFromWinnowIndex`): logically-deleted rows are
+    * anti-joined out during the same bucket-preserving rewrite a
+    * compaction performs, so one maintenance pass folds append
+    * accretion AND physically erases deleted documents' postings
+    * (the right-to-erasure requirement — a tombstone hides data from
+    * probes immediately; the purge removes the bytes). Same
+    * crash-safe promotion and single-writer window as
+    * [[compactBucketedTable]]. */
+  def purgeBucketedTable(spark: SparkSession, table: String,
+      dropKeys: DataFrame, keyCol: String): TableCompactStats = {
+    import org.apache.spark.sql.functions.col
+    val keys = dropKeys.select(col(keyCol)).distinct().localCheckpoint()
+    rewriteBucketedTable(spark, table,
+      df => df.join(keys, Seq(keyCol), "left_anti"))
+  }
+
+  private def rewriteBucketedTable(spark: SparkSession, table: String,
+      xform: DataFrame => DataFrame): TableCompactStats = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.functions.col
     val cat = spark.sessionState.catalog
@@ -137,8 +178,8 @@ object FormatIO {
     // stays, and task i == bucket i (same Murmur3-pmod hash).
     val live = spark.sessionState.catalog
       .getTableMetadata(TableIdentifier(table))
-    var w = spark.read.schema(spark.table(table).schema)
-      .parquet(live.location.toString)
+    var w = xform(spark.read.schema(spark.table(table).schema)
+        .parquet(live.location.toString))
       .repartition(spec.numBuckets, col(spec.bucketColumnNames.head))
       .write.format("parquet").mode(SaveMode.Overwrite)
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,

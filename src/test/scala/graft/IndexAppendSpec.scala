@@ -208,6 +208,64 @@ class IndexAppendSpec extends AnyFunSuite {
       s"compacted index must still read bucketed:\n$formatted")
   }
 
+  test("tombstone deletion: delete∘build is probe-equal to building on " +
+    "the reduced corpus (minhash + winnow incl. the negative-df " +
+    "segment, idempotent retry); purge erases the bytes, probes and " +
+    "the collapsed df unchanged") {
+    import graft.operators.TextAnalysis
+    val (corpusDir, batch) = splitDir("documents", "doc_id")
+    val delIds = batch.select(col("doc_id")).localCheckpoint()
+    val probes = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .limit(60).localCheckpoint()
+
+    // ---- minhash: logical delete == reduced rebuild, for both faces
+    Dedup.buildMinhashIndex(spark, sf, "mh_del_full", nBuckets = 4)
+    val preDelete = rows(Dedup.probeMinhashIndex(spark, "mh_del_full", probes))
+    Dedup.deleteFromMinhashIndex(spark, "mh_del_full", delIds)
+    Dedup.buildMinhashIndex(spark, corpusDir, "mh_del_ref", nBuckets = 4)
+    val del = rows(Dedup.probeMinhashIndex(spark, "mh_del_full", probes))
+    assert(del == rows(Dedup.probeMinhashIndex(spark, "mh_del_ref", probes)),
+      "band probe after delete must equal the reduced rebuild")
+    assert(rows(Dedup.probeExactIndex(spark, "mh_del_full", probes)) ==
+      rows(Dedup.probeExactIndex(spark, "mh_del_ref", probes)),
+      "digest probe after delete must equal the reduced rebuild")
+    assert(del != preDelete, "deletion must visibly change probe results")
+    // physical purge: probes unchanged, bytes gone, tombstones reset
+    Dedup.purgeMinhashTombstones(spark, "mh_del_full")
+    assert(rows(Dedup.probeMinhashIndex(spark, "mh_del_full", probes)) == del,
+      "purge must not change probe results")
+    val delSet = delIds.collect().map(_.getLong(0)).toSet
+    val liveBands = spark.table("mh_del_full_bands")
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(liveBands.intersect(delSet).isEmpty, "purge must erase the rows")
+    assert(spark.table("mh_del_full_tombstones").count() == 0L)
+
+    // ---- winnow: delete carries a negative df segment derived from
+    // the index's own postings (no source text needed); retry is a no-op
+    TextAnalysis.buildWinnowIndex(spark, sf, "wn_del_full", nBuckets = 4)
+    TextAnalysis.deleteFromWinnowIndex(spark, "wn_del_full", delIds)
+    TextAnalysis.deleteFromWinnowIndex(spark, "wn_del_full", delIds) // retry
+    TextAnalysis.buildWinnowIndex(spark, corpusDir, "wn_del_ref", nBuckets = 4)
+    val wDel = rows(TextAnalysis.probeWinnowIndex(spark, "wn_del_full", probes))
+    assert(wDel ==
+      rows(TextAnalysis.probeWinnowIndex(spark, "wn_del_ref", probes)),
+      "winnow probe after delete must equal the reduced rebuild")
+    def dfMap(table: String) = spark.table(table)
+      .groupBy(col("fp")).agg(sum(col("df")).as("df")).filter(col("df") =!= 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfMap("wn_del_full_fpdf") == dfMap("wn_del_ref_fpdf"),
+      "merged df after delete must equal the reduced rebuild's df exactly")
+    TextAnalysis.purgeWinnowTombstones(spark, "wn_del_full")
+    assert(rows(TextAnalysis.probeWinnowIndex(spark, "wn_del_full", probes))
+      == wDel, "winnow purge must not change probe results")
+    assert(dfMap("wn_del_full_fpdf") == dfMap("wn_del_ref_fpdf"),
+      "the df collapse must reproduce the reduced rebuild's relation")
+    val liveFps = spark.table("wn_del_full_fps")
+      .select(col("idx_doc")).distinct().collect().map(_.getLong(0)).toSet
+    assert(liveFps.intersect(delSet).isEmpty, "purge must erase fp rows")
+    assert(spark.table("wn_del_full_tombstones").count() == 0L)
+  }
+
   test("compactBucketedTable refuses unbucketed tables; concurrent " +
     "compact() fails loudly on the lock") {
     import spark.implicits._
