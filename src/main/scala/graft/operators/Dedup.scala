@@ -692,6 +692,54 @@ object Dedup {
     Seq((tau, shingle)).toDF("tau", "shingle")
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_meta")
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "doc_b")
+  }
+
+  /** TOMBSTONE-DELETE documents from the persisted containment index —
+    * same contract as [[deleteFromMinhashIndex]], plus a NEGATIVE df
+    * segment derived from the index's own postings (one row per
+    * (doc_b, tok), so the per-tok count IS the deleted docs' df
+    * contribution; the deleted text is not needed). The df only orders
+    * prefixes — any order is recall-lossless — but keeping it exact
+    * keeps candidate pruning sharp. Idempotent; tombstoned ids are
+    * retired permanently. */
+  def deleteFromContainmentIndex(spark: SparkSession, name: String,
+      docIds: DataFrame): Unit = {
+    val fresh = docIds.select(col("doc_id").as("doc_b")).distinct()
+      .join(spark.table(s"${name}_tombstones"), Seq("doc_b"), "left_anti")
+      .localCheckpoint()
+    spark.table(s"${name}_postings")
+      .join(fresh, Seq("doc_b"), "left_semi")
+      .groupBy(col("tok")).agg((-count(lit(1))).as("df"))
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(s"${name}_df")
+    spark.catalog.refreshTable(s"${name}_df")
+    graft.sources.FormatIO.appendTombstones(spark, fresh,
+      s"${name}_tombstones")
+  }
+
+  /** Physically erase tombstoned documents from the containment
+    * index's postings, sets, and prefixes; rebuild the df relation
+    * from the purged postings (collapsing all segments); reset the
+    * tombstones. */
+  def purgeContainmentTombstones(spark: SparkSession, name: String)
+      : graft.sources.FormatIO.TableCompactStats = {
+    val tomb = spark.table(s"${name}_tombstones").localCheckpoint()
+    val stats = graft.sources.FormatIO.purgeBucketedTable(spark,
+      s"${name}_postings", tomb, "doc_b")
+    graft.sources.FormatIO.purgeBucketedTable(spark, s"${name}_sets",
+      tomb, "doc_b")
+    graft.sources.FormatIO.purgeBucketedTable(spark, s"${name}_prefixes",
+      tomb, "doc_b")
+    spark.table(s"${name}_postings")
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_df")
+    spark.catalog.refreshTable(s"${name}_df")
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "doc_b")
+    stats
   }
 
   /** Probe the persisted containment index with a batch of documents
@@ -731,7 +779,10 @@ object Dedup {
       .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
         (col("pos") + 1).as("pos_a"), col("col.tok").as("tok"))
     val needA = ceil(lit(tau) * col("sz_a") - lit(PruneEps))
-    val cands = prefixes.join(spark.table(s"${name}_postings"), Seq("tok"))
+    val cands = prefixes.join(spark.table(s"${name}_postings")
+        // tombstoned docs are logically deleted until the purge
+        .join(spark.table(s"${name}_tombstones"), Seq("doc_b"), "left_anti"),
+      Seq("tok"))
       .filter(col("doc_a") =!= col("doc_b") &&
         col("sz_b") >= needA &&
         (lit(1) + col("sz_a") - col("pos_a")) >= needA)
@@ -834,7 +885,9 @@ object Dedup {
       .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
         (col("pos") + 1).as("pos_a"), col("col.tok").as("tok"))
     val needA = ceil(lit(tau) * col("sz_a") - lit(PruneEps))
-    val fwd = pPref.join(spark.table(s"${name}_postings"), Seq("tok"))
+    val fwd = pPref.join(spark.table(s"${name}_postings")
+        .join(spark.table(s"${name}_tombstones"), Seq("doc_b"), "left_anti"),
+      Seq("tok"))
       .filter(col("doc_a") =!= col("doc_b") &&
         col("sz_b") >= needA &&
         (lit(1) + col("sz_a") - col("pos_a")) >= needA)
@@ -843,7 +896,9 @@ object Dedup {
     val pPost = sets.select(col("doc_id").as("doc_a"),
       size(col("st")).as("sz_a"), explode(col("st")).as("tok"))
     val needB = ceil(lit(tau) * col("sz_b") - lit(PruneEps))
-    val rev = spark.table(s"${name}_prefixes").join(pPost, Seq("tok"))
+    val rev = spark.table(s"${name}_prefixes")
+      .join(spark.table(s"${name}_tombstones"), Seq("doc_b"), "left_anti")
+      .join(pPost, Seq("tok"))
       .filter(col("doc_a") =!= col("doc_b") &&
         col("sz_a") >= needB &&
         (lit(1) + col("sz_b") - col("pos_b")) >= needB)
@@ -1068,6 +1123,29 @@ object Dedup {
     Seq((tau, maxKeyLen)).toDF("tau", "max_key_len")
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_meta")
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "index_key")
+  }
+
+  /** TOMBSTONE-DELETE entity keys from the persisted edit index — same
+    * contract as [[deleteFromMinhashIndex]] (no df relation here; the
+    * variant postings just stop matching). `keys` carries one
+    * `index_key` column. */
+  def deleteFromEditIndex(spark: SparkSession, name: String,
+      keys: DataFrame): Unit =
+    graft.sources.FormatIO.appendTombstones(spark,
+      keys.select(col("index_key")).distinct(), s"${name}_tombstones")
+
+  /** Physically erase tombstoned keys' variant postings; reset the
+    * tombstones. */
+  def purgeEditTombstones(spark: SparkSession, name: String)
+      : graft.sources.FormatIO.TableCompactStats = {
+    val tomb = spark.table(s"${name}_tombstones").localCheckpoint()
+    val stats = graft.sources.FormatIO.purgeBucketedTable(spark,
+      s"${name}_postings", tomb, "index_key")
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "index_key")
+    stats
   }
 
   /** (k, s) → fenced τ-deletion-variant postings (variant, index_key,
@@ -1126,7 +1204,10 @@ object Dedup {
       .select(col("probe_key"), col("probe_name").as("s"))
       .select(col("probe_key"), col("s").as("probe_name"),
         explode(expr(deletionVariantsExpr(tau))).as("variant"))
-    p.join(spark.table(s"${name}_postings"), Seq("variant"))
+    p.join(spark.table(s"${name}_postings")
+        .join(spark.table(s"${name}_tombstones"), Seq("index_key"),
+          "left_anti"),
+      Seq("variant"))
       .filter(col("probe_key") =!= col("index_key") &&
         abs(length(col("probe_name")) - length(col("index_name"))) <= tau)
       // collapse multi-variant collisions to ONE verify per (probe row,

@@ -162,6 +162,58 @@ object Search {
     // never leave the 2^53 integer-exact range at any plausible corpus)
     lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.format("parquet").mode("overwrite").saveAsTable(s"${name}_stats")
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "doc_id")
+  }
+
+  /** The index's postings with tombstoned documents anti-joined out —
+    * both probes read through this, which keeps df (derived by
+    * COUNTING matched postings) automatically consistent with
+    * deletions. */
+  private def livePostings(spark: SparkSession, name: String): DataFrame =
+    spark.table(s"${name}_postings")
+      .join(spark.table(s"${name}_tombstones"), Seq("doc_id"), "left_anti")
+
+  /** TOMBSTONE-DELETE documents from the persisted BM25 index — same
+    * contract as [[graft.operators.Dedup.deleteFromMinhashIndex]]:
+    * probes anti-join the tombstones (and because BM25 df is counted
+    * from matched postings, idf is live-exact immediately), and a
+    * NEGATIVE (count, Σdl) moment segment derived from the index's own
+    * lens rows keeps the merged avgdl exact. Idempotent — retried
+    * deletes skip already-tombstoned ids. */
+  def deleteFromSearchIndex(spark: SparkSession, name: String,
+      docIds: DataFrame): Unit = {
+    val fresh = docIds.select(col("doc_id")).distinct()
+      .join(spark.table(s"${name}_tombstones"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    spark.table(s"${name}_lens")
+      .join(fresh, Seq("doc_id"), "left_semi")
+      .agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum(col("dl")), lit(0.0))).as("sum_dl"))
+      .write.format("parquet").mode("append").saveAsTable(s"${name}_stats")
+    spark.catalog.refreshTable(s"${name}_stats")
+    graft.sources.FormatIO.appendTombstones(spark, fresh,
+      s"${name}_tombstones")
+  }
+
+  /** Physically erase tombstoned documents' postings and lens rows;
+    * rebuild the stats relation from the purged lens (one exact
+    * segment collapsing all appends and deletes); reset the
+    * tombstones. */
+  def purgeSearchTombstones(spark: SparkSession, name: String)
+      : graft.sources.FormatIO.TableCompactStats = {
+    val tomb = spark.table(s"${name}_tombstones").localCheckpoint()
+    val stats = graft.sources.FormatIO.purgeBucketedTable(spark,
+      s"${name}_postings", tomb, "doc_id")
+    graft.sources.FormatIO.purgeBucketedTable(spark, s"${name}_lens",
+      tomb, "doc_id")
+    spark.table(s"${name}_lens")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.format("parquet").mode("overwrite").saveAsTable(s"${name}_stats")
+    spark.catalog.refreshTable(s"${name}_stats")
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "doc_id")
+    stats
   }
 
   /** The 1-row merged corpus stats (n_docs, avgdl) from the
@@ -204,7 +256,7 @@ object Search {
   def probeSearchIndex(spark: SparkSession, name: String,
       terms: Seq[String] = Seq("data", "model", "spark"),
       topN: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = spark.table(s"${name}_postings")
+    val tf = livePostings(spark, name)
       .filter(col("tok").isInCollection(terms))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = mergedStats(spark, name)
@@ -238,7 +290,7 @@ object Search {
       b: Double = 0.75): DataFrame = {
     val qterms = queries.select(col("query_id"), col("tok")).distinct()
     val toks = qterms.select(col("tok")).distinct()
-    val matched = spark.table(s"${name}_postings")
+    val matched = livePostings(spark, name)
       .join(broadcast(toks), Seq("tok"))
     // postings are unique per (tok, doc) — count IS the doc frequency
     val df = matched.groupBy(col("tok")).agg(count(lit(1)).as("df"))

@@ -341,6 +341,30 @@ object Similarity {
       }
     graft.sources.FormatIO.writeBucketed(postings, s"${name}_postings",
       "bucket", nBuckets, sortCol = Some("bucket"))
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "id_b")
+  }
+
+  /** TOMBSTONE-DELETE vectors from the persisted IVF index — same
+    * contract as [[graft.operators.Dedup.deleteFromMinhashIndex]].
+    * The frozen codebook is untouched (deletion, like append, never
+    * retrains — retraining is by definition a rebuild). */
+  def deleteFromIvfIndex(spark: SparkSession, name: String,
+      vecIds: DataFrame): Unit =
+    graft.sources.FormatIO.appendTombstones(spark,
+      vecIds.select(col("vec_id").as("id_b")).distinct(),
+      s"${name}_tombstones")
+
+  /** Physically erase tombstoned vectors' postings; reset the
+    * tombstones. */
+  def purgeIvfTombstones(spark: SparkSession, name: String)
+      : graft.sources.FormatIO.TableCompactStats = {
+    val tomb = spark.table(s"${name}_tombstones").localCheckpoint()
+    val stats = graft.sources.FormatIO.purgeBucketedTable(spark,
+      s"${name}_postings", tomb, "id_b")
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "id_b")
+    stats
   }
 
   /** The stored codebook of index `name` as K×dim doubles —
@@ -416,6 +440,8 @@ object Similarity {
            |  s -> CAST(s.idx AS BIGINT))""".stripMargin)))
       .select(col("vec_id").as("id_a"), col("vn").as("va"), col("bucket"))
     val indexed = spark.table(s"${name}_postings")
+      // tombstoned vectors are logically deleted until the purge
+      .join(spark.table(s"${name}_tombstones"), Seq("id_b"), "left_anti")
     val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
     probed.join(indexed, Seq("bucket"))
       .filter(col("id_a") =!= col("id_b"))

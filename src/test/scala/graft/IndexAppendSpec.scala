@@ -266,6 +266,93 @@ class IndexAppendSpec extends AnyFunSuite {
     assert(spark.table("wn_del_full_tombstones").count() == 0L)
   }
 
+  test("tombstone deletion across the remaining families — containment " +
+    "(both directions + exact df mass), BM25 (live-counted df + " +
+    "negative moments), edit, IVF (frozen codebook) — probe-equal to " +
+    "the reduced rebuild; purges probe-invariant") {
+    val (corpusDir, batch) = splitDir("documents", "doc_id")
+    val delIds = batch.select(col("doc_id")).localCheckpoint()
+    val probes = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .limit(60).localCheckpoint()
+
+    // ---- containment
+    Dedup.buildContainmentIndex(spark, sf, "cont_del_full", nBuckets = 4)
+    Dedup.deleteFromContainmentIndex(spark, "cont_del_full", delIds)
+    Dedup.buildContainmentIndex(spark, corpusDir, "cont_del_ref", nBuckets = 4)
+    assert(rows(Dedup.probeContainmentIndex(spark, "cont_del_full", probes))
+      == rows(Dedup.probeContainmentIndex(spark, "cont_del_ref", probes)),
+      "containment forward probe after delete must equal reduced rebuild")
+    val bothRef = rows(Dedup.probeContainmentBoth(spark, "cont_del_ref",
+      probes))
+    assert(rows(Dedup.probeContainmentBoth(spark, "cont_del_full", probes))
+      == bothRef, "bidirectional probe after delete must equal rebuild")
+    def dfm(t: String) = spark.table(t)
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+      .filter(col("df") =!= 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfm("cont_del_full_df") == dfm("cont_del_ref_df"),
+      "merged containment df must equal the reduced rebuild's exactly")
+    Dedup.purgeContainmentTombstones(spark, "cont_del_full")
+    assert(rows(Dedup.probeContainmentBoth(spark, "cont_del_full", probes))
+      == bothRef, "containment purge must not change probes")
+    assert(dfm("cont_del_full_df") == dfm("cont_del_ref_df"),
+      "purged df collapse must reproduce the reduced rebuild's relation")
+
+    // ---- BM25: df is COUNTED from live postings, avgdl merges the
+    // negative moment segment (whole-number doubles: exact arithmetic)
+    Search.buildSearchIndex(spark, sf, "srch_del_full", nBuckets = 4)
+    Search.deleteFromSearchIndex(spark, "srch_del_full", delIds)
+    Search.deleteFromSearchIndex(spark, "srch_del_full", delIds) // retry
+    Search.buildSearchIndex(spark, corpusDir, "srch_del_ref", nBuckets = 4)
+    assert(rows(Search.probeSearchIndex(spark, "srch_del_full"))
+      == rows(Search.probeSearchIndex(spark, "srch_del_ref")),
+      "BM25 probe after delete must equal the reduced rebuild")
+    import spark.implicits._
+    val qs = Seq((1L, "data"), (1L, "spark"), (2L, "model"))
+      .toDF("query_id", "tok")
+    assert(rows(Search.probeSearchIndexMany(spark, "srch_del_full", qs))
+      == rows(Search.probeSearchIndexMany(spark, "srch_del_ref", qs)),
+      "batched BM25 probe after delete must equal the reduced rebuild")
+    Search.purgeSearchTombstones(spark, "srch_del_full")
+    assert(rows(Search.probeSearchIndex(spark, "srch_del_full"))
+      == rows(Search.probeSearchIndex(spark, "srch_del_ref")),
+      "BM25 purge must not change probes")
+
+    // ---- edit
+    val (custDir, custBatch) = splitDir("customer", "c_custkey")
+    Dedup.buildEditIndex(spark, sf, "edit_del_full", nBuckets = 4)
+    Dedup.deleteFromEditIndex(spark, "edit_del_full",
+      custBatch.select(col("c_custkey").as("index_key")))
+    Dedup.buildEditIndex(spark, custDir, "edit_del_ref", nBuckets = 4)
+    val eProbes = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("probe_key"), col("c_name").as("probe_name"))
+      .localCheckpoint()
+    val eRef = rows(Dedup.probeEditIndex(spark, "edit_del_ref", eProbes))
+    assert(rows(Dedup.probeEditIndex(spark, "edit_del_full", eProbes))
+      == eRef, "edit probe after delete must equal the reduced rebuild")
+    Dedup.purgeEditTombstones(spark, "edit_del_full")
+    assert(rows(Dedup.probeEditIndex(spark, "edit_del_full", eProbes))
+      == eRef, "edit purge must not change probes")
+
+    // ---- IVF: reference pins the FULL corpus codebook (deletion never
+    // retrains — retraining is by definition a rebuild)
+    val (embDir, embBatch) = splitDir("embeddings", "vec_id")
+    Similarity.buildIvfIndex(spark, sf, "ivf_del_full", nBuckets = 4)
+    Similarity.deleteFromIvfIndex(spark, "ivf_del_full",
+      embBatch.select(col("vec_id")))
+    Similarity.buildIvfIndex(spark, embDir, "ivf_del_ref", nBuckets = 4,
+      centroidSource = Some("ivf_del_full"))
+    val queries = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50).localCheckpoint()
+    val vRef = rows(Similarity.probeIvfIndexOn(spark, "ivf_del_ref", queries))
+    assert(rows(Similarity.probeIvfIndexOn(spark, "ivf_del_full", queries))
+      == vRef, "IVF probe after delete must equal the pinned rebuild")
+    Similarity.purgeIvfTombstones(spark, "ivf_del_full")
+    assert(rows(Similarity.probeIvfIndexOn(spark, "ivf_del_full", queries))
+      == vRef, "IVF purge must not change probes")
+  }
+
   test("compactBucketedTable refuses unbucketed tables; concurrent " +
     "compact() fails loudly on the lock") {
     import spark.implicits._
