@@ -258,7 +258,13 @@ object SparkEntry {
     "q_corpus_increment" -> ((s: SparkSession, d: String) => Pipeline.corpusIncrement(s, d)),
     // integer-exact power iteration — the second iterative-fixpoint
     // family on the oracle surface (fixed-point mass, DIV-only rounds)
-    "q_pagerank_panel" -> ((s: SparkSession, d: String) => Graph.pagerankPanel(s, d))
+    "q_pagerank_panel" -> ((s: SparkSession, d: String) => Graph.pagerankPanel(s, d)),
+    "q_quality_auc" -> ((s: SparkSession, d: String) => Quality.aucBySource(s, d)),
+    "q_rater_kappa" -> ((s: SparkSession, d: String) => Quality.raterKappa(s, d)),
+    "q_t_closeness" -> ((s: SparkSession, d: String) => Privacy.tCloseness(s, d)),
+    "q_nb_train" -> ((s: SparkSession, d: String) => TextAnalysis.nbTrain(s, d)),
+    "q_nb_classify" -> ((s: SparkSession, d: String) => TextAnalysis.nbClassify(s, d)),
+    "q_backoff_levels" -> ((s: SparkSession, d: String) => TextAnalysis.backoffLevels(s, d))
   )
 
   /** The unrolled INTEGER PageRank oracle for `q_pagerank_panel` —
@@ -2758,6 +2764,207 @@ object SparkEntry {
         | SELECT doc_id, bm25_rank, cos_rank, rrf,
         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
         | FROM fused)
-        |WHERE rank <= 20 ORDER BY rank""".stripMargin
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // Mann-Whitney AUC cleared to integers: 2·midrank of a tie run of
+    // size c after cb rows is 2cb + c + 1, so 2U is a BIGINT sum and
+    // the single division is correctly rounded on both engines.
+    "q_quality_auc" ->
+      """WITH s AS (
+        | SELECT source, n_chars AS score,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        | FROM documents),
+        |t AS (
+        | SELECT source, score, CAST(count(*) AS BIGINT) AS c,
+        |  CAST(sum(y) AS BIGINT) AS pos
+        | FROM s GROUP BY 1, 2),
+        |r AS (
+        | SELECT source, c, pos,
+        |  CAST(COALESCE(sum(c) OVER (PARTITION BY source ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cb
+        | FROM t),
+        |a AS (
+        | SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(pos * (2 * cb + c + 1))
+        |    - CAST(sum(pos) AS BIGINT) * (CAST(sum(pos) AS BIGINT) + 1)
+        |    AS BIGINT) AS auc_num2,
+        |  CAST(2 * sum(pos) * (sum(c) - sum(pos)) AS BIGINT) AS auc_den2
+        | FROM r GROUP BY source)
+        |SELECT source, n, n_pos, auc_num2, auc_den2,
+        | CASE WHEN auc_den2 > 0
+        |  THEN round(CAST(auc_num2 AS DOUBLE) / auc_den2, 6) END AS auc
+        |FROM a ORDER BY source""".stripMargin,
+    // κ cleared of its N² denominators: num/den are exact BIGINTs,
+    // one correctly-rounded division at the edge.
+    "q_rater_kappa" ->
+      """WITH r AS (
+        | SELECT lang,
+        |  CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 50
+        |   THEN 1 ELSE 0 END AS b
+        | FROM documents),
+        |m AS (
+        | SELECT lang,
+        |  CAST(sum(a * b) AS BIGINT) AS n11,
+        |  CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+        |  CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+        |  CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+        | FROM r GROUP BY lang),
+        |k AS (
+        | SELECT lang, n11, n10, n01, n00,
+        |  (n11 + n10 + n01 + n00) * (n11 + n00)
+        |   - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))
+        |   AS kappa_num,
+        |  (n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+        |   - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))
+        |   AS kappa_den
+        | FROM m)
+        |SELECT lang, n11, n10, n01, n00, kappa_num, kappa_den,
+        | CASE WHEN kappa_den > 0
+        |  THEN round(CAST(kappa_num AS DOUBLE) / kappa_den, 6) END AS kappa
+        |FROM k ORDER BY lang""".stripMargin,
+    // EMD CDFs cleared of their denominators: D_i = cum_g·N − cum_b·N_g
+    // is a BIGINT, the t = 0.2 gate is the integer 5·num ≤ den.
+    "q_t_closeness" ->
+      """WITH e AS (
+        | SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |  CAST(floor(value / 50) AS BIGINT) AS band
+        | FROM events),
+        |gb AS (
+        | SELECT event_type, day, band, CAST(count(*) AS BIGINT) AS n_gb
+        | FROM e GROUP BY 1, 2, 3),
+        |gr AS (
+        | SELECT event_type, day, CAST(sum(n_gb) AS BIGINT) AS n_g
+        | FROM gb GROUP BY 1, 2),
+        |b0 AS (
+        | SELECT band, CAST(sum(n_gb) AS BIGINT) AS n_b FROM gb GROUP BY 1),
+        |bins AS (
+        | SELECT band AS g_band,
+        |  CAST(sum(n_b) OVER (ORDER BY band
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_b,
+        |  CAST(sum(n_b) OVER () AS BIGINT) AS n_tot,
+        |  CAST(count(*) OVER () AS BIGINT) AS m
+        | FROM b0),
+        |grid AS (
+        | SELECT gr.event_type, gr.day, gr.n_g, bins.g_band, bins.cum_b,
+        |  bins.n_tot, bins.m, COALESCE(gb.n_gb, 0) AS n_in
+        | FROM gr CROSS JOIN bins
+        | LEFT JOIN gb ON gb.event_type = gr.event_type
+        |  AND gb.day = gr.day AND gb.band = bins.g_band),
+        |cg AS (
+        | SELECT *, CAST(sum(n_in) OVER (PARTITION BY event_type, day
+        |   ORDER BY g_band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS cum_g
+        | FROM grid),
+        |agg AS (
+        | SELECT event_type, day, CAST(max(n_g) AS BIGINT) AS n_rows,
+        |  CAST(sum(abs(cum_g * n_tot - cum_b * n_g)) AS BIGINT) AS emd_num,
+        |  CAST((max(m) - 1) * max(n_g) * max(n_tot) AS BIGINT) AS emd_den
+        | FROM cg GROUP BY 1, 2)
+        |SELECT event_type, day, n_rows, emd_num, emd_den,
+        | CASE WHEN emd_den > 0
+        |  THEN round(CAST(emd_num AS DOUBLE) / emd_den, 6) END AS emd,
+        | CASE WHEN emd_den > 0 THEN 5 * emd_num <= emd_den END AS within_t
+        |FROM agg ORDER BY event_type, day""".stripMargin,
+    // NB sufficient statistics: exact counts, totals BEFORE the
+    // minCount prune, one correctly-rounded division.
+    "q_nb_train" ->
+      """WITH d AS (
+        | SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t
+        | FROM documents WHERE doc_id % 10 <> 7),
+        |toks AS (SELECT lang, unnest(t) AS tok FROM d),
+        |c AS (
+        | SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+        | FROM toks GROUP BY 1, 2),
+        |tt AS (
+        | SELECT lang, CAST(sum(n) AS BIGINT) AS class_tokens
+        | FROM c GROUP BY 1)
+        |SELECT c.lang, c.tok, c.n, tt.class_tokens,
+        | round(CAST(c.n AS DOUBLE) / tt.class_tokens, 6) AS rel_freq
+        |FROM c JOIN tt USING (lang) WHERE c.n >= 20
+        |ORDER BY c.lang, c.tok""".stripMargin,
+    // ln-free additive scorer: BIGINT numerator, one division, argmax
+    // ordered by the ROUNDED score + lang on both engines.
+    "q_nb_classify" ->
+      """WITH d AS (
+        | SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t
+        | FROM documents WHERE doc_id % 10 <> 7),
+        |toks AS (SELECT lang, unnest(t) AS tok FROM d),
+        |c AS (
+        | SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+        | FROM toks GROUP BY 1, 2),
+        |tt AS (
+        | SELECT lang, CAST(sum(n) AS BIGINT) AS class_tokens
+        | FROM c GROUP BY 1),
+        |mdl AS (
+        | SELECT c.lang, c.tok, c.n, tt.class_tokens
+        | FROM c JOIN tt USING (lang) WHERE c.n >= 20),
+        |tst AS (
+        | SELECT doc_id, lang AS true_lang,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t
+        | FROM documents WHERE doc_id % 10 = 7),
+        |tf AS (
+        | SELECT doc_id, true_lang, tok, CAST(count(*) AS BIGINT) AS tf
+        | FROM (SELECT doc_id, true_lang, unnest(t) AS tok FROM tst)
+        | GROUP BY 1, 2, 3),
+        |sc AS (
+        | SELECT tf.doc_id, tf.true_lang, mdl.lang AS m_lang,
+        |  CAST(sum(tf.tf * mdl.n) AS BIGINT) AS score_num,
+        |  CAST(max(mdl.class_tokens) AS BIGINT) AS class_tokens
+        | FROM tf JOIN mdl USING (tok) GROUP BY 1, 2, 3),
+        |sc2 AS (
+        | SELECT *, round(CAST(score_num AS DOUBLE) / class_tokens, 6)
+        |   AS score
+        | FROM sc),
+        |rk AS (
+        | SELECT *, row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score DESC, m_lang) AS rk
+        | FROM sc2)
+        |SELECT doc_id, true_lang, m_lang AS pred_lang, score_num,
+        | class_tokens, score, true_lang = m_lang AS correct
+        |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    // stupid-backoff levels: pure count joins, all-integer until the
+    // final tri_rate division.
+    "q_backoff_levels" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        | FROM documents),
+        |trn AS (SELECT t FROM d WHERE doc_id % 2 = 0),
+        |tri0 AS (
+        | SELECT t[i] AS a, t[i+1] AS b, t[i+2] AS c
+        | FROM trn, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+        | WHERE len(t) >= 3),
+        |tri AS (SELECT a, b, c, count(*) AS n3 FROM tri0 GROUP BY 1, 2, 3),
+        |bi0 AS (
+        | SELECT t[i] AS b, t[i+1] AS c
+        | FROM trn, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+        | WHERE len(t) >= 2),
+        |bi AS (SELECT b, c, count(*) AS n2 FROM bi0 GROUP BY 1, 2),
+        |uni AS (
+        | SELECT c, count(*) AS n1
+        | FROM (SELECT unnest(t) AS c FROM trn) GROUP BY 1),
+        |tst AS (
+        | SELECT doc_id, t[i] AS a, t[i+1] AS b, t[i+2] AS c
+        | FROM d, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+        | WHERE doc_id % 2 = 1 AND len(t) >= 3),
+        |lv AS (
+        | SELECT tst.doc_id,
+        |  CASE WHEN tri.n3 IS NOT NULL THEN 3
+        |   WHEN bi.n2 IS NOT NULL THEN 2
+        |   WHEN uni.n1 IS NOT NULL THEN 1 ELSE 0 END AS lvl
+        | FROM tst
+        | LEFT JOIN tri ON tst.a = tri.a AND tst.b = tri.b AND tst.c = tri.c
+        | LEFT JOIN bi ON tst.b = bi.b AND tst.c = bi.c
+        | LEFT JOIN uni ON tst.c = uni.c)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+        | CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
+        | CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+        | CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+        | CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_l0,
+        | round(CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS tri_rate
+        |FROM lv GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

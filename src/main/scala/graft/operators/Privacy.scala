@@ -172,4 +172,75 @@ object Privacy {
         col("noise"), col("released"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** t-closeness scan (Li et al. 2007) — the distributional upgrade of
+    * [[kAnonymity]]/[[lDiversity]]: a QI class can be k-anonymous and
+    * l-diverse yet still leak if its SENSITIVE-value distribution sits
+    * far from the corpus-wide one. For the ordered sensitive attribute
+    * (value band of 50) the distance is the Earth Mover's Distance
+    * with unit ground distance, EMD = (1/(m−1))·Σᵢ |CDF_class(i) −
+    * CDF_global(i)| over the m global bands.
+    *
+    * Exactness: clearing the two CDFs of their denominators gives
+    * Dᵢ = cumᵢ(class)·N − cumᵢ(global)·N_g — BIGINTs — so
+    * emd_num = Σ|Dᵢ| and emd_den = (m−1)·N_g·N are exact and the one
+    * final division is correctly rounded. The t = 0.2 verdict is the
+    * integer comparison 5·emd_num ≤ emd_den (no float in the gate).
+    *
+    * Scale shape: one map-side-combined (class, band) count; the band
+    * relation is a bounded dimension (value-domain/50 rows) carrying
+    * its global cumulative, broadcast into a grid join against the
+    * class list (classes × m rows — the dense grid the CDF needs,
+    * zeros included); the per-class cumulative window runs over ≤ m
+    * rows per class. Nothing is corpus-sized after the first count. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame =
+    tClosenessOn(Tables.events(spark, dir))
+
+  /** Core of [[tCloseness]] over any frame with (event_type, ts,
+    * value) — split out so specs can drive crafted distributions
+    * (identical ⇒ EMD 0, disjoint extremes ⇒ EMD 1) through it. */
+  def tClosenessOn(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col("event_type"),
+      date_trunc("day", col("ts")).as("day"),
+      floor(col("value") / 50).cast("long").as("band"))
+    val gb = base.groupBy(col("event_type"), col("day"), col("band"))
+      .agg(count(lit(1)).as("n_gb"))
+    val groups = gb.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n_gb")).as("n_g"))
+    // the band dimension: global count, global cumulative, m and N ride
+    // along via windows over the bounded relation (the gini one-group
+    // trick keeps the partition key non-foldable)
+    def oneGroup = pmod(col("band"), lit(1))
+    val wCum = Window.partitionBy(oneGroup).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(oneGroup)
+    val bins = gb.groupBy(col("band")).agg(sum(col("n_gb")).as("n_b"))
+      .withColumn("cum_b", sum(col("n_b")).over(wCum))
+      .withColumn("n_tot", sum(col("n_b")).over(wAll))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .select(col("band").as("g_band"), col("cum_b"), col("n_tot"), col("m"))
+    // dense (class × band) grid — every class must see every global
+    // band (missing ⇒ zero mass) for its CDF to align with the global
+    val grid = groups.crossJoin(broadcast(bins))
+      .join(gb.withColumnRenamed("band", "g_band"),
+        Seq("event_type", "day", "g_band"), "left")
+      .withColumn("n_in", coalesce(col("n_gb"), lit(0L)))
+    val wClass = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("g_band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_g", sum(col("n_in")).over(wClass))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("n_g")).as("n_rows"),
+        sum(abs(col("cum_g") * col("n_tot") - col("cum_b") * col("n_g")))
+          .as("emd_num"),
+        ((max(col("m")) - lit(1L)) * max(col("n_g")) * max(col("n_tot")))
+          .as("emd_den"))
+      .withColumn("emd", when(col("emd_den") > 0L,
+        round(col("emd_num").cast("double") / col("emd_den"), 6)))
+      .withColumn("within_t",
+        when(col("emd_den") > 0L, lit(5L) * col("emd_num") <= col("emd_den")))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

@@ -327,6 +327,103 @@ object Quality {
       .limit(topN)
   }
 
+  /** Ranking-signal discrimination audit — exact Mann-Whitney AUC of a
+    * candidate ranking signal (document length) against a partition
+    * label (lang = 'en'), per source. The question a curation run asks
+    * before using ANY scalar signal to rank or threshold a corpus:
+    * does this signal secretly rank one language/partition above the
+    * rest (AUC far from 0.5 ⇒ thresholding on it skews the mix).
+    *
+    * Exactness: AUC = U/(n₁·n₀) with U the tie-corrected rank-sum
+    * statistic. Midranks over a tie run of size c starting after cb
+    * rows satisfy 2·midrank = 2·cb + c + 1 — an INTEGER — so
+    * 2U = Σ_ties pos·(2cb + c + 1) − n₁(n₁+1) is computed entirely in
+    * BIGINTs; the single final division is correctly rounded, so the
+    * reported `auc` is bit-identical across engines.
+    *
+    * Scale shape: one map-side-combined (source, score) count, then a
+    * cumulative window per source over the DISTINCT-score relation
+    * (|scores| rows per source, not |docs| — ties collapse before the
+    * window), then one per-source aggregate. No corpus-sized window,
+    * no float accumulation. One-class sources report NULL (den 0). */
+  def aucBySource(spark: SparkSession, dir: String): DataFrame =
+    aucOn(Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y")))
+
+  /** Core of [[aucBySource]] over any (source, score, y ∈ {0,1})
+    * frame — split out so specs can drive crafted separations
+    * (perfect ⇒ 1, inverted ⇒ 0, all-tied ⇒ exactly 0.5) through the
+    * midrank algebra. */
+  def aucOn(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ties = scored.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("pos"))
+    val w = Window.partitionBy(col("source")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ties
+      .withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("pos") * (lit(2L) * col("cb") + col("c") + lit(1L)))
+          .as("rank2_pos"))
+      .select(col("source"), col("n"), col("n_pos"),
+        (col("rank2_pos") - col("n_pos") * (col("n_pos") + lit(1L)))
+          .as("auc_num2"),
+        (lit(2L) * col("n_pos") * (col("n") - col("n_pos")))
+          .as("auc_den2"))
+      .withColumn("auc", when(col("auc_den2") > 0L,
+        round(col("auc_num2").cast("double") / col("auc_den2"), 6)))
+      .orderBy(col("source"))
+  }
+
+  /** Inter-rater agreement (Cohen's κ) between two deterministic
+    * quality raters — the calibration check a labeling pipeline runs
+    * before trusting heuristic gates as silver labels: rater A flags
+    * long documents (n_chars ≥ 300), rater B flags token-rich ones
+    * (≥ 50 whitespace tokens). Per language: the 2×2 confusion counts
+    * and κ = (N·agree − Σ marginal products)/(N² − Σ marginal
+    * products) — numerator and denominator are exact BIGINTs (the
+    * po/pe fractions cleared of their N² denominators), one final
+    * correctly-rounded division. Degenerate classes (pe = 1, κ
+    * undefined) report NULL rather than dividing by zero.
+    *
+    * Scale shape: both raters are row-local predicates folded into ONE
+    * map-side-combined aggregation over the corpus — the whole
+    * operator is a single shuffle of |langs| × 4 counters. */
+  def raterKappa(spark: SparkSession, dir: String): DataFrame =
+    raterKappaOn(Tables.documents(spark, dir)
+      .select(col("lang"),
+        when(col("n_chars") >= 300L, 1L).otherwise(0L).as("a"),
+        when(size(split(lower(trim(col("text"))), "\\s+")) >= 50, 1L)
+          .otherwise(0L).as("b")))
+
+  /** Core of [[raterKappa]] over any (lang, a ∈ {0,1}, b ∈ {0,1})
+    * frame — split out so specs can drive perfect agreement (κ = 1),
+    * independence (κ = 0) and the degenerate pe = 1 class through the
+    * cleared-fraction algebra. */
+  def raterKappaOn(rated: DataFrame): DataFrame = {
+    rated.groupBy(col("lang"))
+      .agg(sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+      .select(col("lang"), col("n11"), col("n10"), col("n01"), col("n00"),
+        ((col("n11") + col("n10") + col("n01") + col("n00"))
+            * (col("n11") + col("n00"))
+          - ((col("n11") + col("n10")) * (col("n11") + col("n01"))
+            + (col("n00") + col("n01")) * (col("n00") + col("n10"))))
+          .as("kappa_num"),
+        ((col("n11") + col("n10") + col("n01") + col("n00"))
+            * (col("n11") + col("n10") + col("n01") + col("n00"))
+          - ((col("n11") + col("n10")) * (col("n11") + col("n01"))
+            + (col("n00") + col("n01")) * (col("n00") + col("n10"))))
+          .as("kappa_den"))
+      .withColumn("kappa", when(col("kappa_den") > 0L,
+        round(col("kappa_num").cast("double") / col("kappa_den"), 6)))
+      .orderBy(col("lang"))
+  }
+
   /** Source-concentration GINI — one number for "how unbalanced is
     * the corpus across sources" (the diversity metric a mixture
     * rebalance run reports before/after). Computed from the closed

@@ -874,4 +874,159 @@ object TextAnalysis {
       .saveAsTable(s"${name}_fpdf")
     spark.catalog.refreshTable(s"${name}_fpdf") // see FormatIO.appendBucketed
   }
+
+  /** Naive-Bayes TRAINING for supervised language/domain ID — the
+    * sufficient statistics of the multinomial NB classifier (the
+    * fastText-baseline class of corpus labelers): per (class = lang,
+    * token) counts over the training split (doc_id % 10 ≠ 7 — the
+    * same hash-split discipline as `Sampling.hashSplit`), class token
+    * totals, and the class-conditional relative frequency. Counts are
+    * exact BIGINTs; `rel_freq` is one correctly-rounded division, so
+    * the whole model table is bit-identical across engines. The
+    * smoothed NB log-weights are ln(n+1)−ln(total+V) — derivable from
+    * these columns by any consumer; ln itself stays out of the oracle
+    * surface (libm skew, SURVEY §4).
+    *
+    * Scale shape: one map-side-combined (lang, tok) count (THE
+    * corpus-sized shuffle), then a broadcast join of the |langs|-row
+    * totals frame. minCount prunes the emitted vocabulary; the totals
+    * are computed BEFORE pruning (they must cover the full mass). */
+  def nbTrain(spark: SparkSession, dir: String,
+      minCount: Long = 20L): DataFrame =
+    nbTrainOn(Tables.documents(spark, dir), minCount)
+
+  /** Core of [[nbTrain]] over any (doc_id, lang, text) frame. */
+  def nbTrainOn(docs: DataFrame, minCount: Long = 20L): DataFrame = {
+    val toks = docs
+      .filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .select(col("lang"), explode(tokensCol).as("tok"))
+    val counts = toks.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("lang").as("t_lang"))
+      .agg(sum(col("n")).as("class_tokens"))
+    counts.filter(col("n") >= minCount)
+      .join(broadcast(totals), col("lang") === col("t_lang"))
+      .select(col("lang"), col("tok"), col("n"), col("class_tokens"),
+        round(col("n").cast("double") / col("class_tokens"), 6)
+          .as("rel_freq"))
+      .orderBy(col("lang"), col("tok"))
+  }
+
+  /** CLASSIFY the held-out split (doc_id % 10 = 7) against the
+    * [[nbTrain]] statistics with the ln-free additive scorer:
+    * score(d, c) = Σ_t tf_dt · n_ct / T_c — the class-conditional
+    * frequency dot product (the multinomial centroid member of the NB
+    * family; the ln-smoothed variant changes only the per-pair kernel,
+    * not the plan). The numerator is an exact BIGINT sum, T_c a BIGINT,
+    * and the single division is correctly rounded — so scores, the
+    * (score desc, lang asc) argmax, and the `correct` flag are all
+    * bit-stable across engines and partitionings.
+    *
+    * Scale shape: test term frequencies shuffle once on tok into the
+    * model join (model side is vocabulary-sized); per-(doc, class)
+    * aggregation then a per-doc window over ≤ |langs| rows. Documents
+    * sharing no vocabulary with any class never produce candidate rows
+    * and drop out (impossible once any common token crosses minCount —
+    * callers wanting a row per doc left-join this result back). */
+  def nbClassify(spark: SparkSession, dir: String,
+      minCount: Long = 20L): DataFrame =
+    nbClassifyOn(Tables.documents(spark, dir), minCount)
+
+  /** Core of [[nbClassify]] over any (doc_id, lang, text) frame —
+    * split out so specs can drive disjoint-signature crafted corpora
+    * through the score algebra. */
+  def nbClassifyOn(docs: DataFrame, minCount: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model = nbTrainOn(docs, minCount)
+      .select(col("lang").as("m_lang"), col("tok"), col("n"),
+        col("class_tokens"))
+    val tf = docs
+      .filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        explode(tokensCol).as("tok"))
+      .groupBy(col("doc_id"), col("true_lang"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.join(model, Seq("tok"))
+      .groupBy(col("doc_id"), col("true_lang"), col("m_lang"))
+      .agg(sum(col("tf") * col("n")).as("score_num"),
+        max(col("class_tokens")).as("class_tokens"))
+      .withColumn("score",
+        round(col("score_num").cast("double") / col("class_tokens"), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("m_lang"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("true_lang"),
+        col("m_lang").as("pred_lang"), col("score_num"),
+        col("class_tokens"), col("score"),
+        (col("true_lang") === col("m_lang")).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stupid-backoff COVERAGE profile (Brants et al. 2007) — the
+    * structural half of large-LM scoring: for every trigram position
+    * of the held-out split (doc_id % 2 = 1), which model order the
+    * backoff chain resolves at against the training split's counts —
+    * trigram hit (level 3), else bigram (t₂t₃, level 2), else unigram
+    * (t₃, level 1), else OOV (level 0). Per-document level counts are
+    * exact integers (the score a KenLM-style filter thresholds on is
+    * Σ level·λ — derivable; the λ^k weights would drag ln/pow onto the
+    * oracle surface, the counts don't). `tri_rate` is the one
+    * correctly-rounded division.
+    *
+    * Scale shape: three map-side-combined count relations over the
+    * training split (tri/bi/uni), then the test trigram stream joins
+    * each ON ITS OWN key (three shuffles, each bounded by test-corpus
+    * trigram mass — at 100 TB these become the bucketed-model probe
+    * the persisted-index families implement). No quadratic stage. */
+  def backoffLevels(spark: SparkSession, dir: String): DataFrame =
+    backoffLevelsOn(Tables.documents(spark, dir))
+
+  /** Core of [[backoffLevels]] over any (doc_id, text) frame — split
+    * out so specs can hand-compute the backoff chain on a crafted
+    * train/test pair. */
+  /** Row-local adjacent-trigram generation — the 3-gram sibling of
+    * [[bigramStructs]], shared by [[backoffLevelsOn]] and the
+    * persisted LM index. */
+  private def triStructs(tokCol: String): Column =
+    when(size(col(tokCol)) >= 3, expr(
+      s"transform(sequence(2, size($tokCol) - 1), " +
+        s"i -> struct($tokCol[i-2] AS a, $tokCol[i-1] AS b, $tokCol[i] AS c))"))
+      .otherwise(expr(
+        "CAST(array() AS array<struct<a:string,b:string,c:string>>)"))
+
+  def backoffLevelsOn(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.select(col("doc_id"), tokensCol.as("t"))
+    val train = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val tri = train.select(explode(triStructs("t")).as("g"))
+      .groupBy(col("g.a").as("a"), col("g.b").as("b"), col("g.c").as("c"))
+      .agg(count(lit(1)).as("n3"))
+    val bi = train.select(explode(bigramStructs("t")).as("p"))
+      .groupBy(col("p.l").as("b"), col("p.r").as("c"))
+      .agg(count(lit(1)).as("n2"))
+    val uni = train.select(explode(col("t")).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n1"))
+    val test = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), explode(triStructs("t")).as("g"))
+      .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"),
+        col("g.c").as("c"))
+    test
+      .join(tri, Seq("a", "b", "c"), "left")
+      .join(bi, Seq("b", "c"), "left")
+      .join(uni, Seq("c"), "left")
+      .withColumn("lvl",
+        when(col("n3").isNotNull, 3)
+          .when(col("n2").isNotNull, 2)
+          .when(col("n1").isNotNull, 1)
+          .otherwise(0))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_l3"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_l2"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_l1"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_l0"))
+      .withColumn("tri_rate",
+        round(col("n_l3").cast("double") / col("n_pos"), 6))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -43,7 +43,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_hybrid_rrf",
     // broadcast 1-row n_max scalar (the largest-source count the
     // rel_rate divides by) — the lazily-attached-scalar class again
-    "q_mixture_weights")
+    "q_mixture_weights",
+    // dense (class × band) grid against the broadcast band dimension
+    // (value-domain/50 rows — the CDF needs zeros materialized), the
+    // same bounded-dim class as q_equidepth_hist
+    "q_t_closeness")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>

@@ -184,4 +184,47 @@ class PrivacySpec extends AnyFunSuite {
     assert(meanAbs > 0.5 * bScale && meanAbs < 1.5 * bScale,
       s"mean |noise| $meanAbs vs b $bScale")
   }
+
+  test("t-closeness: mirrored classes sit at EMD 0, disjoint extremes at " +
+    "exactly 1/2 per side, and the integer gate matches the float") {
+    val sp = spark
+    import sp.implicits._
+    // two classes with IDENTICAL band distributions → global equals
+    // both → EMD 0, within any t
+    val mirrored = Seq(
+      ("m", ts("2024-01-05"), 10.0), ("m", ts("2024-01-05"), 60.0),
+      ("m", ts("2024-01-06"), 10.0), ("m", ts("2024-01-06"), 60.0)
+    ).toDF("event_type", "ts", "value")
+    val gotM = Privacy.tClosenessOn(mirrored).collect()
+    assert(gotM.length == 2)
+    gotM.foreach { r =>
+      assert(r.getAs[Long]("emd_num") == 0L)
+      assert(r.getAs[Double]("emd") == 0.0)
+      assert(r.getAs[Boolean]("within_t"))
+    }
+    // all mass at opposite extremes: m = 2 bands, each class's CDF
+    // differs from the global (½, 1) by ½ at the first band → EMD ½,
+    // outside t = 0.2 → flagged
+    val extremes = Seq(
+      ("x", ts("2024-01-05"), 10.0), ("x", ts("2024-01-05"), 10.0),
+      ("x", ts("2024-01-06"), 60.0), ("x", ts("2024-01-06"), 60.0)
+    ).toDF("event_type", "ts", "value")
+    val gotX = Privacy.tClosenessOn(extremes).collect()
+    gotX.foreach { r =>
+      assert(r.getAs[Double]("emd") == 0.5)
+      assert(!r.getAs[Boolean]("within_t"))
+    }
+    // real log: den = (m−1)·N_g·N exactly, emd ∈ [0, 1], and the
+    // integer gate is the float comparison with no rounding boundary
+    val ev = graft.sources.Tables.events(spark, sf)
+    val n = ev.count()
+    val m = ev.select(floor(col("value") / 50)).distinct().count()
+    Privacy.tCloseness(spark, sf).collect().foreach { r =>
+      val (num, den) = (r.getAs[Long]("emd_num"), r.getAs[Long]("emd_den"))
+      assert(den == (m - 1) * r.getAs[Long]("n_rows") * n)
+      val emd = r.getAs[Double]("emd")
+      assert(emd >= 0.0 && emd <= 1.0)
+      assert(r.getAs[Boolean]("within_t") == (5L * num <= den))
+    }
+  }
 }

@@ -124,4 +124,75 @@ class QualityAuditSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(gini >= 0.0 && gini < 1.0)
   }
+
+  test("auc: perfect separation is 1, inversion is 0, an all-tied group " +
+    "is exactly 1/2, and the midrank algebra equals brute pair counting") {
+    val sp = spark
+    import sp.implicits._
+    // perfect: every positive outranks every negative; inverted: the
+    // mirror; tied: one shared score (midranks must land on exactly 1/2)
+    val crafted = Seq(
+      ("perfect", 10L, 0L), ("perfect", 20L, 0L), ("perfect", 30L, 1L),
+      ("perfect", 40L, 1L),
+      ("inverted", 10L, 1L), ("inverted", 20L, 1L), ("inverted", 30L, 0L),
+      ("tied", 5L, 1L), ("tied", 5L, 0L), ("tied", 5L, 1L), ("tied", 5L, 0L),
+      ("oneclass", 1L, 1L), ("oneclass", 2L, 1L)
+    ).toDF("source", "score", "y")
+    val got = graft.operators.Quality.aucOn(crafted).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("perfect").getAs[Double]("auc") == 1.0)
+    assert(got("inverted").getAs[Double]("auc") == 0.0)
+    assert(got("tied").getAs[Double]("auc") == 0.5)
+    assert(got("oneclass").getAs[Any]("auc") == null) // den 0 → NULL, no throw
+    // real corpus: every per-source AUC must equal the O(n²) definition
+    // Σ [s⁺>s⁻] + ½[s⁺=s⁻] over positive×negative pairs
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySrc = docs.groupBy(_._1)
+    graft.operators.Quality.aucBySource(spark, sf).collect().foreach { r =>
+      val rows = bySrc(r.getString(0))
+      val pos = rows.filter(_._3 == 1L).map(_._2)
+      val neg = rows.filter(_._3 == 0L).map(_._2)
+      val num2 = pos.map(p => neg.map(n =>
+        if (p > n) 2L else if (p == n) 1L else 0L).sum).sum
+      assert(r.getAs[Long]("auc_num2") == num2,
+        s"source ${r.getString(0)}: 2U mismatch")
+      assert(r.getAs[Long]("auc_den2") == 2L * pos.length * neg.length)
+    }
+  }
+
+  test("kappa: perfect agreement is 1, independence is 0, degenerate " +
+    "single-cell class reports NULL, confusion counts recount") {
+    val sp = spark
+    import sp.implicits._
+    val crafted = Seq(
+      // agree: a == b always, both classes present → κ = 1
+      ("agree", 1L, 1L), ("agree", 1L, 1L), ("agree", 0L, 0L),
+      // indep: uniform 2×2 → po = pe → κ = 0
+      ("indep", 1L, 1L), ("indep", 1L, 0L), ("indep", 0L, 1L),
+      ("indep", 0L, 0L),
+      // onecell: pe = 1 → κ undefined
+      ("onecell", 1L, 1L), ("onecell", 1L, 1L)
+    ).toDF("lang", "a", "b")
+    val got = graft.operators.Quality.raterKappaOn(crafted).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("agree").getAs[Double]("kappa") == 1.0)
+    assert(got("indep").getAs[Double]("kappa") == 0.0)
+    assert(got("onecell").getAs[Any]("kappa") == null)
+    // real corpus: confusion cells recount from the raw predicates
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"),
+        (col("n_chars") >= 300L).as("a"),
+        (size(split(lower(trim(col("text"))), "\\s+")) >= 50).as("b"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    graft.operators.Quality.raterKappa(spark, sf).collect().foreach { r =>
+      val rows = docs.filter(_._1 == r.getString(0))
+      assert(r.getAs[Long]("n11") == rows.count(t => t._2 && t._3))
+      assert(r.getAs[Long]("n10") == rows.count(t => t._2 && !t._3))
+      assert(r.getAs[Long]("n01") == rows.count(t => !t._2 && t._3))
+      assert(r.getAs[Long]("n00") == rows.count(t => !t._2 && !t._3))
+    }
+  }
 }

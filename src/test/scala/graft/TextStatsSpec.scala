@@ -281,4 +281,79 @@ class TextStatsSpec extends AnyFunSuite {
     assert(rows.map(t => t._1 -> t._2).toMap == expect)
     assert(rows.map(_._3).sum == ns.sum, "token totals disagree")
   }
+
+  test("nb train: counts and class totals recount from the raw train " +
+    "split; totals precede the minCount prune") {
+    val rows = TextAnalysis.nbTrain(spark, sf, minCount = 5L).collect()
+    assert(rows.nonEmpty)
+    // driver recount over the train split (doc_id % 10 != 7)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._1 % 10 != 7)
+    val counts = docs.flatMap { case (_, lang, t) =>
+      t.split("\\s+").map(tok => (lang, tok)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val classTotals = counts.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    rows.foreach { r =>
+      val (lang, tok) = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("n") == counts((lang, tok)))
+      assert(r.getAs[Long]("class_tokens") == classTotals(lang),
+        "class totals must cover the FULL mass, not the pruned vocabulary")
+      assert(r.getAs[Long]("n") >= 5L)
+    }
+    // the prune is exact: everything above minCount is present
+    val expect = counts.filter(_._2 >= 5L).keySet
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet == expect)
+  }
+
+  test("nb classify: disjoint-signature crafted corpus predicts every " +
+    "held-out doc, score numerators recount") {
+    val sp = spark
+    import sp.implicits._
+    // ids ≡ 7 (mod 10) are held out; signature tokens repeat past
+    // minCount = 2 in train so the model keeps them
+    val docs = (
+      (0L until 30L by 10L).map(i => (i + 1, "aa", "foo foo bar")) ++
+      (0L until 30L by 10L).map(i => (i + 2, "bb", "qux qux zap")) ++
+      Seq((7L, "aa", "foo bar bar"), (17L, "bb", "zap qux"))
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.nbClassifyOn(docs, minCount = 2L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.keySet == Set(7L, 17L))
+    assert(got(7L).getAs[String]("pred_lang") == "aa")
+    assert(got(17L).getAs[String]("pred_lang") == "bb")
+    assert(got.values.forall(_.getAs[Boolean]("correct")))
+    // numerator recount for doc 7: tf(foo)=1·n(aa,foo)=6, tf(bar)=2·n(aa,bar)=3
+    assert(got(7L).getAs[Long]("score_num") == 1L * 6L + 2L * 3L)
+    assert(got(7L).getAs[Long]("class_tokens") == 9L)
+  }
+
+  test("backoff levels: hand-computed chain on a crafted train/test pair") {
+    val sp = spark
+    import sp.implicits._
+    // train (even id): "a b c d"; test (odd id): "z a b c q d c d w"
+    // positions → levels: zab→2 (bi ab), abc→3, bcq→0, cqd→1 (uni d),
+    // qdc→1, dcd→2 (bi cd), cdw→0
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "z a b c q d c d w")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.backoffLevelsOn(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("doc_id") == 1L)
+    assert(r.getAs[Long]("n_pos") == 7L)
+    assert(r.getAs[Long]("n_l3") == 1L)
+    assert(r.getAs[Long]("n_l2") == 2L)
+    assert(r.getAs[Long]("n_l1") == 2L)
+    assert(r.getAs[Long]("n_l0") == 2L)
+    // levels are monotone in model strength: retraining on test ∪ train
+    // can only move positions UP the chain
+    val both = Seq((0L, "a b c d z a b c q d c d w"), (1L, "z a b c q d c d w"))
+      .toDF("doc_id", "text")
+    val r2 = TextAnalysis.backoffLevelsOn(both).collect().head
+    assert(r2.getAs[Long]("n_l3") >= r.getAs[Long]("n_l3"))
+    assert(r2.getAs[Long]("n_l0") <= r.getAs[Long]("n_l0"))
+  }
 }
