@@ -1029,4 +1029,165 @@ object TextAnalysis {
         round(col("n_l3").cast("double") / col("n_pos"), 6))
       .orderBy(col("doc_id"))
   }
+
+  /** (doc_id, gram) stream of all three model orders for the LM index —
+    * trigrams/bigrams/unigrams space-joined into ONE gram key column.
+    * The space count encodes the order unambiguously (tokens come from
+    * a \\s+ split, so a token can never contain whitespace), which is
+    * what lets one bucketed relation serve the whole backoff chain
+    * with single-column equi-joins. */
+  private def lmGramsOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokensCol.as("t"))
+    toks.select(col("doc_id"), explode(triStructs("t")).as("g"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("g.a"), col("g.b"), col("g.c")).as("gram"))
+      .unionByName(toks.select(col("doc_id"),
+        explode(bigramStructs("t")).as("p"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("p.l"), col("p.r")).as("gram")))
+      .unionByName(toks.select(col("doc_id"), explode(col("t")).as("gram")))
+  }
+
+  /** Persisted N-GRAM LM index — the SEVENTH index family on the shared
+    * build/probe/append/delete/purge lifecycle (MinHash, containment,
+    * BM25, IVF, edit, winnow, LM): the scale path for
+    * [[backoffLevelsOn]], whose train-side tri/bi/uni counts must be a
+    * MAINTAINED artifact at 100 TB, not a per-query rebuild. Two
+    * relations plus tombstones:
+    *  - `<name>_postings` (gram, idx_doc, tf), bucketed AND sorted by
+    *    gram — the provenance that makes deletion derivable from the
+    *    index alone (the deleted documents' text is never needed);
+    *  - `<name>_gramdf` (gram, df), LOG-STRUCTURED: build writes one
+    *    count segment, every append adds one, deletes add NEGATIVE
+    *    segments — probes sum on read (exact integer merge), so a
+    *    gram's live existence is merged df > 0 with no postings touch.
+    * Model semantics (which order a position resolves at) depend only
+    * on gram EXISTENCE among live documents, so probe cost is
+    * O(probe-batch grams): the df merge semi-joins the probe's gram
+    * set below the segment sum, the winnow-index trick. */
+  def buildLmIndex(spark: SparkSession, dir: String, name: String,
+      nBuckets: Int = 8): Unit = {
+    val grams = lmGramsOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).localCheckpoint()
+    graft.sources.FormatIO.writeBucketed(
+      grams.groupBy(col("gram"), col("doc_id").as("idx_doc"))
+        .agg(count(lit(1)).as("tf")),
+      s"${name}_postings", "gram", nBuckets, sortCol = Some("gram"))
+    spark.table(s"${name}_postings")
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_gramdf")
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "idx_doc")
+  }
+
+  /** DELTA APPEND a batch of new (doc_id, text) rows into the persisted
+    * LM index — same maintenance contract as the other six families:
+    * `append(batch) ∘ build(corpus)` is probe-equal to
+    * `build(corpus ∪ batch)` (postings are append-only rows into the
+    * same bucket layout; the df merge is exact integer addition),
+    * per-wave cost O(batch). Appended ids must be new (the immutable-
+    * corpus ingest contract shared by every family). */
+  def appendToLmIndex(spark: SparkSession, name: String,
+      newDocs: DataFrame): Unit = {
+    val posts = lmGramsOf(newDocs.select(col("doc_id"), col("text")))
+      .groupBy(col("gram"), col("doc_id").as("idx_doc"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
+    graft.sources.FormatIO.appendBucketed(spark, posts, s"${name}_postings")
+    posts.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(s"${name}_gramdf")
+    spark.catalog.refreshTable(s"${name}_gramdf") // see FormatIO.appendBucketed
+  }
+
+  /** TOMBSTONE-DELETE documents from the persisted LM index — the
+    * erasure contract of the other families: a NEGATIVE df segment
+    * derived from the index's OWN postings joins the log, so a gram
+    * whose every live carrier is deleted reaches merged df 0 and
+    * immediately stops resolving probe positions (the model forgets
+    * the erased text with no rebuild). Idempotent: already-tombstoned
+    * ids are skipped, a retried delete cannot double-subtract. */
+  def deleteFromLmIndex(spark: SparkSession, name: String,
+      docIds: DataFrame): Unit = {
+    val fresh = docIds.select(col("doc_id").as("idx_doc")).distinct()
+      .join(spark.table(s"${name}_tombstones"), Seq("idx_doc"), "left_anti")
+      .localCheckpoint()
+    spark.table(s"${name}_postings")
+      .join(fresh, Seq("idx_doc"), "left_semi")
+      .groupBy(col("gram")).agg((-count(lit(1))).as("df"))
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(s"${name}_gramdf")
+    spark.catalog.refreshTable(s"${name}_gramdf")
+    graft.sources.FormatIO.appendTombstones(spark, fresh,
+      s"${name}_tombstones")
+  }
+
+  /** Physically erase tombstoned documents' postings, REBUILD the
+    * gram-df relation from the purged postings (one exact relation
+    * collapsing every append and negative segment — the log
+    * structure's compaction), reset the tombstones. Probe-invariant
+    * (spec-proved) with the bytes verifiably gone. */
+  def purgeLmTombstones(spark: SparkSession, name: String)
+      : graft.sources.FormatIO.TableCompactStats = {
+    val tomb = spark.table(s"${name}_tombstones").localCheckpoint()
+    val stats = graft.sources.FormatIO.purgeBucketedTable(spark,
+      s"${name}_postings", tomb, "idx_doc")
+    spark.table(s"${name}_postings")
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .localCheckpoint() // materialize BEFORE overwriting the table read
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_gramdf")
+    spark.catalog.refreshTable(s"${name}_gramdf")
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "idx_doc")
+    stats
+  }
+
+  /** Probe the persisted LM index with a batch of documents (doc_id,
+    * text): [[backoffLevelsOn]]'s per-document resolution profile
+    * (n_pos, n_l3..n_l0, tri_rate) computed against the INDEX's live
+    * grams instead of an inline train split — parity-spec-proved
+    * equal. Per-probe cost is O(batch grams): the df merge semi-joins
+    * the probe's gram set below the segment sum (never O(corpus
+    * vocabulary)), and the three existence joins run against that
+    * probe-sized relation. No terminal orderBy: probes are library
+    * operators (PlanHygieneSpec asserts no global Sort). */
+  def probeLmIndex(spark: SparkSession, name: String,
+      docs: DataFrame): DataFrame = {
+    val test = docs.select(col("doc_id"), tokensCol.as("t"))
+      .select(col("doc_id"), explode(triStructs("t")).as("g"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("g.a"), col("g.b"), col("g.c")).as("g3"),
+        concat_ws(" ", col("g.b"), col("g.c")).as("g2"),
+        col("g.c").as("g1"))
+      .localCheckpoint()
+    val probeGrams = test.select(col("g3").as("gram"))
+      .unionByName(test.select(col("g2").as("gram")))
+      .unionByName(test.select(col("g1").as("gram"))).distinct()
+    val live = spark.table(s"${name}_gramdf")
+      .join(probeGrams, Seq("gram"), "left_semi")
+      .groupBy(col("gram")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+    test
+      .join(live.select(col("gram").as("g3"), lit(1).as("h3")),
+        Seq("g3"), "left")
+      .join(live.select(col("gram").as("g2"), lit(1).as("h2")),
+        Seq("g2"), "left")
+      .join(live.select(col("gram").as("g1"), lit(1).as("h1")),
+        Seq("g1"), "left")
+      .withColumn("lvl",
+        when(col("h3").isNotNull, 3)
+          .when(col("h2").isNotNull, 2)
+          .when(col("h1").isNotNull, 1)
+          .otherwise(0))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_l3"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_l2"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_l1"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_l0"))
+      .withColumn("tri_rate",
+        round(col("n_l3").cast("double") / col("n_pos"), 6))
+  }
 }

@@ -1175,6 +1175,41 @@ object Streams {
       }
       .start()
 
+  /** Streaming LM-coverage scoring against the PERSISTED n-gram LM
+    * index ([[graft.operators.TextAnalysis.buildLmIndex]]): each
+    * micro-batch of arriving documents gets its stupid-backoff
+    * resolution profile (which model order each trigram position
+    * resolves at) — the streaming form of perplexity-style quality
+    * gating. Per-wave cost O(batch grams): the probe's df merge
+    * semi-joins the batch's gram set below the log-segment sum, the
+    * bucketed postings never reshuffle. */
+  def lmProbeStream(spark: SparkSession, docs: DataFrame,
+      indexName: String, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TextAnalysis.probeLmIndex(spark, indexName, batch)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
+  /** Streaming append into the persisted n-gram LM index — see
+    * [[minhashAppendStream]] for the shared contract. Replay caution
+    * is df-shaped like BM25's: a replayed append inflates df counts
+    * (existence — df > 0 — stays correct, so probe results are
+    * replay-proof; only the counts need the compaction runbook). */
+  def lmAppendStream(spark: SparkSession, docs: DataFrame,
+      indexName: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TextAnalysis.appendToLmIndex(spark, indexName,
+          batch)
+      }
+      .start()
+
   /** THE FULL INGEST LOOP as one stream — the topology the index
     * append/probe machinery exists for: each micro-batch of arriving
     * documents is CURATED against the current corpus

@@ -165,6 +165,15 @@ object ScaleProbe {
       // per-user aggregate linear; quintile windows see only the panel
       ("q_rfm_segments", 1.0, (d, _) => graft.operators.Behavioral.rfmSegments(spark, d)),
       ("q_length_buckets", 1.0, (d, _) => graft.operators.Sampling.lengthBuckets(spark, d)),
+      // supervised-audit batch: all linear — the AUC cumulative window
+      // runs over the DISTINCT-score relation (ties collapse first),
+      // t-closeness grids against the bounded band dimension, NB and
+      // backoff are token-volume counts + vocabulary-keyed joins
+      ("q_quality_auc", 1.0, (d, _) => graft.operators.Quality.aucBySource(spark, d)),
+      ("q_t_closeness", 1.0, (d, _) => graft.operators.Privacy.tCloseness(spark, d)),
+      ("q_nb_train", 1.0, (d, _) => graft.operators.TextAnalysis.nbTrain(spark, d)),
+      ("q_nb_classify", 1.0, (d, _) => graft.operators.TextAnalysis.nbClassify(spark, d)),
+      ("q_backoff_levels", 1.0, (d, _) => graft.operators.TextAnalysis.backoffLevels(spark, d)),
       // skew stress: a CONSTANT 300-copy boilerplate family planted
       // into the growing corpus — the hot band buckets (and their
       // quadratic pair mass) are the same at 1× and N×, so the probe

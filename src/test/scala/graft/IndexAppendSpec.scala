@@ -379,4 +379,63 @@ class IndexAppendSpec extends AnyFunSuite {
     assert(FormatIO.compact(spark, tbl, targetBytes = Long.MaxValue)
       .filesAfter >= 1L)
   }
+
+  test("lm index: probe of the held-out split against an even-id build " +
+    "reproduces backoffLevels; append/delete/purge keep the seventh " +
+    "family on the shared lifecycle contract") {
+    import graft.operators.TextAnalysis
+    // ---- parity with the live operator: build on the even ids (the
+    // operator's internal train split), probe the odd ids
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val evenDir = java.nio.file.Files
+      .createTempDirectory("graft-lm-even").toString
+    all.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .write.parquet(s"$evenDir/documents.parquet")
+    TextAnalysis.buildLmIndex(spark, evenDir, "lm_par_idx", nBuckets = 4)
+    val odd = all.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val probed = rows(TextAnalysis.probeLmIndex(spark, "lm_par_idx", odd))
+    val direct = rows(TextAnalysis.backoffLevelsOn(all))
+    assert(probed.nonEmpty)
+    assert(probed == direct,
+      "index probe must reproduce the inline train-split operator")
+
+    // ---- append∘build == build(union), probe-equal
+    val (corpusDir, batch) = splitDir("documents", "doc_id")
+    TextAnalysis.buildLmIndex(spark, corpusDir, "lm_app_inc", nBuckets = 4)
+    TextAnalysis.appendToLmIndex(spark, "lm_app_inc",
+      batch.select(col("doc_id"), col("text")))
+    TextAnalysis.buildLmIndex(spark, sf, "lm_app_full", nBuckets = 4)
+    val probes = all.limit(80).localCheckpoint()
+    val inc = rows(TextAnalysis.probeLmIndex(spark, "lm_app_inc", probes))
+    val full = rows(TextAnalysis.probeLmIndex(spark, "lm_app_full", probes))
+    assert(inc.nonEmpty)
+    assert(inc == full, "append∘build must be probe-equal to build(union)")
+    assert(spark.table("lm_app_inc_gramdf")
+      .select(org.apache.spark.sql.functions.input_file_name()).distinct()
+      .count() > 1L, "df must be log segments, merged on read")
+
+    // ---- delete == reduced rebuild (negative df segments from the
+    // index's own postings); retry no-op; purge probe-invariant with
+    // the bytes verifiably gone
+    val delIds = batch.select(col("doc_id")).localCheckpoint()
+    val preDelete = rows(TextAnalysis.probeLmIndex(spark, "lm_app_full", probes))
+    TextAnalysis.deleteFromLmIndex(spark, "lm_app_full", delIds)
+    val del = rows(TextAnalysis.probeLmIndex(spark, "lm_app_full", probes))
+    assert(del != preDelete, "deletion must visibly change probe results")
+    TextAnalysis.buildLmIndex(spark, corpusDir, "lm_del_ref", nBuckets = 4)
+    assert(del == rows(TextAnalysis.probeLmIndex(spark, "lm_del_ref", probes)),
+      "probe after delete must equal the reduced rebuild")
+    TextAnalysis.deleteFromLmIndex(spark, "lm_app_full", delIds) // retry
+    assert(rows(TextAnalysis.probeLmIndex(spark, "lm_app_full", probes)) == del,
+      "retried delete must be a no-op (no double subtraction)")
+    TextAnalysis.purgeLmTombstones(spark, "lm_app_full")
+    assert(rows(TextAnalysis.probeLmIndex(spark, "lm_app_full", probes)) == del,
+      "purge must not change probe results")
+    val delSet = delIds.collect().map(_.getLong(0)).toSet
+    val livePosts = spark.table("lm_app_full_postings")
+      .select(col("idx_doc")).distinct().collect().map(_.getLong(0)).toSet
+    assert(livePosts.intersect(delSet).isEmpty, "purge must erase the rows")
+    assert(spark.table("lm_app_full_tombstones").count() == 0L)
+  }
 }

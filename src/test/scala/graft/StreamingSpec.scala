@@ -1494,4 +1494,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedPairs == rebuilt,
       "probe stream output must equal the batch probe on the same docs")
   }
+
+  test("streaming lm index: appends grow the gram model to rebuild " +
+    "parity, and the probe stream emits exactly the batch probe's " +
+    "coverage profiles") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val docs = graft.sources.Tables.documents(sp, sf)
+      .select(col("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-lmapp-docs").toString
+    docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .write.parquet(s"$corpusDir/documents.parquet")
+    graft.operators.TextAnalysis.buildLmIndex(sp, corpusDir,
+      "lm_sapp_idx", nBuckets = 4)
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lmapp-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.lmAppendStream(sp,
+      input.toDF().toDF("doc_id", "text"), "lm_sapp_idx", ckpt)
+    arrivals.grouped(math.max(1, arrivals.length / 3 + 1)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    graft.operators.TextAnalysis.buildLmIndex(sp, sf, "lm_sapp_full",
+      nBuckets = 4)
+    val probes = docs.limit(60).localCheckpoint()
+    val streamed = rows(graft.operators.TextAnalysis
+      .probeLmIndex(sp, "lm_sapp_idx", probes))
+    val rebuilt = rows(graft.operators.TextAnalysis
+      .probeLmIndex(sp, "lm_sapp_full", probes))
+    assert(rebuilt.nonEmpty)
+    assert(streamed == rebuilt,
+      "streamed lm appends then probe must equal batch rebuild probe")
+    // probe half: per-doc profiles depend only on (doc, index), so
+    // micro-batching the probe stream must reproduce the batch probe
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-lmprobe-out").toString
+    val pCkpt = java.nio.file.Files
+      .createTempDirectory("graft-lmprobe-ck").toString
+    val pInput = MemoryStream[(Long, String)]
+    val pq = Streams.lmProbeStream(sp,
+      pInput.toDF().toDF("doc_id", "text"), "lm_sapp_full", outPath, pCkpt)
+    val probeRows = probes.collect().map(r => (r.getLong(0), r.getString(1)))
+    probeRows.grouped(math.max(1, probeRows.length / 2 + 1)).foreach { chunk =>
+      pInput.addData(chunk.toIndexedSeq)
+      pq.processAllAvailable()
+    }
+    pq.stop()
+    val streamedProfiles = rows(sp.read.parquet(outPath))
+    assert(streamedProfiles == rebuilt,
+      "probe stream output must equal the batch probe on the same docs")
+  }
 }
