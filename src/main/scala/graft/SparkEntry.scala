@@ -264,7 +264,22 @@ object SparkEntry {
     "q_t_closeness" -> ((s: SparkSession, d: String) => Privacy.tCloseness(s, d)),
     "q_nb_train" -> ((s: SparkSession, d: String) => TextAnalysis.nbTrain(s, d)),
     "q_nb_classify" -> ((s: SparkSession, d: String) => TextAnalysis.nbClassify(s, d)),
-    "q_backoff_levels" -> ((s: SparkSession, d: String) => TextAnalysis.backoffLevels(s, d))
+    "q_backoff_levels" -> ((s: SparkSession, d: String) => TextAnalysis.backoffLevels(s, d)),
+    // time-series audit batch: day-grain reductions first, statistics
+    // on the bounded day panel, BIGINT moments, closing IEEE ops only
+    "q_autocorr" -> ((s: SparkSession, d: String) => TimeSeries.autocorr(s, d)),
+    "q_cusum_changepoint" -> ((s: SparkSession, d: String) => TimeSeries.cusumChangepoint(s, d)),
+    "q_ks_drift" -> ((s: SparkSession, d: String) => Quality.ksDrift(s, d)),
+    // trend/regression audit batch: robust + parametric trend tests
+    // on the calendar-bounded day panel, BIGINT cores, fixed IEEE tails
+    "q_theilsen" -> ((s: SparkSession, d: String) => TimeSeries.theilSen(s, d)),
+    "q_mann_kendall" -> ((s: SparkSession, d: String) => TimeSeries.mannKendall(s, d)),
+    "q_ols_daily" -> ((s: SparkSession, d: String) => TimeSeries.olsDailyRevenue(s, d)),
+    "q_runs_test" -> ((s: SparkSession, d: String) => TimeSeries.runsTest(s, d)),
+    // corpus-statistics batch: Heaps growth / Zipf head / hapax profile
+    "q_heaps_curve" -> ((s: SparkSession, d: String) => TextAnalysis.heapsCurve(s, d)),
+    "q_zipf_ranks" -> ((s: SparkSession, d: String) => TextAnalysis.zipfRanks(s, d)),
+    "q_hapax_share" -> ((s: SparkSession, d: String) => TextAnalysis.hapaxShare(s, d))
   )
 
   /** The unrolled INTEGER PageRank oracle for `q_pagerank_panel` —
@@ -2965,6 +2980,311 @@ object SparkEntry {
         | CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_l0,
         | round(CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS DOUBLE)
         |   / count(*), 6) AS tri_rate
-        |FROM lv GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM lv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // lag-k autocorrelation: BIGINT moment sums, the closing √·√ then ÷
+    // is a fixed IEEE tree (correctly rounded) — bit-stable
+    "q_autocorr" ->
+      """WITH daily AS (
+        | SELECT date_trunc('day', o_orderdate) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM orders GROUP BY 1),
+        |spine AS (
+        | SELECT unnest(generate_series(min(day), max(day),
+        |   INTERVAL 1 DAY)) AS day FROM daily),
+        |ser AS (
+        | SELECT spine.day, coalesce(daily.n, 0) AS x
+        | FROM spine LEFT JOIN daily USING (day)),
+        |pairs AS (
+        | SELECT l.lag, a.x AS x, b.x AS y
+        | FROM (SELECT unnest(generate_series(1, 7)) AS lag) l
+        | CROSS JOIN ser a
+        | JOIN ser b ON b.day = a.day + l.lag * INTERVAL 1 DAY),
+        |m AS (
+        | SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(y * y) AS BIGINT) AS syy
+        | FROM pairs GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        | CASE WHEN n_pairs * sxx - sx * sx > 0
+        |       AND n_pairs * syy - sy * sy > 0 THEN
+        |  round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |   (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |    sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
+        | END AS corr
+        |FROM m ORDER BY lag""".stripMargin,
+    // CUSUM change point: |T·C_t − t·S| exact in BIGINT, top-K on the
+    // (d_stat DESC, day) total order
+    "q_cusum_changepoint" ->
+      """WITH daily AS (
+        | SELECT date_trunc('day', o_orderdate) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM orders GROUP BY 1),
+        |spine AS (
+        | SELECT unnest(generate_series(min(day), max(day),
+        |   INTERVAL 1 DAY)) AS day FROM daily),
+        |ser AS (
+        | SELECT spine.day, coalesce(daily.n, 0) AS x
+        | FROM spine LEFT JOIN daily USING (day)),
+        |c AS (
+        | SELECT day,
+        |  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+        |  CAST(sum(x) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+        |  CAST(count(*) OVER () AS BIGINT) AS n_days,
+        |  CAST(sum(x) OVER () AS BIGINT) AS total_n
+        | FROM ser)
+        |SELECT day, t, cum_n,
+        | CAST(abs(n_days * cum_n - t * total_n) AS BIGINT) AS d_stat,
+        | CASE WHEN n_days * total_n > 0 THEN
+        |  round(CAST(abs(n_days * cum_n - t * total_n) AS DOUBLE) /
+        |   (n_days * total_n), 6) END AS d_norm
+        |FROM c ORDER BY d_stat DESC, day LIMIT 5""".stripMargin,
+    // Theil–Sen: median of exact pairwise-slope divisions over the
+    // bounded day panel (integer-midpoint median is exact in binary)
+    "q_theilsen" ->
+      """WITH daily AS (
+        | SELECT date_trunc('day', o_orderdate) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM orders GROUP BY 1),
+        |spine AS (
+        | SELECT unnest(generate_series(min(day), max(day),
+        |   INTERVAL 1 DAY)) AS day FROM daily),
+        |ser AS (
+        | SELECT spine.day, coalesce(daily.n, 0) AS x
+        | FROM spine LEFT JOIN daily USING (day)),
+        |p AS (
+        | SELECT CAST(b.x - a.x AS DOUBLE) /
+        |   date_diff('day', a.day, b.day) AS slope
+        | FROM ser a JOIN ser b ON a.day < b.day),
+        |ag AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(median(slope), 6) AS theil_sen_slope FROM p),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM ser)
+        |SELECT n_days, n_pairs, theil_sen_slope
+        |FROM ag CROSS JOIN nd""".stripMargin,
+    // Mann–Kendall: S and the tie-corrected 18·Var(S) numerator exact
+    // in BIGINT; continuity-corrected z is the only IEEE tail
+    "q_mann_kendall" ->
+      """WITH daily AS (
+        | SELECT date_trunc('day', o_orderdate) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM orders GROUP BY 1),
+        |spine AS (
+        | SELECT unnest(generate_series(min(day), max(day),
+        |   INTERVAL 1 DAY)) AS day FROM daily),
+        |ser AS (
+        | SELECT spine.day, coalesce(daily.n, 0) AS x
+        | FROM spine LEFT JOIN daily USING (day)),
+        |s AS (
+        | SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+        |   WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+        | FROM ser a JOIN ser b ON a.day < b.day),
+        |ties AS (
+        | SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+        |   AS BIGINT) AS tie_term
+        | FROM (SELECT count(*) AS t FROM ser GROUP BY x)),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM ser)
+        |SELECT n_days, s,
+        | CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+        |   AS BIGINT) AS var18_num,
+        | CASE WHEN n_days * (n_days - 1) * (2 * n_days + 5) - tie_term > 0
+        |   AND s IS NOT NULL THEN
+        |  round((CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+        |    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) ELSE 0.0 END) /
+        |   sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+        |     AS DOUBLE) / 18.0), 6) END AS z
+        |FROM nd CROSS JOIN s CROSS JOIN ties""".stripMargin,
+    // 2-regressor OLS by Cramer: exact BIGINT moments, fixed double
+    // determinant trees — identical operands + identical shape
+    "q_ols_daily" ->
+      """WITH daily AS (
+        | SELECT date_trunc('day', o_orderdate) AS day,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |sp AS (
+        | SELECT d0, unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |   AS day FROM mm),
+        |xy AS (
+        | SELECT CAST(date_diff('day', d0, day) AS BIGINT) AS x1,
+        |  CASE WHEN isodow(day) IN (6, 7) THEN 1 ELSE 0 END AS x2,
+        |  coalesce(cents, 0) AS y
+        | FROM sp LEFT JOIN daily USING (day)),
+        |m AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |  CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        |  CAST(sum(x1 * x2) AS BIGINT) AS s12,
+        |  CAST(sum(x2) AS BIGINT) AS s22,
+        |  CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x1 * y) AS BIGINT) AS s1y,
+        |  CAST(sum(x2 * y) AS BIGINT) AS s2y
+        | FROM xy),
+        |dd AS (
+        | SELECT n,
+        |  CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE)) + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)) AS det,
+        |  CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)) - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE)) + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)) AS num0,
+        |  CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2y AS DOUBLE) * CAST(s12 AS DOUBLE)) - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE)) + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)) AS num1,
+        |  CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s1y AS DOUBLE)) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)) + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)) AS num2
+        | FROM m)
+        |SELECT n AS n_days,
+        | CASE WHEN n >= 3 AND det <> 0 THEN round(num0 / det, 6) END
+        |   AS beta0,
+        | CASE WHEN n >= 3 AND det <> 0 THEN round(num1 / det, 6) END
+        |   AS beta1_per_day,
+        | CASE WHEN n >= 3 AND det <> 0 THEN round(num2 / det, 6) END
+        |   AS beta2_weekend
+        |FROM dd""".stripMargin,
+    // Wald–Wolfowitz runs test: exact median split, integer run count,
+    // closed-form z on (n1, n2, R) as the only IEEE tail
+    "q_runs_test" ->
+      """WITH daily AS (
+        | SELECT date_trunc('day', o_orderdate) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM orders GROUP BY 1),
+        |spine AS (
+        | SELECT unnest(generate_series(min(day), max(day),
+        |   INTERVAL 1 DAY)) AS day FROM daily),
+        |ser AS (
+        | SELECT spine.day, coalesce(daily.n, 0) AS x
+        | FROM spine LEFT JOIN daily USING (day)),
+        |med AS (SELECT median(x) AS med FROM ser),
+        |sgn AS (
+        | SELECT day,
+        |  CASE WHEN CAST(x AS DOUBLE) > med THEN 1 ELSE 0 END AS above
+        | FROM ser CROSS JOIN med
+        | WHERE CAST(x AS DOUBLE) <> med),
+        |f AS (
+        | SELECT above,
+        |  CASE WHEN lag(above) OVER (ORDER BY day) IS NULL THEN 1
+        |   WHEN lag(above) OVER (ORDER BY day) <> above THEN 1
+        |   ELSE 0 END AS flip
+        | FROM sgn),
+        |g AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN above = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_above,
+        |  CAST(sum(CASE WHEN above = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_below,
+        |  CAST(coalesce(sum(flip), 0) AS BIGINT) AS runs
+        | FROM f),
+        |h AS (
+        | SELECT n_above, n_below, runs,
+        |  CAST(n_above AS DOUBLE) AS n1, CAST(n_below AS DOUBLE) AS n2,
+        |  CAST(runs AS DOUBLE) AS r
+        | FROM g)
+        |SELECT n_above, n_below, runs,
+        | CASE WHEN n_above > 0 AND n_below > 0 AND n_above + n_below > 1
+        |   AND (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)) /
+        |    ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)) > 0.0 THEN
+        |  round((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2))) /
+        |   sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)) /
+        |    ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6) END AS z
+        |FROM h""".stripMargin,
+    // two-sample KS per source vs rest: cleared-denominator CDF gaps
+    // stay in BIGINT; the dense grid mirrors the Spark plan
+    "q_ks_drift" ->
+      """WITH cnt AS (
+        | SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS n_sv
+        | FROM documents GROUP BY 1, 2),
+        |tot AS (
+        | SELECT source, CAST(sum(n_sv) AS BIGINT) AS n_s
+        | FROM cnt GROUP BY 1),
+        |bins AS (
+        | SELECT v,
+        |  CAST(sum(sum(n_sv)) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_all,
+        |  CAST(sum(sum(n_sv)) OVER () AS BIGINT) AS n_tot
+        | FROM cnt GROUP BY v),
+        |grid AS (
+        | SELECT t.source, t.n_s, b.v, b.cum_all, b.n_tot,
+        |  coalesce(c.n_sv, 0) AS n_in
+        | FROM tot t CROSS JOIN bins b
+        | LEFT JOIN cnt c ON c.source = t.source AND c.v = b.v),
+        |g2 AS (
+        | SELECT source, n_s, n_tot - n_s AS n_rest, cum_all,
+        |  CAST(sum(n_in) OVER (PARTITION BY source ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s
+        | FROM grid)
+        |SELECT source, max(n_s) AS n_src, max(n_rest) AS n_rest,
+        | CAST(max(abs(n_rest * cum_s - n_s * (cum_all - cum_s)))
+        |   AS BIGINT) AS ks_num,
+        | CASE WHEN max(n_s) * max(n_rest) > 0 THEN
+        |  round(CAST(max(abs(n_rest * cum_s - n_s * (cum_all - cum_s)))
+        |    AS DOUBLE) / (max(n_s) * max(n_rest)), 6) END AS ks
+        |FROM g2 GROUP BY source ORDER BY source""".stripMargin,
+    // Heaps growth curve: doc_id-range deciles, first-carrier buckets,
+    // cumulative over the ≤10-row panel — all integers
+    "q_heaps_curve" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t
+        | FROM documents),
+        |ids AS (
+        | SELECT min(doc_id) AS id0,
+        |  max(doc_id) - min(doc_id) + 1 AS span FROM d),
+        |ds AS (
+        | SELECT ((doc_id - id0) * 10) // span + 1 AS decile,
+        |  count(*) AS nd, sum(len(t)) AS nt
+        | FROM d CROSS JOIN ids GROUP BY 1),
+        |fc AS (
+        | SELECT tok, min(doc_id) AS fid
+        | FROM (SELECT doc_id, unnest(t) AS tok FROM d) GROUP BY tok),
+        |fv AS (
+        | SELECT ((fid - id0) * 10) // span + 1 AS decile,
+        |  count(*) AS nv
+        | FROM fc CROSS JOIN ids GROUP BY 1),
+        |j AS (
+        | SELECT coalesce(ds.decile, fv.decile) AS decile,
+        |  coalesce(nd, 0) AS nd, coalesce(nt, 0) AS nt,
+        |  coalesce(nv, 0) AS nv
+        | FROM ds FULL OUTER JOIN fv ON ds.decile = fv.decile)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        | CAST(sum(nd) OVER w AS BIGINT) AS docs_cum,
+        | CAST(sum(nt) OVER w AS BIGINT) AS tokens_cum,
+        | CAST(sum(nv) OVER w AS BIGINT) AS vocab_cum
+        |FROM j WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |ORDER BY decile""".stripMargin,
+    // Zipf head: top-50 on the (freq DESC, tok) total order
+    "q_zipf_ranks" ->
+      """WITH toks AS (
+        | SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |   AS tok
+        | FROM documents),
+        |f AS (
+        | SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        | FROM toks GROUP BY tok
+        | ORDER BY freq DESC, tok LIMIT 50)
+        |SELECT CAST(row_number() OVER
+        |  (ORDER BY freq DESC, tok) AS BIGINT) AS rank,
+        | tok, freq,
+        | CAST(row_number() OVER (ORDER BY freq DESC, tok) * freq
+        |   AS BIGINT) AS rank_x_freq
+        |FROM f ORDER BY rank""".stripMargin,
+    // hapax profile: per-source and corpus-wide frequency-one tokens
+    "q_hapax_share" ->
+      """WITH st AS (
+        | SELECT source, tok, CAST(count(*) AS BIGINT) AS n_st
+        | FROM (SELECT source,
+        |   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents)
+        | GROUP BY 1, 2),
+        |g AS (
+        | SELECT tok, CAST(sum(n_st) AS BIGINT) AS n_g
+        | FROM st GROUP BY tok)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        | CAST(sum(CASE WHEN n_st = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS hapax_local,
+        | CAST(sum(CASE WHEN n_g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS hapax_global,
+        | CAST(sum(n_st) AS BIGINT) AS n_tokens,
+        | CASE WHEN count(*) > 0 THEN
+        |  round(CAST(sum(CASE WHEN n_st = 1 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) END AS hapax_share
+        |FROM st JOIN g USING (tok)
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -454,4 +454,58 @@ object Quality {
       .withColumn("gini",
         round(col("gini_num").cast("double") / col("gini_den"), 6))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift screen: per source, the KS
+    * statistic between the source's document-length distribution and
+    * the REST of the corpus — the distributional complement of
+    * [[sourceDrift]]'s token-level chi². The statistic is kept
+    * INTEGER-EXACT by clearing both CDF denominators:
+    * D·n_s·n_rest = max over merged values v of
+    * |n_rest·F_s(v)·n_s − n_s·F_rest(v)·n_rest| = |n_rest·cum_s −
+    * n_s·(cum_all − cum_s)| — a float CDF would ulp-wobble the max on
+    * near-ties. The dense (source × value) grid rides the same bounded
+    * broadcast-dimension pattern as [[Privacy.tClosenessOn]]: the value
+    * dimension is the distinct length domain (bounded by content, not
+    * corpus size), each source must see every global value (missing ⇒
+    * zero mass) for its CDF to align. BIGINT headroom: n_s·n_rest must
+    * stay < 2^63 — fine to ~3·10^9 docs; past that promote the cleared
+    * products to decimal. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame =
+    ksDriftOn(Tables.documents(spark, dir))
+
+  /** Core of [[ksDrift]] over any frame with (source, n_chars) — split
+    * out so specs can drive crafted distributions (identical ⇒ D = 0,
+    * disjoint supports ⇒ D = 1) through it. */
+  def ksDriftOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs.select(col("source"), col("n_chars").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("n_sv"))
+    val srcTot = cnt.groupBy(col("source")).agg(sum(col("n_sv")).as("n_s"))
+    def oneGroup = pmod(col("v"), lit(1))
+    val wCum = Window.partitionBy(oneGroup).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(oneGroup)
+    val bins = cnt.groupBy(col("v")).agg(sum(col("n_sv")).as("n_v"))
+      .withColumn("cum_all", sum(col("n_v")).over(wCum))
+      .withColumn("n_tot", sum(col("n_v")).over(wAll))
+      .select(col("v"), col("cum_all"), col("n_tot"))
+    val grid = srcTot.crossJoin(broadcast(bins))
+      .join(cnt, Seq("source", "v"), "left")
+      .withColumn("n_in", coalesce(col("n_sv"), lit(0L)))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_s", sum(col("n_in")).over(wSrc))
+      .withColumn("n_rest", col("n_tot") - col("n_s"))
+      .withColumn("gap", abs(col("n_rest") * col("cum_s") -
+        col("n_s") * (col("cum_all") - col("cum_s"))))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_src"), max(col("n_rest")).as("n_rest"),
+        max(col("gap")).as("ks_num"))
+      .withColumn("ks",
+        when(col("n_src") * col("n_rest") > 0L,
+          round(col("ks_num").cast("double") /
+            (col("n_src") * col("n_rest")).cast("double"), 6)))
+      .orderBy(col("source"))
+  }
 }

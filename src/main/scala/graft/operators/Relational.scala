@@ -166,6 +166,21 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** CUBE: order totals over every subset of (status, priority), with
+    * `grouping_id` disambiguating subtotal levels (0 = cell, 3 = grand
+    * total) — the full-lattice companion of [[rollupAgg]]'s hierarchy.
+    * One shuffle: Spark expands the lattice map-side. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+        col("total_price"), col("n_orders"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** Exact count-distinct: distinct parts & suppliers per return flag. */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

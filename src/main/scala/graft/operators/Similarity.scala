@@ -743,4 +743,54 @@ object Similarity {
         (col("rn") > floor(lit(rho) * col("n_c"))).as("kept"))
       .orderBy(col("vec_id"))
   }
+
+  /** Greedy k-center (farthest-first) DIVERSE SUBSET selection over
+    * the embedding corpus — the coverage-maximizing data-selection
+    * step (Gonzalez 1985: 2-approximation of the k-center optimum):
+    * seed with the min vec_id, then k−1 rounds of "pick the point
+    * farthest (cosine) from the chosen set", ties broken by vec_id.
+    * Each round is ONE distributed scan — distances to the ≤k chosen
+    * centers ride a broadcast literal array, the argmax is a
+    * TakeOrderedAndProject to one row — so the driver holds only the
+    * k selected vectors (the Lloyd-loop discipline of
+    * `trainCentroids`); k bounds the rounds. Rows-only surface
+    * (iterative argmax has no clean SQL form); the planted-cluster
+    * coverage law lives in the spec. */
+  def kCenterSelect(spark: SparkSession, dir: String, k: Int = 8)
+      : DataFrame = {
+    val normed = vecs(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+          .as("vn"))
+    kCenterSelectOn(spark, normed, k)
+  }
+
+  /** Core of [[kCenterSelect]] over any (vec_id, vn) frame with
+    * unit-norm vectors — split out so specs can plant clusters. */
+  def kCenterSelectOn(spark: SparkSession, normed: DataFrame, k: Int)
+      : DataFrame = {
+    import spark.implicits._
+    val pinned = normed.localCheckpoint() // reused k times
+    val seed = pinned.orderBy(col("vec_id")).limit(1)
+      .as[(Long, Array[Double])].collect()
+    var chosen = seed.map { case (id, v) => (id, v, Double.NaN) }.toVector
+    var round = 1
+    while (round < k && chosen.nonEmpty) {
+      val dots = array(chosen.map(c =>
+        dotProduct(col("vn"), typedlit(c._2.toSeq))): _*)
+      val picked = pinned
+        .filter(!col("vec_id").isin(chosen.map(_._1): _*))
+        .withColumn("min_dist", lit(1.0) - array_max(dots))
+        .orderBy(col("min_dist").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("vn"), col("min_dist"))
+        .as[(Long, Array[Double], Double)].collect()
+      picked.headOption.foreach(chosen :+= _)
+      round += 1
+    }
+    chosen.zipWithIndex.map { case ((id, _, d), i) =>
+      (i.toLong + 1L, id,
+        if (d.isNaN) None else Some(BigDecimal(d)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toDF("sel_rank", "vec_id", "dist_to_set")
+  }
 }

@@ -1190,4 +1190,143 @@ object TextAnalysis {
       .withColumn("tri_rate",
         round(col("n_l3").cast("double") / col("n_pos"), 6))
   }
+
+  /** Heaps'-law vocabulary-growth curve: cumulative distinct-type and
+    * total-token counts at ten corpus-prefix checkpoints. The prefix
+    * order is the doc_id RANGE split into deciles from the 1-row
+    * (min, max) scalar — O(1) thresholds with NO global sort (a
+    * row_number prefix order would shuffle every doc to one ordering
+    * at 100 TB; range deciles are deterministic and free). Each
+    * type's contribution lands in the decile of its FIRST carrier
+    * (one vocab-keyed min aggregate, map-side combined — the only
+    * token-volume shuffle); the curve itself is a cumulative window
+    * over the ≤10-row bucket panel. All counts integer-exact. */
+  def heapsCurve(spark: SparkSession, dir: String): DataFrame =
+    heapsCurveOn(Tables.documents(spark, dir))
+
+  /** Core of [[heapsCurve]] over any frame with (doc_id, text) — split
+    * out so specs can recount a crafted corpus' curve by hand. */
+  def heapsCurveOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), tokensCol.as("toks"))
+    val ids = base.agg(min(col("doc_id")).as("id0"),
+      (max(col("doc_id")) - min(col("doc_id")) + 1L).as("span"))
+    def bucket(c: Column): Column =
+      expr(s"((${c.toString} - id0) * 10) DIV span") + 1L
+    val docStats = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .crossJoin(broadcast(ids))
+      .groupBy(bucket(col("doc_id")).as("decile"))
+      .agg(count(lit(1)).as("new_docs"), sum(col("n_toks")).as("new_toks"))
+    val firstCarrier = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("fid"))
+      .crossJoin(broadcast(ids))
+      .groupBy(bucket(col("fid")).as("decile"))
+      .agg(count(lit(1)).as("new_types"))
+    val wCum = Window.partitionBy(pmod(col("decile"), lit(1)))
+      .orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docStats.join(firstCarrier, Seq("decile"), "full_outer")
+      .select(col("decile"),
+        coalesce(col("new_docs"), lit(0L)).as("nd"),
+        coalesce(col("new_toks"), lit(0L)).as("nt"),
+        coalesce(col("new_types"), lit(0L)).as("nv"))
+      .select(col("decile"),
+        sum(col("nd")).over(wCum).as("docs_cum"),
+        sum(col("nt")).over(wCum).as("tokens_cum"),
+        sum(col("nv")).over(wCum).as("vocab_cum"))
+      .orderBy(col("decile"))
+  }
+
+  /** Zipf rank–frequency head: the top-K tokens by corpus frequency
+    * with their rank and the rank·frequency product (Zipf's law says
+    * the product is roughly constant down the head). One vocab-keyed
+    * count, a TakeOrderedAndProject cut on the (freq DESC, tok) total
+    * order, then row_number over the K-row remnant behind a
+    * non-foldable constant partition key — never a global sort. */
+  def zipfRanks(spark: SparkSession, dir: String, k: Int = 50)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(spark, dir)
+      .select(explode(tokensCol).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(k)
+    val w = Window.partitionBy(pmod(col("freq"), lit(1)))
+      .orderBy(col("freq").desc, col("tok"))
+    freq
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("rank_x_freq", col("rank") * col("freq"))
+      .select(col("rank"), col("tok"), col("freq"), col("rank_x_freq"))
+      .orderBy(col("rank"))
+  }
+
+  /** Count–Min Sketch point-frequency audit: build a (depth × width)
+    * CMS over the corpus token stream with md5-derived row hashes
+    * (bucket key = the first two hex chars of md5(row ‖ ':' ‖ token) —
+    * 256 buckets/row, engine-portable with NO hex→int conversion,
+    * the winnow-hash discipline), then compare the sketch estimate
+    * min_j counter[j][h_j(tok)] against the true count for the top-K
+    * tokens. The one-sided error law (est ≥ true, overshoot bounded by
+    * collisions) lands in the `over` column — all integers, so the
+    * sketch itself rides the DuckDB oracle. Counter table is
+    * depth·256 rows (broadcastable at any corpus size); the token scan
+    * is the only data-sized pass. */
+  def cmsTokenCounts(spark: SparkSession, dir: String, depth: Int = 4,
+      topK: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokensCol).as("tok"))
+    val hashRows = (0 until depth).map(lit(_))
+    val hashed = toks.select(col("tok"),
+      explode(array(hashRows: _*)).as("j"))
+      .withColumn("b",
+        substring(md5(concat(col("j").cast("string"), lit(":"),
+          col("tok"))), 1, 2))
+    val counters = hashed.groupBy(col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("tok")).limit(topK)
+    top.select(col("tok"), col("true_n"),
+        explode(array(hashRows: _*)).as("j"))
+      .withColumn("b",
+        substring(md5(concat(col("j").cast("string"), lit(":"),
+          col("tok"))), 1, 2))
+      .join(broadcast(counters), Seq("j", "b"))
+      .groupBy(col("tok"), col("true_n"))
+      .agg(min(col("c")).as("cms_est"))
+      .withColumn("over", col("cms_est") - col("true_n"))
+      .orderBy(col("true_n").desc, col("tok"))
+  }
+
+  /** Per-source hapax-legomena profile: vocabulary size, tokens seen
+    * exactly once WITHIN the source (local hapax — the lexical-richness
+    * signal), tokens whose CORPUS-WIDE frequency is one (global hapax —
+    * a global hapax lives in exactly one source, so the per-source
+    * counts partition the corpus hapax set), and the local-hapax share
+    * of the vocabulary. One (source, token) count, one token-keyed
+    * re-aggregate for the global frequency, one token-keyed join back —
+    * both shuffles vocabulary-keyed (map-side combined), no grid, no
+    * window. */
+  def hapaxShare(spark: SparkSession, dir: String): DataFrame =
+    hapaxShareOn(Tables.documents(spark, dir))
+
+  /** Core of [[hapaxShare]] over any frame with (source, text) — split
+    * out so specs can drive crafted corpora through it. */
+  def hapaxShareOn(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(tokensCol).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n_st"))
+    val glob = st.groupBy(col("tok")).agg(sum(col("n_st")).as("n_g"))
+    st.join(glob, Seq("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("n_st") === 1L, 1L).otherwise(0L)).as("hapax_local"),
+        sum(when(col("n_g") === 1L, 1L).otherwise(0L)).as("hapax_global"),
+        sum(col("n_st")).as("n_tokens"))
+      .withColumn("hapax_share",
+        when(col("vocab") > 0L,
+          round(col("hapax_local").cast("double") / col("vocab"), 6)))
+      .orderBy(col("source"))
+  }
 }

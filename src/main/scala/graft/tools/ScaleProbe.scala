@@ -174,6 +174,23 @@ object ScaleProbe {
       ("q_nb_train", 1.0, (d, _) => graft.operators.TextAnalysis.nbTrain(spark, d)),
       ("q_nb_classify", 1.0, (d, _) => graft.operators.TextAnalysis.nbClassify(spark, d)),
       ("q_backoff_levels", 1.0, (d, _) => graft.operators.TextAnalysis.backoffLevels(spark, d)),
+      // time-series + corpus-statistics batches: all linear — the day
+      // panel and the KS value grid are content-bounded dimensions
+      // (replication grows per-day counts, not the panel), heaps/zipf/
+      // hapax are token-volume scans into vocabulary-keyed aggregates
+      ("q_autocorr", 1.0, (d, _) => graft.operators.TimeSeries.autocorr(spark, d)),
+      ("q_cusum_changepoint", 1.0, (d, _) => graft.operators.TimeSeries.cusumChangepoint(spark, d)),
+      ("q_ks_drift", 1.0, (d, _) => graft.operators.Quality.ksDrift(spark, d)),
+      ("q_heaps_curve", 1.0, (d, _) => graft.operators.TextAnalysis.heapsCurve(spark, d)),
+      ("q_zipf_ranks", 1.0, (d, _) => graft.operators.TextAnalysis.zipfRanks(spark, d)),
+      ("q_hapax_share", 1.0, (d, _) => graft.operators.TextAnalysis.hapaxShare(spark, d)),
+      // trend/regression batch: the day-panel pair kernel is CONSTANT
+      // in corpus size (calendar-bounded), so end-to-end cost tracks
+      // the one fact-table scan — linear
+      ("q_theilsen", 1.0, (d, _) => graft.operators.TimeSeries.theilSen(spark, d)),
+      ("q_mann_kendall", 1.0, (d, _) => graft.operators.TimeSeries.mannKendall(spark, d)),
+      ("q_ols_daily", 1.0, (d, _) => graft.operators.TimeSeries.olsDailyRevenue(spark, d)),
+      ("q_runs_test", 1.0, (d, _) => graft.operators.TimeSeries.runsTest(spark, d)),
       // skew stress: a CONSTANT 300-copy boilerplate family planted
       // into the growing corpus — the hot band buckets (and their
       // quadratic pair mass) are the same at 1× and N×, so the probe

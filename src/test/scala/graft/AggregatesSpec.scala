@@ -269,4 +269,26 @@ class AggregatesSpec extends AnyFunSuite {
     assert(est == exactDistinct,
       "unsaturated incremental estimate must be exact")
   }
+
+  test("cube: lattice levels are complete and every level's counts " +
+    "re-sum to the table total") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Relational.cubeAgg(spark, sf).collect()
+    val total = graft.sources.Tables.orders(spark, sf).count()
+    val byGid = rows.groupBy(_.getLong(2))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L), "all four lattice levels")
+    assert(byGid(3L).length == 1 && byGid(3L).head.getLong(4) == total,
+      "one grand total covering every row")
+    // each level partitions the table: its n_orders sum to the total
+    Seq(0L, 1L, 2L).foreach { gid =>
+      assert(byGid(gid).map(_.getLong(4)).sum == total, s"level $gid mass")
+    }
+    // the status-only level matches a direct groupBy
+    val direct = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byGid(1L).foreach { r => // gid 1: priority aggregated away
+      assert(r.getLong(4) == direct(r.getString(0)))
+    }
+  }
 }

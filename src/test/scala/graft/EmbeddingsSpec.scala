@@ -115,4 +115,41 @@ class EmbeddingsSpec extends AnyFunSuite {
     val cutoff = got.map(_._2).min
     assert(expect.values.count(_ > cutoff) < 30)
   }
+
+  test("k-center select: planted orthogonal clusters are each covered " +
+    "once, picks are farthest-first, and the real path runs") {
+    val sp = spark
+    import sp.implicits._
+    // three tight clusters on orthogonal axes; k=3 must take exactly
+    // one point from each (farthest-first covers before it refines)
+    def jig(i: Int) = 0.001 * i // tiny within-cluster jitter
+    val pts = (1 to 5).map(i => (i.toLong, Array(1.0, jig(i), 0.0))) ++
+      (11 to 15).map(i => (i.toLong, Array(0.0, 1.0, jig(i - 10)))) ++
+      (21 to 25).map(i => (i.toLong, Array(jig(i - 20), 0.0, 1.0)))
+    val normed = pts.toDF("vec_id", "v")
+      .select(col("vec_id"), expr(
+        "transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+        .as("vn"))
+    val sel = graft.operators.Similarity
+      .kCenterSelectOn(sp, normed, k = 3).collect()
+    assert(sel.length == 3)
+    assert(sel.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(sel.head.getLong(1) == 1L, "seed is the min vec_id")
+    val clusters = sel.map(_.getLong(1) / 10L).toSet
+    assert(clusters == Set(0L, 1L, 2L), s"one pick per cluster: $clusters")
+    // farthest-first: selection distances are nonincreasing
+    val ds = sel.tail.map(_.getDouble(2))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+    assert(ds.forall(d => d > 0.9 && d <= 1.0001), "orthogonal picks")
+    // real embeddings: k rows, distinct ids, deterministic rerun
+    val real = graft.operators.Similarity.kCenterSelect(spark, sf, k = 4)
+      .collect()
+    assert(real.length == 4)
+    assert(real.map(_.getLong(1)).distinct.length == 4)
+    val rerun = graft.operators.Similarity.kCenterSelect(spark, sf, k = 4)
+      .collect()
+    assert(real.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      rerun.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "selection is deterministic")
+  }
 }

@@ -47,7 +47,18 @@ class PlanHygieneSpec extends AnyFunSuite {
     // dense (class × band) grid against the broadcast band dimension
     // (value-domain/50 rows — the CDF needs zeros materialized), the
     // same bounded-dim class as q_equidepth_hist
-    "q_t_closeness")
+    "q_t_closeness",
+    // broadcast lag dimension (7 rows) against the bounded day panel
+    "q_autocorr",
+    // dense (source × length-value) grid against the broadcast value
+    // dimension — the KS CDFs need zeros materialized, q_t_closeness's
+    // class again
+    "q_ks_drift",
+    // broadcast 1-row (min id, span) scalar for the range-decile bucket
+    "q_heaps_curve",
+    // day-panel pair kernel (non-equi da < db over the calendar-bounded
+    // series) + broadcast 1-row scalar reductions
+    "q_theilsen", "q_mann_kendall", "q_runs_test")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
