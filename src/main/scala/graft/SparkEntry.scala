@@ -279,7 +279,14 @@ object SparkEntry {
     // corpus-statistics batch: Heaps growth / Zipf head / hapax profile
     "q_heaps_curve" -> ((s: SparkSession, d: String) => TextAnalysis.heapsCurve(s, d)),
     "q_zipf_ranks" -> ((s: SparkSession, d: String) => TextAnalysis.zipfRanks(s, d)),
-    "q_hapax_share" -> ((s: SparkSession, d: String) => TextAnalysis.hapaxShare(s, d))
+    "q_hapax_share" -> ((s: SparkSession, d: String) => TextAnalysis.hapaxShare(s, d)),
+    // lattice / sketch / decomposition / selection batch
+    "q_cube" -> ((s: SparkSession, d: String) => Relational.cubeAgg(s, d)),
+    "q_seasonal_decomp" -> ((s: SparkSession, d: String) => TimeSeries.seasonalDecomp(s, d)),
+    "q_cms_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.cmsTokenCounts(s, d)),
+    // rows-only: k rounds of distributed argmax (iterative farthest-
+    // first has no clean SQL form); coverage law in EmbeddingsSpec
+    "q_kcenter_select" -> ((s: SparkSession, d: String) => Similarity.kCenterSelect(s, d))
   )
 
   /** The unrolled INTEGER PageRank oracle for `q_pagerank_panel` —
@@ -3285,6 +3292,70 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN n_st = 1 THEN 1 ELSE 0 END)
         |    AS DOUBLE) / count(*), 6) END AS hapax_share
         |FROM st JOIN g USING (tok)
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // CUBE lattice with GROUPING bitmask (same bit order both engines)
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+        |   AS gid,
+        | round(sum(o_totalprice), 2) AS total_price,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+        | o_orderpriority ASC NULLS FIRST""".stripMargin,
+    // additive weekday decomposition: cleared /7 keeps d7 and the
+    // weekday numerators in BIGINT; one closing division
+    "q_seasonal_decomp" ->
+      """WITH daily AS (
+        | SELECT date_trunc('day', o_orderdate) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM orders GROUP BY 1),
+        |spine AS (
+        | SELECT unnest(generate_series(min(day), max(day),
+        |   INTERVAL 1 DAY)) AS day FROM daily),
+        |ser AS (
+        | SELECT spine.day, coalesce(daily.n, 0) AS x
+        | FROM spine LEFT JOIN daily USING (day)),
+        |w AS (
+        | SELECT day, x,
+        |  CAST(sum(x) OVER (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+        |    AS win_sum,
+        |  count(*) OVER (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win_n
+        | FROM ser)
+        |SELECT CAST(date_part('dow', day) + 1 AS BIGINT) AS dow,
+        | CAST(count(*) AS BIGINT) AS n_days,
+        | CAST(sum(7 * x - win_sum) AS BIGINT) AS s7_num,
+        | round(CAST(sum(7 * x - win_sum) AS DOUBLE) /
+        |   (7 * count(*)), 6) AS seasonal
+        |FROM w WHERE win_n = 7 GROUP BY 1 ORDER BY dow""".stripMargin,
+    // Count-Min Sketch audit: md5-hex buckets (no hex->int needed),
+    // integer counters, one-sided error visible in overcount
+    "q_cms_tokens" ->
+      """WITH toks AS (
+        | SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |   AS tok
+        | FROM documents),
+        |js AS (SELECT unnest(range(0, 4)) AS j),
+        |h AS (
+        | SELECT tok, j,
+        |  substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 2) AS b
+        | FROM toks CROSS JOIN js),
+        |counters AS (
+        | SELECT j, b, CAST(count(*) AS BIGINT) AS c
+        | FROM h GROUP BY j, b),
+        |top AS (
+        | SELECT tok, CAST(count(*) AS BIGINT) AS true_n
+        | FROM toks GROUP BY tok
+        | ORDER BY true_n DESC, tok LIMIT 30)
+        |SELECT t.tok, t.true_n,
+        | CAST(min(c.c) AS BIGINT) AS cms_est,
+        | CAST(min(c.c) - t.true_n AS BIGINT) AS overcount
+        |FROM top t CROSS JOIN js
+        |JOIN counters c ON c.j = js.j
+        | AND c.b = substr(md5(CAST(js.j AS VARCHAR) || ':' || t.tok), 1, 2)
+        |GROUP BY t.tok, t.true_n
+        |ORDER BY true_n DESC, tok""".stripMargin
   )
 }

@@ -1295,7 +1295,7 @@ object TextAnalysis {
       .join(broadcast(counters), Seq("j", "b"))
       .groupBy(col("tok"), col("true_n"))
       .agg(min(col("c")).as("cms_est"))
-      .withColumn("over", col("cms_est") - col("true_n"))
+      .withColumn("overcount", col("cms_est") - col("true_n"))
       .orderBy(col("true_n").desc, col("tok"))
   }
 

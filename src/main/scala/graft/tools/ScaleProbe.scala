@@ -191,6 +191,12 @@ object ScaleProbe {
       ("q_mann_kendall", 1.0, (d, _) => graft.operators.TimeSeries.mannKendall(spark, d)),
       ("q_ols_daily", 1.0, (d, _) => graft.operators.TimeSeries.olsDailyRevenue(spark, d)),
       ("q_runs_test", 1.0, (d, _) => graft.operators.TimeSeries.runsTest(spark, d)),
+      // lattice/sketch/decomposition batch: cube is one shuffle with a
+      // constant-size lattice, CMS counters are depth·256 rows, the
+      // seasonal window rides the bounded day panel
+      ("q_cube", 1.0, (d, _) => graft.operators.Relational.cubeAgg(spark, d)),
+      ("q_seasonal_decomp", 1.0, (d, _) => graft.operators.TimeSeries.seasonalDecomp(spark, d)),
+      ("q_cms_tokens", 1.0, (d, _) => graft.operators.TextAnalysis.cmsTokenCounts(spark, d)),
       // skew stress: a CONSTANT 300-copy boilerplate family planted
       // into the growing corpus — the hot band buckets (and their
       // quadratic pair mass) are the same at 1× and N×, so the probe
