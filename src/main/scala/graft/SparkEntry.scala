@@ -286,7 +286,10 @@ object SparkEntry {
     "q_cms_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.cmsTokenCounts(s, d)),
     // rows-only: k rounds of distributed argmax (iterative farthest-
     // first has no clean SQL form); coverage law in EmbeddingsSpec
-    "q_kcenter_select" -> ((s: SparkSession, d: String) => Similarity.kCenterSelect(s, d))
+    "q_kcenter_select" -> ((s: SparkSession, d: String) => Similarity.kCenterSelect(s, d)),
+    // corpus-statistics continuation: burstiness + novelty
+    "q_token_burstiness" -> ((s: SparkSession, d: String) => TextAnalysis.tokenBurstiness(s, d)),
+    "q_ngram_novelty" -> ((s: SparkSession, d: String) => Dedup.ngramNovelty(s, d))
   )
 
   /** The unrolled INTEGER PageRank oracle for `q_pagerank_panel` —
@@ -3356,6 +3359,48 @@ object SparkEntry {
         |JOIN counters c ON c.j = js.j
         | AND c.b = substr(md5(CAST(js.j AS VARCHAR) || ':' || t.tok), 1, 2)
         |GROUP BY t.tok, t.true_n
-        |ORDER BY true_n DESC, tok""".stripMargin
+        |ORDER BY true_n DESC, tok""".stripMargin,
+    // Church-Gale burstiness: cleared var/mean, BIGINT numerators
+    "q_token_burstiness" ->
+      """WITH tf AS (
+        | SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        | FROM (SELECT doc_id,
+        |   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents)
+        | GROUP BY 1, 2),
+        |m AS (
+        | SELECT tok, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS tf_total,
+        |  CAST(sum(tf * tf) AS BIGINT) AS tf_sq
+        | FROM tf GROUP BY tok HAVING count(*) >= 5),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents)
+        |SELECT tok, df, tf_total,
+        | CAST(n_corpus * tf_sq - tf_total * tf_total AS BIGINT)
+        |   AS burst_num,
+        | CAST(n_corpus * tf_total AS BIGINT) AS burst_den,
+        | CASE WHEN n_corpus * tf_total > 0 THEN
+        |  round(CAST(n_corpus * tf_sq - tf_total * tf_total AS DOUBLE) /
+        |   (n_corpus * tf_total), 6) END AS burstiness
+        |FROM m CROSS JOIN n
+        |ORDER BY burstiness DESC, tok LIMIT 40""".stripMargin,
+    // n-gram novelty: first-carrier share per doc, same gram stream
+    // as q_dup_spans
+    "q_ngram_novelty" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |g AS (
+        | SELECT DISTINCT doc_id, array_to_string(toks[i:(i+7)], ' ') AS gram
+        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i)
+        | WHERE len(toks) >= 8),
+        |fc AS (SELECT gram, min(doc_id) AS fid FROM g GROUP BY gram)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        | CAST(sum(CASE WHEN fc.fid = g.doc_id THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_novel,
+        | round(CAST(sum(CASE WHEN fc.fid = g.doc_id THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*), 6) AS novelty
+        |FROM g JOIN fc USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
   )
 }

@@ -1352,4 +1352,34 @@ object Dedup {
       .filter(col("n_docs") >= 2)
       .orderBy(col("n_docs").desc, col("gram"))
       .limit(topK)
+
+  /** N-gram NOVELTY profile — the freshness complement of [[dupSpans]]:
+    * per document, the share of its distinct sliding n-grams whose
+    * FIRST carrier (min doc_id over the corpus) is this document —
+    * i.e., content no earlier document contributed. The dedup-pipeline
+    * reading: a low-novelty late document is assembled from seen
+    * text even if no single pair crosses a similarity threshold.
+    * Same row-local gram generation as 36q, one gram-keyed min
+    * aggregate (map-side combined), one gram-keyed join back; all
+    * counts integer, one closing division. */
+  def ngramNovelty(spark: SparkSession, dir: String, n: Int = 8)
+      : DataFrame = {
+    val docGrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), normToks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), " +
+          s"i -> array_join(slice(toks, i + 1, $n), ' '))")).as("gram"))
+      .distinct()
+    val firstCarrier = docGrams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("fid"))
+    docGrams.join(firstCarrier, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fid") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1272,31 +1272,85 @@ object TextAnalysis {
     * sketch itself rides the DuckDB oracle. Counter table is
     * depth·256 rows (broadcastable at any corpus size); the token scan
     * is the only data-sized pass. */
+  private def cmsBucket(j: Column, tok: Column): Column =
+    substring(md5(concat(j.cast("string"), lit(":"), tok)), 1, 2)
+
+  /** CMS counter relation (j, b, c) for a (…, text) frame — the
+    * ADDITIVE core both the batch audit and the streamed sketch share:
+    * counters of a union are the per-part counter sums, exactly. */
+  def cmsCountersOf(docs: DataFrame, depth: Int = 4): DataFrame =
+    docs.select(explode(tokensCol).as("tok"))
+      .select(col("tok"),
+        explode(array((0 until depth).map(lit(_)): _*)).as("j"))
+      .withColumn("b", cmsBucket(col("j"), col("tok")))
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+
   def cmsTokenCounts(spark: SparkSession, dir: String, depth: Int = 4,
       topK: Int = 30): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, dir)
-      .select(explode(tokensCol).as("tok"))
-    val hashRows = (0 until depth).map(lit(_))
-    val hashed = toks.select(col("tok"),
-      explode(array(hashRows: _*)).as("j"))
-      .withColumn("b",
-        substring(md5(concat(col("j").cast("string"), lit(":"),
-          col("tok"))), 1, 2))
-    val counters = hashed.groupBy(col("j"), col("b"))
-      .agg(count(lit(1)).as("c"))
-    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
+    val docs = Tables.documents(spark, dir)
+    val counters = cmsCountersOf(docs, depth)
+    val top = docs.select(explode(tokensCol).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
       .orderBy(col("true_n").desc, col("tok")).limit(topK)
     top.select(col("tok"), col("true_n"),
-        explode(array(hashRows: _*)).as("j"))
-      .withColumn("b",
-        substring(md5(concat(col("j").cast("string"), lit(":"),
-          col("tok"))), 1, 2))
+        explode(array((0 until depth).map(lit(_)): _*)).as("j"))
+      .withColumn("b", cmsBucket(col("j"), col("tok")))
       .join(broadcast(counters), Seq("j", "b"))
       .groupBy(col("tok"), col("true_n"))
       .agg(min(col("c")).as("cms_est"))
       .withColumn("overcount", col("cms_est") - col("true_n"))
       .orderBy(col("true_n").desc, col("tok"))
+  }
+
+  /** PERSIST a CMS sketch as LOG-STRUCTURED counter segments: build
+    * writes one (j, b, c) segment plus a 1-row `_meta` (depth) pin;
+    * [[appendToCmsSketch]] appends one segment per batch — O(batch)
+    * maintenance with NO read-modify-write (CMS is additive: counters
+    * of a union are the per-part sums, merged on read). The sketch is
+    * the bounded-state sibling of the seven index families: depth·256
+    * rows per segment regardless of corpus size, so the merge-on-read
+    * sum is constant work. */
+  def buildCmsSketch(spark: SparkSession, dir: String, name: String,
+      depth: Int = 4): Unit = {
+    import spark.implicits._
+    cmsCountersOf(Tables.documents(spark, dir), depth).localCheckpoint()
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_segments")
+    Seq(depth).toDF("depth")
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_meta")
+  }
+
+  /** Append a document batch into the persisted CMS sketch — one more
+    * counter segment (depth read from `_meta` so a probe can never see
+    * mixed-depth segments). Replay caution: a re-delivered batch
+    * inflates counts (the estimate stays an upper bound — the
+    * one-sided error law survives at-least-once delivery). */
+  def appendToCmsSketch(spark: SparkSession, name: String,
+      newDocs: DataFrame): Unit = {
+    val depth = spark.table(s"${name}_meta").collect().head.getInt(0)
+    cmsCountersOf(newDocs, depth).localCheckpoint()
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(s"${name}_segments")
+    spark.catalog.refreshTable(s"${name}_segments")
+  }
+
+  /** Point-frequency estimates for a (tok) probe frame against the
+    * persisted sketch: merge the counter log (one constant-size sum —
+    * depth·256 live cells), hash the probe tokens, min over rows.
+    * Probe cost is O(probe tokens); the corpus is never rescanned. */
+  def probeCmsSketch(spark: SparkSession, name: String,
+      toks: DataFrame): DataFrame = {
+    val depth = spark.table(s"${name}_meta").collect().head.getInt(0)
+    val merged = spark.table(s"${name}_segments")
+      .groupBy(col("j"), col("b")).agg(sum(col("c")).as("c"))
+    toks.select(col("tok")).distinct()
+      .select(col("tok"),
+        explode(array((0 until depth).map(lit(_)): _*)).as("j"))
+      .withColumn("b", cmsBucket(col("j"), col("tok")))
+      .join(broadcast(merged), Seq("j", "b"), "left")
+      .groupBy(col("tok"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
   }
 
   /** Per-source hapax-legomena profile: vocabulary size, tokens seen
@@ -1328,5 +1382,37 @@ object TextAnalysis {
         when(col("vocab") > 0L,
           round(col("hapax_local").cast("double") / col("vocab"), 6)))
       .orderBy(col("source"))
+  }
+
+  /** Token BURSTINESS (Church–Gale): variance-to-mean ratio of a
+    * token's per-document frequency over the whole corpus — bursty
+    * tokens (names, topics) concentrate in few documents while
+    * function words spread evenly at the same total count; the
+    * signal term-weighting and topic-shift screens key on. Cleared of
+    * both /N denominators so everything before the closing division
+    * is BIGINT: burst_num = N·Σtf² − T², burst_den = N·T (ratio =
+    * var/mean over all N docs, zeros included). One (doc, token)
+    * count, one token-keyed moment aggregate, a broadcast 1-row N;
+    * top-K on the (rounded ratio DESC, tok) total order. */
+  def tokenBurstiness(spark: SparkSession, dir: String, minDf: Int = 5,
+      topK: Int = 40): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_corpus"))
+    docs.select(col("doc_id"), explode(tokensCol).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+        sum(col("tf") * col("tf")).as("tf_sq"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("burst_num",
+        col("n_corpus") * col("tf_sq") - col("tf_total") * col("tf_total"))
+      .withColumn("burst_den", col("n_corpus") * col("tf_total"))
+      .withColumn("burstiness",
+        when(col("burst_den") > 0L,
+          round(col("burst_num").cast("double") / col("burst_den"), 6)))
+      .select(col("tok"), col("df"), col("tf_total"), col("burst_num"),
+        col("burst_den"), col("burstiness"))
+      .orderBy(col("burstiness").desc, col("tok")).limit(topK)
   }
 }

@@ -1210,6 +1210,25 @@ object Streams {
       }
       .start()
 
+  /** Streaming append into the persisted CMS sketch
+    * ([[graft.operators.TextAnalysis.buildCmsSketch]]): each
+    * micro-batch contributes one depth·256-row counter segment —
+    * CMS additivity makes streamed growth EXACTLY equal a batch
+    * rebuild on the union (spec-proved), the strongest parity of the
+    * append streams (the index families are probe-equal; the sketch
+    * is cell-equal). At-least-once replay keeps estimates upper
+    * bounds (one-sided error survives re-delivery). */
+  def cmsAppendStream(spark: SparkSession, docs: DataFrame,
+      sketchName: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TextAnalysis.appendToCmsSketch(spark, sketchName,
+          batch)
+      }
+      .start()
+
   /** THE FULL INGEST LOOP as one stream — the topology the index
     * append/probe machinery exists for: each micro-batch of arriving
     * documents is CURATED against the current corpus

@@ -197,6 +197,8 @@ object ScaleProbe {
       ("q_cube", 1.0, (d, _) => graft.operators.Relational.cubeAgg(spark, d)),
       ("q_seasonal_decomp", 1.0, (d, _) => graft.operators.TimeSeries.seasonalDecomp(spark, d)),
       ("q_cms_tokens", 1.0, (d, _) => graft.operators.TextAnalysis.cmsTokenCounts(spark, d)),
+      ("q_token_burstiness", 1.0, (d, _) => graft.operators.TextAnalysis.tokenBurstiness(spark, d)),
+      ("q_ngram_novelty", 1.0, (d, _) => graft.operators.Dedup.ngramNovelty(spark, d)),
       // skew stress: a CONSTANT 300-copy boilerplate family planted
       // into the growing corpus — the hot band buckets (and their
       // quadratic pair mass) are the same at 1× and N×, so the probe

@@ -135,4 +135,80 @@ class CorpusStatsSpec extends AnyFunSuite {
       assert(r.getLong(2) == want, s"$tok estimate recount")
     }
   }
+
+  test("burstiness: cleared ratios recount from raw per-doc tfs; an " +
+    "even spread scores below a concentrated token of equal mass") {
+    val res = TextAnalysis.tokenBurstiness(spark, sf).collect()
+    assert(res.nonEmpty && res.length <= 40)
+    // total order on (rounded ratio DESC, tok)
+    val keys = res.map(r => (-r.getDouble(5), r.getString(0)))
+    assert(keys.zip(keys.tail).forall { case (a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2) })
+    // driver recount from the raw token stream
+    val tfs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = Tables.documents(spark, sf).count()
+    val byTok = tfs.groupBy(_._2)
+    res.foreach { r =>
+      val perDoc = byTok(r.getString(0)).groupBy(_._1).map(_._2.length.toLong)
+      assert(r.getLong(1) == perDoc.size.toLong)
+      val t = perDoc.sum; val sq = perDoc.map(x => x * x).sum
+      assert(r.getLong(2) == t)
+      assert(r.getLong(3) == n * sq - t * t, s"${r.getString(0)} num")
+      assert(r.getLong(4) == n * t)
+    }
+    // synthetic law: same total mass, different concentration
+    val sp = spark
+    import sp.implicits._
+    val crafted = (Seq((1L, "zzqa zzqa zzqa zzqa")) ++
+      (2L to 5L).map(i => (i, "zzqb"))).toDF("doc_id", "text")
+    val tf = crafted
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))),
+        "\\s+")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("tok"))
+      .agg(sum(col("tf")).as("t"), sum(col("tf") * col("tf")).as("sq"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val (ta, sqa) = tf("zzqa"); val (tb, sqb) = tf("zzqb")
+    assert(ta == tb, "equal mass fixture")
+    assert(5 * sqa - ta * ta > 5 * sqb - tb * tb,
+      "concentration must raise the cleared variance at equal mass")
+  }
+
+  test("novelty: first document is fully novel, an exact repeat is " +
+    "fully stale, and real-data novel counts partition the gram space") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Dedup
+    val res = Dedup.ngramNovelty(spark, sf).collect()
+    assert(res.nonEmpty)
+    // every document's novel grams are grams first carried by it, so
+    // summing n_novel over docs counts each distinct gram exactly once
+    val grams = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 8), " +
+          "i -> array_join(slice(t, i + 1, 8), ' '))")).as("g"))
+      .distinct()
+    assert(res.map(_.getLong(2)).sum == grams.select(col("g")).distinct().count(),
+      "novel counts must partition the distinct gram space")
+    val minId = res.map(_.getLong(0)).min
+    val first = res.find(_.getLong(0) == minId).get
+    assert(first.getLong(1) == first.getLong(2) &&
+      first.getDouble(3) == 1.0, "the earliest doc is all-novel")
+    // crafted: an exact repeat of an earlier doc is fully stale
+    val dirRep = java.nio.file.Files
+      .createTempDirectory("graft-novelty").toString
+    Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+      (3L, "k l m n o p q r s t"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dirRep/documents.parquet")
+    val crafted = Dedup.ngramNovelty(sp, dirRep).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(crafted(1L) == 1.0 && crafted(2L) == 0.0 && crafted(3L) == 1.0)
+  }
 }

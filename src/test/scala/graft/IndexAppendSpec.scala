@@ -438,4 +438,37 @@ class IndexAppendSpec extends AnyFunSuite {
     assert(livePosts.intersect(delSet).isEmpty, "purge must erase the rows")
     assert(spark.table("lm_app_full_tombstones").count() == 0L)
   }
+
+  test("cms sketch: append∘build is CELL-equal to build(union) — the " +
+    "additive law — and probe estimates dominate true counts") {
+    import graft.operators.TextAnalysis
+    val (corpusDir, batch) = splitDir("documents", "doc_id")
+    TextAnalysis.buildCmsSketch(spark, corpusDir, "cms_inc")
+    TextAnalysis.appendToCmsSketch(spark, "cms_inc",
+      batch.select(col("doc_id"), col("text")))
+    TextAnalysis.buildCmsSketch(spark, sf, "cms_full")
+    def cells(t: String) = spark.table(t)
+      .groupBy(col("j"), col("b")).agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val inc = cells("cms_inc_segments")
+    assert(inc.nonEmpty)
+    assert(inc == cells("cms_full_segments"),
+      "counters of a union must equal the per-part counter sums")
+    assert(spark.table("cms_inc_segments")
+      .select(org.apache.spark.sql.functions.input_file_name()).distinct()
+      .count() > 1L, "append must be a new log segment, not a rewrite")
+    // probe: min over merged rows, one-sided vs the true counts
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val sample = toks.distinct().limit(50).localCheckpoint()
+    val est = TextAnalysis.probeCmsSketch(spark, "cms_inc", sample)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = toks.groupBy(col("tok")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty)
+    est.foreach { case (t, e) =>
+      assert(e >= truth(t), s"estimate for '$t' must dominate")
+    }
+  }
 }

@@ -58,7 +58,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_heaps_curve",
     // day-panel pair kernel (non-equi da < db over the calendar-bounded
     // series) + broadcast 1-row scalar reductions
-    "q_theilsen", "q_mann_kendall", "q_runs_test")
+    "q_theilsen", "q_mann_kendall", "q_runs_test",
+    // broadcast 1-row corpus-size scalar (the cleared /N)
+    "q_token_burstiness")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>

@@ -1551,4 +1551,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedProfiles == rebuilt,
       "probe stream output must equal the batch probe on the same docs")
   }
+
+  test("streaming cms: streamed counter segments merge to exactly the " +
+    "batch rebuild's cells, and probes agree estimate-for-estimate") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val docs = graft.sources.Tables.documents(sp, sf)
+      .select(col("doc_id"), col("text"))
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-cms-docs").toString
+    docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .write.parquet(s"$corpusDir/documents.parquet")
+    graft.operators.TextAnalysis.buildCmsSketch(sp, corpusDir, "cms_sapp")
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cms-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.cmsAppendStream(sp,
+      input.toDF().toDF("doc_id", "text"), "cms_sapp", ckpt)
+    arrivals.grouped(math.max(1, arrivals.length / 3 + 1)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    graft.operators.TextAnalysis.buildCmsSketch(sp, sf, "cms_sfull")
+    def cells(t: String) = sp.table(t)
+      .groupBy(col("j"), col("b")).agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val streamed = cells("cms_sapp_segments")
+    assert(streamed.nonEmpty)
+    assert(streamed == cells("cms_sfull_segments"),
+      "streamed segments must merge to the batch rebuild exactly")
+    val probes = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .distinct().limit(40).localCheckpoint()
+    def est(name: String) = graft.operators.TextAnalysis
+      .probeCmsSketch(sp, name, probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sorted.toSeq
+    assert(est("cms_sapp") == est("cms_sfull"),
+      "probe estimates must agree estimate-for-estimate")
+  }
 }
