@@ -289,7 +289,25 @@ object SparkEntry {
     "q_kcenter_select" -> ((s: SparkSession, d: String) => Similarity.kCenterSelect(s, d)),
     // corpus-statistics continuation: burstiness + novelty
     "q_token_burstiness" -> ((s: SparkSession, d: String) => TextAnalysis.tokenBurstiness(s, d)),
-    "q_ngram_novelty" -> ((s: SparkSession, d: String) => Dedup.ngramNovelty(s, d))
+    "q_ngram_novelty" -> ((s: SparkSession, d: String) => Dedup.ngramNovelty(s, d)),
+    // richness / smoothing / overlap batch
+    "q_good_turing" -> ((s: SparkSession, d: String) => TextAnalysis.goodTuring(s, d)),
+    "q_chao1" -> ((s: SparkSession, d: String) => TextAnalysis.chao1Richness(s, d)),
+    "q_vocab_overlap" -> ((s: SparkSession, d: String) => TextAnalysis.vocabOverlap(s, d)),
+    // concentration / drift / mixture / keyness batch
+    "q_simpson_diversity" -> ((s: SparkSession, d: String) => TextAnalysis.simpsonDiversity(s, d)),
+    "q_unigram_tv_drift" -> ((s: SparkSession, d: String) => Quality.unigramTvDrift(s, d)),
+    "q_temperature_mix" -> ((s: SparkSession, d: String) => Sampling.temperatureMix(s, d)),
+    "q_keyness" -> ((s: SparkSession, d: String) => TextAnalysis.chi2Keyness(s, d)),
+    // linkage scoring + compressibility batch
+    "q_fs_linkage" -> ((s: SparkSession, d: String) => Dedup.fsLinkage(s, d)),
+    "q_compress_ratio" -> ((s: SparkSession, d: String) => TextAnalysis.compressProfile(s, d)),
+    // linkage-graph statistics batch
+    "q_modularity" -> ((s: SparkSession, d: String) => Graph.linkageModularity(s, d)),
+    "q_assortativity" -> ((s: SparkSession, d: String) => Graph.linkageAssortativity(s, d)),
+    // embedding deployment audits (rows-only: float-tie surfaces)
+    "q_matryoshka" -> ((s: SparkSession, d: String) => Similarity.matryoshkaRecall(s, d)),
+    "q_mmr_select" -> ((s: SparkSession, d: String) => Similarity.mmrSelect(s, d))
   )
 
   /** The unrolled INTEGER PageRank oracle for `q_pagerank_panel` —
@@ -3401,6 +3419,275 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN fc.fid = g.doc_id THEN 1 ELSE 0 END)
         |   AS DOUBLE) / count(*), 6) AS novelty
         |FROM g JOIN fc USING (gram)
-        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // Good-Turing: count-of-counts + cleared (r+1)*N_{r+1}/N_r over
+    // the 20 LOWEST r values (rank cap; window reads 21 so the
+    // N_{r+1} lookup is lossless at the window edge)
+    "q_good_turing" ->
+      """WITH c AS (
+        | SELECT tok, CAST(count(*) AS BIGINT) AS r
+        | FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents)
+        | GROUP BY tok),
+        |fof AS (
+        | SELECT r, CAST(count(*) AS BIGINT) AS n_r
+        | FROM c GROUP BY r ORDER BY r LIMIT 21)
+        |SELECT f.r, f.n_r,
+        | CAST((f.r + 1) * COALESCE(f2.n_r, 0) AS BIGINT) AS gt_num,
+        | f.n_r AS gt_den,
+        | round(CAST((f.r + 1) * COALESCE(f2.n_r, 0) AS DOUBLE) / f.n_r, 6)
+        |   AS gt_rstar
+        |FROM fof f LEFT JOIN fof f2 ON f2.r = f.r + 1
+        |ORDER BY f.r LIMIT 20""".stripMargin,
+    // Chao1 bias-corrected richness per source, cleared num/den
+    "q_chao1" ->
+      """WITH st AS (
+        | SELECT source, tok, CAST(count(*) AS BIGINT) AS n_st
+        | FROM (SELECT source,
+        |   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents)
+        | GROUP BY 1, 2),
+        |m AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(CASE WHEN n_st = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  CAST(sum(CASE WHEN n_st = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        | FROM st GROUP BY source)
+        |SELECT source, vocab, f1, f2,
+        | CAST(f1 * (f1 - 1) AS BIGINT) AS chao_num,
+        | CAST(2 * (f2 + 1) AS BIGINT) AS chao_den,
+        | round(CAST(vocab AS DOUBLE) +
+        |   CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1)), 6) AS chao1
+        |FROM m ORDER BY source""".stripMargin,
+    // pairwise vocabulary Jaccard, integer inter/union
+    "q_vocab_overlap" ->
+      """WITH st AS (
+        | SELECT DISTINCT source, tok
+        | FROM (SELECT source,
+        |   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents)),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS v
+        | FROM st GROUP BY source),
+        |i AS (
+        | SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS inter
+        | FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT i.source_a, i.source_b, sa.v AS vocab_a, sb.v AS vocab_b,
+        | i.inter, CAST(sa.v + sb.v - i.inter AS BIGINT) AS uni,
+        | round(CAST(i.inter AS DOUBLE) / (sa.v + sb.v - i.inter), 6)
+        |   AS jaccard
+        |FROM i JOIN sz sa ON sa.source = i.source_a
+        |JOIN sz sb ON sb.source = i.source_b
+        |ORDER BY i.source_a, i.source_b""".stripMargin,
+    // Gini-Simpson + inverse-Simpson, integer num/den
+    "q_simpson_diversity" ->
+      """WITH st AS (
+        | SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        | FROM (SELECT source,
+        |   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents)
+        | GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        | CAST(sum(c) AS BIGINT) AS tokens,
+        | CAST(sum(c * c) AS BIGINT) AS s2,
+        | CAST(sum(c) * sum(c) - sum(c * c) AS BIGINT) AS gs_num,
+        | CAST(sum(c) * sum(c) AS BIGINT) AS gs_den,
+        | round(CAST(sum(c) * sum(c) - sum(c * c) AS DOUBLE)
+        |   / (sum(c) * sum(c)), 6) AS simpson,
+        | round(CAST(sum(c) * sum(c) AS DOUBLE) / sum(c * c), 6)
+        |   AS eff_vocab
+        |FROM st GROUP BY source ORDER BY source""".stripMargin,
+    // pairwise total-variation distance, inclusion-exclusion union
+    "q_unigram_tv_drift" ->
+      """WITH st AS (
+        | SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        | FROM (SELECT source,
+        |   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents)
+        | GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t
+        | FROM st GROUP BY source),
+        |stt AS (SELECT st.source, st.tok, st.c, tot.t
+        | FROM st JOIN tot USING (source)),
+        |inner_agg AS (
+        | SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(sum(abs(a.c * b.t - b.c * a.t)) AS BIGINT) AS m,
+        |  CAST(sum(a.c) AS BIGINT) AS sa, CAST(sum(b.c) AS BIGINT) AS sb
+        | FROM stt a JOIN stt b ON a.tok = b.tok AND a.source < b.source
+        | GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT a.source AS source_a, b.source AS source_b,
+        |  a.t AS t_a, b.t AS t_b
+        | FROM tot a JOIN tot b ON a.source < b.source)
+        |SELECT p.source_a, p.source_b, p.t_a, p.t_b,
+        | CAST(COALESCE(i.m, 0) + (p.t_a - COALESCE(i.sa, 0)) * p.t_b
+        |   + (p.t_b - COALESCE(i.sb, 0)) * p.t_a AS BIGINT) AS tv_num,
+        | CAST(2 * p.t_a * p.t_b AS BIGINT) AS tv_den,
+        | round(CAST(COALESCE(i.m, 0) + (p.t_a - COALESCE(i.sa, 0)) * p.t_b
+        |   + (p.t_b - COALESCE(i.sb, 0)) * p.t_a AS DOUBLE)
+        |   / (2 * p.t_a * p.t_b), 6) AS tv
+        |FROM pairs p LEFT JOIN inner_agg i USING (source_a, source_b)
+        |ORDER BY p.source_a, p.source_b""".stripMargin,
+    // sqrt-temperature (alpha=1/2) source budgets, largest remainder
+    "q_temperature_mix" ->
+      """WITH c AS (
+        | SELECT source,
+        |  CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+        |   AS BIGINT) AS n_tok
+        | FROM documents GROUP BY source),
+        |w AS (
+        | SELECT source, n_tok,
+        |  CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1048576.0) AS BIGINT)
+        |   AS weight
+        | FROM c),
+        |s AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+        |b AS (
+        | SELECT source, n_tok, weight,
+        |  CAST((1000000 * weight) // wsum AS BIGINT) AS base,
+        |  CAST((1000000 * weight) % wsum AS BIGINT) AS rem
+        | FROM w, s),
+        |d AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS deficit FROM b),
+        |r AS (
+        | SELECT b.*, d.deficit,
+        |  row_number() OVER (ORDER BY rem DESC, source) AS rnk
+        | FROM b, d)
+        |SELECT source, n_tok, weight, base, rem,
+        | CAST(base + (CASE WHEN rnk <= deficit THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS alloc,
+        | round(CAST(base + (CASE WHEN rnk <= deficit THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / 1000000, 6) AS share
+        |FROM r ORDER BY source""".stripMargin,
+    // chi-square keyness: top-5 over-represented tokens per source,
+    // fixed left-associated double tree over exact BIGINT margins
+    "q_keyness" ->
+      """WITH st AS (
+        | SELECT source, tok, CAST(count(*) AS BIGINT) AS a
+        | FROM (SELECT source,
+        |   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents)
+        | GROUP BY 1, 2),
+        |ct AS (SELECT tok, CAST(sum(a) AS BIGINT) AS c_t
+        | FROM st GROUP BY tok),
+        |ts AS (SELECT source, CAST(sum(a) AS BIGINT) AS t_s
+        | FROM st GROUP BY source),
+        |tt AS (SELECT CAST(sum(t_s) AS BIGINT) AS t_all FROM ts),
+        |scored AS (
+        | SELECT st.source, st.tok, st.a, ct.c_t, ts.t_s,
+        |  CAST(st.a * (tt.t_all - ts.t_s - ct.c_t + st.a)
+        |   - (ts.t_s - st.a) * (ct.c_t - st.a) AS BIGINT) AS z,
+        |  round(CAST(tt.t_all AS DOUBLE) * (st.a * (tt.t_all - ts.t_s
+        |    - ct.c_t + st.a) - (ts.t_s - st.a) * (ct.c_t - st.a))
+        |   / ts.t_s * (st.a * (tt.t_all - ts.t_s - ct.c_t + st.a)
+        |    - (ts.t_s - st.a) * (ct.c_t - st.a))
+        |   / (tt.t_all - ts.t_s) / ct.c_t / (tt.t_all - ct.c_t), 6)
+        |   AS chi2
+        | FROM st JOIN ct USING (tok) JOIN ts USING (source), tt
+        | WHERE st.a * (tt.t_all - ts.t_s - ct.c_t + st.a)
+        |    - (ts.t_s - st.a) * (ct.c_t - st.a) > 0
+        |  AND tt.t_all > ts.t_s AND tt.t_all > ct.c_t),
+        |ranked AS (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY source ORDER BY chi2 DESC, tok) AS rnk
+        | FROM scored)
+        |SELECT source, tok, a, c_t, t_s, z, CAST(rnk AS INT) AS rnk, chi2
+        |FROM ranked WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+    // Fellegi-Sunter likelihood ratio as a cleared BIGINT fraction
+    // over the naive-quadratic candidate generation (the engine side
+    // uses lossless deletion blocking - same pair set by construction)
+    "q_fs_linkage" ->
+      """WITH cand AS (
+        | SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance,
+        |  CAST(a.c_nationkey AS BIGINT) AS nat_a,
+        |  CAST(b.c_nationkey AS BIGINT) AS nat_b,
+        |  a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+        |  (CAST(round(a.c_acctbal * 100) AS BIGINT) + 100000000) // 100000
+        |    AS bal_a,
+        |  (CAST(round(b.c_acctbal * 100) AS BIGINT) + 100000000) // 100000
+        |    AS bal_b
+        | FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        | WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |f AS (
+        | SELECT key_a, key_b, edit_distance,
+        |  CASE WHEN edit_distance = 0 THEN 1 ELSE 0 END AS agree_name,
+        |  CASE WHEN nat_a = nat_b THEN 1 ELSE 0 END AS agree_nation,
+        |  CASE WHEN seg_a = seg_b THEN 1 ELSE 0 END AS agree_segment,
+        |  CASE WHEN bal_a = bal_b THEN 1 ELSE 0 END AS agree_bal
+        | FROM cand),
+        |g AS (
+        | SELECT *,
+        |  CAST((CASE WHEN agree_name = 1 THEN 9 ELSE 1 END)
+        |   * (CASE WHEN agree_nation = 1 THEN 24 ELSE 1 END)
+        |   * (CASE WHEN agree_segment = 1 THEN 4 ELSE 1 END)
+        |   * (CASE WHEN agree_bal = 1 THEN 19 ELSE 1 END) AS BIGINT)
+        |    AS fs_num,
+        |  CAST((CASE WHEN agree_name = 1 THEN 1 ELSE 9 END)
+        |   * (CASE WHEN agree_nation = 1 THEN 1 ELSE 24 END)
+        |   * (CASE WHEN agree_segment = 1 THEN 1 ELSE 4 END)
+        |   * (CASE WHEN agree_bal = 1 THEN 1 ELSE 19 END) AS BIGINT)
+        |    AS fs_den
+        | FROM f)
+        |SELECT key_a, key_b, edit_distance, agree_name, agree_nation,
+        | agree_segment, agree_bal, fs_num, fs_den,
+        | round(CAST(fs_num AS DOUBLE) / fs_den, 6) AS fs_score,
+        | CASE WHEN fs_num >= 100 * fs_den THEN 1 ELSE 0 END AS is_match
+        |FROM g ORDER BY key_a, key_b""".stripMargin,
+    // Newman-Girvan modularity of the nation partition on the tau=1
+    // name-linkage graph, denominators cleared to 4m^2
+    "q_modularity" ->
+      """WITH e AS (
+        | SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |  CAST(a.c_nationkey AS BIGINT) AS nat_a,
+        |  CAST(b.c_nationkey AS BIGINT) AS nat_b
+        | FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        | WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM e),
+        |deg AS (
+        | SELECT nation, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT key_a AS k, nat_a AS nation FROM e
+        |  UNION ALL SELECT key_b, nat_b FROM e)
+        | GROUP BY nation),
+        |ein AS (
+        | SELECT nat_a AS nation, CAST(count(*) AS BIGINT) AS e_in
+        | FROM e WHERE nat_a = nat_b GROUP BY nat_a)
+        |SELECT d.nation, COALESCE(ein.e_in, 0) AS e_in,
+        | d.deg AS d_sum, m.m_edges,
+        | CAST(4 * m.m_edges * COALESCE(ein.e_in, 0) - d.deg * d.deg
+        |   AS BIGINT) AS q_num,
+        | CAST(4 * m.m_edges * m.m_edges AS BIGINT) AS q_den,
+        | round(CAST(4 * m.m_edges * COALESCE(ein.e_in, 0) - d.deg * d.deg
+        |   AS DOUBLE) / (4 * m.m_edges * m.m_edges), 6) AS q_part
+        |FROM deg d LEFT JOIN ein USING (nation), m
+        |ORDER BY d.nation""".stripMargin,
+    // Newman degree assortativity, /2M moments cleared - no sqrt
+    "q_assortativity" ->
+      """WITH e AS (
+        | SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+        | FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        | WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |deg AS (
+        | SELECT k, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT key_a AS k FROM e UNION ALL SELECT key_b FROM e)
+        | GROUP BY k),
+        |s AS (
+        | SELECT CAST(count(*) AS BIGINT) AS m_edges,
+        |  CAST(sum(da.deg + db.deg) AS BIGINT) AS s1,
+        |  CAST(sum(da.deg * da.deg + db.deg * db.deg) AS BIGINT) AS s2,
+        |  CAST(sum(da.deg * db.deg) AS BIGINT) AS s3
+        | FROM e JOIN deg da ON da.k = e.key_a
+        |  JOIN deg db ON db.k = e.key_b)
+        |SELECT m_edges, s1, s2, s3,
+        | CAST(4 * m_edges * s3 - s1 * s1 AS BIGINT) AS r_num,
+        | CAST(2 * m_edges * s2 - s1 * s1 AS BIGINT) AS r_den,
+        | CASE WHEN 2 * m_edges * s2 - s1 * s1 <> 0 THEN
+        |  round(CAST(4 * m_edges * s3 - s1 * s1 AS DOUBLE)
+        |   / (2 * m_edges * s2 - s1 * s1), 6) END AS assortativity
+        |FROM s""".stripMargin
   )
 }

@@ -40,6 +40,7 @@ object HashExpressions {
   def minhashSignature(c: Column, k: Int): Column = toCol(MinHashSignature(toExpr(c), Literal(k)))
   def zorder2(a: Column, b: Column): Column = toCol(ZOrder2(toExpr(a), toExpr(b)))
   def charEntropy(c: Column): Column = toCol(CharEntropy(toExpr(c)))
+  def compressRatio(c: Column): Column = toCol(CompressRatio(toExpr(c)))
 }
 
 /** 64-bit SimHash over whitespace tokens: per token a 64-bit FNV hash
@@ -215,6 +216,26 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
   override def prettyName: String = "char_entropy"
 }
 
+/** DEFLATE compression ratio of the UTF-8 bytes — the classic
+  * repetitiveness/quality signal (template spam and boilerplate
+  * compress far below natural prose; CCNet and RefinedWeb both filter
+  * on it). compressed_len / raw_len as a double; empty input → 1.0.
+  * Deterministic for a given JDK (single-shot DEFLATE of the same
+  * bytes at a fixed level) — cross-engine parity is NOT claimed, the
+  * query rides rows-only with a spec. Codegen'd via the static
+  * kernel like the other expressions; the Deflater is thread-local
+  * and reset per row, so the hot loop allocates only the output
+  * scratch when a row exceeds the cached buffer. */
+case class CompressRatio(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(ExprRuntime.compressRatio(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprRuntime.compressRatio($c)")
+  override protected def withNewChildInternal(c: Expression): CompressRatio = copy(c)
+  override def prettyName: String = "compress_ratio"
+}
+
 /** Static computational kernels, the single source of truth for both
   * evaluation paths: the case classes' `nullSafeEval` delegates here and
   * generated (Janino) code calls the same static forwarders — hot loops
@@ -224,6 +245,33 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
   * forwarder, breaking whole-stage codegen compilation.
   */
 object ExprRuntime {
+
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION,
+        true)
+  }
+  private val deflateBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1 << 16)
+  }
+
+  /** DEFLATE ratio kernel; see [[CompressRatio]]. */
+  def compressRatio(raw: UTF8String): Double = {
+    val bytes = raw.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    var buf = deflateBuf.get()
+    if (buf.length < bytes.length + 64) {
+      buf = new Array[Byte](bytes.length + 64)
+      deflateBuf.set(buf)
+    }
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
+  }
 
   /** Canonical Jaro-Winkler; see [[JaroWinkler]]. Operates on the
     * decoded strings (char-level, like DuckDB) rather than UTF-8

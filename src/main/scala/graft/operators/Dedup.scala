@@ -1382,4 +1382,60 @@ object Dedup {
         round(col("n_novel").cast("double") / col("n_grams"), 6))
       .orderBy(col("doc_id"))
   }
+
+  /** FELLEGI–SUNTER probabilistic record-linkage scoring (Fellegi &
+    * Sunter 1969) over the lossless deletion-blocked candidate pairs —
+    * the decision layer the edit join feeds: each compared field
+    * multiplies the match odds by m/u on agreement and (1−m)/(1−u) on
+    * disagreement. With the (illustrative, offline-trained) parameters
+    * chosen as exact rationals the whole likelihood ratio rides as a
+    * cleared BIGINT fraction — fs_num = Π agree-factors, fs_den =
+    * Π disagree-factors (name 9, nation 24, segment 4, balance-bucket
+    * 19) — and the match decision is the INTEGER gate
+    * fs_num ≥ τ·fs_den, no floating point anywhere in the verdict.
+    * Fields: exact-name (within the τ=1 candidate set, distance 0 vs
+    * 1), nation, market segment, and the 1000-currency-unit account
+    * bucket (milli-unit money + a positive offset so truncating and
+    * flooring division agree for negative balances). Candidates come
+    * from [[editJoin]] (SymSpell deletion blocking, candidate mass ~
+    * true pair mass); attribute attach is two candidate-sized
+    * equi-joins. */
+  def fsLinkage(spark: SparkSession, dir: String, threshold: Long = 100L)
+      : DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val pairs = editJoin(
+      cust.select(col("c_custkey"), col("c_name")),
+      "c_custkey", "c_name", Nil, tau = 1)
+    val attrs = cust.select(col("c_custkey"),
+      col("c_nationkey").cast("long").as("nat"),
+      col("c_mktsegment").as("seg"),
+      expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) div 100000")
+        .as("bal"))
+    pairs
+      .join(attrs.toDF("key_a", "nat_a", "seg_a", "bal_a"), Seq("key_a"))
+      .join(attrs.toDF("key_b", "nat_b", "seg_b", "bal_b"), Seq("key_b"))
+      .withColumn("agree_name", (col("edit_distance") === 0L).cast("int"))
+      .withColumn("agree_nation", (col("nat_a") === col("nat_b")).cast("int"))
+      .withColumn("agree_segment", (col("seg_a") === col("seg_b")).cast("int"))
+      .withColumn("agree_bal", (col("bal_a") === col("bal_b")).cast("int"))
+      .withColumn("fs_num",
+        when(col("agree_name") === 1, lit(9L)).otherwise(lit(1L)) *
+          when(col("agree_nation") === 1, lit(24L)).otherwise(lit(1L)) *
+          when(col("agree_segment") === 1, lit(4L)).otherwise(lit(1L)) *
+          when(col("agree_bal") === 1, lit(19L)).otherwise(lit(1L)))
+      .withColumn("fs_den",
+        when(col("agree_name") === 1, lit(1L)).otherwise(lit(9L)) *
+          when(col("agree_nation") === 1, lit(1L)).otherwise(lit(24L)) *
+          when(col("agree_segment") === 1, lit(1L)).otherwise(lit(4L)) *
+          when(col("agree_bal") === 1, lit(1L)).otherwise(lit(19L)))
+      .withColumn("fs_score",
+        round(col("fs_num").cast("double") / col("fs_den"), 6))
+      .withColumn("is_match",
+        (col("fs_num") >= lit(threshold) * col("fs_den")).cast("int"))
+      .select(col("key_a"), col("key_b"), col("edit_distance"),
+        col("agree_name"), col("agree_nation"), col("agree_segment"),
+        col("agree_bal"), col("fs_num"), col("fs_den"), col("fs_score"),
+        col("is_match"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
 }

@@ -557,4 +557,92 @@ object Graph {
         col("core_deg").cast("long").as("core_deg"))
       .orderBy(col("p"))
   }
+
+  /** MODULARITY of the nation partition on the τ=1 NAME-LINKAGE
+    * graph (nodes = customers, edges = [[graft.operators.Dedup.editJoin]]
+    * candidates) — the Newman-Girvan clustering-quality reading "do
+    * near-duplicate names concentrate within nations, or does the
+    * blocking leak across them". EXACT AND RATIONAL with the
+    * denominators cleared: per community c, contribution
+    * q_num_c = 4m·e_c − d_c² over q_den = 4m² (m edges, e_c
+    * within-community edges, d_c the community degree sum), global
+    * modularity Q = Σq_num_c / 4m². Plan: the edit join (lossless
+    * deletion blocking), one broadcast nation attach per endpoint,
+    * one community aggregate over the nation-bounded relation, the
+    * 1-row m scalar broadcast; nodes outside every edge contribute
+    * zero by definition and carry no row. Σe_c ≤ m and Σd_c = 2m are
+    * the spec closure laws. */
+  def linkageModularity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val cust = graft.sources.Tables.customer(spark, dir)
+    val nat = cust.select(col("c_custkey"), col("c_nationkey").cast("long")
+      .as("nation"))
+    val edges = Dedup.editJoin(
+      cust.select(col("c_custkey"), col("c_name")),
+      "c_custkey", "c_name", Nil, tau = 1)
+      .select(col("key_a"), col("key_b"))
+      .join(nat.toDF("key_a", "nat_a"), Seq("key_a"))
+      .join(nat.toDF("key_b", "nat_b"), Seq("key_b"))
+      .localCheckpoint()
+    val m = edges.agg(count(lit(1)).as("m_edges"))
+    val degs = edges.select(col("key_a").as("k"), col("nat_a").as("nation"))
+      .unionAll(edges.select(col("key_b").as("k"), col("nat_b").as("nation")))
+      .groupBy(col("k"), col("nation")).agg(count(lit(1)).as("deg"))
+    val dSum = degs.groupBy(col("nation")).agg(sum(col("deg")).as("d_sum"))
+    val eIn = edges.filter(col("nat_a") === col("nat_b"))
+      .groupBy(col("nat_a").as("nation")).agg(count(lit(1)).as("e_in"))
+    dSum.join(eIn, Seq("nation"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("q_num",
+        lit(4L) * col("m_edges") * col("e_in") - col("d_sum") * col("d_sum"))
+      .withColumn("q_den", lit(4L) * col("m_edges") * col("m_edges"))
+      .withColumn("q_part",
+        round(col("q_num").cast("double") / col("q_den"), 6))
+      .select(col("nation"), col("e_in"), col("d_sum"), col("m_edges"),
+        col("q_num"), col("q_den"), col("q_part"))
+      .orderBy(col("nation"))
+  }
+
+  /** DEGREE ASSORTATIVITY (Newman 2002) of the same name-linkage
+    * graph: the Pearson correlation of endpoint degrees over edges —
+    * "do well-connected names link to other well-connected names"
+    * (positive on social graphs, NEGATIVE on hub-and-spoke near-dup
+    * blocks, where one canonical spelling links to many one-off
+    * typos). Fully RATIONAL once the /2M moments are cleared: with
+    * S1 = Σ(j+k), S2 = Σ(j²+k²), S3 = Σjk over the M edges,
+    * r = (4M·S3 − S1²) / (2M·S2 − S1²) — no square root survives
+    * the clearing, so the whole statistic is BIGINT-exact to one
+    * closing division. One degree aggregate + two candidate-sized
+    * attach joins + one 1-row moment reduction; the zero-variance
+    * degenerate (every endpoint the same degree) surfaces NULL. */
+  def linkageAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val cust = graft.sources.Tables.customer(spark, dir)
+    val edges = Dedup.editJoin(
+      cust.select(col("c_custkey"), col("c_name")),
+      "c_custkey", "c_name", Nil, tau = 1)
+      .select(col("key_a"), col("key_b"))
+      .localCheckpoint()
+    val degs = edges.select(col("key_a").as("k"))
+      .unionAll(edges.select(col("key_b").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("deg"))
+    edges
+      .join(degs.toDF("key_a", "deg_a"), Seq("key_a"))
+      .join(degs.toDF("key_b", "deg_b"), Seq("key_b"))
+      .agg(count(lit(1)).as("m_edges"),
+        sum(col("deg_a") + col("deg_b")).as("s1"),
+        sum(col("deg_a") * col("deg_a") + col("deg_b") * col("deg_b"))
+          .as("s2"),
+        sum(col("deg_a") * col("deg_b")).as("s3"))
+      .withColumn("r_num",
+        lit(4L) * col("m_edges") * col("s3") - col("s1") * col("s1"))
+      .withColumn("r_den",
+        lit(2L) * col("m_edges") * col("s2") - col("s1") * col("s1"))
+      .withColumn("assortativity",
+        when(col("r_den") =!= 0L,
+          round(col("r_num").cast("double") / col("r_den"), 6)))
+      .select(col("m_edges"), col("s1"), col("s2"), col("s3"),
+        col("r_num"), col("r_den"), col("assortativity"))
+  }
 }

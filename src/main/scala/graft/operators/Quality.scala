@@ -508,4 +508,99 @@ object Quality {
             (col("n_src") * col("n_rest")).cast("double"), 6)))
       .orderBy(col("source"))
   }
+
+  /** Pairwise TOTAL-VARIATION drift between source unigram
+    * distributions: TV(a,b) = ½ Σ_tok |p_a − p_b| over the UNION of
+    * the two vocabularies — the mass-level companion of the
+    * vocabulary-set Jaccard ([[graft.operators.TextAnalysis.vocabOverlap]]):
+    * two feeds can share every type yet weight them so differently
+    * that mixing them shifts the training distribution. Exact and
+    * rational: with per-source totals T, each term is
+    * |c_a·T_b − c_b·T_a| / (T_a·T_b); tokens OUTSIDE the
+    * intersection contribute (T_a − Σ∩c_a)·T_b + (T_b − Σ∩c_b)·T_a,
+    * recovered from the INNER-join aggregate alone by
+    * inclusion–exclusion — the union never materializes. tv_num /
+    * tv_den stay BIGINT to one closing division (headroom: c·T exact
+    * while per-source tokens < 3·10⁹; swap the two products to
+    * DECIMAL(38,0) beyond). The (source, token) relation is
+    * localCheckpoint'd once across its three uses (totals + both join
+    * legs — the winnow-fp discipline); per-token fanout in the
+    * self-join is bounded by the source cardinality, pair frame by
+    * its square, so the only data-sized shuffle is the first count.
+    * Sharing-nothing pairs (no common token) surface with tv = 1 via
+    * the broadcast totals-pair frame. */
+  def unigramTvDrift(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(lower(trim(col("text"))),
+        "\\s+")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val totals = st.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val stt = st.join(broadcast(totals), Seq("source"))
+    val la = stt.select(col("source").as("source_a"), col("tok"),
+      col("c").as("c_a"), col("t").as("t_a"))
+    val lb = stt.select(col("source").as("source_b"), col("tok"),
+      col("c").as("c_b"), col("t").as("t_b"))
+    val inner = la.join(lb, Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(abs(col("c_a") * col("t_b") - col("c_b") * col("t_a")))
+        .as("m"), sum(col("c_a")).as("sa"), sum(col("c_b")).as("sb"))
+    val pairs = totals.toDF("source_a", "t_a")
+      .join(broadcast(totals.toDF("source_b", "t_b")),
+        col("source_a") < col("source_b"))
+    pairs.join(inner, Seq("source_a", "source_b"), "left")
+      .withColumn("tv_num",
+        coalesce(col("m"), lit(0L)) +
+          (col("t_a") - coalesce(col("sa"), lit(0L))) * col("t_b") +
+          (col("t_b") - coalesce(col("sb"), lit(0L))) * col("t_a"))
+      .withColumn("tv_den", lit(2L) * col("t_a") * col("t_b"))
+      .withColumn("tv",
+        round(col("tv_num").cast("double") / col("tv_den"), 6))
+      .select(col("source_a"), col("source_b"), col("t_a"), col("t_b"),
+        col("tv_num"), col("tv_den"), col("tv"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** TV distance between ONE pair of token-count relations — the
+    * kernel the streaming drift monitor replays per micro-batch (the
+    * corpus-wide pairwise form is [[unigramTvDrift]]). `ref` and `cur`
+    * are (tok, c) count frames; the distance runs over the vocabulary
+    * UNION via a full-outer join (both sides are vocabulary-bounded —
+    * and in the monitor the current side is one micro-batch), zeros
+    * for absent types, same cleared BIGINT num/den as the pairwise
+    * operator (totals attach as a broadcast 1-row scalar). Returns
+    * exactly one row (n_ref, n_cur, tv_num, tv_den, tv); an empty
+    * side scores tv = 1 against any non-empty other side, and the
+    * degenerate both-empty case surfaces NULL tv rather than dividing
+    * by zero. */
+  def tvDistance(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val cells = ref.select(col("tok"), col("c").as("c_ref"))
+      .join(cur.select(col("tok"), col("c").as("c_cur")), Seq("tok"),
+        "full_outer")
+      .select(coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+      .localCheckpoint()
+    val totals = cells.agg(sum(col("c_ref")).as("n_ref"),
+      sum(col("c_cur")).as("n_cur"))
+    cells.crossJoin(broadcast(totals))
+      .agg(first(col("n_ref")).as("n_ref"), first(col("n_cur")).as("n_cur"),
+        sum(abs(col("c_ref") * col("n_cur") - col("c_cur") * col("n_ref")))
+          .as("raw_num"))
+      .withColumn("tv_num",
+        when(col("n_ref") > 0L && col("n_cur") > 0L, col("raw_num"))
+          .when(col("n_ref") > 0L || col("n_cur") > 0L,
+            lit(2L) * greatest(col("n_ref"), col("n_cur"))))
+      .withColumn("tv_den",
+        when(col("n_ref") > 0L && col("n_cur") > 0L,
+          lit(2L) * col("n_ref") * col("n_cur"))
+          .when(col("n_ref") > 0L || col("n_cur") > 0L,
+            lit(2L) * greatest(col("n_ref"), col("n_cur"))))
+      .withColumn("tv",
+        when(col("tv_den") > 0L,
+          round(col("tv_num").cast("double") / col("tv_den"), 6)))
+      .select(coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        col("tv_num"), col("tv_den"), col("tv"))
+  }
 }

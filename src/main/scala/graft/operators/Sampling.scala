@@ -264,4 +264,47 @@ object Sampling {
       .withColumn("waste_share", round(col("padding").cast("double")
         / (col("len_bucket") * col("n_docs")), 4))
       .orderBy(col("len_bucket"))
+
+  /** TEMPERATURE-SAMPLED source mixture at α = 1/2 — the multilingual
+    * up-sampling law (weights ∝ n^α, XLM/mBERT's exponentiated
+    * smoothing) made EXACT: α = 1/2 is the one non-trivial temperature
+    * computable bit-stably cross-engine, because √ is IEEE
+    * correctly-rounded (unlike pow/ln) and scaling by 2^20 is an
+    * exponent shift — weight = floor(√n_tok · 2²⁰) is the same BIGINT
+    * in any engine. The token budget is then apportioned by LARGEST
+    * REMAINDER (Hamilton): base = (B·w) div W, remainder = (B·w) mod
+    * W, and the Σbase-vs-B deficit goes to the largest remainders on
+    * the (rem DESC, source) total order — pure integer arithmetic,
+    * Σalloc = B exactly (spec law). One scan (row-local `size` of the
+    * token split — no explode), a source-bounded aggregate, two
+    * broadcast 1-row scalars, and a rank window over the
+    * source-cardinality frame behind a non-foldable constant key.
+    * Headroom: B·w < 2^63 holds to ~10¹² tokens/source at the default
+    * budget. */
+  def temperatureMix(spark: SparkSession, dir: String,
+      budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+        .as("n_tok"))
+      .withColumn("weight",
+        floor(sqrt(col("n_tok").cast("double")) * lit(1048576.0))
+          .cast("long"))
+    val wsum = counts.agg(sum(col("weight")).as("wsum"))
+    val based = counts.crossJoin(broadcast(wsum))
+      .withColumn("base", expr(s"(${budget}L * weight) div wsum"))
+      .withColumn("rem", expr(s"(${budget}L * weight) % wsum"))
+    val deficit = based.agg((lit(budget) - sum(col("base"))).as("deficit"))
+    val w = Window.partitionBy(pmod(col("weight"), lit(1)))
+      .orderBy(col("rem").desc, col("source"))
+    based.crossJoin(broadcast(deficit))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("alloc",
+        col("base") + when(col("rnk") <= col("deficit"), 1L).otherwise(0L))
+      .withColumn("share", round(col("alloc").cast("double") / budget, 6))
+      .select(col("source"), col("n_tok"), col("weight"), col("base"),
+        col("rem"), col("alloc"), col("share"))
+      .orderBy(col("source"))
+  }
 }

@@ -793,4 +793,131 @@ object Similarity {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
     }.toDF("sel_rank", "vec_id", "dist_to_set")
   }
+
+  /** MATRYOSHKA TRUNCATION AUDIT: recall@k of brute-force cosine
+    * search run on PREFIX dimensions (the MRL deployment question —
+    * "how many leading dims can we keep and still retrieve what the
+    * full embedding retrieves") against the full-dimension top-k as
+    * ground truth, over the md5-top-`panelN` query panel (the
+    * bounded-panel audit discipline). The kernel is panel × corpus ×
+    * |dims| — LINEAR in the corpus with a 4·panelN constant, never
+    * quadratic: prefixes via `slice` in a plain projection (no lambda
+    * the optimizer could inline a recompute into), scores through the
+    * native codegen'd dot product, per-(dim, query) top-k on the
+    * (score DESC, vec_id) total order. The full-dim row of the output
+    * is the identity audit: recall = 1.0 by construction (spec law).
+    * Zero-norm prefixes score −1 rather than tripping ANSI division.
+    * Rows-only: float cosine ties under truncation are not an
+    * engine-portable oracle surface. */
+  def matryoshkaRecall(spark: SparkSession, dir: String,
+      dims: Seq[Int] = Seq(8, 16, 32, 64), k: Int = 3,
+      panelN: Int = 32): DataFrame = {
+    val all = vecs(spark, dir).localCheckpoint()
+    val maxDim = dims.max
+    def byDim(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), explode(typedlit(dims)).as("dim"), col("v"))
+      .withColumn("prefix", slice(col("v"), lit(1), col("dim")))
+      .withColumn("norm", sqrt(expr(
+        "aggregate(prefix, 0D, (acc, y) -> acc + y * y)")))
+      .select(col("vec_id"), col("dim"), col("prefix"), col("norm"))
+    val corpus = byDim(all)
+    val queries = byDim(graft.operators.Sampling.md5TopN(all, "vec_id",
+      panelN))
+      .select(col("vec_id").as("qid"), col("dim"),
+        col("prefix").as("qprefix"), col("norm").as("qnorm"))
+    val w = Window.partitionBy(col("dim"), col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val topk = corpus.join(broadcast(queries), Seq("dim"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score",
+        when(col("norm") * col("qnorm") > 0D,
+          dotProduct(col("prefix"), col("qprefix"))
+            / (col("norm") * col("qnorm"))).otherwise(lit(-1D)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("dim"), col("qid"), col("vec_id"))
+      .localCheckpoint()
+    val truth = topk.filter(col("dim") === maxDim)
+      .select(col("qid"), col("vec_id"))
+    val nq = queries.select(col("qid")).distinct().count()
+    topk.join(truth, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("dim")).agg(count(lit(1)).as("hits"))
+      .withColumn("n_queries", lit(nq))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("recall",
+        round(col("hits").cast("double") / (lit(nq) * k), 4))
+      .select(col("dim").cast("long").as("dim"), col("n_queries"),
+        col("k"), col("hits"), col("recall"))
+      .orderBy(col("dim"))
+  }
+
+  /** MAXIMAL MARGINAL RELEVANCE selection (Carbonell & Goldstein
+    * 1998) — the relevance-vs-redundancy greedy every RAG/context
+    * assembler runs: pick argmax λ·rel(d) − (1−λ)·max_{s∈chosen}
+    * sim(d, s), with relevance against the corpus CENTROID prototype
+    * (the §2e VectorSum aggregate, normalized driver-side — one
+    * 64-double vector, never the data). Same distributed-argmax
+    * discipline as [[kCenterSelectOn]]: the relevance column is
+    * computed once on a pinned frame, each round broadcasts ≤k chosen
+    * vectors as literals and takes ONE row via TakeOrderedAndProject
+    * on the (score DESC, vec_id) total order — the driver holds only
+    * the k selected vectors. λ = 1 degenerates to pure relevance
+    * ranking (spec law); λ = 0 is pure diversity (k-center's
+    * criterion against the chosen set). Rows-only + spec. */
+  def mmrSelect(spark: SparkSession, dir: String, k: Int = 8,
+      lam: Double = 0.5): DataFrame = {
+    val normed = vecs(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+          .as("vn"))
+    mmrSelectOn(spark, normed, k, lam)
+  }
+  def mmrSelectOn(spark: SparkSession, normed: DataFrame, k: Int,
+      lam: Double): DataFrame = {
+    import spark.implicits._
+    val head = normed.select(size(col("vn"))).limit(1).collect()
+    if (head.isEmpty) return finishMmr(spark, Vector.empty)
+    val dim = head.head.getInt(0)
+    val sums = normed.agg(
+      graft.functions.Aggregates.vectorSum(col("vn"), dim).as("s"),
+      count(lit(1)).as("n")).first()
+    val (sv, n) = (sums.getSeq[Double](0).toArray, sums.getLong(1))
+    val cn = {
+      val mean = sv.map(_ / n)
+      val norm = math.sqrt(mean.map(x => x * x).sum)
+      if (norm > 0) mean.map(_ / norm) else mean
+    }
+    val pinned = normed
+      .withColumn("rel", dotProduct(col("vn"), typedlit(cn.toSeq)))
+      .localCheckpoint() // reused k times
+    var chosen = pinned.orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("vn"), col("rel"),
+        col("rel").as("mmr"))
+      .as[(Long, Array[Double], Double, Double)].collect().toVector
+    while (chosen.size < k && chosen.nonEmpty) {
+      val sims = array(chosen.map(c =>
+        dotProduct(col("vn"), typedlit(c._2.toSeq))): _*)
+      val picked = pinned
+        .filter(!col("vec_id").isin(chosen.map(_._1): _*))
+        .withColumn("mmr",
+          lit(lam) * col("rel") - lit(1.0 - lam) * array_max(sims))
+        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("vn"), col("rel"), col("mmr"))
+        .as[(Long, Array[Double], Double, Double)].collect()
+      if (picked.isEmpty) return finishMmr(spark, chosen)
+      chosen :+= picked.head
+    }
+    finishMmr(spark, chosen)
+  }
+  private def finishMmr(spark: SparkSession,
+      chosen: Vector[(Long, Array[Double], Double, Double)]): DataFrame = {
+    import spark.implicits._
+    chosen.zipWithIndex.map { case ((id, _, rel, mmr), i) =>
+      (i.toLong + 1L, id,
+        BigDecimal(rel).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        BigDecimal(mmr).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }.toDF("sel_rank", "vec_id", "relevance", "mmr_score")
+  }
 }

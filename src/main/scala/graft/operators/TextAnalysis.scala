@@ -1415,4 +1415,206 @@ object TextAnalysis {
         col("burst_den"), col("burstiness"))
       .orderBy(col("burstiness").desc, col("tok")).limit(topK)
   }
+
+  /** Good–Turing frequency-of-frequencies table with the smoothed
+    * count r* = (r+1)·N_{r+1} / N_r kept as cleared BIGINT num/den —
+    * the adjusted-count law every GT-smoothed language model keys on
+    * (and the companion of the persisted n-gram LM's add-one backoff:
+    * N_1/T is the unseen-mass estimate). One vocabulary-keyed token
+    * count, then a count-of-counts aggregate capped to the `maxR`
+    * LOWEST observed r values (a RANK cap, not a value cap — a corpus
+    * whose rarest token still occurs 26 times keeps a full table,
+    * which a `r <= 20` filter would silently empty). The cap window
+    * reads `maxR + 1` rows so the N_{r+1} lookup is lossless: if r is
+    * among the lowest maxR values then at most maxR values are
+    * < r+1, so r+1 (when present at all) ranks ≤ maxR+1. Both the
+    * window and the lookup are TakeOrderedAndProject-bounded
+    * broadcast-scale relations regardless of corpus size. Closure law
+    * (spec): Σ r·N_r over ALL r equals the corpus token total. */
+  def goodTuring(spark: SparkSession, dir: String, maxR: Int = 20)
+      : DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(tokensCol).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("r"))
+    val fof = counts.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      .orderBy(col("r")).limit(maxR + 1).localCheckpoint()
+    val next = fof.select((col("r") - 1L).as("r"), col("n_r").as("n_r1"))
+    fof.join(broadcast(next), Seq("r"), "left")
+      .withColumn("gt_num", (col("r") + 1L) * coalesce(col("n_r1"), lit(0L)))
+      .withColumn("gt_rstar",
+        round(col("gt_num").cast("double") / col("n_r"), 6))
+      .select(col("r"), col("n_r"), col("gt_num"),
+        col("n_r").as("gt_den"), col("gt_rstar"))
+      .orderBy(col("r")).limit(maxR)
+  }
+
+  /** Chao1 species-richness estimator per source — the "how much
+    * vocabulary haven't we crawled yet" audit: bias-corrected
+    * chao1 = V + f1·(f1−1) / (2·(f2+1)) from the singleton/doubleton
+    * counts of the source-local token frequencies (defined even when
+    * f2 = 0). The correction term rides as cleared BIGINT num/den with
+    * one closing division; chao1 ≥ vocab by construction (spec law).
+    * One (source, token) count + one source-keyed re-aggregate — the
+    * hapax shuffle shape, result bounded by the source cardinality. */
+  def chao1Richness(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokensCol).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n_st"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("n_st") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("n_st") === 2L, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao_num", col("f1") * (col("f1") - 1L))
+      .withColumn("chao_den", lit(2L) * (col("f2") + 1L))
+      .withColumn("chao1",
+        round(col("vocab").cast("double") +
+          col("chao_num").cast("double") / col("chao_den"), 6))
+      .orderBy(col("source"))
+
+  /** Cross-source VOCABULARY OVERLAP: exact Jaccard of the token
+    * vocabularies for every source pair — the redundancy screen run
+    * before unioning crawls (a pair near 1.0 is the same feed twice).
+    * Intersections come from one vocabulary-keyed self-equi-join of
+    * the distinct (source, token) relation with `source_a < source_b`
+    * (each unordered pair counted once); union = |A| + |B| − |A∩B|,
+    * all BIGINT until the one closing division. Pair cardinality is
+    * bounded by the source-category count squared, so the per-source
+    * vocab relation broadcasts; the only data-sized shuffle is the
+    * distinct. */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokensCol).as("tok"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val inter = st.toDF("source_a", "tok")
+      .join(st.toDF("source_b", "tok"), Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.toDF("source_a", "vocab_a")), Seq("source_a"))
+      .join(broadcast(sizes.toDF("source_b", "vocab_b")), Seq("source_b"))
+      .withColumn("uni", col("vocab_a") + col("vocab_b") - col("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / col("uni"), 6))
+      .select(col("source_a"), col("source_b"), col("vocab_a"),
+        col("vocab_b"), col("inter"), col("uni"), col("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** COMPACT the CMS segment log: fold every appended counter segment
+    * into one (merge-on-read cost goes back to a single depth·256-row
+    * scan after many appends). Additivity makes this a pure
+    * re-aggregation — probes are estimate-equal before and after
+    * (spec). The `localCheckpoint` materializes the merged cells
+    * before the overwrite so the swap never reads the table it is
+    * replacing; same single-writer maintenance window as
+    * [[graft.sources.FormatIO.compact]]. (Deletion is structurally
+    * impossible for a CMS — counters are additive-only; retire the
+    * sketch and rebuild to forget.) */
+  def compactCmsSketch(spark: SparkSession, name: String): Unit = {
+    val merged = spark.table(s"${name}_segments")
+      .groupBy(col("j"), col("b")).agg(sum(col("c")).as("c"))
+      .localCheckpoint()
+    merged.write.format("parquet")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_segments")
+    spark.catalog.refreshTable(s"${name}_segments")
+  }
+
+  /** Gini–Simpson token DIVERSITY per source: 1 − Σp² over the
+    * source's unigram distribution, plus the inverse-Simpson
+    * "effective vocabulary" T²/Σc² (the number of equally-common
+    * types that would produce the same concentration — the
+    * ecology-standard pair of concentration readings, and unlike
+    * Shannon entropy both are RATIONAL in the counts, so they ride
+    * the exact oracle: gs_num = T² − Σc², gs_den = T², one closing
+    * division each). One (source, token) count + one source-keyed
+    * moment re-aggregate — the hapax shuffle shape, result bounded by
+    * the source cardinality. BIGINT headroom: T² exact while each
+    * source holds < 3·10⁹ tokens; beyond that swap the two squarings
+    * to DECIMAL(38,0) — same plan shape. */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokensCol).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("tokens"),
+        sum(col("c") * col("c")).as("s2"))
+      .withColumn("gs_num", col("tokens") * col("tokens") - col("s2"))
+      .withColumn("gs_den", col("tokens") * col("tokens"))
+      .withColumn("simpson",
+        round(col("gs_num").cast("double") / col("gs_den"), 6))
+      .withColumn("eff_vocab",
+        round(col("gs_den").cast("double") / col("s2"), 6))
+      .select(col("source"), col("vocab"), col("tokens"), col("s2"),
+        col("gs_num"), col("gs_den"), col("simpson"), col("eff_vocab"))
+      .orderBy(col("source"))
+
+  /** Per-source chi-square KEYNESS: the topK tokens most
+    * over-represented in each source vs the rest of the corpus — the
+    * "what is this crawl actually about" audit (corpus-linguistics
+    * standard; the χ² variant is rational where log-likelihood G²
+    * is transcendental). Per (source, token) the 2×2 contingency
+    * margins (a = c_st, b = T_s−a, c = C_t−a, d = T−T_s−C_t+a) stay
+    * exact BIGINT, as does z = ad − bc (headroom documented: a·d ≤
+    * T_s·T < 2^63 to ~10⁹·10⁹); χ² = T·z²/((a+b)(c+d)(a+c)(b+d))
+    * closes in ONE fixed left-associated double tree over those exact
+    * operands — identical inputs + identical shape ⇒ bit-stable, the
+    * OLS/Cramer discipline. Only over-represented cells (z > 0)
+    * rank; degenerate margins (single-source corpus, single-token
+    * vocabulary) are guarded. Shuffles: the (source, token) count and
+    * one vocabulary-keyed join of the token margin — both map-side
+    * combined; source margins broadcast; topK via a source-partitioned
+    * rank window over the vocabulary-bounded scored relation on the
+    * (rounded χ² DESC, tok) total order. */
+  def chi2Keyness(spark: SparkSession, dir: String, topK: Int = 5)
+      : DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokensCol).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("a"))
+      .localCheckpoint()
+    val ctok = st.groupBy(col("tok")).agg(sum(col("a")).as("c_t"))
+    val ts = st.groupBy(col("source")).agg(sum(col("a")).as("t_s"))
+    val tAll = ts.agg(sum(col("t_s")).as("t_all"))
+    val scored = st.join(ctok, Seq("tok"))
+      .join(broadcast(ts), Seq("source"))
+      .crossJoin(broadcast(tAll))
+      .withColumn("z",
+        col("a") * (col("t_all") - col("t_s") - col("c_t") + col("a")) -
+          (col("t_s") - col("a")) * (col("c_t") - col("a")))
+      .filter(col("z") > 0L &&
+        col("t_all") > col("t_s") && col("t_all") > col("c_t"))
+      .withColumn("chi2", round(
+        col("t_all").cast("double") * col("z") / col("t_s") * col("z") /
+          (col("t_all") - col("t_s")) / col("c_t") /
+          (col("t_all") - col("c_t")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("chi2").desc, col("tok"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("source"), col("tok"), col("a"), col("c_t"),
+        col("t_s"), col("z"), col("chi2"), col("rnk"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  /** DEFLATE compressibility profile — the CCNet/RefinedWeb
+    * repetitiveness filter as a first-class signal: template spam and
+    * boilerplate compress far below natural prose, so the LOWEST
+    * ratios are the repetition suspects. Row-local via the native
+    * codegen'd [[graft.functions.CompressRatio]] expression (one
+    * thread-local Deflater per executor core, no per-row allocation),
+    * so the whole profile is FileScan → Project →
+    * TakeOrderedAndProject at any corpus size. Rows-only (DEFLATE
+    * output length is JDK-specific, not an engine-portable oracle
+    * surface); semantics carried by the crafted-corpus spec. */
+  def compressProfile(spark: SparkSession, dir: String, topK: Int = 40)
+      : DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        round(graft.functions.HashExpressions.compressRatio(col("text")), 4)
+          .as("ratio"))
+      .orderBy(col("ratio").asc, col("doc_id")).limit(topK)
 }

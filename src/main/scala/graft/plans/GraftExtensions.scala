@@ -64,6 +64,9 @@ object GraftFunctionRegistry {
     ("char_entropy", info("char_entropy",
       "char_entropy(text) - Shannon entropy (bits) of the code-point distribution"),
       (es: Seq[Expression]) => CharEntropy(es.head)),
+    ("compress_ratio", info("compress_ratio",
+      "compress_ratio(text) - DEFLATE bytes / raw bytes (repetitiveness quality signal)"),
+      (es: Seq[Expression]) => CompressRatio(es.head)),
     // Aggregates register as plain expressions too — the analyzer wraps
     // an AggregateFunction in AggregateExpression at use sites, exactly
     // as the built-in registry does for sum/min/max.

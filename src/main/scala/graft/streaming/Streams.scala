@@ -1404,4 +1404,32 @@ object Streams {
       .transformWithState(new MarkovProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** STREAMING DISTRIBUTION-DRIFT MONITOR: every micro-batch of
+    * arriving documents is scored for total-variation distance
+    * against a fixed REFERENCE unigram distribution (the curated
+    * corpus's token counts — computed once, passed as a (tok, c)
+    * frame), and one (batch_id, n_ref, n_cur, tv_num, tv_den, tv)
+    * row lands in `outTable` per batch — the alarm feed a 100 TB
+    * ingest pipeline watches to catch a crawler feeding it a
+    * different distribution than the one the mixture was tuned on.
+    * Replays [[graft.operators.Quality.tvDistance]] per batch, so the
+    * streamed reading is DEFINITIONALLY the batch reading of the same
+    * rows (parity spec); cost per batch is O(batch vocabulary) plus
+    * one broadcast of the reference counts. */
+  def tvDriftMonitorStream(spark: SparkSession, docs: DataFrame,
+      refCounts: DataFrame, outTable: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val counts = batch
+          .select(explode(split(lower(trim(col("text"))), "\\s+"))
+            .as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        graft.operators.Quality.tvDistance(refCounts, counts)
+          .withColumn("batch_id", lit(batchId))
+          .write.format("parquet").mode("append").saveAsTable(outTable)
+      }
+      .start()
 }

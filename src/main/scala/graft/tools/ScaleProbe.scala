@@ -199,6 +199,16 @@ object ScaleProbe {
       ("q_cms_tokens", 1.0, (d, _) => graft.operators.TextAnalysis.cmsTokenCounts(spark, d)),
       ("q_token_burstiness", 1.0, (d, _) => graft.operators.TextAnalysis.tokenBurstiness(spark, d)),
       ("q_ngram_novelty", 1.0, (d, _) => graft.operators.Dedup.ngramNovelty(spark, d)),
+      ("q_good_turing", 1.0, (d, _) => graft.operators.TextAnalysis.goodTuring(spark, d)),
+      ("q_chao1", 1.0, (d, _) => graft.operators.TextAnalysis.chao1Richness(spark, d)),
+      ("q_vocab_overlap", 1.0, (d, _) => graft.operators.TextAnalysis.vocabOverlap(spark, d)),
+      ("q_simpson_diversity", 1.0, (d, _) => graft.operators.TextAnalysis.simpsonDiversity(spark, d)),
+      ("q_unigram_tv_drift", 1.0, (d, _) => graft.operators.Quality.unigramTvDrift(spark, d)),
+      ("q_temperature_mix", 1.0, (d, _) => graft.operators.Sampling.temperatureMix(spark, d)),
+      ("q_keyness", 1.0, (d, _) => graft.operators.TextAnalysis.chi2Keyness(spark, d)),
+      ("q_compress_ratio", 1.0, (d, _) => graft.operators.TextAnalysis.compressProfile(spark, d)),
+      ("q_matryoshka", 1.0, (d, _) => graft.operators.Similarity.matryoshkaRecall(spark, d)),
+      ("q_mmr_select", 1.0, (d, _) => graft.operators.Similarity.mmrSelect(spark, d)),
       // skew stress: a CONSTANT 300-copy boilerplate family planted
       // into the growing corpus — the hot band buckets (and their
       // quadratic pair mass) are the same at 1× and N×, so the probe

@@ -692,4 +692,70 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .sortBy(t => (-t._2, t._1)).take(100)
     assert(got == expect, "top-K cut or ordering diverges from the recount")
   }
+
+  test("fs linkage: crafted all-agree/partial pairs score the exact " +
+    "cleared fraction; real-data scores recount against a naive " +
+    "driver replay of the full quadratic candidate set") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Dedup
+    val dirF = java.nio.file.Files.createTempDirectory("graft-fs").toString
+    // k1/k2: name dist 0, same nation/segment/balance bucket -> every
+    // field agrees: num = 9*24*4*19 = 16416, den = 1, match.
+    // k1/k3: name dist 1, different nation, same segment, different
+    // bucket -> num = 4, den = 9*24*19 = 4104, non-match.
+    Seq(
+      (1L, "Customer#000000001", 7, 1234.56, "BUILDING"),
+      (2L, "Customer#000000001", 7, 1890.00, "BUILDING"),
+      (3L, "Customer#000000011", 9, 7500.00, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.parquet(s"$dirF/customer.parquet")
+    val crafted = Dedup.fsLinkage(sp, dirF).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val full = crafted((1L, 2L))
+    assert(full.getLong(7) == 16416L && full.getLong(8) == 1L)
+    assert(full.getInt(10) == 1, "all-agree pair clears the gate")
+    val part = crafted((1L, 3L))
+    assert(part.getLong(7) == 4L && part.getLong(8) == 4104L)
+    assert(part.getInt(10) == 0)
+    // real data: replay the naive quadratic pipeline driver-side
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long"), col("c_acctbal"),
+        col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getString(4)))
+    val naive = (for {
+      a <- cust; b <- cust
+      if a._1 < b._1 && math.abs(a._2.length - b._2.length) <= 1
+      d = lev(a._2, b._2) if d <= 1
+    } yield {
+      def bucket(x: Double) = (math.round(x * 100) + 100000000L) / 100000L
+      val agrees = Seq(d == 0, a._3 == b._3, a._5 == b._5,
+        bucket(a._4) == bucket(b._4))
+      val num = agrees.zip(Seq(9L, 24L, 4L, 19L))
+        .map { case (g, f) => if (g) f else 1L }.product
+      val den = agrees.zip(Seq(9L, 24L, 4L, 19L))
+        .map { case (g, f) => if (g) 1L else f }.product
+      (a._1, b._1) -> ((d.toLong, num, den, num >= 100L * den))
+    }).toMap
+    val res = Dedup.fsLinkage(spark, sf).collect()
+    assert(res.nonEmpty && res.length == naive.size,
+      "deletion blocking must reproduce the full quadratic pair set")
+    res.foreach { r =>
+      val exp = naive((r.getLong(0), r.getLong(1)))
+      assert((r.getLong(2), r.getLong(7), r.getLong(8),
+        r.getInt(10) == 1) == exp,
+        s"pair ${r.getLong(0)}/${r.getLong(1)}")
+    }
+  }
 }

@@ -152,4 +152,33 @@ class ExpressionPropertySpec extends AnyFunSuite {
           assert(r.getDouble(1) == 1.0, "self similarity must be 1")
       }
   }
+
+  test("compress ratio: repetition compresses far below high-entropy " +
+    "text, empty input is 1.0, and the SQL registration agrees with " +
+    "the kernel") {
+    val sp = spark
+    import sp.implicits._
+    val repetitive = "spam ham " * 400
+    val varied = (1 to 800).map(i => s"w${i * 2654435761L % 99991}")
+      .mkString(" ")
+    val rows = Seq((1L, repetitive), (2L, varied), (3L, ""))
+      .toDF("id", "text")
+      .select(col("id"),
+        graft.functions.HashExpressions.compressRatio(col("text"))
+          .as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(1L) < 0.1, "pure template text must compress hard")
+    assert(rows(2L) > 0.3, "high-entropy text must not")
+    assert(rows(1L) < rows(2L) / 3.0)
+    assert(rows(3L) == 1.0, "empty input is defined as 1.0")
+    assert(rows.values.forall(v => v > 0.0 && v <= 1.5))
+    // SQL-registered function evaluates through the same kernel
+    graft.plans.GraftFunctionRegistry.registerAll(sp)
+    val viaSql = sp.sql(
+      s"SELECT compress_ratio('${"ab " * 100}') AS r").collect().head
+      .getDouble(0)
+    val viaKernel = graft.functions.ExprRuntime.compressRatio(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ab " * 100))
+    assert(viaSql == viaKernel)
+  }
 }

@@ -302,4 +302,111 @@ class GraphSpec extends AnyFunSuite {
     assert(prMap(hub) > prMap(leaf),
       s"hub $hub (deg ${deg(hub)}) must outrank leaf $leaf (deg ${deg(leaf)})")
   }
+
+  test("linkage modularity: two nation-pure name triangles score the " +
+    "textbook 0.25 each; real-data contributions recount and the " +
+    "degree/edge closure laws hold") {
+    val sp = spark
+    import sp.implicits._
+    val dirM = java.nio.file.Files.createTempDirectory("graft-mod").toString
+    // two dist-1 triangles, each inside its own nation; cross-triangle
+    // name distance >= 3 so no edge leaks
+    Seq((1L, "aaa1", 1), (2L, "aaa2", 1), (3L, "aaa3", 1),
+      (4L, "zzz1", 2), (5L, "zzz2", 2), (6L, "zzz3", 2))
+      .map { case (k, n, nat) => (k, n, nat, 100.0, "BUILDING") }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.parquet(s"$dirM/customer.parquet")
+    val crafted = graft.operators.Graph.linkageModularity(sp, dirM).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(crafted.keySet == Set(1L, 2L))
+    crafted.values.foreach { r =>
+      assert(r.getLong(1) == 3L && r.getLong(2) == 6L && r.getLong(3) == 6L)
+      assert(r.getLong(4) == 36L && r.getLong(5) == 144L)
+      assert(r.getDouble(6) == 0.25,
+        "a nation-pure triangle contributes exactly 1/4")
+    }
+    // real data: recount from a naive driver replay
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val edges = for {
+      a <- cust; b <- cust
+      if a._1 < b._1 && math.abs(a._2.length - b._2.length) <= 1 &&
+        lev(a._2, b._2) <= 1
+    } yield (a, b)
+    val m = edges.length.toLong
+    val res = graft.operators.Graph.linkageModularity(spark, sf).collect()
+    assert(res.nonEmpty && m > 0)
+    assert(res.map(_.getLong(1)).sum <= m, "within-edges cannot exceed m")
+    assert(res.map(_.getLong(2)).sum == 2 * m, "degree mass is 2m")
+    res.foreach { r =>
+      val nat = r.getLong(0)
+      val eIn = edges.count { case (a, b) =>
+        a._3 == nat && b._3 == nat }.toLong
+      val dSum = edges.flatMap { case (a, b) => Seq(a, b) }
+        .count(_._3 == nat).toLong
+      assert(r.getLong(1) == eIn && r.getLong(2) == dSum, s"nation $nat")
+      assert(r.getLong(4) == 4 * m * eIn - dSum * dSum)
+    }
+  }
+
+  test("linkage assortativity: a deletion-variant star is exactly -1; " +
+    "real-data moments recount from the naive edge replay") {
+    val sp = spark
+    import sp.implicits._
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ast").toString
+    // hub "abc" with three single-insertion leaves that sit pairwise at
+    // distance 2: a pure star, the textbook perfectly-disassortative
+    // graph, r = -1 exactly
+    Seq((1L, "abc"), (2L, "xabc"), (3L, "abxc"), (4L, "abcx"))
+      .map { case (k, n) => (k, n, 1, 100.0, "BUILDING") }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.parquet(s"$dirA/customer.parquet")
+    val star = graft.operators.Graph.linkageAssortativity(sp, dirA).collect().head
+    assert(star.getLong(0) == 3L && star.getLong(1) == 12L &&
+      star.getLong(2) == 30L && star.getLong(3) == 9L)
+    assert(star.getLong(4) == -36L && star.getLong(5) == 36L)
+    assert(star.getDouble(6) == -1.0, "a star is perfectly disassortative")
+    // real data: recount S1/S2/S3 from the naive replay
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val edges = for {
+      a <- names; b <- names
+      if a._1 < b._1 && math.abs(a._2.length - b._2.length) <= 1 &&
+        lev(a._2, b._2) <= 1
+    } yield (a._1, b._1)
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val (s1, s2, s3) = edges.foldLeft((0L, 0L, 0L)) {
+      case ((x, y, z), (a, b)) =>
+        val (da, db) = (deg(a), deg(b))
+        (x + da + db, y + da * da + db * db, z + da * db)
+    }
+    val r = graft.operators.Graph.linkageAssortativity(spark, sf).collect().head
+    assert(r.getLong(0) == edges.length.toLong)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((s1, s2, s3)))
+    val m = edges.length.toLong
+    assert(r.getLong(4) == 4 * m * s3 - s1 * s1)
+    assert(r.getLong(5) == 2 * m * s2 - s1 * s1)
+  }
 }

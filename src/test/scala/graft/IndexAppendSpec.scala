@@ -471,4 +471,30 @@ class IndexAppendSpec extends AnyFunSuite {
       assert(e >= truth(t), s"estimate for '$t' must dominate")
     }
   }
+
+  test("cms compact: folding the segment log to one segment preserves " +
+    "every cell and every probe estimate") {
+    import graft.operators.TextAnalysis
+    val (corpusDir, batch) = splitDir("documents", "doc_id")
+    TextAnalysis.buildCmsSketch(spark, corpusDir, "cms_cpt")
+    TextAnalysis.appendToCmsSketch(spark, "cms_cpt",
+      batch.select(col("doc_id"), col("text")))
+    def cells() = spark.table("cms_cpt_segments")
+      .groupBy(col("j"), col("b")).agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val probes = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .distinct().limit(40).localCheckpoint()
+    def est() = TextAnalysis.probeCmsSketch(spark, "cms_cpt", probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sorted.toSeq
+    val (cellsBefore, estBefore) = (cells(), est())
+    assert(spark.table("cms_cpt_segments").count() > cellsBefore.size.toLong,
+      "the appended log must carry more rows than live cells pre-compact")
+    TextAnalysis.compactCmsSketch(spark, "cms_cpt")
+    assert(spark.table("cms_cpt_segments").count() == cellsBefore.size.toLong,
+      "post-compact the log is exactly one row per live cell")
+    assert(cells() == cellsBefore, "compaction must preserve every cell")
+    assert(est() == estBefore, "compaction must preserve every estimate")
+  }
 }

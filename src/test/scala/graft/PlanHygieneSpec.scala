@@ -60,7 +60,18 @@ class PlanHygieneSpec extends AnyFunSuite {
     // series) + broadcast 1-row scalar reductions
     "q_theilsen", "q_mann_kendall", "q_runs_test",
     // broadcast 1-row corpus-size scalar (the cleared /N)
-    "q_token_burstiness")
+    "q_token_burstiness",
+    // source-cardinality-bounded totals-pair frame (non-equi a < b over
+    // the broadcast per-source token totals — every pair must surface,
+    // including vocabulary-disjoint ones at tv = 1)
+    "q_unigram_tv_drift",
+    // broadcast 1-row weight-sum and deficit scalars (largest-remainder
+    // apportionment)
+    "q_temperature_mix",
+    // broadcast 1-row corpus-total scalar (the chi-square grand total)
+    "q_keyness",
+    // broadcast 1-row edge-count scalar (the cleared 4m^2 denominator)
+    "q_modularity")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>

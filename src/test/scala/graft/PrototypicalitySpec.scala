@@ -69,4 +69,84 @@ class PrototypicalitySpec extends AnyFunSuite {
     assert(a.sameElements(b))
     assert(a.nonEmpty)
   }
+
+  test("matryoshka recall: the full-dim row is the identity audit at " +
+    "recall 1.0; every recall is a valid hit share; planted " +
+    "prefix-coded clusters are already separable at the tiny prefix") {
+    val res = Similarity.matryoshkaRecall(spark, sf).collect()
+    assert(res.map(_.getLong(0)).toSeq == Seq(8L, 16L, 32L, 64L))
+    val byDim = res.map(r => r.getLong(0) -> r).toMap
+    val full = byDim(64L)
+    assert(full.getDouble(4) == 1.0,
+      "the max-dim run IS the ground truth: recall exactly 1.0")
+    assert(full.getLong(3) == full.getLong(1) * full.getLong(2))
+    res.foreach { r =>
+      assert(r.getLong(3) >= 0L &&
+        r.getLong(3) <= r.getLong(1) * r.getLong(2))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // planted: vectors whose FIRST dims already code the cluster.
+    // Three clusters of exactly THREE members with k=2 make the
+    // ground-truth top-2 a uniquely determined SET (the two other
+    // members) at both the prefix and the full dimension — clusters
+    // of four would leave the top-2-of-3 choice to sub-noise ordering
+    // that legitimately differs between prefixes
+    val sp = spark
+    import sp.implicits._
+    val vecsDf = (0 until 9).map { i =>
+      val cluster = i % 3
+      val v = Array.tabulate(8) { d =>
+        if (d == cluster) 10.0 + (i / 3) else 0.01 * ((i * 7 + d) % 5) }
+      (i.toLong, v)
+    }.toDF("vec_id", "v")
+    val dirP = java.nio.file.Files.createTempDirectory("graft-mrl").toString
+    vecsDf.select(col("vec_id"),
+      col("v").cast("array<float>").as("embedding"),
+      lit(0).as("label"))
+      .write.parquet(s"$dirP/embeddings.parquet")
+    val planted = Similarity.matryoshkaRecall(sp, dirP,
+      dims = Seq(4, 8), k = 2, panelN = 6).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(planted(8L) == 1.0)
+    assert(planted(4L) == 1.0,
+      "cluster-coding prefixes retrieve the full-dim neighbors exactly")
+  }
+
+  test("mmr select: lambda=1 is pure relevance ranking; lambda=0.5 on " +
+    "a planted two-cluster corpus alternates clusters where pure " +
+    "relevance stays home; deterministic rerun") {
+    val sp = spark
+    import sp.implicits._
+    // cluster A hugs the centroid direction, cluster B is orthogonal;
+    // the centroid leans toward A, so pure relevance picks all of A
+    // first, while MMR's redundancy penalty forces an early B pick
+    val vecsDf = (
+      (0 until 4).map(i => (i.toLong,
+        Array(1.0, 0.001 * i, 0.0, 0.0))) ++
+      (4 until 8).map(i => (i.toLong,
+        Array(0.0, 0.0, 1.0, 0.001 * i)))).toDF("vec_id", "v")
+    val dirM = java.nio.file.Files.createTempDirectory("graft-mmr").toString
+    vecsDf.select(col("vec_id"),
+      col("v").cast("array<float>").as("embedding"),
+      lit(0).as("label"))
+      .write.parquet(s"$dirM/embeddings.parquet")
+    val pure = Similarity.mmrSelect(sp, dirM, k = 4, lam = 1.0).collect()
+    val rels = pure.map(_.getDouble(2))
+    assert(rels.zip(rels.tail).forall { case (a, b) => a >= b },
+      "lambda=1 must rank by pure relevance")
+    val mixed = Similarity.mmrSelect(sp, dirM, k = 4, lam = 0.5).collect()
+      .map(_.getLong(1))
+    assert(mixed.take(2).map(id => id / 4L).distinct.length == 2,
+      "the redundancy penalty pulls in the other cluster by pick 2")
+    assert(mixed.take(4).map(id => id / 4L).distinct.length == 2 &&
+      mixed.take(4).count(_ < 4L) == 2,
+      "lambda=0.5 alternates: two picks from each orthogonal cluster")
+    // real data: deterministic rerun, ranks total, scores nonincreasing
+    val a = Similarity.mmrSelect(spark, sf).collect()
+    val b = Similarity.mmrSelect(spark, sf).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(a.map(_.getLong(0)).toSeq == (1L to a.length.toLong))
+    assert(a.length == 8)
+  }
 }

@@ -195,4 +195,29 @@ class QualityAuditSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n00") == rows.count(t => !t._2 && !t._3))
     }
   }
+
+  test("tvDistance edges: identical counts 0, disjoint 1, one empty " +
+    "side 1, both empty NULL, and a hand-computed mixed pair") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Quality
+    def cf(pairs: (String, Long)*) = pairs.toSeq.toDF("tok", "c")
+    val same = cf("x" -> 2L, "y" -> 1L)
+    val r0 = Quality.tvDistance(same, cf("x" -> 2L, "y" -> 1L))
+      .collect().head
+    assert(r0.getLong(2) == 0L && r0.getDouble(4) == 0.0)
+    val r1 = Quality.tvDistance(same, cf("z" -> 5L)).collect().head
+    assert(r1.getDouble(4) == 1.0, "disjoint vocabularies")
+    val rEmpty = Quality.tvDistance(same, cf()).collect().head
+    assert(rEmpty.getLong(1) == 0L && rEmpty.getDouble(4) == 1.0,
+      "an empty batch is maximal drift against a real reference")
+    val rBoth = Quality.tvDistance(cf(), cf()).collect().head
+    assert(rBoth.isNullAt(4), "both-empty is undefined, not a throw")
+    // ref {x:2,y:1} (T=3) vs cur {x:1,z:1} (T=2):
+    // |2*2-1*3| + |1*2-0| + |0-1*3| = 1+2+3 = 6; den = 12 -> 0.5
+    val rm = Quality.tvDistance(same, cf("x" -> 1L, "z" -> 1L))
+      .collect().head
+    assert(rm.getLong(2) == 6L && rm.getLong(3) == 12L
+      && rm.getDouble(4) == 0.5)
+  }
 }

@@ -1594,4 +1594,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(est("cms_sapp") == est("cms_sfull"),
       "probe estimates must agree estimate-for-estimate")
   }
+
+  test("streaming tv-drift monitor: each micro-batch row equals the " +
+    "batch tvDistance of the same rows against the same reference") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val docs = graft.sources.Tables.documents(sp, sf)
+      .select(col("doc_id"), col("text"))
+    def countsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ref = countsOf(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+      .localCheckpoint()
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tvmon-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.tvDriftMonitorStream(sp,
+      input.toDF().toDF("doc_id", "text"), ref, "tv_monitor", ckpt)
+    val chunks = arrivals.grouped(
+      math.max(1, arrivals.length / 2 + 1)).toSeq
+    chunks.foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val monitored = sp.table("tv_monitor").collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Long]("tv_num"), r.getAs[Long]("tv_den"),
+          r.getAs[Double]("tv")))).toMap
+    assert(monitored.size == chunks.length, "one monitor row per batch")
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val batchDf = chunk.toIndexedSeq.toDF("doc_id", "text")
+      val want = graft.operators.Quality
+        .tvDistance(ref, countsOf(batchDf)).collect().head
+      assert(monitored(i.toLong) ==
+        ((want.getLong(0), want.getLong(1), want.getLong(2),
+          want.getLong(3), want.getDouble(4))),
+        s"batch $i drift reading")
+      assert(monitored(i.toLong)._5 > 0.0 && monitored(i.toLong)._5 < 1.0,
+        "same-corpus batches drift strictly between the extremes")
+    }
+  }
 }

@@ -356,4 +356,49 @@ class TextStatsSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("n_l3") >= r.getAs[Long]("n_l3"))
     assert(r2.getAs[Long]("n_l0") <= r.getAs[Long]("n_l0"))
   }
+
+  test("temperature mix: hand-apportioned 1:4 fixture; real-data " +
+    "weights, bases and remainders recount; allocations sum to the " +
+    "budget exactly") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Sampling
+    // n=1 vs n=4 -> weights 2^20 : 2*2^20; B=10^6: bases 333333/666666,
+    // remainders 2^20 : 2*2^20 -> the single deficit unit goes to s2
+    val dirM = java.nio.file.Files.createTempDirectory("graft-tmix").toString
+    Seq((1L, "only", "s1"), (2L, "w x y z", "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dirM/documents.parquet")
+    val c = Sampling.temperatureMix(sp, dirM).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(c("s1").getLong(2) == 1048576L && c("s2").getLong(2) == 2097152L)
+    assert(c("s1").getLong(5) == 333333L && c("s2").getLong(5) == 666667L,
+      "largest remainder receives the deficit unit")
+    // real data: recount the whole apportionment driver-side
+    val res = Sampling.temperatureMix(spark, sf).collect()
+    assert(res.nonEmpty)
+    assert(res.map(_.getLong(5)).sum == 1000000L,
+      "allocations must sum to the budget exactly")
+    val nTok = Tables.documents(spark, sf)
+      .select(col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s2, xs) => s2 -> xs.map(_._2).sum }
+    val weights = nTok.map { case (s2, n) =>
+      s2 -> math.floor(math.sqrt(n.toDouble) * 1048576.0).toLong }
+    val wsum = weights.values.sum
+    val bases = weights.map { case (s2, w) => s2 -> (1000000L * w) / wsum }
+    val rems = weights.map { case (s2, w) => s2 -> (1000000L * w) % wsum }
+    val deficit = 1000000L - bases.values.sum
+    val winners = rems.toSeq.sortBy { case (s2, r) => (-r, s2) }
+      .take(deficit.toInt).map(_._1).toSet
+    res.foreach { r =>
+      val s2 = r.getString(0)
+      assert(r.getLong(1) == nTok(s2) && r.getLong(2) == weights(s2))
+      assert(r.getLong(3) == bases(s2) && r.getLong(4) == rems(s2))
+      assert(r.getLong(5) ==
+        bases(s2) + (if (winners(s2)) 1L else 0L), s"$s2 alloc")
+      assert(r.getLong(5) - r.getLong(3) <= 1L)
+    }
+  }
 }
