@@ -314,4 +314,136 @@ object FormatIO {
     glob.foreach(g => r = r.option("pathGlobFilter", g))
     r.load(path).filter(col("length") <= maxBytes)
   }
+
+  // ---------------------------------------------------------------
+  // SNAPSHOT MANIFESTS: atomic multi-file commits + pinned reads.
+  // ---------------------------------------------------------------
+
+  /** The minimal lakehouse commit protocol (the Iceberg/Delta idea with
+    * no external dependency): a snapshot table is `<path>/data/` full
+    * of immutable parquet file sets plus `<path>/_manifests/v<N>` text
+    * files, each listing exactly the data files of one VERSION. A
+    * write stages its parquet files first and PROMOTES them with one
+    * atomic manifest rename — readers either see the old complete
+    * version or the new complete one, never a partial directory (the
+    * failure plain `spark.read.parquet(dir)` has at 100 TB, where a
+    * multi-minute multi-file write is always mid-flight somewhere). A
+    * crashed write leaves orphan data files and NO manifest: invisible
+    * by construction, reclaimed by [[vacuumSnapshots]]. Same
+    * single-writer maintenance window as [[compact]] (concurrent
+    * writers race the version number and the second rename fails
+    * loudly). Old versions stay readable (time travel / reproducible
+    * training-run pins) until vacuumed. */
+  def writeSnapshot(spark: SparkSession, df: DataFrame,
+      tablePath: String): Long =
+    commitSnapshot(spark, df, tablePath, carryPrevious = false)
+
+  /** APPEND commit: next version = previous version's files + the new
+    * batch's files. O(batch) data written; the manifest copy is file-
+    * list-sized, not data-sized. */
+  def appendSnapshot(spark: SparkSession, df: DataFrame,
+      tablePath: String): Long =
+    commitSnapshot(spark, df, tablePath, carryPrevious = true)
+
+  private def commitSnapshot(spark: SparkSession, df: DataFrame,
+      tablePath: String, carryPrevious: Boolean): Long = {
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDir = new org.apache.hadoop.fs.Path(tablePath,
+      s"data/${java.util.UUID.randomUUID().toString}")
+    df.write.parquet(dataDir.toString)
+    val newFiles = fs.listStatus(dataDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(st => s"data/${dataDir.getName}/${st.getPath.getName}")
+      .sorted
+    val prev =
+      if (carryPrevious) snapshotVersions(spark, tablePath).lastOption
+        .map(v => manifestFiles(fs, tablePath, v)).getOrElse(Nil)
+      else Nil
+    val version = snapshotVersions(spark, tablePath).lastOption
+      .getOrElse(0L) + 1L
+    val mDir = new org.apache.hadoop.fs.Path(tablePath, "_manifests")
+    fs.mkdirs(mDir)
+    val tmp = new org.apache.hadoop.fs.Path(mDir, s".v$version.tmp")
+    val out = fs.create(tmp, true)
+    out.write((prev ++ newFiles).mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val dest = new org.apache.hadoop.fs.Path(mDir, s"v$version")
+    if (fs.exists(dest) || !fs.rename(tmp, dest))
+      throw new IllegalStateException(
+        s"snapshot commit v$version lost the promotion race at " +
+          s"$tablePath - snapshot tables are single-writer per " +
+          "maintenance window, like compact()")
+    version
+  }
+
+  private def manifestFiles(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String, version: Long): Seq[String] = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(tablePath,
+      s"_manifests/v$version"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Committed versions, ascending. */
+  def snapshotVersions(spark: SparkSession, tablePath: String)
+      : Seq[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mDir = new org.apache.hadoop.fs.Path(tablePath, "_manifests")
+    if (!fs.exists(mDir)) Nil
+    else fs.listStatus(mDir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong).sorted
+  }
+
+  /** Read one pinned version (default: latest). The scan is exactly
+    * the manifest's file list, so a concurrent commit cannot change
+    * what this reader sees mid-query. */
+  def readSnapshot(spark: SparkSession, tablePath: String,
+      version: Option[Long] = None): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = snapshotVersions(spark, tablePath)
+    require(versions.nonEmpty, s"no committed snapshot at $tablePath")
+    val v = version.getOrElse(versions.last)
+    require(versions.contains(v),
+      s"snapshot v$v not present at $tablePath (have: $versions)")
+    val files = manifestFiles(fs, tablePath, v)
+      .map(rel => new org.apache.hadoop.fs.Path(tablePath, rel).toString)
+    spark.read.parquet(files: _*)
+  }
+
+  /** Reclaim space: keep the last `keepLast` versions, delete older
+    * manifests and every data file no kept version references —
+    * including orphans from crashed writes (data files with no
+    * manifest at all). Returns the number of data files deleted. */
+  def vacuumSnapshots(spark: SparkSession, tablePath: String,
+      keepLast: Int = 2): Long = {
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = snapshotVersions(spark, tablePath)
+    val kept = versions.takeRight(keepLast)
+    val referenced = kept.flatMap(v => manifestFiles(fs, tablePath, v))
+      .toSet
+    versions.dropRight(keepLast).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(tablePath,
+        s"_manifests/v$v"), false)
+    }
+    val dataRoot = new org.apache.hadoop.fs.Path(tablePath, "data")
+    var deleted = 0L
+    if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { dir =>
+      fs.listStatus(dir.getPath).foreach { st =>
+        val rel = s"data/${dir.getPath.getName}/${st.getPath.getName}"
+        if (st.isFile && st.getPath.getName.startsWith("part-") &&
+            !referenced(rel)) {
+          fs.delete(st.getPath, false); deleted += 1L
+        }
+      }
+      if (fs.listStatus(dir.getPath)
+          .forall(st => !st.getPath.getName.startsWith("part-")))
+        fs.delete(dir.getPath, true)
+    }
+    deleted
+  }
 }

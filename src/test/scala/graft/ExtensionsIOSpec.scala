@@ -381,4 +381,48 @@ class ExtensionsIOSpec extends AnyFunSuite {
     assert(err.getMessage.contains("partitioned layout"),
       s"expected the flattening guard, got: ${err.getMessage}")
   }
+
+  test("snapshot manifests: atomic commits, time travel, crash " +
+    "invisibility, and vacuum reclaims exactly the unreferenced files") {
+    val sp = spark
+    import sp.implicits._
+    val table = Files.createTempDirectory("graft-snap").toString
+    val v1 = FormatIO.writeSnapshot(sp,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), table)
+    val v2 = FormatIO.appendSnapshot(sp,
+      Seq((4L, "d"), (5L, "e")).toDF("id", "s"), table)
+    assert((v1, v2) == ((1L, 2L)))
+    assert(FormatIO.snapshotVersions(sp, table) == Seq(1L, 2L))
+    assert(FormatIO.readSnapshot(sp, table).count() == 5L,
+      "latest sees the append")
+    assert(FormatIO.readSnapshot(sp, table, Some(1L))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+      "a pinned reader still sees exactly version 1")
+    // crash simulation: a data directory that never got a manifest is
+    // invisible to every reader and version listing
+    Seq((99L, "orphan")).toDF("id", "s")
+      .write.parquet(s"$table/data/crashed-write-no-manifest")
+    assert(FormatIO.readSnapshot(sp, table).count() == 5L,
+      "an uncommitted write must be invisible")
+    assert(FormatIO.snapshotVersions(sp, table) == Seq(1L, 2L))
+    // REPLACE commit: v3 lists only its own files; v2 stays readable
+    val v3 = FormatIO.writeSnapshot(sp,
+      Seq((10L, "x")).toDF("id", "s"), table)
+    assert(v3 == 3L)
+    assert(FormatIO.readSnapshot(sp, table).count() == 1L)
+    assert(FormatIO.readSnapshot(sp, table, Some(2L)).count() == 5L)
+    // vacuum keepLast=1: v1/v2 manifests and every file only they (or
+    // the crashed write) reference disappear; latest is untouched
+    val deleted = FormatIO.vacuumSnapshots(sp, table, keepLast = 1)
+    assert(deleted > 0L, "the superseded and orphaned files are reclaimed")
+    assert(FormatIO.snapshotVersions(sp, table) == Seq(3L))
+    assert(FormatIO.readSnapshot(sp, table).count() == 1L,
+      "vacuum must never touch a kept version's files")
+    val err = intercept[IllegalArgumentException] {
+      FormatIO.readSnapshot(sp, table, Some(1L))
+    }
+    assert(err.getMessage.contains("not present"))
+    // a second vacuum is a no-op: nothing unreferenced remains
+    assert(FormatIO.vacuumSnapshots(sp, table, keepLast = 1) == 0L)
+  }
 }
