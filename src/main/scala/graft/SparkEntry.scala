@@ -307,7 +307,11 @@ object SparkEntry {
     "q_assortativity" -> ((s: SparkSession, d: String) => Graph.linkageAssortativity(s, d)),
     // embedding deployment audits (rows-only: float-tie surfaces)
     "q_matryoshka" -> ((s: SparkSession, d: String) => Similarity.matryoshkaRecall(s, d)),
-    "q_mmr_select" -> ((s: SparkSession, d: String) => Similarity.mmrSelect(s, d))
+    "q_mmr_select" -> ((s: SparkSession, d: String) => Similarity.mmrSelect(s, d)),
+    // corpus-economics + label audits
+    "q_dedup_savings" -> ((s: SparkSession, d: String) => Dedup.dedupSavings(s, d)),
+    "q_label_balance" -> ((s: SparkSession, d: String) => Embeddings.labelBalance(s, d)),
+    "q_knn_labelcheck" -> ((s: SparkSession, d: String) => Similarity.knnLabelCheck(s, d))
   )
 
   /** The unrolled INTEGER PageRank oracle for `q_pagerank_panel` —
@@ -3688,6 +3692,38 @@ object SparkEntry {
         | CASE WHEN 2 * m_edges * s2 - s1 * s1 <> 0 THEN
         |  round(CAST(4 * m_edges * s3 - s1 * s1 AS DOUBLE)
         |   / (2 * m_edges * s2 - s1 * s1), 6) END AS assortativity
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    // global keep-first exact dedup, savings attributed to the source
+    // that contributed each dropped copy
+    "q_dedup_savings" ->
+      """WITH d AS (
+        | SELECT doc_id, source,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |   AS BIGINT) AS ntok
+        | FROM documents),
+        |keep AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY h)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS dup_docs,
+        | CAST(sum(ntok) AS BIGINT) AS tokens_total,
+        | CAST(sum(CASE WHEN doc_id <> keep_id THEN ntok ELSE 0 END)
+        |   AS BIGINT) AS tokens_dropped,
+        | round(CAST(sum(CASE WHEN doc_id <> keep_id THEN ntok ELSE 0 END)
+        |   AS DOUBLE) / sum(ntok), 6) AS savings_share
+        |FROM d JOIN keep USING (h)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // class-imbalance report over the embedding labels
+    "q_label_balance" ->
+      """WITH c AS (
+        | SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM embeddings GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        | CAST(max(n) AS BIGINT) AS n_max FROM c)
+        |SELECT label, n, total,
+        | round(CAST(n AS DOUBLE) / total, 6) AS share,
+        | round(CAST(n AS DOUBLE) / n_max, 6) AS ratio_to_max
+        |FROM c, t ORDER BY label""".stripMargin
   )
 }

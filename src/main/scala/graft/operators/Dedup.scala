@@ -1438,4 +1438,34 @@ object Dedup {
         col("is_match"))
       .orderBy(col("key_a"), col("key_b"))
   }
+
+  /** TOKEN SAVINGS from exact deduplication, per source — the
+    * "how much of this crawl is literal copies" budget line that
+    * decides whether a source is worth re-fetching: keep-first (min
+    * doc_id) per canonical digest GLOBALLY, attribute every dropped
+    * copy and its token mass to the source that contributed it. Same
+    * canonical digest as [[exact]] (md5 of whitespace-normalized
+    * lowercase text), one digest-keyed join + one source-bounded
+    * aggregate — shuffle ~ corpus rows, all counts BIGINT-exact to
+    * the one closing division. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"),
+      col("source"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"),
+      size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+        .as("ntok"))
+    val keep = d.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    d.join(keep, Seq("h"))
+      .withColumn("dropped",
+        (col("doc_id") =!= col("keep_id")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dropped")).as("dup_docs"),
+        sum(col("ntok")).as("tokens_total"),
+        sum(col("dropped") * col("ntok")).as("tokens_dropped"))
+      .withColumn("savings_share",
+        round(col("tokens_dropped").cast("double") / col("tokens_total"),
+          6))
+      .orderBy(col("source"))
+  }
 }

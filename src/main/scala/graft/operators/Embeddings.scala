@@ -170,4 +170,25 @@ object Embeddings {
       .orderBy(col("dist2n2").desc, col("vec_id"))
       .limit(topN)
   }
+
+  /** LABEL BALANCE audit of the embedding table's label column — the
+    * class-imbalance report run before any supervised fine-tune or
+    * probe: per label the count, corpus share, and ratio to the
+    * majority class (the under-sampling factor a balanced draw would
+    * need). One label-bounded aggregate + two broadcast 1-row scalars;
+    * every figure is exact counts to one closing division. */
+  def labelBalance(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.sources.Tables.embeddings(spark, dir)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"),
+      max(col("n")).as("n_max"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share", round(col("n").cast("double") / col("total"), 6))
+      .withColumn("ratio_to_max",
+        round(col("n").cast("double") / col("n_max"), 6))
+      .select(col("label"), col("n"), col("total"), col("share"),
+        col("ratio_to_max"))
+      .orderBy(col("label"))
+  }
 }

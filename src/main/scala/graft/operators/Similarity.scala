@@ -920,4 +920,40 @@ object Similarity {
           .toDouble)
     }.toDF("sel_rank", "vec_id", "relevance", "mmr_score")
   }
+
+  /** 1-NN LABEL AGREEMENT on the bounded md5 query panel — the
+    * embedding-quality-vs-labels probe ("does nearest-neighbor
+    * structure respect the labels this table claims"): for each panel
+    * query, the cosine 1-NN over the full corpus (self excluded); per
+    * label, the share of queries whose neighbor carries the same
+    * label. Panel × corpus kernel — LINEAR with a panelN constant,
+    * the matryoshka discipline — scores through the native dot
+    * product, 1-NN on the (score DESC, vec_id) total order. Rows-only
+    * (float-tie surface) + planted-cluster and share-bounds specs. */
+  def knnLabelCheck(spark: SparkSession, dir: String, panelN: Int = 48)
+      : DataFrame = {
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x / sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D, (acc, y) -> acc + y * y)))")
+          .as("vn"))
+      .localCheckpoint()
+    val queries = graft.operators.Sampling.md5TopN(all, "vec_id", panelN)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("vn").as("qn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    all.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", dotProduct(col("vn"), col("qn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum((col("label") === col("q_label")).cast("long")).as("hits"))
+      .withColumn("agree_share",
+        round(col("hits").cast("double") / col("n_queries"), 4))
+      .select(col("label"), col("n_queries"), col("hits"),
+        col("agree_share"))
+      .orderBy(col("label"))
+  }
 }

@@ -1432,4 +1432,24 @@ object Streams {
           .write.format("parquet").mode("append").saveAsTable(outTable)
       }
       .start()
+
+  /** STREAMED SNAPSHOT COMMITS: every micro-batch lands as one atomic
+    * [[graft.sources.FormatIO.appendSnapshot]] version — the ingest
+    * sink that gives concurrent readers the snapshot guarantee (a
+    * reader pinned mid-batch sees the previous complete version, never
+    * a half-written directory) while keeping time travel per batch.
+    * foreachBatch is at-least-once on restart, same caveat as
+    * [[minhashAppendStream]]; replayed batches surface as extra
+    * versions, and the parity spec reads the LATEST version against a
+    * one-shot batch write. */
+  def snapshotAppendStream(spark: SparkSession, docs: DataFrame,
+      tablePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.FormatIO.appendSnapshot(spark, batch, tablePath)
+        ()
+      }
+      .start()
 }

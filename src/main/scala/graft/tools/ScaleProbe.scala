@@ -209,6 +209,9 @@ object ScaleProbe {
       ("q_compress_ratio", 1.0, (d, _) => graft.operators.TextAnalysis.compressProfile(spark, d)),
       ("q_matryoshka", 1.0, (d, _) => graft.operators.Similarity.matryoshkaRecall(spark, d)),
       ("q_mmr_select", 1.0, (d, _) => graft.operators.Similarity.mmrSelect(spark, d)),
+      ("q_dedup_savings", 1.0, (d, _) => graft.operators.Dedup.dedupSavings(spark, d)),
+      ("q_label_balance", 1.0, (d, _) => graft.operators.Embeddings.labelBalance(spark, d)),
+      ("q_knn_labelcheck", 1.0, (d, _) => graft.operators.Similarity.knnLabelCheck(spark, d)),
       // skew stress: a CONSTANT 300-copy boilerplate family planted
       // into the growing corpus — the hot band buckets (and their
       // quadratic pair mass) are the same at 1× and N×, so the probe

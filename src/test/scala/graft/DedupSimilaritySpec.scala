@@ -758,4 +758,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s"pair ${r.getLong(0)}/${r.getLong(1)}")
     }
   }
+
+  test("dedup savings: crafted copies attribute token mass to the " +
+    "contributing source; real-data figures recount from digests") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Dedup
+    val dirS = java.nio.file.Files.createTempDirectory("graft-sav").toString
+    // srcA contributes the original (id 1) and one copy (id 3, dropped);
+    // srcB contributes one unique doc and one copy of A's text (dropped)
+    Seq((1L, "alpha beta gamma", "srcA"), (2L, "delta", "srcB"),
+      (3L, "alpha  beta gamma ", "srcA"), (4L, "ALPHA beta gamma", "srcB"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dirS/documents.parquet")
+    val c = Dedup.dedupSavings(sp, dirS).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(c("srcA").getLong(1) == 2L && c("srcA").getLong(2) == 1L)
+    assert(c("srcA").getLong(3) == 6L && c("srcA").getLong(4) == 3L)
+    assert(c("srcA").getDouble(5) == 0.5,
+      "half of srcA's token mass is literal copies")
+    assert(c("srcB").getLong(2) == 1L && c("srcB").getLong(4) == 3L,
+      "the cross-source copy is attributed to the source that sent it")
+    // real data: recount from driver-side digests
+    val rows = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    val keep = rows.groupBy(_._3).map { case (h, xs) =>
+      h -> xs.map(_._1).min }
+    val res = Dedup.dedupSavings(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val mine = rows.filter(_._2 == r.getString(0))
+      val dropped = mine.filter(x => keep(x._3) != x._1)
+      assert(r.getLong(1) == mine.length.toLong)
+      assert(r.getLong(2) == dropped.length.toLong, s"${r.getString(0)} dups")
+      assert(r.getLong(3) == mine.map(_._4).sum)
+      assert(r.getLong(4) == dropped.map(_._4).sum)
+    }
+  }
 }

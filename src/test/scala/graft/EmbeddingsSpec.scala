@@ -152,4 +152,24 @@ class EmbeddingsSpec extends AnyFunSuite {
       rerun.map(r => (r.getLong(0), r.getLong(1))).toSeq,
       "selection is deterministic")
   }
+
+  test("label balance: counts recount, shares sum to 1, the majority " +
+    "class reads ratio 1.0") {
+    import graft.operators.Embeddings
+    val res = Embeddings.labelBalance(spark, sf).collect()
+    assert(res.nonEmpty)
+    val truth = graft.sources.Tables.embeddings(spark, sf)
+      .collect().map(_.getAs[Int]("label").toLong)
+      .groupBy(identity).map { case (l, xs) => l -> xs.length.toLong }
+    assert(res.map(r => r.getLong(0) -> r.getLong(1)).toMap == truth)
+    val total = truth.values.sum
+    res.foreach { r =>
+      assert(r.getLong(2) == total)
+      assert(math.abs(r.getDouble(3) - r.getLong(1).toDouble / total) < 1e-6)
+    }
+    assert(math.abs(res.map(_.getDouble(3)).sum - 1.0) < 1e-4,
+      "shares sum to 1 up to output rounding")
+    assert(res.map(_.getDouble(4)).max == 1.0,
+      "the majority class is its own reference")
+  }
 }

@@ -71,7 +71,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     // broadcast 1-row corpus-total scalar (the chi-square grand total)
     "q_keyness",
     // broadcast 1-row edge-count scalar (the cleared 4m^2 denominator)
-    "q_modularity")
+    "q_modularity",
+    // broadcast bounded md5 query panel against the corpus scan (the
+    // q_media_neighbors panel-kernel class)
+    "q_knn_labelcheck",
+    // broadcast 1-row (total, max) scalar for the imbalance ratios
+    "q_label_balance")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>

@@ -149,4 +149,37 @@ class PrototypicalitySpec extends AnyFunSuite {
     assert(a.map(_.getLong(0)).toSeq == (1L to a.length.toLong))
     assert(a.length == 8)
   }
+
+  test("knn label check: planted labeled clusters agree 1.0; real-data " +
+    "shares are valid and the panel mass adds up") {
+    val sp = spark
+    import sp.implicits._
+    // three orthogonal clusters, label = cluster: every 1-NN stays in
+    // cluster, so agreement is exactly 1.0 per label
+    val vecsDf = (0 until 9).map { i =>
+      val cluster = i % 3
+      val v = Array.tabulate(8) { d =>
+        if (d == cluster) 10.0 + (i / 3) else 0.01 * ((i * 7 + d) % 5) }
+      (i.toLong, v, cluster)
+    }.toDF("vec_id", "v", "label")
+    val dirK = java.nio.file.Files.createTempDirectory("graft-knn").toString
+    vecsDf.select(col("vec_id"),
+      col("v").cast("array<float>").as("embedding"), col("label"))
+      .write.parquet(s"$dirK/embeddings.parquet")
+    val planted = Similarity.knnLabelCheck(sp, dirK, panelN = 9).collect()
+    assert(planted.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
+    planted.foreach { r =>
+      assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+      assert(r.getDouble(3) == 1.0,
+        "orthogonal labeled clusters must 1-NN-agree perfectly")
+    }
+    // real data: shares bounded, hits <= queries, panel mass = panelN
+    val res = Similarity.knnLabelCheck(spark, sf).collect()
+    assert(res.nonEmpty)
+    assert(res.map(_.getLong(1)).sum == 48L, "one row of mass per panel query")
+    res.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
 }

@@ -1639,4 +1639,37 @@ class StreamingSpec extends AnyFunSuite {
         "same-corpus batches drift strictly between the extremes")
     }
   }
+
+  test("streaming snapshot commits: one atomic version per micro-batch, " +
+    "latest equals the batch union, pinned first version stays intact") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.sources.FormatIO
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-snapstream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-snapstream-ck").toString
+    val docs = graft.sources.Tables.documents(sp, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val chunks = docs.grouped(math.max(1, docs.length / 2 + 1)).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.snapshotAppendStream(sp,
+      input.toDF().toDF("doc_id", "text"), table, ckpt)
+    chunks.foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val versions = FormatIO.snapshotVersions(sp, table)
+    assert(versions.length == chunks.length,
+      "each micro-batch committed exactly one version")
+    assert(FormatIO.readSnapshot(sp, table).count() == docs.length.toLong,
+      "the latest version is the full streamed corpus")
+    assert(FormatIO.readSnapshot(sp, table, Some(versions.head))
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      chunks.head.map(_._1).sorted.toSeq,
+      "the pinned first version is exactly the first micro-batch")
+  }
 }
