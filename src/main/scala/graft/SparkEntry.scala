@@ -311,7 +311,9 @@ object SparkEntry {
     // corpus-economics + label audits
     "q_dedup_savings" -> ((s: SparkSession, d: String) => Dedup.dedupSavings(s, d)),
     "q_label_balance" -> ((s: SparkSession, d: String) => Embeddings.labelBalance(s, d)),
-    "q_knn_labelcheck" -> ((s: SparkSession, d: String) => Similarity.knnLabelCheck(s, d))
+    "q_knn_labelcheck" -> ((s: SparkSession, d: String) => Similarity.knnLabelCheck(s, d)),
+    // binned-mass drift (the chi-square companion of q_ks_drift)
+    "q_length_drift" -> ((s: SparkSession, d: String) => Quality.lengthDrift(s, d))
   )
 
   /** The unrolled INTEGER PageRank oracle for `q_pagerank_panel` —
@@ -3724,6 +3726,36 @@ object SparkEntry {
         |SELECT label, n, total,
         | round(CAST(n AS DOUBLE) / total, 6) AS share,
         | round(CAST(n AS DOUBLE) / n_max, 6) AS ratio_to_max
-        |FROM c, t ORDER BY label""".stripMargin
+        |FROM c, t ORDER BY label""".stripMargin,
+    // equi-width length bins off the (min,max) scalar - identical
+    // integer binning tree both engines, zeros materialized, per-cell
+    // cleared chi-square contribution
+    "q_length_drift" ->
+      """WITH d AS (
+        | SELECT source, CAST(n_chars AS BIGINT) AS n FROM documents),
+        |mm AS (SELECT CAST(min(n) AS BIGINT) AS lo,
+        |  CAST(max(n) AS BIGINT) AS hi,
+        |  CAST(count(*) AS BIGINT) AS n_all FROM d),
+        |b AS (SELECT source, ((n - lo) * 10) // (hi - lo + 1) AS bin
+        | FROM d, mm),
+        |obs AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS o
+        | FROM b GROUP BY 1, 2),
+        |bt AS (SELECT bin, CAST(count(*) AS BIGINT) AS b_t
+        | FROM b GROUP BY bin),
+        |st AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_s
+        | FROM obs GROUP BY source)
+        |SELECT st.source, bt.bin, COALESCE(obs.o, 0) AS o, st.n_s,
+        | bt.b_t, mm.n_all,
+        | CAST((COALESCE(obs.o, 0) * mm.n_all - st.n_s * bt.b_t)
+        |  * (COALESCE(obs.o, 0) * mm.n_all - st.n_s * bt.b_t)
+        |  AS BIGINT) AS gap_num,
+        | CAST(mm.n_all * st.n_s * bt.b_t AS BIGINT) AS gap_den,
+        | round(CAST((COALESCE(obs.o, 0) * mm.n_all - st.n_s * bt.b_t)
+        |  * (COALESCE(obs.o, 0) * mm.n_all - st.n_s * bt.b_t)
+        |  AS DOUBLE) / (mm.n_all * st.n_s * bt.b_t), 6) AS contrib
+        |FROM st CROSS JOIN bt
+        |LEFT JOIN obs ON obs.source = st.source AND obs.bin = bt.bin
+        |CROSS JOIN mm
+        |ORDER BY st.source, bt.bin""".stripMargin
   )
 }

@@ -603,4 +603,48 @@ object Quality {
         coalesce(col("n_cur"), lit(0L)).as("n_cur"),
         col("tv_num"), col("tv_den"), col("tv"))
   }
+
+  /** Per-source chi-square DRIFT over equi-width document-length
+    * bins — the binned-mass companion of [[ksDriftOn]]'s max-gap
+    * statistic (KS is sensitive to one sharp gap, the binned χ² to
+    * diffuse reweighting). SCALE-SAFE binning: bin = ((n − lo)·B) div
+    * (hi − lo + 1) off the broadcast 1-row (min, max, N) scalar —
+    * row-local integer arithmetic with an identical expression tree
+    * in both engines, never a global ntile sort. Per (source, bin)
+    * cell with ZEROS materialized from the broadcast ≤B-row bin
+    * dimension (the t-closeness grid class): gap_num =
+    * (o·N − n_s·b_t)² and gap_den = N·n_s·b_t stay BIGINT to one
+    * closing division per CELL — no cross-bin double summation whose
+    * order could wobble. Headroom documented: o·N < 2^31.5 ⇒ exact to
+    * ~50k docs per corpus partition of interest; swap the squaring to
+    * DECIMAL(38,0) beyond. Closure laws (spec): Σo over bins = n_s,
+    * Σb_t = N. */
+  def lengthDrift(spark: SparkSession, dir: String, nBins: Int = 10)
+      : DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").cast("long").as("n"))
+    val mm = d.agg(min(col("n")).as("lo"), max(col("n")).as("hi"),
+      count(lit(1)).as("n_all"))
+    val binned = d.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        expr(s"((n - lo) * ${nBins}L) div (hi - lo + 1L)"))
+    val obs = binned.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("o"))
+    val binTot = binned.groupBy(col("bin")).agg(count(lit(1)).as("b_t"))
+    val srcTot = obs.groupBy(col("source")).agg(sum(col("o")).as("n_s"))
+    srcTot.crossJoin(broadcast(binTot))
+      .join(obs, Seq("source", "bin"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(mm.select(col("n_all"))))
+      .withColumn("gap_num",
+        (col("o") * col("n_all") - col("n_s") * col("b_t")) *
+          (col("o") * col("n_all") - col("n_s") * col("b_t")))
+      .withColumn("gap_den", col("n_all") * col("n_s") * col("b_t"))
+      .withColumn("contrib",
+        round(col("gap_num").cast("double") / col("gap_den"), 6))
+      .select(col("source"), col("bin"), col("o"), col("n_s"),
+        col("b_t"), col("n_all"), col("gap_num"), col("gap_den"),
+        col("contrib"))
+      .orderBy(col("source"), col("bin"))
+  }
 }

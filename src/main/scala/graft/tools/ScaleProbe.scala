@@ -212,6 +212,7 @@ object ScaleProbe {
       ("q_dedup_savings", 1.0, (d, _) => graft.operators.Dedup.dedupSavings(spark, d)),
       ("q_label_balance", 1.0, (d, _) => graft.operators.Embeddings.labelBalance(spark, d)),
       ("q_knn_labelcheck", 1.0, (d, _) => graft.operators.Similarity.knnLabelCheck(spark, d)),
+      ("q_length_drift", 1.0, (d, _) => graft.operators.Quality.lengthDrift(spark, d)),
       // skew stress: a CONSTANT 300-copy boilerplate family planted
       // into the growing corpus — the hot band buckets (and their
       // quadratic pair mass) are the same at 1× and N×, so the probe

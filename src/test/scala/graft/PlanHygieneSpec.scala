@@ -76,7 +76,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // q_media_neighbors panel-kernel class)
     "q_knn_labelcheck",
     // broadcast 1-row (total, max) scalar for the imbalance ratios
-    "q_label_balance")
+    "q_label_balance",
+    // broadcast 1-row (min,max,N) scalar + dense <=10-row bin dimension
+    // (the t-closeness grid class)
+    "q_length_drift")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>

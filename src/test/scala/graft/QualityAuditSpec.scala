@@ -220,4 +220,69 @@ class QualityAuditSpec extends AnyFunSuite {
     assert(rm.getLong(2) == 6L && rm.getLong(3) == 12L
       && rm.getDouble(4) == 0.5)
   }
+
+  test("length drift: disjoint-length sources score hand-computed " +
+    "contributions, identical sources score zero everywhere; real-data " +
+    "cells recount and the closure laws hold") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Quality
+    val dirL = java.nio.file.Files.createTempDirectory("graft-ldr").toString
+    // sA: two short docs (1 char), sB: two long docs (100 chars):
+    // lo=1, hi=100, span 100 -> bins 0 and 9; every cell is maximally
+    // drifted: o*N - n_s*b_t = +-4 in each populated/empty cell
+    Seq((1L, "x", "sA"), (2L, "y", "sA"),
+      (3L, "z" * 100, "sB"), (4L, "w" * 100, "sB"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dirL/documents.parquet")
+    val c = Quality.lengthDrift(sp, dirL).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(c.size == 4, "2 sources x 2 populated bins, zeros included")
+    val a0 = c(("sA", 0L))
+    assert(a0.getLong(2) == 2L && a0.getLong(3) == 2L &&
+      a0.getLong(4) == 2L && a0.getLong(5) == 4L)
+    assert(a0.getLong(6) == 16L && a0.getLong(7) == 16L &&
+      a0.getDouble(8) == 1.0, "o*N - n_s*b_t = 8-4 = 4, squared over 16")
+    val a9 = c(("sA", 9L))
+    assert(a9.getLong(2) == 0L && a9.getLong(6) == 16L &&
+      a9.getDouble(8) == 1.0, "the empty cell drifts just as hard")
+    // identical length profiles -> zero drift in every cell
+    val dirE = java.nio.file.Files.createTempDirectory("graft-ldr0").toString
+    Seq((1L, "aa", "s1"), (2L, "bbbb", "s1"),
+      (3L, "cc", "s2"), (4L, "dddd", "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dirE/documents.parquet")
+    assert(Quality.lengthDrift(sp, dirE).collect()
+      .forall(r => r.getLong(6) == 0L && r.getDouble(8) == 0.0),
+      "identical per-source length profiles must read zero drift")
+    // real data: recount every cell driver-side; closure laws
+    val rows = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (lo, hi, nAll) = (rows.map(_._2).min, rows.map(_._2).max,
+      rows.length.toLong)
+    def binOf(n: Long) = (n - lo) * 10L / (hi - lo + 1L)
+    val res = Quality.lengthDrift(spark, sf).collect()
+    assert(res.nonEmpty)
+    val srcTot = rows.groupBy(_._1).map { case (s2, xs) =>
+      s2 -> xs.length.toLong }
+    val binTot = rows.groupBy(x => binOf(x._2)).map { case (b, xs) =>
+      b -> xs.length.toLong }
+    assert(res.map(_.getLong(4)).toSet.subsetOf(binTot.values.toSet))
+    res.groupBy(_.getString(0)).foreach { case (s2, cells) =>
+      assert(cells.map(_.getLong(2)).sum == srcTot(s2),
+        s"$s2 observed mass")
+    }
+    res.foreach { r =>
+      val o = rows.count(x => x._1 == r.getString(0) &&
+        binOf(x._2) == r.getLong(1)).toLong
+      assert(r.getLong(2) == o, s"cell ${r.getString(0)}/${r.getLong(1)}")
+      val gap = o * nAll - srcTot(r.getString(0)) * binTot(r.getLong(1))
+      assert(r.getLong(6) == gap * gap)
+      assert(r.getLong(7) == nAll * srcTot(r.getString(0)) *
+        binTot(r.getLong(1)))
+    }
+  }
 }
