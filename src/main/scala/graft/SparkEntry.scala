@@ -3384,7 +3384,8 @@ object SparkEntry {
         | AND c.b = substr(md5(CAST(js.j AS VARCHAR) || ':' || t.tok), 1, 2)
         |GROUP BY t.tok, t.true_n
         |ORDER BY true_n DESC, tok""".stripMargin,
-    // Church-Gale burstiness: cleared var/mean, BIGINT numerators
+    // Church-Gale burstiness: cleared var/mean, HUGEINT-exact
+    // numerator (DECIMAL(38,0) on the Spark side), fixed double tree
     "q_token_burstiness" ->
       """WITH tf AS (
         | SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
@@ -3395,16 +3396,15 @@ object SparkEntry {
         |m AS (
         | SELECT tok, CAST(count(*) AS BIGINT) AS df,
         |  CAST(sum(tf) AS BIGINT) AS tf_total,
-        |  CAST(sum(tf * tf) AS BIGINT) AS tf_sq
+        |  sum(CAST(tf AS HUGEINT) * tf) AS tf_sq
         | FROM tf GROUP BY tok HAVING count(*) >= 5),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents)
         |SELECT tok, df, tf_total,
-        | CAST(n_corpus * tf_sq - tf_total * tf_total AS BIGINT)
-        |   AS burst_num,
-        | CAST(n_corpus * tf_total AS BIGINT) AS burst_den,
-        | CASE WHEN n_corpus * tf_total > 0 THEN
-        |  round(CAST(n_corpus * tf_sq - tf_total * tf_total AS DOUBLE) /
-        |   (n_corpus * tf_total), 6) END AS burstiness
+        | CASE WHEN tf_total > 0 THEN
+        |  round(CAST(n_corpus * tf_sq
+        |    - CAST(tf_total AS HUGEINT) * tf_total AS DOUBLE) /
+        |   (CAST(n_corpus AS DOUBLE) * CAST(tf_total AS DOUBLE)), 6)
+        | END AS burstiness
         |FROM m CROSS JOIN n
         |ORDER BY burstiness DESC, tok LIMIT 40""".stripMargin,
     // n-gram novelty: first-carrier share per doc, same gram stream
@@ -3459,10 +3459,9 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n_st = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
         | FROM st GROUP BY source)
         |SELECT source, vocab, f1, f2,
-        | CAST(f1 * (f1 - 1) AS BIGINT) AS chao_num,
-        | CAST(2 * (f2 + 1) AS BIGINT) AS chao_den,
         | round(CAST(vocab AS DOUBLE) +
-        |   CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1)), 6) AS chao1
+        |   CAST(CAST(f1 AS HUGEINT) * (f1 - 1) AS DOUBLE)
+        |   / CAST(2 * (f2 + 1) AS DOUBLE), 6) AS chao1
         |FROM m ORDER BY source""".stripMargin,
     // pairwise vocabulary Jaccard, integer inter/union
     "q_vocab_overlap" ->
@@ -3485,24 +3484,26 @@ object SparkEntry {
         |FROM i JOIN sz sa ON sa.source = i.source_a
         |JOIN sz sb ON sb.source = i.source_b
         |ORDER BY i.source_a, i.source_b""".stripMargin,
-    // Gini-Simpson + inverse-Simpson, integer num/den
+    // Gini-Simpson + inverse-Simpson: HUGEINT-exact moments
+    // (DECIMAL(38,0) on the Spark side), fixed double trees
     "q_simpson_diversity" ->
       """WITH st AS (
         | SELECT source, tok, CAST(count(*) AS BIGINT) AS c
         | FROM (SELECT source,
         |   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
         |  FROM documents)
-        | GROUP BY 1, 2)
-        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
-        | CAST(sum(c) AS BIGINT) AS tokens,
-        | CAST(sum(c * c) AS BIGINT) AS s2,
-        | CAST(sum(c) * sum(c) - sum(c * c) AS BIGINT) AS gs_num,
-        | CAST(sum(c) * sum(c) AS BIGINT) AS gs_den,
-        | round(CAST(sum(c) * sum(c) - sum(c * c) AS DOUBLE)
-        |   / (sum(c) * sum(c)), 6) AS simpson,
-        | round(CAST(sum(c) * sum(c) AS DOUBLE) / sum(c * c), 6)
-        |   AS eff_vocab
-        |FROM st GROUP BY source ORDER BY source""".stripMargin,
+        | GROUP BY 1, 2),
+        |m AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(c) AS BIGINT) AS tokens,
+        |  sum(CAST(c AS HUGEINT) * c) AS s2,
+        |  CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS BIGINT) AS t2
+        | FROM st GROUP BY source)
+        |SELECT source, vocab, tokens,
+        | round(CAST(t2 - s2 AS DOUBLE) / CAST(t2 AS DOUBLE), 6)
+        |   AS simpson,
+        | round(CAST(t2 AS DOUBLE) / CAST(s2 AS DOUBLE), 6) AS eff_vocab
+        |FROM m ORDER BY source""".stripMargin,
     // pairwise total-variation distance, inclusion-exclusion union
     "q_unigram_tv_drift" ->
       """WITH st AS (
@@ -3729,33 +3730,35 @@ object SparkEntry {
         |FROM c, t ORDER BY label""".stripMargin,
     // equi-width length bins off the (min,max) scalar - identical
     // integer binning tree both engines, zeros materialized, per-cell
-    // cleared chi-square contribution
+    // chi-square contribution. The gap forms EXACTLY (HUGEINT here,
+    // DECIMAL(38,0) on the Spark side) and the contribution closes in
+    // DOUBLE over the identical fixed tree: cast(gap), gap*gap,
+    // /(n_all*n_s*b_t) - every step correctly rounded IEEE, so the
+    // engines are bit-equal at any corpus size (no BIGINT ceiling).
     "q_length_drift" ->
       """WITH d AS (
         | SELECT source, CAST(n_chars AS BIGINT) AS n FROM documents),
         |mm AS (SELECT CAST(min(n) AS BIGINT) AS lo,
         |  CAST(max(n) AS BIGINT) AS hi,
         |  CAST(count(*) AS BIGINT) AS n_all FROM d),
-        |b AS (SELECT source, ((n - lo) * 10) // (hi - lo + 1) AS bin
-        | FROM d, mm),
-        |obs AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS o
-        | FROM b GROUP BY 1, 2),
-        |bt AS (SELECT bin, CAST(count(*) AS BIGINT) AS b_t
-        | FROM b GROUP BY bin),
+        |obs AS (SELECT source, ((n - lo) * 10) // (hi - lo + 1) AS bin,
+        |  CAST(count(*) AS BIGINT) AS o
+        | FROM d, mm GROUP BY 1, 2),
+        |bt AS (SELECT bin, CAST(sum(o) AS BIGINT) AS b_t
+        | FROM obs GROUP BY bin),
         |st AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_s
-        | FROM obs GROUP BY source)
-        |SELECT st.source, bt.bin, COALESCE(obs.o, 0) AS o, st.n_s,
-        | bt.b_t, mm.n_all,
-        | CAST((COALESCE(obs.o, 0) * mm.n_all - st.n_s * bt.b_t)
-        |  * (COALESCE(obs.o, 0) * mm.n_all - st.n_s * bt.b_t)
-        |  AS BIGINT) AS gap_num,
-        | CAST(mm.n_all * st.n_s * bt.b_t AS BIGINT) AS gap_den,
-        | round(CAST((COALESCE(obs.o, 0) * mm.n_all - st.n_s * bt.b_t)
-        |  * (COALESCE(obs.o, 0) * mm.n_all - st.n_s * bt.b_t)
-        |  AS DOUBLE) / (mm.n_all * st.n_s * bt.b_t), 6) AS contrib
-        |FROM st CROSS JOIN bt
-        |LEFT JOIN obs ON obs.source = st.source AND obs.bin = bt.bin
-        |CROSS JOIN mm
-        |ORDER BY st.source, bt.bin""".stripMargin
+        | FROM obs GROUP BY source),
+        |g AS (
+        | SELECT st.source, bt.bin, COALESCE(obs.o, 0) AS o, st.n_s,
+        |  bt.b_t, mm.n_all,
+        |  CAST(CAST(COALESCE(obs.o, 0) AS HUGEINT) * mm.n_all
+        |   - CAST(st.n_s AS HUGEINT) * bt.b_t AS DOUBLE) AS gap_d
+        | FROM st CROSS JOIN bt
+        | LEFT JOIN obs ON obs.source = st.source AND obs.bin = bt.bin
+        | CROSS JOIN mm)
+        |SELECT source, bin, o, n_s, b_t, n_all,
+        | round((gap_d * gap_d) / (CAST(n_all AS DOUBLE)
+        |  * CAST(n_s AS DOUBLE) * CAST(b_t AS DOUBLE)), 6) AS contrib
+        |FROM g ORDER BY source, bin""".stripMargin
   )
 }

@@ -827,8 +827,14 @@ object Dedup {
       .saveAsTable(s"${name}_df")
     spark.catalog.refreshTable(s"${name}_df") // see FormatIO.appendBucketed
     // batch prefixes order by the merged df AS OF this append — any
-    // order is recall-lossless (subset-choice freedom, see build)
+    // order is recall-lossless (subset-choice freedom, see build). The
+    // merge aggregation sits ABOVE a semi-join on the batch's own token
+    // set (every batch token is present: its segment appended just
+    // above), exactly as probeContainmentIndex reads df — per-wave df
+    // cost is O(batch vocabulary), never O(corpus vocabulary).
+    val batchToks = sets.select(explode(col("st")).as("tok")).distinct()
     val mergedDf = spark.table(s"${name}_df")
+      .join(batchToks, Seq("tok"), "left_semi")
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
     graft.sources.FormatIO.appendBucketed(spark,
       orderedPrefixes(sets, mergedDf,
@@ -1383,6 +1389,39 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Linkage-audit staging cache — the τ=1 customer-name edit-join
+    * pair relation, staged ONCE per (SparkContext, corpus dir) and
+    * shared by the three consumers that audit the same graph
+    * ([[fsLinkage]], [[graft.operators.Graph.linkageModularity]],
+    * [[graft.operators.Graph.linkageAssortativity]]): candidate
+    * generation is the dominant cost of all three, so recomputing it
+    * per query paid 3× for one relation. Same amortization contract
+    * as `Graph.dcAdjCache` / `Pipeline.incStageCache`: UUID-fresh
+    * table names keyed by applicationId so a new context never
+    * collides with an orphaned warehouse dir; a corpus change under
+    * the same dir needs a context restart. */
+  private val editPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** The staged τ=1 (key_a, key_b, edit_distance) customer-name pair
+    * relation for `dir` — builds via [[editJoin]] on first use, then
+    * reads the persisted table. */
+  def stagedNameEditPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = editPairsCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir), _ => {
+        val name = "graft_edit_pairs_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        editJoin(
+          Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name", Nil, tau = 1)
+          .write.format("parquet")
+          .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+          .saveAsTable(name)
+        name
+      })
+    spark.table(t)
+  }
+
   /** FELLEGI–SUNTER probabilistic record-linkage scoring (Fellegi &
     * Sunter 1969) over the lossless deletion-blocked candidate pairs —
     * the decision layer the edit join feeds: each compared field
@@ -1397,15 +1436,13 @@ object Dedup {
     * 1), nation, market segment, and the 1000-currency-unit account
     * bucket (milli-unit money + a positive offset so truncating and
     * flooring division agree for negative balances). Candidates come
-    * from [[editJoin]] (SymSpell deletion blocking, candidate mass ~
-    * true pair mass); attribute attach is two candidate-sized
-    * equi-joins. */
+    * from [[stagedNameEditPairs]] (SymSpell deletion blocking staged
+    * once per session, candidate mass ~ true pair mass); attribute
+    * attach is two candidate-sized equi-joins. */
   def fsLinkage(spark: SparkSession, dir: String, threshold: Long = 100L)
       : DataFrame = {
     val cust = Tables.customer(spark, dir)
-    val pairs = editJoin(
-      cust.select(col("c_custkey"), col("c_name")),
-      "c_custkey", "c_name", Nil, tau = 1)
+    val pairs = stagedNameEditPairs(spark, dir)
     val attrs = cust.select(col("c_custkey"),
       col("c_nationkey").cast("long").as("nat"),
       col("c_mktsegment").as("seg"),

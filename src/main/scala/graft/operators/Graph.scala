@@ -577,9 +577,9 @@ object Graph {
     val cust = graft.sources.Tables.customer(spark, dir)
     val nat = cust.select(col("c_custkey"), col("c_nationkey").cast("long")
       .as("nation"))
-    val edges = Dedup.editJoin(
-      cust.select(col("c_custkey"), col("c_name")),
-      "c_custkey", "c_name", Nil, tau = 1)
+    // candidate generation staged once per session and shared with
+    // fsLinkage / linkageAssortativity (it dominates all three)
+    val edges = Dedup.stagedNameEditPairs(spark, dir)
       .select(col("key_a"), col("key_b"))
       .join(nat.toDF("key_a", "nat_a"), Seq("key_a"))
       .join(nat.toDF("key_b", "nat_b"), Seq("key_b"))
@@ -618,12 +618,9 @@ object Graph {
     * degenerate (every endpoint the same degree) surfaces NULL. */
   def linkageAssortativity(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
-    val cust = graft.sources.Tables.customer(spark, dir)
-    val edges = Dedup.editJoin(
-      cust.select(col("c_custkey"), col("c_name")),
-      "c_custkey", "c_name", Nil, tau = 1)
+    // staged once per session, shared with fsLinkage / linkageModularity
+    val edges = Dedup.stagedNameEditPairs(spark, dir)
       .select(col("key_a"), col("key_b"))
-      .localCheckpoint()
     val degs = edges.select(col("key_a").as("k"))
       .unionAll(edges.select(col("key_b").as("k")))
       .groupBy(col("k")).agg(count(lit(1)).as("deg"))

@@ -612,39 +612,53 @@ object Quality {
     * row-local integer arithmetic with an identical expression tree
     * in both engines, never a global ntile sort. Per (source, bin)
     * cell with ZEROS materialized from the broadcast ≤B-row bin
-    * dimension (the t-closeness grid class): gap_num =
-    * (o·N − n_s·b_t)² and gap_den = N·n_s·b_t stay BIGINT to one
-    * closing division per CELL — no cross-bin double summation whose
-    * order could wobble. Headroom documented: o·N < 2^31.5 ⇒ exact to
-    * ~50k docs per corpus partition of interest; swap the squaring to
-    * DECIMAL(38,0) beyond. Closure laws (spec): Σo over bins = n_s,
-    * Σb_t = N. */
+    * dimension (the t-closeness grid class); bin totals derive from
+    * `obs` (one documents scan feeds the whole statistic). The cell
+    * gap o·N − n_s·b_t forms in DECIMAL(38,0) — exact at any corpus
+    * size (|gap| ≤ N² needs N > 10¹⁹ to overflow 38 digits) — and the
+    * χ² contribution closes per CELL as (gap·gap)/(N·n_s·b_t) in
+    * DOUBLE: every step of that fixed tree (decimal→double cast, two
+    * products, one division) is correctly rounded IEEE, so DuckDB
+    * evaluating the identical tree is bit-equal. No cross-bin double
+    * summation whose order could wobble. Closure laws (spec): Σo over
+    * bins = n_s, Σb_t = N; the DECIMAL path is exercised by a crafted
+    * beyond-BIGINT cell grid in ScaleStrategySpec via [[chiCells]]. */
   def lengthDrift(spark: SparkSession, dir: String, nBins: Int = 10)
       : DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("source"), col("n_chars").cast("long").as("n"))
     val mm = d.agg(min(col("n")).as("lo"), max(col("n")).as("hi"),
       count(lit(1)).as("n_all"))
-    val binned = d.crossJoin(broadcast(mm))
+    val obs = d.crossJoin(broadcast(mm))
       .withColumn("bin",
         expr(s"((n - lo) * ${nBins}L) div (hi - lo + 1L)"))
-    val obs = binned.groupBy(col("source"), col("bin"))
+      .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("o"))
-    val binTot = binned.groupBy(col("bin")).agg(count(lit(1)).as("b_t"))
+    val binTot = obs.groupBy(col("bin")).agg(sum(col("o")).as("b_t"))
     val srcTot = obs.groupBy(col("source")).agg(sum(col("o")).as("n_s"))
-    srcTot.crossJoin(broadcast(binTot))
+    chiCells(srcTot.crossJoin(broadcast(binTot))
       .join(obs, Seq("source", "bin"), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
-      .crossJoin(broadcast(mm.select(col("n_all"))))
-      .withColumn("gap_num",
-        (col("o") * col("n_all") - col("n_s") * col("b_t")) *
-          (col("o") * col("n_all") - col("n_s") * col("b_t")))
-      .withColumn("gap_den", col("n_all") * col("n_s") * col("b_t"))
-      .withColumn("contrib",
-        round(col("gap_num").cast("double") / col("gap_den"), 6))
-      .select(col("source"), col("bin"), col("o"), col("n_s"),
-        col("b_t"), col("n_all"), col("gap_num"), col("gap_den"),
-        col("contrib"))
+      .crossJoin(broadcast(mm.select(col("n_all")))))
       .orderBy(col("source"), col("bin"))
   }
+
+  /** Append the per-cell χ² contribution to a (source, bin, o, n_s,
+    * b_t, n_all) grid — the arithmetic kernel of [[lengthDrift]],
+    * factored out so a crafted beyond-BIGINT grid can exercise the
+    * DECIMAL(38,0) gap formation directly (counts near 2^62 would
+    * throw under ANSI BIGINT; here they are exact). Output carries no
+    * decimal column — only the BIGINT grid plus the double `contrib`
+    * — so the oracle boundary stays engine-neutral. */
+  private[graft] def chiCells(grid: DataFrame): DataFrame =
+    grid
+      .withColumn("gap",
+        col("o").cast("decimal(38,0)") * col("n_all") -
+          col("n_s").cast("decimal(38,0)") * col("b_t"))
+      .withColumn("contrib",
+        round((col("gap").cast("double") * col("gap").cast("double")) /
+          (col("n_all").cast("double") * col("n_s").cast("double") *
+            col("b_t").cast("double")), 6))
+      .select(col("source"), col("bin"), col("o"), col("n_s"),
+        col("b_t"), col("n_all"), col("contrib"))
 }

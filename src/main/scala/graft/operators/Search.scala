@@ -217,11 +217,17 @@ object Search {
   }
 
   /** The 1-row merged corpus stats (n_docs, avgdl) from the
-    * log-structured `_stats` segments. */
+    * log-structured `_stats` segments. A fully-tombstoned index sums
+    * to zero live docs; the guard keeps avgdl NULL instead of the
+    * 0/0 NaN that would otherwise ride into any probe arithmetic
+    * (probes of such an index already return empty — livePostings
+    * anti-joins the tombstones — but the stats row itself must stay
+    * NaN-free for callers that read it directly). */
   private def mergedStats(spark: SparkSession, name: String): DataFrame =
     spark.table(s"${name}_stats")
       .agg(sum(col("n_docs")).cast("double").as("n_docs"),
-        (sum(col("sum_dl")) / sum(col("n_docs")).cast("double")).as("avgdl"))
+        when(sum(col("n_docs")) > 0L,
+          sum(col("sum_dl")) / sum(col("n_docs")).cast("double")).as("avgdl"))
 
   /** DELTA APPEND a batch of new documents (`doc_id`, `text`) into the
     * persisted BM25 index — same maintenance contract as

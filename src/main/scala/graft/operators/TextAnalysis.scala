@@ -1390,10 +1390,14 @@ object TextAnalysis {
     * function words spread evenly at the same total count; the
     * signal term-weighting and topic-shift screens key on. Cleared of
     * both /N denominators so everything before the closing division
-    * is BIGINT: burst_num = N·Σtf² − T², burst_den = N·T (ratio =
-    * var/mean over all N docs, zeros included). One (doc, token)
-    * count, one token-keyed moment aggregate, a broadcast 1-row N;
-    * top-K on the (rounded ratio DESC, tok) total order. */
+    * is EXACT: the variance numerator N·Σtf² − T² forms in
+    * DECIMAL(38,0) (HUGEINT on the oracle side — exact to N·Σtf² <
+    * 10³⁸, i.e. any realistic corpus), the ratio closes in a fixed
+    * double tree over those exact operands (ratio = var/mean over all
+    * N docs, zeros included). One (doc, token) count, one token-keyed
+    * moment aggregate, a broadcast 1-row N; top-K on the (rounded
+    * ratio DESC, tok) total order; only linear-magnitude columns
+    * cross the output boundary. */
   def tokenBurstiness(spark: SparkSession, dir: String, minDf: Int = 5,
       topK: Int = 40): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -1402,17 +1406,17 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
-        sum(col("tf") * col("tf")).as("tf_sq"))
+        sum(col("tf").cast("decimal(38,0)") * col("tf")).as("tf_sq"))
       .filter(col("df") >= minDf)
       .crossJoin(broadcast(nDocs))
-      .withColumn("burst_num",
-        col("n_corpus") * col("tf_sq") - col("tf_total") * col("tf_total"))
-      .withColumn("burst_den", col("n_corpus") * col("tf_total"))
       .withColumn("burstiness",
-        when(col("burst_den") > 0L,
-          round(col("burst_num").cast("double") / col("burst_den"), 6)))
-      .select(col("tok"), col("df"), col("tf_total"), col("burst_num"),
-        col("burst_den"), col("burstiness"))
+        when(col("tf_total") > 0L,
+          round((col("n_corpus") * col("tf_sq") -
+            col("tf_total").cast("decimal(38,0)") * col("tf_total"))
+            .cast("double") /
+            (col("n_corpus").cast("double") *
+              col("tf_total").cast("double")), 6)))
+      .select(col("tok"), col("df"), col("tf_total"), col("burstiness"))
       .orderBy(col("burstiness").desc, col("tok")).limit(topK)
   }
 
@@ -1452,10 +1456,13 @@ object TextAnalysis {
     * vocabulary haven't we crawled yet" audit: bias-corrected
     * chao1 = V + f1·(f1−1) / (2·(f2+1)) from the singleton/doubleton
     * counts of the source-local token frequencies (defined even when
-    * f2 = 0). The correction term rides as cleared BIGINT num/den with
-    * one closing division; chao1 ≥ vocab by construction (spec law).
-    * One (source, token) count + one source-keyed re-aggregate — the
-    * hapax shuffle shape, result bounded by the source cardinality. */
+    * f2 = 0). The correction numerator f1·(f1−1) forms in
+    * DECIMAL(38,0) (HUGEINT oracle-side) — exact for any singleton
+    * count, where BIGINT capped out near 3·10⁹ hapax types — and the
+    * estimate closes in a fixed double tree; chao1 ≥ vocab by
+    * construction (spec law). One (source, token) count + one
+    * source-keyed re-aggregate — the hapax shuffle shape, result
+    * bounded by the source cardinality. */
   def chao1Richness(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("source"), explode(tokensCol).as("tok"))
@@ -1464,11 +1471,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("vocab"),
         sum(when(col("n_st") === 1L, 1L).otherwise(0L)).as("f1"),
         sum(when(col("n_st") === 2L, 1L).otherwise(0L)).as("f2"))
-      .withColumn("chao_num", col("f1") * (col("f1") - 1L))
-      .withColumn("chao_den", lit(2L) * (col("f2") + 1L))
       .withColumn("chao1",
         round(col("vocab").cast("double") +
-          col("chao_num").cast("double") / col("chao_den"), 6))
+          (col("f1").cast("decimal(38,0)") * (col("f1") - 1L))
+            .cast("double") /
+          (lit(2L) * (col("f2") + 1L)).cast("double"), 6))
       .orderBy(col("source"))
 
   /** Cross-source VOCABULARY OVERLAP: exact Jaccard of the token
@@ -1528,27 +1535,30 @@ object TextAnalysis {
     * types that would produce the same concentration — the
     * ecology-standard pair of concentration readings, and unlike
     * Shannon entropy both are RATIONAL in the counts, so they ride
-    * the exact oracle: gs_num = T² − Σc², gs_den = T², one closing
-    * division each). One (source, token) count + one source-keyed
-    * moment re-aggregate — the hapax shuffle shape, result bounded by
-    * the source cardinality. BIGINT headroom: T² exact while each
-    * source holds < 3·10⁹ tokens; beyond that swap the two squarings
-    * to DECIMAL(38,0) — same plan shape. */
+    * the exact oracle: (T² − Σc²)/T² and T²/Σc², each one closing
+    * division over EXACT integer moments). One (source, token) count
+    * + one source-keyed moment re-aggregate — the hapax shuffle
+    * shape, result bounded by the source cardinality. Σc² and T²
+    * form in DECIMAL(38,0) (HUGEINT on the oracle side) — exact at
+    * any corpus size (overflow needs T > 10¹⁹ tokens per source) —
+    * and only linear-magnitude columns cross the output boundary;
+    * the two readings close in a fixed, correctly-rounded double
+    * tree identical in both engines. */
   def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("source"), explode(tokensCol).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("vocab"), sum(col("c")).as("tokens"),
-        sum(col("c") * col("c")).as("s2"))
-      .withColumn("gs_num", col("tokens") * col("tokens") - col("s2"))
-      .withColumn("gs_den", col("tokens") * col("tokens"))
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
+      .withColumn("t2", col("tokens").cast("decimal(38,0)") * col("tokens"))
       .withColumn("simpson",
-        round(col("gs_num").cast("double") / col("gs_den"), 6))
+        round((col("t2") - col("s2")).cast("double") /
+          col("t2").cast("double"), 6))
       .withColumn("eff_vocab",
-        round(col("gs_den").cast("double") / col("s2"), 6))
-      .select(col("source"), col("vocab"), col("tokens"), col("s2"),
-        col("gs_num"), col("gs_den"), col("simpson"), col("eff_vocab"))
+        round(col("t2").cast("double") / col("s2").cast("double"), 6))
+      .select(col("source"), col("vocab"), col("tokens"),
+        col("simpson"), col("eff_vocab"))
       .orderBy(col("source"))
 
   /** Per-source chi-square KEYNESS: the topK tokens most

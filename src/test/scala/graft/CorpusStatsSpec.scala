@@ -141,10 +141,11 @@ class CorpusStatsSpec extends AnyFunSuite {
     val res = TextAnalysis.tokenBurstiness(spark, sf).collect()
     assert(res.nonEmpty && res.length <= 40)
     // total order on (rounded ratio DESC, tok)
-    val keys = res.map(r => (-r.getDouble(5), r.getString(0)))
+    val keys = res.map(r => (-r.getDouble(3), r.getString(0)))
     assert(keys.zip(keys.tail).forall { case (a, b) =>
       a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2) })
-    // driver recount from the raw token stream
+    // driver recount from the raw token stream — the ratio re-derives
+    // over the operator's declared fixed double tree
     val tfs = Tables.documents(spark, sf)
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
@@ -154,10 +155,12 @@ class CorpusStatsSpec extends AnyFunSuite {
     res.foreach { r =>
       val perDoc = byTok(r.getString(0)).groupBy(_._1).map(_._2.length.toLong)
       assert(r.getLong(1) == perDoc.size.toLong)
-      val t = perDoc.sum; val sq = perDoc.map(x => x * x).sum
+      val t = perDoc.sum; val sq = perDoc.map(x => BigInt(x) * x).sum
       assert(r.getLong(2) == t)
-      assert(r.getLong(3) == n * sq - t * t, s"${r.getString(0)} num")
-      assert(r.getLong(4) == n * t)
+      val numD = (BigInt(n) * sq - BigInt(t) * t).toDouble
+      val exp = BigDecimal(numD / (n.toDouble * t.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == exp, s"${r.getString(0)} ratio")
     }
     // synthetic law: same total mass, different concentration
     val sp = spark
@@ -268,8 +271,11 @@ class CorpusStatsSpec extends AnyFunSuite {
         (freqs.size.toLong, freqs.count(_ == 1L).toLong, freqs.count(_ == 2L).toLong)
       assert(r.getLong(1) == v && r.getLong(2) == f1 && r.getLong(3) == f2,
         s"${r.getString(0)} recount")
-      assert(r.getLong(4) == f1 * (f1 - 1) && r.getLong(5) == 2 * (f2 + 1))
-      assert(r.getDouble(6) >= v.toDouble, "chao1 must dominate vocab")
+      val exp = BigDecimal(v.toDouble +
+        (BigInt(f1) * (f1 - 1)).toDouble / (2.0 * (f2 + 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == exp && r.getDouble(4) >= v.toDouble,
+        "chao1 re-derives and dominates vocab")
     }
     // all-unique source: f1=V, f2=0 -> chao1 = V + V(V-1)/2
     val dirU = java.nio.file.Files.createTempDirectory("graft-chao").toString
@@ -277,7 +283,7 @@ class CorpusStatsSpec extends AnyFunSuite {
       .write.parquet(s"$dirU/documents.parquet")
     val u = TextAnalysis.chao1Richness(sp, dirU).collect().head
     assert(u.getLong(1) == 4L && u.getLong(2) == 4L && u.getLong(3) == 0L)
-    assert(u.getDouble(6) == 4.0 + 4.0 * 3.0 / 2.0)
+    assert(u.getDouble(4) == 4.0 + 4.0 * 3.0 / 2.0)
   }
 
   test("vocab overlap: pairwise Jaccard recounts from driver-side " +
@@ -319,12 +325,12 @@ class CorpusStatsSpec extends AnyFunSuite {
     val c = TextAnalysis.simpsonDiversity(sp, dirS).collect()
       .map(r => r.getString(0) -> r).toMap
     // s1: V=1 T=4 S2=16 -> simpson 0, effective vocabulary 1
-    assert(c("s1").getLong(1) == 1L && c("s1").getLong(3) == 16L)
-    assert(c("s1").getDouble(6) == 0.0 && c("s1").getDouble(7) == 1.0)
+    assert(c("s1").getLong(1) == 1L && c("s1").getLong(2) == 4L)
+    assert(c("s1").getDouble(3) == 0.0 && c("s1").getDouble(4) == 1.0)
     // s2: V=4 T=4 S2=4 -> gs 12/16 = 0.75, effective vocabulary 4
-    assert(c("s2").getLong(4) == 12L && c("s2").getLong(5) == 16L)
-    assert(c("s2").getDouble(6) == 0.75 && c("s2").getDouble(7) == 4.0)
-    // real data: recount every moment from the raw frequency stream
+    assert(c("s2").getDouble(3) == 0.75 && c("s2").getDouble(4) == 4.0)
+    // real data: recount every moment from the raw frequency stream;
+    // the two readings re-derive over the declared fixed double trees
     val res = TextAnalysis.simpsonDiversity(spark, sf).collect()
     assert(res.nonEmpty)
     val freqs = Tables.documents(spark, sf)
@@ -335,12 +341,18 @@ class CorpusStatsSpec extends AnyFunSuite {
         src -> xs.groupBy(_._2).map(_._2.length.toLong) }
     res.foreach { r =>
       val f = freqs(r.getString(0))
-      val (v, t, s2) = (f.size.toLong, f.sum, f.map(x => x * x).sum)
-      assert(r.getLong(1) == v && r.getLong(2) == t && r.getLong(3) == s2,
+      val (v, t) = (f.size.toLong, f.sum)
+      val s2 = f.map(x => BigInt(x) * x).sum
+      val t2 = BigInt(t) * t
+      assert(r.getLong(1) == v && r.getLong(2) == t,
         s"${r.getString(0)} moments")
-      assert(r.getLong(4) == t * t - s2 && r.getLong(5) == t * t)
-      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) < 1.0)
-      assert(r.getDouble(7) >= 1.0 && r.getDouble(7) <= v.toDouble,
+      val expS = BigDecimal((t2 - s2).toDouble / t2.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expE = BigDecimal(t2.toDouble / s2.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == expS && r.getDouble(4) == expE)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+      assert(r.getDouble(4) >= 1.0 && r.getDouble(4) <= v.toDouble,
         "effective vocabulary lies in [1, vocab]")
     }
   }

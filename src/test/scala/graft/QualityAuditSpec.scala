@@ -242,11 +242,11 @@ class QualityAuditSpec extends AnyFunSuite {
     val a0 = c(("sA", 0L))
     assert(a0.getLong(2) == 2L && a0.getLong(3) == 2L &&
       a0.getLong(4) == 2L && a0.getLong(5) == 4L)
-    assert(a0.getLong(6) == 16L && a0.getLong(7) == 16L &&
-      a0.getDouble(8) == 1.0, "o*N - n_s*b_t = 8-4 = 4, squared over 16")
+    assert(a0.getDouble(6) == 1.0,
+      "o*N - n_s*b_t = 8-4 = 4, squared over 16")
     val a9 = c(("sA", 9L))
-    assert(a9.getLong(2) == 0L && a9.getLong(6) == 16L &&
-      a9.getDouble(8) == 1.0, "the empty cell drifts just as hard")
+    assert(a9.getLong(2) == 0L && a9.getDouble(6) == 1.0,
+      "the empty cell drifts just as hard")
     // identical length profiles -> zero drift in every cell
     val dirE = java.nio.file.Files.createTempDirectory("graft-ldr0").toString
     Seq((1L, "aa", "s1"), (2L, "bbbb", "s1"),
@@ -255,7 +255,7 @@ class QualityAuditSpec extends AnyFunSuite {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.parquet(s"$dirE/documents.parquet")
     assert(Quality.lengthDrift(sp, dirE).collect()
-      .forall(r => r.getLong(6) == 0L && r.getDouble(8) == 0.0),
+      .forall(r => r.getDouble(6) == 0.0),
       "identical per-source length profiles must read zero drift")
     // real data: recount every cell driver-side; closure laws
     val rows = graft.sources.Tables.documents(spark, sf)
@@ -279,10 +279,38 @@ class QualityAuditSpec extends AnyFunSuite {
       val o = rows.count(x => x._1 == r.getString(0) &&
         binOf(x._2) == r.getLong(1)).toLong
       assert(r.getLong(2) == o, s"cell ${r.getString(0)}/${r.getLong(1)}")
-      val gap = o * nAll - srcTot(r.getString(0)) * binTot(r.getLong(1))
-      assert(r.getLong(6) == gap * gap)
-      assert(r.getLong(7) == nAll * srcTot(r.getString(0)) *
-        binTot(r.getLong(1)))
+      // contrib closes in DOUBLE over the fixed tree the operator
+      // declares: cast(exact gap), gap*gap, /(n_all*n_s*b_t)
+      val gapD = (BigInt(o) * nAll -
+        BigInt(srcTot(r.getString(0))) * binTot(r.getLong(1))).toDouble
+      val exp = BigDecimal(gapD * gapD / (nAll.toDouble *
+        srcTot(r.getString(0)).toDouble * binTot(r.getLong(1)).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(6) == exp)
     }
+  }
+
+  test("length drift chi-square cells survive beyond-BIGINT counts: " +
+    "the DECIMAL(38,0) gap formation is exact where the old BIGINT " +
+    "squaring threw") {
+    val sp = spark
+    import sp.implicits._
+    // o*n_all = 2.7e37 alone overflows 2^63 ~ 9.2e18 at the FIRST
+    // product; the decimal path forms the 1.7e37 gap exactly and the
+    // contribution closes in double
+    val o = 3000000000000000000L       // 3e18
+    val nAll = 9000000000000000000L    // 9e18
+    val nS = 2000000000000000000L      // 2e18
+    val bT = 5000000000000000000L      // 5e18
+    val grid = Seq(("s", 0L, o, nS, bT, nAll))
+      .toDF("source", "bin", "o", "n_s", "b_t", "n_all")
+    val r = graft.operators.Quality.chiCells(grid).collect().head
+    val gapD = (BigInt(o) * nAll - BigInt(nS) * bT).toDouble
+    val exp = BigDecimal(gapD * gapD /
+      (nAll.toDouble * nS.toDouble * bT.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(6) == exp && exp > 3.2e18,
+      "a cell whose every BIGINT product overflows is exact on the " +
+        "decimal path")
   }
 }
