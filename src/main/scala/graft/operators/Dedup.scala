@@ -240,6 +240,7 @@ object Dedup {
     val bands = banded(shingled(spark, dir))
       .select(col("doc_id"), col("band_id"), col("band_sig"))
       .withColumn("band_key", xxhash64(col("band_id"), col("band_sig")))
+      .withColumn("epoch", lit(0L))
     graft.sources.FormatIO.writeBucketed(bands, s"${name}_bands",
       "band_key", nBuckets, sortCol = Some("band_key"))
     // the EXACT-dup digests ride with the near-dup index: sub-shingle
@@ -248,10 +249,12 @@ object Dedup {
     // the probe surface for that, bucketed like everything else
     graft.sources.FormatIO.writeBucketed(
       Tables.documents(spark, dir)
-        .select(col("doc_id"), digestCol.as("digest")),
+        .select(col("doc_id"), digestCol.as("digest"))
+        .withColumn("epoch", lit(0L)),
       s"${name}_digests", "digest", nBuckets)
     graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
       "doc_id")
+    graft.sources.FormatIO.initIndexEpoch(spark, name)
   }
 
   /** TOMBSTONE-DELETE documents from the persisted MinHash index — the
@@ -264,9 +267,14 @@ object Dedup {
     * are retired permanently — re-appending a tombstoned doc_id is
     * unsupported (the corpus convention is monotone never-reused ids). */
   def deleteFromMinhashIndex(spark: SparkSession, name: String,
-      docIds: DataFrame): Unit =
+      docIds: DataFrame): Unit = {
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_tombstones"))
     graft.sources.FormatIO.appendTombstones(spark,
-      docIds.select(col("doc_id")).distinct(), s"${name}_tombstones")
+      docIds.select(col("doc_id")).distinct().withColumn("epoch", lit(e)),
+      s"${name}_tombstones")
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
+  }
 
   /** Physically erase tombstoned documents' rows from the MinHash
     * index's band and digest relations (bucket-preserving rewrite,
@@ -288,15 +296,21 @@ object Dedup {
     * the exact-dup face of the same index ([[buildMinhashIndex]]);
     * catches sub-shingle documents the band probe cannot see. */
   def probeExactIndex(spark: SparkSession, name: String,
-      newDocs: DataFrame): DataFrame =
+      newDocs: DataFrame): DataFrame = {
+    // pinned ONCE: every segment table reads at the same committed
+    // epoch, so a concurrent append/delete wave is invisible until its
+    // single commit marker lands (FormatIO index-epoch protocol)
+    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
     newDocs.select(col("doc_id"), digestCol.as("digest"))
-      .join(spark.table(s"${name}_digests")
+      .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_digests", pin)
         // tombstoned docs are logically deleted until the purge
         // rewrites the bytes (see deleteFromMinhashIndex)
-        .join(spark.table(s"${name}_tombstones"), Seq("doc_id"), "left_anti")
+        .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_tombstones",
+          pin), Seq("doc_id"), "left_anti")
         .select(col("digest"), col("doc_id").as("idx_doc")), Seq("digest"))
       .filter(col("doc_id") =!= col("idx_doc"))
       .select(col("doc_id"), col("idx_doc"))
+  }
 
   /** Probe the persisted band index with a batch of documents
     * (`doc_id`, `text`): emits candidate near-dup pairs (probe doc,
@@ -307,13 +321,15 @@ object Dedup {
     * reproduces `minhashPairs` (spec-checked). */
   def probeMinhashIndex(spark: SparkSession, name: String,
       newDocs: DataFrame): DataFrame = {
+    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
     val probe = banded(shingledOf(newDocs))
       .select(col("doc_id"), col("band_id"), col("band_sig"))
       .withColumn("band_key", xxhash64(col("band_id"), col("band_sig")))
-    val index = spark.table(s"${name}_bands")
+    val index = graft.sources.FormatIO.pinnedAt(spark, s"${name}_bands", pin)
       // tombstone anti-join BEFORE the pair symmetrization (deleted
       // docs must vanish from either side of the emitted pair)
-      .join(spark.table(s"${name}_tombstones"), Seq("doc_id"), "left_anti")
+      .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_tombstones",
+        pin), Seq("doc_id"), "left_anti")
       .withColumnRenamed("doc_id", "idx_doc")
     // no terminal orderBy: probes are LIBRARY operators feeding further
     // plans — presentation ordering belongs at the caller's edge, not
@@ -339,13 +355,20 @@ object Dedup {
     * per-wave file accretion back to one file per bucket. */
   def appendToMinhashIndex(spark: SparkSession, name: String,
       newDocs: DataFrame): Unit = {
+    // stage → write both segment tables tagged e → one-commit publish:
+    // pinned probes either see neither table's wave or both
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_bands", s"${name}_digests"))
     val bands = banded(shingledOf(newDocs))
       .select(col("doc_id"), col("band_id"), col("band_sig"))
       .withColumn("band_key", xxhash64(col("band_id"), col("band_sig")))
+      .withColumn("epoch", lit(e))
     graft.sources.FormatIO.appendBucketed(spark, bands, s"${name}_bands")
     graft.sources.FormatIO.appendBucketed(spark,
-      newDocs.select(col("doc_id"), digestCol.as("digest")),
+      newDocs.select(col("doc_id"), digestCol.as("digest"))
+        .withColumn("epoch", lit(e)),
       s"${name}_digests")
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
   }
 
   /** Normalized whitespace tokens (single-space split after collapsing
@@ -666,13 +689,16 @@ object Dedup {
     val sets = tokenShingleSets(spark, dir, shingle).localCheckpoint()
     val postings = sets.select(col("doc_id").as("doc_b"),
       size(col("st")).as("sz_b"), explode(col("st")).as("tok"))
+      .withColumn("epoch", lit(0L))
     graft.sources.FormatIO.writeBucketed(postings, s"${name}_postings",
       "tok", nBuckets, sortCol = Some("tok"))
     graft.sources.FormatIO.writeBucketed(sets.withColumnRenamed("doc_id", "doc_b")
-      .withColumnRenamed("st", "sb"), s"${name}_sets", "doc_b", nBuckets)
+      .withColumnRenamed("st", "sb").withColumn("epoch", lit(0L)),
+      s"${name}_sets", "doc_b", nBuckets)
     val dfreq = sets.select(explode(col("st")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    dfreq.write.format("parquet").mode("overwrite").saveAsTable(s"${name}_df")
+    dfreq.withColumn("epoch", lit(0L))
+      .write.format("parquet").mode("overwrite").saveAsTable(s"${name}_df")
     // INDEX-SIDE prefixes enable the REVERSE probe direction
     // (C(index -> probe), [[probeContainmentBoth]]): each corpus doc's
     // tau-sized rare-first prefix, bucketed by shingle like the
@@ -683,7 +709,8 @@ object Dedup {
       orderedPrefixes(sets, dfreq,
         sz => sz - ceil(lit(tau) * sz - lit(PruneEps)) + 1)
         .select(col("tok"), col("doc_id").as("doc_b"),
-          col("sz").as("sz_b"), col("pos").as("pos_b")),
+          col("sz").as("sz_b"), col("pos").as("pos_b"))
+        .withColumn("epoch", lit(0L)),
       s"${name}_prefixes", "tok", nBuckets, sortCol = Some("tok"))
     // build params persist with the index (the edit-index _meta
     // pattern): prefixes are sized for THIS tau, so reverse-direction
@@ -694,6 +721,7 @@ object Dedup {
       .saveAsTable(s"${name}_meta")
     graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
       "doc_b")
+    graft.sources.FormatIO.initIndexEpoch(spark, name)
   }
 
   /** TOMBSTONE-DELETE documents from the persisted containment index —
@@ -706,17 +734,25 @@ object Dedup {
     * retired permanently. */
   def deleteFromContainmentIndex(spark: SparkSession, name: String,
       docIds: DataFrame): Unit = {
+    // idempotency reads the RAW tombstones (all epochs — a staged-but-
+    // uncommitted retry must not double-append); visibility of THIS
+    // wave is epoch-gated so pinned probes see the negative df segment
+    // and the tombstones at the same instant
     val fresh = docIds.select(col("doc_id").as("doc_b")).distinct()
       .join(spark.table(s"${name}_tombstones"), Seq("doc_b"), "left_anti")
       .localCheckpoint()
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_df", s"${name}_tombstones"))
     spark.table(s"${name}_postings")
       .join(fresh, Seq("doc_b"), "left_semi")
       .groupBy(col("tok")).agg((-count(lit(1))).as("df"))
+      .withColumn("epoch", lit(e))
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
       .saveAsTable(s"${name}_df")
     spark.catalog.refreshTable(s"${name}_df")
-    graft.sources.FormatIO.appendTombstones(spark, fresh,
-      s"${name}_tombstones")
+    graft.sources.FormatIO.appendTombstones(spark,
+      fresh.withColumn("epoch", lit(e)), s"${name}_tombstones")
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
   }
 
   /** Physically erase tombstoned documents from the containment
@@ -732,8 +768,12 @@ object Dedup {
       tomb, "doc_b")
     graft.sources.FormatIO.purgeBucketedTable(spark, s"${name}_prefixes",
       tomb, "doc_b")
+    // the rebuilt df collapses every segment into one, tagged at the
+    // CURRENT committed epoch so pinned probes keep reading it
     spark.table(s"${name}_postings")
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumn("epoch",
+        lit(graft.sources.FormatIO.committedEpoch(spark, name)))
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_df")
     spark.catalog.refreshTable(s"${name}_df")
@@ -753,6 +793,9 @@ object Dedup {
     * verify-side sets both read on their bucket layout. */
   def probeContainmentIndex(spark: SparkSession, name: String,
       newDocs: DataFrame, tau: Double = 0.6, shingle: Int = 3): DataFrame = {
+    // one pin for all four segment tables (FormatIO index epochs): a
+    // concurrent append/delete wave is invisible until its commit
+    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
     val sets = tokenShingleSetsOf(newDocs, shingle).localCheckpoint()
     // the df relation is LOG-STRUCTURED: the build writes one segment of
     // per-shingle counts and every append adds another, so the true df
@@ -763,7 +806,7 @@ object Dedup {
     // the merge aggregation — per-probe df cost is O(probe vocabulary),
     // never O(corpus vocabulary).
     val probeToks = sets.select(explode(col("st")).as("tok")).distinct()
-    val dfreq = spark.table(s"${name}_df")
+    val dfreq = graft.sources.FormatIO.pinnedAt(spark, s"${name}_df", pin)
       .join(probeToks, Seq("tok"), "left_semi")
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
     val prefixes = sets
@@ -779,9 +822,11 @@ object Dedup {
       .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
         (col("pos") + 1).as("pos_a"), col("col.tok").as("tok"))
     val needA = ceil(lit(tau) * col("sz_a") - lit(PruneEps))
-    val cands = prefixes.join(spark.table(s"${name}_postings")
+    val cands = prefixes.join(
+      graft.sources.FormatIO.pinnedAt(spark, s"${name}_postings", pin)
         // tombstoned docs are logically deleted until the purge
-        .join(spark.table(s"${name}_tombstones"), Seq("doc_b"), "left_anti"),
+        .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_tombstones",
+          pin), Seq("doc_b"), "left_anti"),
       Seq("tok"))
       .filter(col("doc_a") =!= col("doc_b") &&
         col("sz_b") >= needA &&
@@ -789,7 +834,8 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("st").as("sa")), Seq("doc_a"))
-      .join(spark.table(s"${name}_sets"), Seq("doc_b"))
+      .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_sets", pin),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(col("sa"))).as("c"))
@@ -813,16 +859,24 @@ object Dedup {
     val meta = spark.table(s"${name}_meta").collect().head
     val tau = meta.getAs[Double]("tau")
     val shingle = meta.getAs[Int]("shingle")
+    // four segment tables move under ONE epoch commit (FormatIO index
+    // epochs): a pinned probe racing this wave sees none of it until
+    // the commit marker lands
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_postings", s"${name}_sets", s"${name}_df",
+        s"${name}_prefixes"))
     val sets = tokenShingleSetsOf(newDocs, shingle).localCheckpoint()
     graft.sources.FormatIO.appendBucketed(spark,
       sets.select(col("doc_id").as("doc_b"), size(col("st")).as("sz_b"),
-        explode(col("st")).as("tok")),
+        explode(col("st")).as("tok")).withColumn("epoch", lit(e)),
       s"${name}_postings")
     graft.sources.FormatIO.appendBucketed(spark,
-      sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("st", "sb"),
+      sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("st", "sb")
+        .withColumn("epoch", lit(e)),
       s"${name}_sets")
     sets.select(explode(col("st")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumn("epoch", lit(e))
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
       .saveAsTable(s"${name}_df")
     spark.catalog.refreshTable(s"${name}_df") // see FormatIO.appendBucketed
@@ -833,15 +887,17 @@ object Dedup {
     // above), exactly as probeContainmentIndex reads df — per-wave df
     // cost is O(batch vocabulary), never O(corpus vocabulary).
     val batchToks = sets.select(explode(col("st")).as("tok")).distinct()
-    val mergedDf = spark.table(s"${name}_df")
+    val mergedDf = spark.table(s"${name}_df").drop("epoch")
       .join(batchToks, Seq("tok"), "left_semi")
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
     graft.sources.FormatIO.appendBucketed(spark,
       orderedPrefixes(sets, mergedDf,
         sz => sz - ceil(lit(tau) * sz - lit(PruneEps)) + 1)
         .select(col("tok"), col("doc_id").as("doc_b"),
-          col("sz").as("sz_b"), col("pos").as("pos_b")),
+          col("sz").as("sz_b"), col("pos").as("pos_b"))
+        .withColumn("epoch", lit(e)),
       s"${name}_prefixes")
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
   }
 
   /** BIDIRECTIONAL containment probe — the decontamination form of
@@ -869,11 +925,12 @@ object Dedup {
       s"probe tau=$tau below the index's build tau=$tauBuild " +
         s"($name stores prefixes sized for $tauBuild; probing below it " +
         "silently loses reverse-direction recall - rebuild at the lower tau)")
+    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
     val sets = tokenShingleSetsOf(newDocs, shingle).localCheckpoint()
     // probe-vocabulary semi-join below the df merge (see
     // probeContainmentIndex): O(probe vocab), not O(corpus vocab)
     val probeToks = sets.select(explode(col("st")).as("tok")).distinct()
-    val mergedDf = spark.table(s"${name}_df")
+    val mergedDf = graft.sources.FormatIO.pinnedAt(spark, s"${name}_df", pin)
       .join(probeToks, Seq("tok"), "left_semi")
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
     // forward candidates: probe prefixes (corpus-df-ordered, df-0
@@ -891,8 +948,10 @@ object Dedup {
       .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
         (col("pos") + 1).as("pos_a"), col("col.tok").as("tok"))
     val needA = ceil(lit(tau) * col("sz_a") - lit(PruneEps))
-    val fwd = pPref.join(spark.table(s"${name}_postings")
-        .join(spark.table(s"${name}_tombstones"), Seq("doc_b"), "left_anti"),
+    val fwd = pPref.join(
+      graft.sources.FormatIO.pinnedAt(spark, s"${name}_postings", pin)
+        .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_tombstones",
+          pin), Seq("doc_b"), "left_anti"),
       Seq("tok"))
       .filter(col("doc_a") =!= col("doc_b") &&
         col("sz_b") >= needA &&
@@ -902,8 +961,9 @@ object Dedup {
     val pPost = sets.select(col("doc_id").as("doc_a"),
       size(col("st")).as("sz_a"), explode(col("st")).as("tok"))
     val needB = ceil(lit(tau) * col("sz_b") - lit(PruneEps))
-    val rev = spark.table(s"${name}_prefixes")
-      .join(spark.table(s"${name}_tombstones"), Seq("doc_b"), "left_anti")
+    val rev = graft.sources.FormatIO.pinnedAt(spark, s"${name}_prefixes", pin)
+      .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_tombstones",
+        pin), Seq("doc_b"), "left_anti")
       .join(pPost, Seq("tok"))
       .filter(col("doc_a") =!= col("doc_b") &&
         col("sz_a") >= needB &&
@@ -913,7 +973,8 @@ object Dedup {
     // lesson: filter+project re-evaluates an un-CSE'd array_intersect)
     fwd.unionByName(rev).distinct()
       .join(sets.select(col("doc_id").as("doc_a"), col("st").as("sa")), Seq("doc_a"))
-      .join(spark.table(s"${name}_sets"), Seq("doc_b"))
+      .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_sets", pin),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa"), col("sb"))).cast("double").as("inter"),
         size(col("sa")).as("sz_a"), size(col("sb")).as("sz_b"))
@@ -1118,7 +1179,7 @@ object Dedup {
     graft.sources.FormatIO.writeBucketed(
       editPostingsOf(Tables.customer(spark, dir)
         .select(col("c_custkey").as("k"), col("c_name").as("s")),
-        tau, maxKeyLen),
+        tau, maxKeyLen).withColumn("epoch", lit(0L)),
       s"${name}_postings", "variant", nBuckets, sortCol = Some("variant"))
     // build parameters PERSIST WITH the index: SymSpell completeness
     // needs up-to-τ deletions on BOTH sides, so probing a τ=1-built
@@ -1131,6 +1192,7 @@ object Dedup {
       .saveAsTable(s"${name}_meta")
     graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
       "index_key")
+    graft.sources.FormatIO.initIndexEpoch(spark, name)
   }
 
   /** TOMBSTONE-DELETE entity keys from the persisted edit index — same
@@ -1138,9 +1200,14 @@ object Dedup {
     * variant postings just stop matching). `keys` carries one
     * `index_key` column. */
   def deleteFromEditIndex(spark: SparkSession, name: String,
-      keys: DataFrame): Unit =
+      keys: DataFrame): Unit = {
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_tombstones"))
     graft.sources.FormatIO.appendTombstones(spark,
-      keys.select(col("index_key")).distinct(), s"${name}_tombstones")
+      keys.select(col("index_key")).distinct().withColumn("epoch", lit(e)),
+      s"${name}_tombstones")
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
+  }
 
   /** Physically erase tombstoned keys' variant postings; reset the
     * tombstones. */
@@ -1179,10 +1246,14 @@ object Dedup {
   def appendToEditIndex(spark: SparkSession, name: String,
       batch: DataFrame): Unit = {
     val meta = spark.table(s"${name}_meta").collect().head
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_postings"))
     graft.sources.FormatIO.appendBucketed(spark,
       editPostingsOf(batch.select(col("key").as("k"), col("name").as("s")),
-        meta.getAs[Int]("tau"), meta.getAs[Int]("max_key_len")),
+        meta.getAs[Int]("tau"), meta.getAs[Int]("max_key_len"))
+        .withColumn("epoch", lit(e)),
       s"${name}_postings")
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
   }
 
   /** Probe the persisted edit index with a batch of (probe_key,
@@ -1205,14 +1276,15 @@ object Dedup {
         s"($name was built with $builtTau-deletion variants; probing " +
         "above that silently loses recall — rebuild the index at the " +
         "larger tau instead)")
+    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
     val p = probes
       .select(col("probe_key"), col("probe_name")).distinct()
       .select(col("probe_key"), col("probe_name").as("s"))
       .select(col("probe_key"), col("s").as("probe_name"),
         explode(expr(deletionVariantsExpr(tau))).as("variant"))
-    p.join(spark.table(s"${name}_postings")
-        .join(spark.table(s"${name}_tombstones"), Seq("index_key"),
-          "left_anti"),
+    p.join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_postings", pin)
+        .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_tombstones",
+          pin), Seq("index_key"), "left_anti"),
       Seq("variant"))
       .filter(col("probe_key") =!= col("index_key") &&
         abs(length(col("probe_name")) - length(col("index_name"))) <= tau)

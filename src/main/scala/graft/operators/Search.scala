@@ -151,28 +151,34 @@ object Search {
     graft.sources.FormatIO.writeBucketed(
       docs.select(col("doc_id"), explode(tokensCol).as("tok"))
         .groupBy(col("tok"), col("doc_id"))
-        .agg(count(lit(1)).as("tf")),
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("epoch", lit(0L)),
       s"${name}_postings", "tok", nBuckets, sortCol = Some("tok"))
-    graft.sources.FormatIO.writeBucketed(lens, s"${name}_lens", "doc_id",
-      nBuckets)
+    graft.sources.FormatIO.writeBucketed(lens.withColumn("epoch", lit(0L)),
+      s"${name}_lens", "doc_id", nBuckets)
     // stats persist as MERGEABLE moments (count, Σdl) rather than the
     // finished avgdl: the build writes one segment and every
     // [[appendToSearchIndex]] adds another, so probes derive
     // avgdl = ΣΣdl / Σn on read — exact (dl is a whole number, the sums
     // never leave the 2^53 integer-exact range at any plausible corpus)
     lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("epoch", lit(0L))
       .write.format("parquet").mode("overwrite").saveAsTable(s"${name}_stats")
     graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
       "doc_id")
+    graft.sources.FormatIO.initIndexEpoch(spark, name)
   }
 
   /** The index's postings with tombstoned documents anti-joined out —
     * both probes read through this, which keeps df (derived by
     * COUNTING matched postings) automatically consistent with
-    * deletions. */
-  private def livePostings(spark: SparkSession, name: String): DataFrame =
-    spark.table(s"${name}_postings")
-      .join(spark.table(s"${name}_tombstones"), Seq("doc_id"), "left_anti")
+    * deletions. Pinned at the probe's epoch so a concurrent
+    * append/delete wave is invisible until its commit. */
+  private def livePostings(spark: SparkSession, name: String,
+      pin: Long): DataFrame =
+    graft.sources.FormatIO.pinnedAt(spark, s"${name}_postings", pin)
+      .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_tombstones",
+        pin), Seq("doc_id"), "left_anti")
 
   /** TOMBSTONE-DELETE documents from the persisted BM25 index — same
     * contract as [[graft.operators.Dedup.deleteFromMinhashIndex]]:
@@ -183,17 +189,24 @@ object Search {
     * deletes skip already-tombstoned ids. */
   def deleteFromSearchIndex(spark: SparkSession, name: String,
       docIds: DataFrame): Unit = {
+    // idempotency anti-joins the RAW tombstones; this wave's own rows
+    // are epoch-gated so the stats delta and the tombstones publish to
+    // pinned probes in one commit (no torn hidden-doc/stale-avgdl read)
     val fresh = docIds.select(col("doc_id")).distinct()
       .join(spark.table(s"${name}_tombstones"), Seq("doc_id"), "left_anti")
       .localCheckpoint()
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_stats", s"${name}_tombstones"))
     spark.table(s"${name}_lens")
       .join(fresh, Seq("doc_id"), "left_semi")
       .agg((-count(lit(1))).as("n_docs"),
         (-coalesce(sum(col("dl")), lit(0.0))).as("sum_dl"))
+      .withColumn("epoch", lit(e))
       .write.format("parquet").mode("append").saveAsTable(s"${name}_stats")
     spark.catalog.refreshTable(s"${name}_stats")
-    graft.sources.FormatIO.appendTombstones(spark, fresh,
-      s"${name}_tombstones")
+    graft.sources.FormatIO.appendTombstones(spark,
+      fresh.withColumn("epoch", lit(e)), s"${name}_tombstones")
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
   }
 
   /** Physically erase tombstoned documents' postings and lens rows;
@@ -207,8 +220,12 @@ object Search {
       s"${name}_postings", tomb, "doc_id")
     graft.sources.FormatIO.purgeBucketedTable(spark, s"${name}_lens",
       tomb, "doc_id")
+    // the rebuilt stats collapse every segment into one, tagged at the
+    // CURRENT committed epoch so pinned probes keep reading them
     spark.table(s"${name}_lens")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("epoch",
+        lit(graft.sources.FormatIO.committedEpoch(spark, name)))
       .write.format("parquet").mode("overwrite").saveAsTable(s"${name}_stats")
     spark.catalog.refreshTable(s"${name}_stats")
     graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
@@ -223,8 +240,9 @@ object Search {
     * (probes of such an index already return empty — livePostings
     * anti-joins the tombstones — but the stats row itself must stay
     * NaN-free for callers that read it directly). */
-  private def mergedStats(spark: SparkSession, name: String): DataFrame =
-    spark.table(s"${name}_stats")
+  private def mergedStats(spark: SparkSession, name: String,
+      pin: Long): DataFrame =
+    graft.sources.FormatIO.pinnedAt(spark, s"${name}_stats", pin)
       .agg(sum(col("n_docs")).cast("double").as("n_docs"),
         when(sum(col("n_docs")) > 0L,
           sum(col("sum_dl")) / sum(col("n_docs")).cast("double")).as("avgdl"))
@@ -239,17 +257,25 @@ object Search {
     * derive df by counting matched postings). */
   def appendToSearchIndex(spark: SparkSession, name: String,
       newDocs: DataFrame): Unit = {
+    // three segment tables under ONE epoch commit (FormatIO index
+    // epochs): pinned probes never see postings without their stats
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_postings", s"${name}_lens", s"${name}_stats"))
     val lens = newDocs.select(col("doc_id"),
       size(tokensCol).cast("double").as("dl"))
     graft.sources.FormatIO.appendBucketed(spark,
       newDocs.select(col("doc_id"), explode(tokensCol).as("tok"))
         .groupBy(col("tok"), col("doc_id"))
-        .agg(count(lit(1)).as("tf")),
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("epoch", lit(e)),
       s"${name}_postings")
-    graft.sources.FormatIO.appendBucketed(spark, lens, s"${name}_lens")
+    graft.sources.FormatIO.appendBucketed(spark,
+      lens.withColumn("epoch", lit(e)), s"${name}_lens")
     lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("epoch", lit(e))
       .write.format("parquet").mode("append").saveAsTable(s"${name}_stats")
     spark.catalog.refreshTable(s"${name}_stats") // see FormatIO.appendBucketed
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
   }
 
   /** Probe the persisted index with a bag of query terms: exactly
@@ -262,17 +288,19 @@ object Search {
   def probeSearchIndex(spark: SparkSession, name: String,
       terms: Seq[String] = Seq("data", "model", "spark"),
       topN: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = livePostings(spark, name)
+    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
+    val tf = livePostings(spark, name, pin)
       .filter(col("tok").isInCollection(terms))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val stats = mergedStats(spark, name)
+    val stats = mergedStats(spark, name, pin)
     val idf = df.crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
           / (col("df") + lit(0.5))))
       .select(col("tok"), col("idf"), col("avgdl"))
     tf.join(broadcast(idf), Seq("tok"))
-      .join(spark.table(s"${name}_lens"), Seq("doc_id"))
+      .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_lens", pin),
+        Seq("doc_id"))
       .withColumn("term_score",
         col("idf") * (col("tf") * (k1 + 1.0))
           / (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
@@ -294,13 +322,14 @@ object Search {
   def probeSearchIndexMany(spark: SparkSession, name: String,
       queries: DataFrame, topN: Int = 20, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
     val qterms = queries.select(col("query_id"), col("tok")).distinct()
     val toks = qterms.select(col("tok")).distinct()
-    val matched = livePostings(spark, name)
+    val matched = livePostings(spark, name, pin)
       .join(broadcast(toks), Seq("tok"))
     // postings are unique per (tok, doc) — count IS the doc frequency
     val df = matched.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val stats = mergedStats(spark, name)
+    val stats = mergedStats(spark, name, pin)
     val idf = df.crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
@@ -310,7 +339,8 @@ object Search {
       .orderBy(col("bm25").desc, col("doc_id"))
     matched
       .join(broadcast(idf), Seq("tok"))
-      .join(spark.table(s"${name}_lens"), Seq("doc_id"))
+      .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_lens", pin),
+        Seq("doc_id"))
       .withColumn("term_score",
         col("idf") * (col("tf") * (k1 + 1.0))
           / (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))

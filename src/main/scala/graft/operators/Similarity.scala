@@ -339,10 +339,12 @@ object Similarity {
             expr("array_position(dots, array_max(dots))").cast("long"))
           .select(col("vec_id").as("id_b"), col("vn").as("vb"), col("bucket"))
       }
-    graft.sources.FormatIO.writeBucketed(postings, s"${name}_postings",
+    graft.sources.FormatIO.writeBucketed(
+      postings.withColumn("epoch", lit(0L)), s"${name}_postings",
       "bucket", nBuckets, sortCol = Some("bucket"))
     graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
       "id_b")
+    graft.sources.FormatIO.initIndexEpoch(spark, name)
   }
 
   /** TOMBSTONE-DELETE vectors from the persisted IVF index — same
@@ -350,10 +352,15 @@ object Similarity {
     * The frozen codebook is untouched (deletion, like append, never
     * retrains — retraining is by definition a rebuild). */
   def deleteFromIvfIndex(spark: SparkSession, name: String,
-      vecIds: DataFrame): Unit =
+      vecIds: DataFrame): Unit = {
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_tombstones"))
     graft.sources.FormatIO.appendTombstones(spark,
-      vecIds.select(col("vec_id").as("id_b")).distinct(),
+      vecIds.select(col("vec_id").as("id_b")).distinct()
+        .withColumn("epoch", lit(e)),
       s"${name}_tombstones")
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
+  }
 
   /** Physically erase tombstoned vectors' postings; reset the
     * tombstones. */
@@ -365,6 +372,61 @@ object Similarity {
     graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
       "id_b")
     stats
+  }
+
+  /** IVF CODEBOOK-STALENESS PROBE: sampled recall of the LIVE index
+    * against exact search over the same live vectors. Appends and
+    * deletes never retrain the frozen codebook (that contract is what
+    * keeps maintenance O(batch)), so as appended mass drifts away from
+    * the trained centroids, true neighbors scatter across posting
+    * lists the probe budget never visits and recall decays SILENTLY —
+    * the one failure mode of the maintenance design that no parity
+    * spec can catch, because the degraded index is exactly what a
+    * rebuild-with-frozen-centroids would produce. This probe is the
+    * alarm: a deterministic md5 panel of `sampleN` live vectors (the
+    * panel discipline of tuneNProbe/matryoshka — spread across build
+    * AND appended mass), exact top-k over the live postings (panel ×
+    * corpus, linear), the index's own probe at the SAME (k, nProbe),
+    * and one recall row with a `retrain_recommended` verdict when it
+    * undershoots `target`. Run it after heavy append waves; a true
+    * verdict means rebuild (retrain) rather than append further. */
+  def checkIvfRecall(spark: SparkSession, name: String,
+      target: Double = 0.8, k: Int = 3, nProbe: Int = 8,
+      sampleN: Int = 64): DataFrame = {
+    import spark.implicits._
+    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
+    val live = graft.sources.FormatIO.pinnedAt(spark, s"${name}_postings", pin)
+      .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_tombstones",
+        pin), Seq("id_b"), "left_anti")
+      .select(col("id_b"), col("vb"))
+      .localCheckpoint()
+    val sample = graft.operators.Sampling.md5TopN(live, "id_b", sampleN)
+      .select(col("id_b").as("id_a"), col("vb").as("va"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b"))
+    val exact = sample.crossJoin(live)
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        dotProduct(col("va"), col("vb")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val hits = probeIvfNormalized(spark, name,
+      sample.select(col("id_a").as("vec_id"), col("va").as("vn")),
+      k, nProbe)
+      .select(col("id_a"), col("id_b"))
+      .join(exact, Seq("id_a", "id_b"), "left_semi").count()
+    val nExact = exact.count()
+    val nSample = sample.count()
+    val recall =
+      if (nExact == 0L) 1.0
+      else BigDecimal(hits.toDouble / nExact)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((nSample, nExact, hits, recall, target, recall < target))
+      .toDF("n_sample", "n_exact", "n_hits", "recall", "target",
+        "retrain_recommended")
   }
 
   /** The stored codebook of index `name` as K×dim doubles —
@@ -403,7 +465,11 @@ object Similarity {
       .withColumn("bucket",
         expr("array_position(dots, array_max(dots))").cast("long"))
       .select(col("vec_id").as("id_b"), col("vn").as("vb"), col("bucket"))
-    graft.sources.FormatIO.appendBucketed(spark, postings, s"${name}_postings")
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_postings"))
+    graft.sources.FormatIO.appendBucketed(spark,
+      postings.withColumn("epoch", lit(e)), s"${name}_postings")
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
   }
 
   /** Probe a persisted IVF index: centroids load as K×dim doubles (a
@@ -420,7 +486,18 @@ object Similarity {
     * query frame — the unit the streaming probe feeds one micro-batch
     * at a time. */
   def probeIvfIndexOn(spark: SparkSession, name: String, queries: DataFrame,
-      k: Int = 3, nProbe: Int = 8): DataFrame = {
+      k: Int = 3, nProbe: Int = 8): DataFrame =
+    probeIvfNormalized(spark, name,
+      queries.select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+          .as("vn")), k, nProbe)
+
+  /** [[probeIvfIndexOn]] over ALREADY-normalized (vec_id, vn) queries —
+    * the flavor [[checkIvfRecall]] feeds with the index's own stored
+    * vectors (re-normalizing a stored unit vector would perturb its
+    * last ulp and could flip a cosine tie). */
+  private def probeIvfNormalized(spark: SparkSession, name: String,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val centroids = loadCentroids(spark, name)
     if (centroids.isEmpty)
       return queries.select(col("vec_id").as("id_a"),
@@ -429,9 +506,6 @@ object Similarity {
     val dots = array(centroids.toIndexedSeq.map(c =>
       dotProduct(col("vn"), typedlit(c.toSeq))): _*)
     val probed = queries
-      .select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("vn"))
       .withColumn("dots", dots)
       .withColumn("bucket", explode(expr(
         s"""transform(
@@ -439,9 +513,14 @@ object Similarity {
            |    (d, i) -> struct(-d AS nd, i AS idx))), 1, $nProbe),
            |  s -> CAST(s.idx AS BIGINT))""".stripMargin)))
       .select(col("vec_id").as("id_a"), col("vn").as("va"), col("bucket"))
-    val indexed = spark.table(s"${name}_postings")
+    // pinned ONCE (FormatIO index epochs): a concurrent append/delete
+    // wave is invisible until its commit marker lands
+    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
+    val indexed = graft.sources.FormatIO.pinnedAt(spark,
+        s"${name}_postings", pin)
       // tombstoned vectors are logically deleted until the purge
-      .join(spark.table(s"${name}_tombstones"), Seq("id_b"), "left_anti")
+      .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_tombstones",
+        pin), Seq("id_b"), "left_anti")
     val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
     probed.join(indexed, Seq("bucket"))
       .filter(col("id_a") =!= col("id_b"))

@@ -752,9 +752,11 @@ object TextAnalysis {
       nBuckets: Int = 8, k: Int = 4, w: Int = 5, maxFpDf: Int = 50): Unit = {
     val fps = winnowFpsOf(Tables.documents(spark, dir), k, w).localCheckpoint()
     graft.sources.FormatIO.writeBucketed(
-      fps.withColumnRenamed("doc_id", "idx_doc"), s"${name}_fps",
+      fps.withColumnRenamed("doc_id", "idx_doc")
+        .withColumn("epoch", lit(0L)), s"${name}_fps",
       "fp", nBuckets, sortCol = Some("fp"))
     fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .withColumn("epoch", lit(0L))
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_fpdf")
     import spark.implicits._
@@ -763,6 +765,7 @@ object TextAnalysis {
       .saveAsTable(s"${name}_meta")
     graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
       "idx_doc")
+    graft.sources.FormatIO.initIndexEpoch(spark, name)
   }
 
   /** TOMBSTONE-DELETE documents from the persisted winnow index (the
@@ -781,17 +784,24 @@ object TextAnalysis {
     * (monotone never-reused ids — the corpus convention). */
   def deleteFromWinnowIndex(spark: SparkSession, name: String,
       docIds: DataFrame): Unit = {
+    // idempotency reads the RAW tombstones; the wave's own rows are
+    // epoch-gated so the negative df segment and the tombstones reach
+    // pinned probes in one commit
     val fresh = docIds.select(col("doc_id").as("idx_doc")).distinct()
       .join(spark.table(s"${name}_tombstones"), Seq("idx_doc"), "left_anti")
       .localCheckpoint()
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_fpdf", s"${name}_tombstones"))
     spark.table(s"${name}_fps")
       .join(fresh, Seq("idx_doc"), "left_semi")
       .groupBy(col("fp")).agg((-count(lit(1))).as("df"))
+      .withColumn("epoch", lit(e))
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
       .saveAsTable(s"${name}_fpdf")
     spark.catalog.refreshTable(s"${name}_fpdf")
-    graft.sources.FormatIO.appendTombstones(spark, fresh,
-      s"${name}_tombstones")
+    graft.sources.FormatIO.appendTombstones(spark,
+      fresh.withColumn("epoch", lit(e)), s"${name}_tombstones")
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
   }
 
   /** Physically erase tombstoned documents from the winnow index:
@@ -804,8 +814,12 @@ object TextAnalysis {
     val tomb = spark.table(s"${name}_tombstones").localCheckpoint()
     val stats = graft.sources.FormatIO.purgeBucketedTable(spark,
       s"${name}_fps", tomb, "idx_doc")
+    // the rebuilt df collapses every segment into one, tagged at the
+    // CURRENT committed epoch so pinned probes keep reading it
     spark.table(s"${name}_fps")
       .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .withColumn("epoch",
+        lit(graft.sources.FormatIO.committedEpoch(spark, name)))
       .localCheckpoint() // materialize BEFORE overwriting the table read
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_fpdf")
@@ -831,17 +845,20 @@ object TextAnalysis {
     val meta = spark.table(s"${name}_meta").collect().head
     val (k, w) = (meta.getAs[Int]("k"), meta.getAs[Int]("w"))
     val maxFpDf = meta.getAs[Int]("max_fp_df")
+    // one pin for fps + fpdf + tombstones (FormatIO index epochs)
+    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
     val probe = winnowFpsOf(newDocs, k, w).localCheckpoint()
     val probeFps = probe.select(col("fp")).distinct()
-    val dfreq = spark.table(s"${name}_fpdf")
+    val dfreq = graft.sources.FormatIO.pinnedAt(spark, s"${name}_fpdf", pin)
       .join(probeFps, Seq("fp"), "left_semi")
       .groupBy(col("fp")).agg(sum(col("df")).as("df"))
     val rare = dfreq.filter(col("df") <= maxFpDf).select(col("fp"))
     probe.join(rare, Seq("fp"), "left_semi")
-      .join(spark.table(s"${name}_fps")
+      .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_fps", pin)
         // tombstoned docs are logically deleted until the purge; their
         // df mass is already subtracted by the delete's negative segment
-        .join(spark.table(s"${name}_tombstones"), Seq("idx_doc"), "left_anti"),
+        .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_tombstones",
+          pin), Seq("idx_doc"), "left_anti"),
         Seq("fp"))
       .filter(col("doc_id") =!= col("idx_doc"))
       .groupBy(col("doc_id"), col("idx_doc"))
@@ -866,13 +883,19 @@ object TextAnalysis {
       newDocs: DataFrame): Unit = {
     val meta = spark.table(s"${name}_meta").collect().head
     val (k, w) = (meta.getAs[Int]("k"), meta.getAs[Int]("w"))
+    // fps + fpdf move under ONE epoch commit (FormatIO index epochs)
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_fps", s"${name}_fpdf"))
     val fps = winnowFpsOf(newDocs, k, w).localCheckpoint()
     graft.sources.FormatIO.appendBucketed(spark,
-      fps.withColumnRenamed("doc_id", "idx_doc"), s"${name}_fps")
+      fps.withColumnRenamed("doc_id", "idx_doc")
+        .withColumn("epoch", lit(e)), s"${name}_fps")
     fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .withColumn("epoch", lit(e))
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
       .saveAsTable(s"${name}_fpdf")
     spark.catalog.refreshTable(s"${name}_fpdf") // see FormatIO.appendBucketed
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
   }
 
   /** Naive-Bayes TRAINING for supervised language/domain ID — the
@@ -1071,15 +1094,18 @@ object TextAnalysis {
       .select(col("doc_id"), col("text"))).localCheckpoint()
     graft.sources.FormatIO.writeBucketed(
       grams.groupBy(col("gram"), col("doc_id").as("idx_doc"))
-        .agg(count(lit(1)).as("tf")),
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("epoch", lit(0L)),
       s"${name}_postings", "gram", nBuckets, sortCol = Some("gram"))
     spark.table(s"${name}_postings")
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .withColumn("epoch", lit(0L))
       .localCheckpoint()
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_gramdf")
     graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
       "idx_doc")
+    graft.sources.FormatIO.initIndexEpoch(spark, name)
   }
 
   /** DELTA APPEND a batch of new (doc_id, text) rows into the persisted
@@ -1091,14 +1117,21 @@ object TextAnalysis {
     * corpus ingest contract shared by every family). */
   def appendToLmIndex(spark: SparkSession, name: String,
       newDocs: DataFrame): Unit = {
+    // postings + gramdf move under ONE epoch commit (FormatIO index
+    // epochs)
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_postings", s"${name}_gramdf"))
     val posts = lmGramsOf(newDocs.select(col("doc_id"), col("text")))
       .groupBy(col("gram"), col("doc_id").as("idx_doc"))
       .agg(count(lit(1)).as("tf")).localCheckpoint()
-    graft.sources.FormatIO.appendBucketed(spark, posts, s"${name}_postings")
+    graft.sources.FormatIO.appendBucketed(spark,
+      posts.withColumn("epoch", lit(e)), s"${name}_postings")
     posts.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .withColumn("epoch", lit(e))
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
       .saveAsTable(s"${name}_gramdf")
     spark.catalog.refreshTable(s"${name}_gramdf") // see FormatIO.appendBucketed
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
   }
 
   /** TOMBSTONE-DELETE documents from the persisted LM index — the
@@ -1110,17 +1143,24 @@ object TextAnalysis {
     * ids are skipped, a retried delete cannot double-subtract. */
   def deleteFromLmIndex(spark: SparkSession, name: String,
       docIds: DataFrame): Unit = {
+    // idempotency reads the RAW tombstones; the wave's own rows are
+    // epoch-gated so the negative df segment and the tombstones reach
+    // pinned probes in one commit
     val fresh = docIds.select(col("doc_id").as("idx_doc")).distinct()
       .join(spark.table(s"${name}_tombstones"), Seq("idx_doc"), "left_anti")
       .localCheckpoint()
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_gramdf", s"${name}_tombstones"))
     spark.table(s"${name}_postings")
       .join(fresh, Seq("idx_doc"), "left_semi")
       .groupBy(col("gram")).agg((-count(lit(1))).as("df"))
+      .withColumn("epoch", lit(e))
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
       .saveAsTable(s"${name}_gramdf")
     spark.catalog.refreshTable(s"${name}_gramdf")
-    graft.sources.FormatIO.appendTombstones(spark, fresh,
-      s"${name}_tombstones")
+    graft.sources.FormatIO.appendTombstones(spark,
+      fresh.withColumn("epoch", lit(e)), s"${name}_tombstones")
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
   }
 
   /** Physically erase tombstoned documents' postings, REBUILD the
@@ -1133,8 +1173,12 @@ object TextAnalysis {
     val tomb = spark.table(s"${name}_tombstones").localCheckpoint()
     val stats = graft.sources.FormatIO.purgeBucketedTable(spark,
       s"${name}_postings", tomb, "idx_doc")
+    // the rebuilt df collapses every segment into one, tagged at the
+    // CURRENT committed epoch so pinned probes keep reading it
     spark.table(s"${name}_postings")
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .withColumn("epoch",
+        lit(graft.sources.FormatIO.committedEpoch(spark, name)))
       .localCheckpoint() // materialize BEFORE overwriting the table read
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_gramdf")
@@ -1165,7 +1209,10 @@ object TextAnalysis {
     val probeGrams = test.select(col("g3").as("gram"))
       .unionByName(test.select(col("g2").as("gram")))
       .unionByName(test.select(col("g1").as("gram"))).distinct()
-    val live = spark.table(s"${name}_gramdf")
+    // pinned (FormatIO index epochs): a concurrent append/delete wave
+    // is invisible until its commit
+    val live = graft.sources.FormatIO.pinnedAt(spark, s"${name}_gramdf",
+        graft.sources.FormatIO.committedEpoch(spark, name))
       .join(probeGrams, Seq("gram"), "left_semi")
       .groupBy(col("gram")).agg(sum(col("df")).as("df"))
       .filter(col("df") > 0)

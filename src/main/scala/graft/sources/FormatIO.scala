@@ -103,12 +103,18 @@ object FormatIO {
     spark.catalog.refreshTable(table)
   }
 
-  /** Create an EMPTY tombstone side-table (one bigint key column) —
-    * index builds call this so probes can anti-join unconditionally. */
+  /** Create an EMPTY tombstone side-table (bigint key + epoch) —
+    * index builds call this so probes can anti-join unconditionally.
+    * Tombstones carry the epoch column like every other index segment
+    * relation: a delete's tombstones must stay invisible to pinned
+    * probes until the SAME commit that publishes its compensating
+    * segments (negative df, stats deltas), or a mid-delete probe sees
+    * the doc hidden while its df mass still counts — the torn state
+    * the epoch protocol exists to exclude. */
   def initTombstones(spark: SparkSession, table: String,
       keyCol: String): Unit = {
     import org.apache.spark.sql.functions.col
-    spark.range(0).select(col("id").as(keyCol))
+    spark.range(0).select(col("id").as(keyCol), col("id").as("epoch"))
       .write.format("parquet").mode(SaveMode.Overwrite).saveAsTable(table)
   }
 
@@ -445,5 +451,134 @@ object FormatIO {
         fs.delete(dir.getPath, true)
     }
     deleted
+  }
+
+  // ---------------------------------------------------------------
+  // INDEX EPOCHS: pinned multi-TABLE reads under index maintenance.
+  // ---------------------------------------------------------------
+  // The snapshot manifests above give single-TABLE atomicity; a
+  // persisted index is several tables (postings + sets + df + lens +
+  // stats + tombstones) that must move together — an append that has
+  // written its postings but not yet its df segment would otherwise
+  // show a probe a torn pair. The protocol here is the classic
+  // epoch/watermark commit, kept deliberately small:
+  //
+  //   * every segment ROW carries an `epoch` BIGINT (build writes 0);
+  //   * a maintenance wave stages at epoch E = committed + 1 (a
+  //     `staged-E` write-ahead marker records the intent), writes all
+  //     its segment rows tagged E across however many tables it
+  //     touches, then commits by atomically creating the `epoch-E`
+  //     marker;
+  //   * probes pin ONCE to C = [[committedEpoch]] and filter every
+  //     segment scan to `epoch <= C` ([[pinnedAt]]) — a probe racing a
+  //     staged wave reads the old complete version of ALL tables, and
+  //     first sees the new version only after the single commit
+  //     marker, when every table's rows for E are fully written
+  //     (per-table visibility is already job-commit-atomic; the epoch
+  //     gate adds the cross-table cut).
+  //
+  // Crash/retry: a wave that dies after `staged-E` but before
+  // `epoch-E` leaves rows at E that are invisible forever as-is; the
+  // NEXT wave (or a foreachBatch retry of the same micro-batch) calls
+  // [[stageIndexEpoch]], finds the stale marker, and SCRUBS epoch-E
+  // rows from every listed table before reusing E — so retried
+  // streaming appends are effectively exactly-once. Scrubbing is a
+  // bucket-preserving rewrite (O(table), paid only after a crash —
+  // the manifest-per-table alternative avoids that at the cost of
+  // giving up the catalog bucket layout probes join against).
+  // Same single-writer-per-index maintenance window as [[compact]].
+  // The epoch filter sits directly above each parquet scan (row-group
+  // stats prune it) and `pinnedAt` drops the column, so probe logic
+  // and bucket co-location are untouched.
+
+  private def epochRoot(spark: SparkSession,
+      name: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, s"_graft_epochs/$name")
+
+  /** (Re)initialize index `name`'s epoch state at committed epoch 0 —
+    * every index build ends with this. */
+  def initIndexEpoch(spark: SparkSession, name: String): Unit = {
+    val root = epochRoot(spark, name)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    fs.mkdirs(root)
+    fs.create(new org.apache.hadoop.fs.Path(root, "epoch-0"), true).close()
+  }
+
+  /** The highest committed epoch of index `name` — the pin every probe
+    * takes once, up front. */
+  def committedEpoch(spark: SparkSession, name: String): Long = {
+    val root = epochRoot(spark, name)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root),
+      s"index $name has no epoch state - (re)build it with a current " +
+        "builder (initIndexEpoch runs at the end of every build)")
+    fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("epoch-\\d+"))
+      .map(_.stripPrefix("epoch-").toLong).max
+  }
+
+  /** Open a maintenance wave: returns the stage epoch E = committed+1
+    * and records the write-ahead `staged-E` marker. If a previous wave
+    * at E died mid-write (marker present, never committed), its
+    * orphaned rows are scrubbed from every table in `tables` first, so
+    * reusing E cannot resurrect half a wave. */
+  def stageIndexEpoch(spark: SparkSession, name: String,
+      tables: Seq[String]): Long = {
+    val root = epochRoot(spark, name)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val e = committedEpoch(spark, name) + 1L
+    val marker = new org.apache.hadoop.fs.Path(root, s"staged-$e")
+    if (fs.exists(marker)) tables.foreach(t => scrubEpoch(spark, t, e))
+    else if (!fs.createNewFile(marker))
+      throw new IllegalStateException(
+        s"index $name lost the stage race for epoch $e - index " +
+          "maintenance is single-writer per window, like compact()")
+    e
+  }
+
+  /** Publish a staged wave: all segment rows tagged `epoch` become
+    * visible to pinned readers in one atomic marker creation. */
+  def commitIndexEpoch(spark: SparkSession, name: String,
+      epoch: Long): Unit = {
+    val root = epochRoot(spark, name)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(epoch == committedEpoch(spark, name) + 1L,
+      s"commit of epoch $epoch out of order for index $name " +
+        s"(committed is ${committedEpoch(spark, name)})")
+    if (!fs.createNewFile(new org.apache.hadoop.fs.Path(root, s"epoch-$epoch")))
+      throw new IllegalStateException(
+        s"index $name lost the commit race for epoch $epoch")
+    fs.delete(new org.apache.hadoop.fs.Path(root, s"staged-$epoch"), false)
+  }
+
+  /** Remove every row tagged `epoch` from `table` — crash recovery for
+    * a wave that staged but never committed (bucket-preserving where
+    * the table is bucketed). */
+  private def scrubEpoch(spark: SparkSession, table: String,
+      epoch: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (!spark.catalog.tableExists(table)) return
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    if (meta.bucketSpec.isDefined)
+      rewriteBucketedTable(spark, table,
+        df => df.filter(col("epoch") =!= epoch))
+    else {
+      val kept = spark.table(table).filter(col("epoch") =!= epoch)
+        .localCheckpoint() // break lineage so the overwrite can read it
+      kept.write.format("parquet").mode(SaveMode.Overwrite)
+        .saveAsTable(table)
+      spark.catalog.refreshTable(table)
+    }
+  }
+
+  /** Segment table `table` pinned at epoch `pin`: only rows committed
+    * at or before it, with the epoch column dropped so probe logic and
+    * output schemas are untouched. */
+  def pinnedAt(spark: SparkSession, table: String, pin: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.table(table).filter(col("epoch") <= pin).drop("epoch")
   }
 }

@@ -262,4 +262,39 @@ class PlanHygieneSpec extends AnyFunSuite {
       !topn.contains("rangepartitioning"),
       s"probeSearchIndex must cut top-N without a global sort:\n$topn")
   }
+
+  test("panel-kernel and probe rank cuts plan WindowGroupLimit — the " +
+    "rank-limit pushdown that keeps panel×corpus partitions from " +
+    "fully sorting; a refactor that breaks the filter-over-window " +
+    "shape would silently regress to a full partition sort") {
+    import org.apache.spark.sql.functions.col
+    // per-query rank windows whose filter must push into the window:
+    // the 1-NN panel kernel, the IVF candidate rerank, the LSH rerank
+    for (q <- Seq("q_knn_labelcheck", "q_ann_ivf", "q_ann_lsh")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q: expected WindowGroupLimit in:\n$plan")
+    }
+    // the persisted-index probe faces (library operators — same law)
+    graft.operators.Similarity.buildIvfIndex(spark, sf, "wgl_ivf",
+      nBuckets = 2)
+    graft.operators.Search.buildSearchIndex(spark, sf, "wgl_srch",
+      nBuckets = 2)
+    val qvecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")).limit(20)
+    import spark.implicits._
+    val qterms = Seq((1L, "data"), (1L, "model")).toDF("query_id", "tok")
+    val ivfProbe = graft.operators.Similarity
+      .probeIvfIndexOn(spark, "wgl_ivf", qvecs)
+      .queryExecution.executedPlan.toString
+    assert(ivfProbe.contains("WindowGroupLimit"),
+      s"probeIvfIndexOn: expected WindowGroupLimit in:\n$ivfProbe")
+    val srchProbe = graft.operators.Search
+      .probeSearchIndexMany(spark, "wgl_srch", qterms)
+      .queryExecution.executedPlan.toString
+    assert(srchProbe.contains("WindowGroupLimit"),
+      s"probeSearchIndexMany: expected WindowGroupLimit in:\n$srchProbe")
+  }
 }
