@@ -313,7 +313,24 @@ object SparkEntry {
     "q_label_balance" -> ((s: SparkSession, d: String) => Embeddings.labelBalance(s, d)),
     "q_knn_labelcheck" -> ((s: SparkSession, d: String) => Similarity.knnLabelCheck(s, d)),
     // binned-mass drift (the chi-square companion of q_ks_drift)
-    "q_length_drift" -> ((s: SparkSession, d: String) => Quality.lengthDrift(s, d))
+    "q_length_drift" -> ((s: SparkSession, d: String) => Quality.lengthDrift(s, d)),
+    // r8: supervised language-ID confusion, PII budget line, tokenizer
+    // fertility constants, oracle-checked minhash accuracy, and the
+    // IVF codebook-staleness alarm (rows-only: float recall over
+    // k-means lists; semantics in IvfRecallSpec's planted drift)
+    "q_lang_confusion" -> ((s: SparkSession, d: String) => TextAnalysis.langConfusion(s, d)),
+    "q_pii_density" -> ((s: SparkSession, d: String) => TextAnalysis.piiDensity(s, d)),
+    "q_fertility" -> ((s: SparkSession, d: String) => TextAnalysis.tokenFertility(s, d)),
+    "q_minhash_est_audit" -> ((s: SparkSession, d: String) => Dedup.minhashEstAudit(s, d)),
+    "q_ivf_recall" -> ((s: SparkSession, d: String) => Similarity.ivfRecallAudit(s, d)),
+    // r8 continuation 2: encoding hygiene, structural text stats,
+    // n-gram eval kernel, gaps-and-islands, dyadic EWMA
+    "q_mojibake" -> ((s: SparkSession, d: String) => TextAnalysis.mojibakeScreen(s, d)),
+    "q_sentence_stats" -> ((s: SparkSession, d: String) => TextAnalysis.sentenceStats(s, d)),
+    "q_readability" -> ((s: SparkSession, d: String) => TextAnalysis.readability(s, d)),
+    "q_rouge_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.rougePairs(s, d)),
+    "q_interval_coalesce" -> ((s: SparkSession, d: String) => Temporal.intervalCoalesce(s, d)),
+    "q_ewma_smooth" -> ((s: SparkSession, d: String) => TimeSeries.ewma(s, d))
   )
 
   /** The unrolled INTEGER PageRank oracle for `q_pagerank_panel` —
@@ -3759,6 +3776,260 @@ object SparkEntry {
         |SELECT source, bin, o, n_s, b_t, n_all,
         | round((gap_d * gap_d) / (CAST(n_all AS DOUBLE)
         |  * CAST(n_s AS DOUBLE) * CAST(b_t AS DOUBLE)), 6) AS contrib
-        |FROM g ORDER BY source, bin""".stripMargin
+        |FROM g ORDER BY source, bin""".stripMargin,
+    // language-ID confusion cells: the q_lang_id prediction logic
+    // rolled up per (label, pred) with the true-class share
+    "q_lang_confusion" ->
+      """WITH t AS (SELECT lang AS lang_label,
+        |  CAST(len(regexp_extract_all(text, '(?i)\bthe\b')) + len(regexp_extract_all(text, '(?i)\band\b'))
+        |   + len(regexp_extract_all(text, '(?i)\bof\b')) + len(regexp_extract_all(text, '(?i)\bis\b')) AS BIGINT) AS s_en,
+        |  CAST(len(regexp_extract_all(text, '(?i)\bel\b')) + len(regexp_extract_all(text, '(?i)\bla\b'))
+        |   + len(regexp_extract_all(text, '(?i)\blos\b')) + len(regexp_extract_all(text, '(?i)\bque\b'))
+        |   + len(regexp_extract_all(text, '(?i)\by\b')) AS BIGINT) AS s_es,
+        |  CAST(len(regexp_extract_all(text, '(?i)\bder\b')) + len(regexp_extract_all(text, '(?i)\bdie\b'))
+        |   + len(regexp_extract_all(text, '(?i)\bdas\b')) + len(regexp_extract_all(text, '(?i)\bund\b'))
+        |   + len(regexp_extract_all(text, '(?i)\bist\b')) AS BIGINT) AS s_de,
+        |  CAST(len(regexp_extract_all(text, '(?i)\ble\b')) + len(regexp_extract_all(text, '(?i)\bles\b'))
+        |   + len(regexp_extract_all(text, '(?i)\bdes\b')) + len(regexp_extract_all(text, '(?i)\best\b'))
+        |   + len(regexp_extract_all(text, '(?i)\bet\b')) AS BIGINT) AS s_fr,
+        |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh
+        | FROM documents),
+        |p AS (SELECT lang_label,
+        | CASE WHEN s_zh > 0 THEN 'zh'
+        |  WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |  WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+        |  WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+        |  WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+        |  ELSE 'fr' END AS lang_pred
+        | FROM t),
+        |c AS (SELECT lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n
+        | FROM p GROUP BY 1, 2),
+        |tot AS (SELECT lang_label, CAST(sum(n) AS BIGINT) AS n_label
+        | FROM c GROUP BY lang_label)
+        |SELECT c.lang_label, c.lang_pred, c.n, tot.n_label,
+        | round(CAST(c.n AS DOUBLE) / tot.n_label, 6) AS share
+        |FROM c JOIN tot USING (lang_label)
+        |ORDER BY c.lang_label, c.lang_pred""".stripMargin,
+    // per-source PII hit density per 10k tokens
+    "q_pii_density" ->
+      """WITH d AS (
+        | SELECT source,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS e,
+        |  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9() .-]{7,}[0-9]')) AS BIGINT) AS p,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS i,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS t
+        | FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(t) AS BIGINT) AS n_tokens,
+        | CAST(sum(e) AS BIGINT) AS n_emails,
+        | CAST(sum(p) AS BIGINT) AS n_phones,
+        | CAST(sum(i) AS BIGINT) AS n_idruns,
+        | CASE WHEN sum(t) > 0 THEN
+        |  round(CAST(10000 * (sum(e) + sum(p) + sum(i)) AS DOUBLE)
+        |   / sum(t), 6) END AS pii_per_10k
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // per-source tokenizer fertility constants
+    "q_fertility" ->
+      """WITH d AS (
+        | SELECT source,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS t,
+        |  CAST(length(text) AS BIGINT) AS c
+        | FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(t) AS BIGINT) AS n_tokens,
+        | CAST(sum(c) AS BIGINT) AS n_chars,
+        | CASE WHEN sum(t) > 0 THEN
+        |  round(CAST(sum(c) AS DOUBLE) / sum(t), 6) END AS chars_per_token,
+        | round(CAST(sum(t) AS DOUBLE) / count(*), 6) AS tokens_per_doc
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // md5-minhash estimate vs exact shingle Jaccard on the md5 panel —
+    // the sketch itself is bit-reproducible (md5), so the whole
+    // accuracy audit faces the exact oracle
+    "q_minhash_est_audit" ->
+      """WITH panel AS (
+        | SELECT doc_id FROM documents
+        | ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 40),
+        |t AS (
+        | SELECT doc_id, string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents WHERE doc_id IN (SELECT doc_id FROM panel)),
+        |s AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> array_to_string(toks[i:(i+2)], ' '))) AS st
+        | FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT doc_id, unnest(st) AS g FROM s),
+        |ps AS (SELECT unnest(generate_series(0, 15)) AS p),
+        |sig AS (
+        | SELECT sh.doc_id, ps.p,
+        |  min(md5(CAST(ps.p AS VARCHAR) || ':' || sh.g)) AS mh
+        | FROM sh CROSS JOIN ps GROUP BY sh.doc_id, ps.p),
+        |m AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS est_matches
+        | FROM sig a JOIN sig b ON a.p = b.p AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |ex AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.st, b.st)) AS BIGINT) AS inter,
+        |  CAST(len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))
+        |    AS BIGINT) AS uni
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT m.doc_a, m.doc_b, CAST(16 AS BIGINT) AS k, m.est_matches,
+        | ex.inter, ex.uni,
+        | round(CAST(m.est_matches AS DOUBLE) / 16, 6) AS est_j,
+        | round(CAST(ex.inter AS DOUBLE) / ex.uni, 6) AS exact_j
+        |FROM m JOIN ex ON m.doc_a = ex.doc_a AND m.doc_b = ex.doc_b
+        |ORDER BY m.doc_a, m.doc_b""".stripMargin,
+    // per-source encoding-artifact screen (counts + one fixed division)
+    "q_mojibake" ->
+      """WITH d AS (
+        | SELECT source, CAST(length(text) AS BIGINT) AS c,
+        |  CAST(len(regexp_extract_all(text, '\x{fffd}')) AS BIGINT) AS r,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS k,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\x{00c3}[\x{0080}-\x{00ff}]|\x{00e2}\x{20ac}|\x{00c2}[\x{00a0}-\x{00bf}]'))
+        |    AS BIGINT) AS m,
+        |  CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS BIGINT) AS na
+        | FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(c) AS BIGINT) AS n_chars,
+        | CAST(sum(r) AS BIGINT) AS n_replacement,
+        | CAST(sum(k) AS BIGINT) AS n_control,
+        | CAST(sum(m) AS BIGINT) AS n_mojibake,
+        | CAST(sum(na) AS BIGINT) AS n_nonascii,
+        | CASE WHEN sum(c) > 0 THEN
+        |  round(CAST(10000 * (sum(r) + sum(k) + sum(m)) AS DOUBLE)
+        |   / sum(c), 6) END AS bad_per_10k
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // per-source sentence segmentation stats
+    "q_sentence_stats" ->
+      """WITH d AS (
+        | SELECT source,
+        |  CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+        |    x -> trim(x) <> '')) AS BIGINT) AS s,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS BIGINT) AS t
+        | FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(s) AS BIGINT) AS n_sents,
+        | CAST(sum(t) AS BIGINT) AS n_tokens,
+        | round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS sents_per_doc,
+        | CASE WHEN sum(s) > 0 THEN
+        |  round(CAST(sum(t) AS DOUBLE) / sum(s), 6) END AS tokens_per_sent
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // per-source Flesch reading ease off exact integer sums
+    "q_readability" ->
+      """WITH d AS (
+        | SELECT source,
+        |  CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+        |    x -> trim(x) <> '')) AS BIGINT) AS s,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS BIGINT) AS t,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |    AS BIGINT) AS y
+        | FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(s) AS BIGINT) AS n_sents,
+        | CAST(sum(t) AS BIGINT) AS n_words,
+        | CAST(sum(y) AS BIGINT) AS n_syllables,
+        | CASE WHEN sum(s) > 0 THEN
+        |  round(CAST(sum(t) AS DOUBLE) / sum(s), 6) END AS words_per_sent,
+        | CASE WHEN sum(t) > 0 THEN
+        |  round(CAST(sum(y) AS DOUBLE) / sum(t), 6) END AS syll_per_word,
+        | CASE WHEN sum(s) > 0 AND sum(t) > 0 THEN
+        |  round(206.835 - 1.015 * (CAST(sum(t) AS DOUBLE) / sum(s))
+        |   - 84.6 * (CAST(sum(y) AS DOUBLE) / sum(t)), 6) END AS flesch
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // distinct uni/bigram overlap P/R/F1 over the md5-top-20 panel
+    "q_rouge_pairs" ->
+      """WITH panel AS (
+        | SELECT doc_id FROM documents
+        | ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 20),
+        |t AS (
+        | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        | FROM documents WHERE doc_id IN (SELECT doc_id FROM panel)),
+        |g AS (
+        | SELECT doc_id, list_distinct(toks) AS g1,
+        |  list_distinct(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS g2
+        | FROM t),
+        |p AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.g1 AS g1a, a.g2 AS g2a, b.g1 AS g1b, b.g2 AS g2b
+        | FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |u AS (
+        | SELECT doc_a, doc_b, CAST(1 AS BIGINT) AS n,
+        |  g1a AS ga, g1b AS gb FROM p
+        | UNION ALL
+        | SELECT doc_a, doc_b, CAST(2 AS BIGINT) AS n, g2a, g2b FROM p)
+        |SELECT doc_a, doc_b, n,
+        | CAST(len(list_intersect(ga, gb)) AS BIGINT) AS inter,
+        | CAST(len(ga) AS BIGINT) AS sz_a, CAST(len(gb) AS BIGINT) AS sz_b,
+        | CASE WHEN len(gb) > 0 THEN
+        |  round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) / len(gb), 6)
+        |  END AS prec,
+        | CASE WHEN len(ga) > 0 THEN
+        |  round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) / len(ga), 6)
+        |  END AS rec,
+        | CASE WHEN len(ga) + len(gb) > 0 THEN
+        |  round(CAST(2 * len(list_intersect(ga, gb)) AS DOUBLE)
+        |   / (len(ga) + len(gb)), 6) END AS f1
+        |FROM u ORDER BY doc_a, doc_b, n""".stripMargin,
+    // 15-minute activity windows coalesced into maximal islands
+    "q_interval_coalesce" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS s,
+        |  epoch_us(ts) + 900000000 AS e
+        | FROM events),
+        |w AS (
+        | SELECT user_id, event_id, s, e,
+        |  max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mpe
+        | FROM e),
+        |f AS (
+        | SELECT user_id, event_id, s, e,
+        |  CASE WHEN mpe IS NULL OR s > mpe THEN 1 ELSE 0 END AS ni
+        | FROM w),
+        |i AS (
+        | SELECT user_id, s, e,
+        |  sum(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+        | FROM f),
+        |isl AS (
+        | SELECT user_id, island_id, min(s) AS i_start, max(e) AS i_end,
+        |  CAST(count(*) AS BIGINT) AS n_ev
+        | FROM i GROUP BY user_id, island_id)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        | CAST(sum(i_end - i_start) AS BIGINT) AS covered_micros,
+        | CAST(max(n_ev) AS BIGINT) AS max_island_events
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // dyadic (alpha = 1/2) EWMA over the dense daily order series
+    "q_ewma_smooth" ->
+      """WITH daily AS (
+        | SELECT date_trunc('day', o_orderdate) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM orders GROUP BY 1),
+        |spine AS (
+        | SELECT unnest(generate_series(min(day), max(day),
+        |   INTERVAL 1 DAY)) AS day FROM daily),
+        |ser AS (
+        | SELECT spine.day, coalesce(daily.n, 0) AS x
+        | FROM spine LEFT JOIN daily USING (day)),
+        |j AS (
+        | SELECT t.day, t.x, l.lag, s.x AS y
+        | FROM (SELECT unnest(generate_series(0, 31)) AS lag) l
+        | CROSS JOIN ser t
+        | JOIN ser s ON s.day = t.day - l.lag * INTERVAL 1 DAY)
+        |SELECT day, CAST(x AS BIGINT) AS x,
+        | CAST(sum(y * (CAST(1 AS BIGINT) << (31 - lag))) AS BIGINT)
+        |  AS ewma_num,
+        | CAST(sum(CAST(1 AS BIGINT) << (31 - lag)) AS BIGINT) AS ewma_den,
+        | round(CAST(sum(y * (CAST(1 AS BIGINT) << (31 - lag))) AS DOUBLE)
+        |  / CAST(sum(CAST(1 AS BIGINT) << (31 - lag)) AS BIGINT), 6)
+        |  AS ewma
+        |FROM j GROUP BY day, x ORDER BY day""".stripMargin
   )
 }

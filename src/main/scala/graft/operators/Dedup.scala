@@ -371,6 +371,52 @@ object Dedup {
     graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
   }
 
+  /** MinHash ACCURACY AUDIT, oracle-checked: on the bounded md5 panel,
+    * compare a k-position md5-minhash Jaccard ESTIMATE against the
+    * exact shingle Jaccard for every pair — the calibration table that
+    * justifies the banded index's (bands, rows) operating point with
+    * measured error, not the textbook formula. The estimator is
+    * deliberately md5-based (position p's hash = min over shingles of
+    * md5(p:shingle)) so the WHOLE sketch is bit-reproducible in any
+    * engine — which is what puts a sketch-accuracy audit on the exact
+    * oracle surface (the production banded index keeps its faster
+    * xxhash signatures; unbiasedness is hash-family-independent).
+    * Signatures are row-local (k·|st| md5 calls per doc); the pair
+    * kernel is panelN² over the broadcast panel — bounded at any
+    * corpus size, the knn/media panel-kernel class. */
+  def minhashEstAudit(spark: SparkSession, dir: String, k: Int = 16,
+      panelN: Int = 40): DataFrame = {
+    val sets = tokenShingleSetsOf(
+      Sampling.md5TopN(Tables.documents(spark, dir), "doc_id", panelN), 3)
+      .localCheckpoint()
+    val sigs = sets.select(col("doc_id"), col("st"),
+      expr(s"""transform(sequence(0, ${k - 1}),
+           |  p -> array_min(transform(st,
+           |    s -> md5(concat(CAST(p AS STRING), ':', s)))))""".stripMargin)
+        .as("sig"))
+    val a = sigs.select(col("doc_id").as("doc_a"), col("st").as("sa"),
+      col("sig").as("siga"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("st").as("sb"),
+      col("sig").as("sigb"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("""aggregate(zip_with(siga, sigb,
+             |  (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+             |  0, (acc, v) -> acc + v)""".stripMargin)
+          .cast("long").as("est_matches"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        (size(col("sa")) + size(col("sb"))).cast("long").as("sz_sum"))
+      .withColumn("uni", col("sz_sum") - col("inter"))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("est_j",
+        round(col("est_matches").cast("double") / k, 6))
+      .withColumn("exact_j",
+        round(col("inter").cast("double") / col("uni"), 6))
+      .select(col("doc_a"), col("doc_b"), col("k"), col("est_matches"),
+        col("inter"), col("uni"), col("est_j"), col("exact_j"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Normalized whitespace tokens (single-space split after collapsing
     * runs — the exact tokenization the DuckDB oracles mirror). */
   private def normToks: org.apache.spark.sql.Column =

@@ -429,6 +429,29 @@ object Similarity {
         "retrain_recommended")
   }
 
+  /** [[ivfRecallAudit]] staging cache — the IVF index builds once per
+    * (SparkContext, dir) as the untimed half of the build/probe split
+    * (the `Pipeline.incStageCache` contract; UUID-fresh names keyed by
+    * applicationId). */
+  private val ivfRecallCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** The query-surface instance of [[checkIvfRecall]]: stage a
+    * persisted IVF index over the corpus once per session, then emit
+    * the sampled-recall maintenance row. Rows-only (float recall over
+    * k-means lists); the alarm semantics are IvfRecallSpec's planted
+    * drift scenario. */
+  def ivfRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val name = ivfRecallCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir), _ => {
+        val n = "graft_ivfrec_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        buildIvfIndex(spark, dir, n)
+        n
+      })
+    checkIvfRecall(spark, name)
+  }
+
   /** The stored codebook of index `name` as K×dim doubles —
     * dim-bounded driver state (K centroids, never corpus rows). */
   private def loadCentroids(spark: SparkSession,

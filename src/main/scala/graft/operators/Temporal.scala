@@ -138,6 +138,43 @@ object Temporal {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** INTERVAL COALESCING (gaps-and-islands): every event opens a
+    * 15-minute half-open activity window [ts, ts+15m); overlapping or
+    * touching windows per user merge into maximal islands, and the
+    * query reports the per-user island rollup — island count, exact
+    * covered microseconds, and the busiest island's event count. The
+    * canonical lakehouse normalization for any interval-valued fact
+    * (leases, locks, sessions with explicit spans) where double-counted
+    * overlap corrupts downstream sums. All in integer epoch micros:
+    * island boundary = start strictly greater than the running max of
+    * prior ends (cummax window), island id = running sum of boundary
+    * flags — one shuffle on user_id, two window passes over it, no
+    * joins, order-independent integers throughout. */
+  def intervalCoalesce(spark: SparkSession, dir: String,
+      spanMicros: Long = 900000000L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+    val prior = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + spanMicros)
+      .withColumn("max_prev_e", max(col("e")).over(prior))
+      .withColumn("new_island",
+        when(col("max_prev_e").isNull || col("s") > col("max_prev_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island_id", sum(col("new_island")).over(cum))
+      .groupBy(col("user_id"), col("island_id"))
+      .agg(min(col("s")).as("i_start"), max(col("e")).as("i_end"),
+        count(lit(1)).as("n_ev"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_micros"),
+        max(col("n_ev")).as("max_island_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** Top SESSION PATHS — the "what do users actually do" readout over
     * [[sessionize]]'s 30-minute-gap sessions: each session becomes its
     * ordered event-type sequence (truncated at 8 steps, so the path

@@ -155,6 +155,216 @@ object TextAnalysis {
         langPredCol.as("lang_pred"))
       .orderBy(col("doc_id"))
 
+  /** Language-ID CONFUSION MATRIX: predicted-vs-labeled language cells
+    * with each cell's share of its TRUE class — the supervised audit
+    * of [[langId]] ("which languages does the heuristic confuse, and
+    * how badly"), the summary a crawl-routing decision actually reads
+    * where the per-doc table is the debugging view. One row-local
+    * prediction projection + one |langs|²-bounded count + a broadcast
+    * |langs|-row class-total attach; shuffle ~ corpus rows once,
+    * result bounded by the label-domain square at any corpus size.
+    * Diagonal share = per-class recall. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("lang").as("lang_label"), langPredCol.as("lang_pred"))
+      .groupBy(col("lang_label"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col("lang_label")).agg(sum(col("n")).as("n_label"))
+    cells.join(broadcast(tot), Seq("lang_label"))
+      .withColumn("share",
+        round(col("n").cast("double") / col("n_label"), 6))
+      .select(col("lang_label"), col("lang_pred"), col("n"),
+        col("n_label"), col("share"))
+      .orderBy(col("lang_label"), col("lang_pred"))
+  }
+
+  /** Per-source PII DENSITY — the hygiene budget line over
+    * [[piiRedact]]'s per-doc counts: email / phone / long-digit-run
+    * hits per source, normalized to hits per 10k tokens (the unit a
+    * "this crawl needs scrubbing before it trains" decision is made
+    * in). Row-local regexp counting folded by one source-keyed
+    * aggregate — map-side combined, result bounded by the source
+    * cardinality; the density closes in one fixed double division
+    * over exact integer sums. */
+  def piiDensity(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9() .-]{7,}[0-9]"
+    val idrun = "[0-9]{9,}"
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        regexp_count(col("text"), lit(email)).cast("long").as("e"),
+        regexp_count(col("text"), lit(phone)).cast("long").as("p"),
+        regexp_count(col("text"), lit(idrun)).cast("long").as("i"),
+        size(tokensCol).cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+        sum(col("e")).as("n_emails"), sum(col("p")).as("n_phones"),
+        sum(col("i")).as("n_idruns"))
+      .withColumn("pii_per_10k",
+        when(col("n_tokens") > 0L, round(
+          (lit(10000L) * (col("n_emails") + col("n_phones") +
+            col("n_idruns"))).cast("double") / col("n_tokens"), 6)))
+      .orderBy(col("source"))
+  }
+
+  /** Per-source TOKENIZER FERTILITY: chars per token and tokens per
+    * document — the budget constants that turn a byte-sized crawl
+    * estimate into a token count (and the drift screen for a source
+    * whose markup suddenly inflates token mass). Exact integer sums,
+    * two fixed closing divisions; one map-side-combined aggregate,
+    * result bounded by source cardinality. */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), size(tokensCol).cast("long").as("t"),
+        length(col("text")).cast("long").as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+        sum(col("c")).as("n_chars"))
+      .withColumn("chars_per_token",
+        when(col("n_tokens") > 0L,
+          round(col("n_chars").cast("double") / col("n_tokens"), 6)))
+      .withColumn("tokens_per_doc",
+        round(col("n_tokens").cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+
+  /** Per-source ENCODING-ARTIFACT SCREEN — the mojibake/corruption
+    * budget line a crawl triage reads before any content filter:
+    * counts of U+FFFD replacement characters (a decoder already gave
+    * up), C0 control characters (binary bleed; tab/newline/CR exempt),
+    * UTF-8-read-as-Latin-1 marker sequences (Ã/Â/â€ followed by a
+    * continuation-range char — the classic double-encoding signature),
+    * and the non-ASCII mass that contextualizes them, folded to one
+    * row per source with a bad-chars-per-10k-chars density. Row-local
+    * regexp counting, one map-side-combined aggregate bounded by
+    * source cardinality; density closes in one fixed double division
+    * over exact integer sums. */
+  def mojibakeScreen(spark: SparkSession, dir: String): DataFrame = {
+    val control = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+    val moji = "\\x{00c3}[\\x{0080}-\\x{00ff}]|\\x{00e2}\\x{20ac}" +
+      "|\\x{00c2}[\\x{00a0}-\\x{00bf}]"
+    Tables.documents(spark, dir)
+      .select(col("source"), length(col("text")).cast("long").as("c"),
+        regexp_count(col("text"), lit("\\x{fffd}")).cast("long").as("r"),
+        regexp_count(col("text"), lit(control)).cast("long").as("k"),
+        regexp_count(col("text"), lit(moji)).cast("long").as("m"),
+        regexp_count(col("text"), lit("[^\\x00-\\x7F]")).cast("long")
+          .as("na"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_chars"),
+        sum(col("r")).as("n_replacement"), sum(col("k")).as("n_control"),
+        sum(col("m")).as("n_mojibake"), sum(col("na")).as("n_nonascii"))
+      .withColumn("bad_per_10k",
+        when(col("n_chars") > 0L, round(
+          (lit(10000L) * (col("n_replacement") + col("n_control") +
+            col("n_mojibake"))).cast("double") / col("n_chars"), 6)))
+      .orderBy(col("source"))
+  }
+
+  /** Per-source SENTENCE-SEGMENTATION statistics: sentence count
+    * (non-blank segments between [.!?]+ runs), sentences per document,
+    * and mean whitespace-tokens per sentence — the structural
+    * complement of [[tokenFertility]] (a source whose sentences
+    * suddenly lengthen is usually concatenation or markup damage, and
+    * packing/chunking budgets are sized in sentences). Both engines
+    * drop blank segments explicitly, so trailing-empty split semantics
+    * never reach the result. Row-local split + one source-bounded
+    * aggregate; ratios close in fixed divisions over exact sums. */
+  def sentenceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(filter(split(col("text"), "[.!?]+"),
+          s => trim(s) =!= lit(""))).cast("long").as("s"),
+        size(tokensCol).cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("n_sents"),
+        sum(col("t")).as("n_tokens"))
+      .withColumn("sents_per_doc",
+        round(col("n_sents").cast("double") / col("n_docs"), 6))
+      .withColumn("tokens_per_sent",
+        when(col("n_sents") > 0L,
+          round(col("n_tokens").cast("double") / col("n_sents"), 6)))
+      .orderBy(col("source"))
+
+  /** Per-source FLESCH READING-EASE panel: words/sentence and
+    * vowel-group syllables/word assembled from exact corpus sums, with
+    * the classic 206.835 − 1.015·wps − 84.6·spw score — the
+    * readability axis of a quality-mixture decision (too-easy boiler
+    * and too-hard OCR soup both score away from prose). The syllable
+    * proxy is the deterministic [aeiouy]+ run count — a heuristic, but
+    * an EXACTLY specified one, so the whole operator stays on the
+    * oracle surface: integer sums, then a fixed tree of two
+    * correctly-rounded divisions and the affine close. Degenerate
+    * sources (no sentences / no words) report NULL, not a throw. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(filter(split(col("text"), "[.!?]+"),
+          s => trim(s) =!= lit(""))).cast("long").as("s"),
+        size(tokensCol).cast("long").as("t"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+          .as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("n_sents"),
+        sum(col("t")).as("n_words"), sum(col("y")).as("n_syllables"))
+      .withColumn("words_per_sent",
+        when(col("n_sents") > 0L,
+          round(col("n_words").cast("double") / col("n_sents"), 6)))
+      .withColumn("syll_per_word",
+        when(col("n_words") > 0L,
+          round(col("n_syllables").cast("double") / col("n_words"), 6)))
+      .withColumn("flesch",
+        when(col("n_sents") > 0L && col("n_words") > 0L,
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+            6)))
+      .orderBy(col("source"))
+
+  /** ROUGE-N OVERLAP PANEL (set/Dice form): distinct unigram and
+    * bigram precision / recall / F1 for every pair of the bounded md5
+    * panel — the n-gram-overlap eval kernel (summary-vs-reference,
+    * paraphrase mining, cross-source template detection) expressed as
+    * the same panelN²-bounded broadcast pair kernel as the minhash
+    * audit. Set semantics (distinct grams) keep both engines on
+    * identical integer intersections; P = o/|B|, R = o/|A|,
+    * F1 = 2o/(|A|+|B|) close in fixed divisions. Linear in the corpus
+    * (panel membership is one broadcast semi-join); pair mass is
+    * panelN², bounded at any scale. */
+  def rougePairs(spark: SparkSession, dir: String, panelN: Int = 20)
+      : DataFrame = {
+    val panel = Sampling.md5TopN(Tables.documents(spark, dir),
+      "doc_id", panelN)
+      .select(col("doc_id"), tokensCol.as("toks"))
+      .select(col("doc_id"), array_distinct(col("toks")).as("g1"),
+        array_distinct(expr(
+          """zip_with(slice(toks, 1, size(toks) - 1),
+            |  slice(toks, 2, size(toks) - 1),
+            |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("g2"))
+      .localCheckpoint()
+    val a = panel.select(col("doc_id").as("doc_a"), col("g1").as("g1a"),
+      col("g2").as("g2a"))
+    val b = panel.select(col("doc_id").as("doc_b"), col("g1").as("g1b"),
+      col("g2").as("g2b"))
+    val pairs = a.join(broadcast(b), col("doc_a") < col("doc_b"))
+    val grams = pairs.select(col("doc_a"), col("doc_b"), lit(1L).as("n"),
+        col("g1a").as("ga"), col("g1b").as("gb"))
+      .unionAll(pairs.select(col("doc_a"), col("doc_b"), lit(2L).as("n"),
+        col("g2a").as("ga"), col("g2b").as("gb")))
+    grams.select(col("doc_a"), col("doc_b"), col("n"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long")
+          .as("inter"),
+        size(col("ga")).cast("long").as("sz_a"),
+        size(col("gb")).cast("long").as("sz_b"))
+      .withColumn("prec", when(col("sz_b") > 0L,
+        round(col("inter").cast("double") / col("sz_b"), 6)))
+      .withColumn("rec", when(col("sz_a") > 0L,
+        round(col("inter").cast("double") / col("sz_a"), 6)))
+      .withColumn("f1", when(col("sz_a") + col("sz_b") > 0L,
+        round((lit(2L) * col("inter")).cast("double")
+          / (col("sz_a") + col("sz_b")), 6)))
+      .orderBy(col("doc_a"), col("doc_b"), col("n"))
+  }
+
   /** PII detection + redaction battery (training-data hygiene): count
     * and mask email / phone-like / long-digit-run patterns. Pure regexp
     * expressions — linear scan, trivially partitionable. */

@@ -78,6 +78,43 @@ object TimeSeries {
       .orderBy(col("lag"))
   }
 
+  /** EWMA smoothing of the daily order-count series with the one
+    * EXACT decay: α = 1/2 over a 32-day trailing window, so every
+    * weight is a power of two and the whole smoother is INTEGER
+    * arithmetic — num = Σ_k x_{t−k}·2^{31−k}, den = Σ_k 2^{31−k} over
+    * the days present — with ONE correctly-rounded closing division.
+    * No running float state, no summation-order sensitivity (the sums
+    * are BIGINT), and the truncated tail is below 2⁻³² of the mass —
+    * the same "pick the dyadic operating point" discipline as the
+    * α = ½ temperature mix. Day panel is calendar-bounded; the 32-row
+    * lag dimension broadcasts; one equi-join on the shifted day. */
+  def ewma(spark: SparkSession, dir: String, window: Int = 32)
+      : DataFrame =
+    ewmaOn(Tables.orders(spark, dir), window)
+
+  /** Core of [[ewma]] over any frame with `o_orderdate` — split out so
+    * specs can drive crafted series (constant ⇒ ewma = x; unit impulse
+    * ⇒ halving readout) through it. */
+  def ewmaOn(orders: DataFrame, window: Int = 32): DataFrame = {
+    require(window >= 1 && window <= 62, "dyadic weights need 2^w in BIGINT")
+    val series = dailySeries(orders)
+    val lags = series.sparkSession.range(0, window)
+      .select(col("id").as("lag"))
+    val src = series.select(col("day").as("srcday"), col("x").as("y"))
+    series.crossJoin(broadcast(lags))
+      .withColumn("srcday",
+        expr(s"timestampadd(DAY, CAST(-lag AS INT), day)"))
+      .join(src, Seq("srcday"))
+      .withColumn("w", expr(
+        s"shiftleft(CAST(1 AS BIGINT), CAST(${window - 1} - lag AS INT))"))
+      .groupBy(col("day"), col("x"))
+      .agg(sum(col("y") * col("w")).as("ewma_num"),
+        sum(col("w")).as("ewma_den"))
+      .withColumn("ewma",
+        round(col("ewma_num").cast("double") / col("ewma_den"), 6))
+      .orderBy(col("day"))
+  }
+
   /** CUSUM change-point screen over the daily order-count series: the
     * day that maximizes |T·C_t − t·S| (the cumulative-sum deviation
     * from the global mean, CLEARED of its 1/T denominator so the

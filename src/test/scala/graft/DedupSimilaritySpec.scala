@@ -799,4 +799,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(r.getLong(4) == dropped.map(_._4).sum)
     }
   }
+
+  test("minhash accuracy audit: identical docs read a full-agreement " +
+    "signature at exact Jaccard 1, disjoint docs read zero; real-data " +
+    "exact sides recount from raw shingles and estimates stay in [0,k]") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Dedup
+    val dirM = java.nio.file.Files.createTempDirectory("graft-mhe").toString
+    Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "p q r s t u v w"))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+      .write.parquet(s"$dirM/documents.parquet")
+    val rows = Dedup.minhashEstAudit(sp, dirM).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val same = rows((1L, 2L))
+    assert(same.getLong(3) == 16L && same.getDouble(6) == 1.0 &&
+      same.getDouble(7) == 1.0, "identical sets agree at every position")
+    for (p <- Seq((1L, 3L), (2L, 3L))) {
+      val r = rows(p)
+      assert(r.getLong(3) == 0L && r.getLong(4) == 0L &&
+        r.getDouble(7) == 0.0,
+        "disjoint shingle sets share no min-hash and no mass")
+    }
+    // real data: the exact side recounts from raw shingle sets; the
+    // estimate is bounded and exact at the J=1 diagonal cases
+    val res = Dedup.minhashEstAudit(spark, sf).collect()
+    assert(res.nonEmpty)
+    val sets = graft.operators.Sampling.md5TopN(
+      graft.sources.Tables.documents(spark, sf), "doc_id", 40)
+      .select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+          .as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector)
+      .filter(_._2.size >= 3)
+      .map { case (id, toks) =>
+        id -> toks.sliding(3).map(_.mkString(" ")).toSet }
+      .toMap
+    res.foreach { r =>
+      val (sa, sb) = (sets(r.getLong(0)), sets(r.getLong(1)))
+      assert(r.getLong(4) == (sa & sb).size.toLong, "exact intersection")
+      assert(r.getLong(5) == (sa | sb).size.toLong, "exact union")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 16L)
+      if (sa == sb) assert(r.getLong(3) == 16L,
+        "equal sets must agree at every signature position")
+    }
+  }
 }

@@ -79,7 +79,19 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_label_balance",
     // broadcast 1-row (min,max,N) scalar + dense <=10-row bin dimension
     // (the t-closeness grid class)
-    "q_length_drift")
+    "q_length_drift",
+    // bounded md5-panel pair kernel (40² sketch-vs-exact audit) — the
+    // q_media_neighbors/knn panel class
+    "q_minhash_est_audit",
+    // bounded md5 sample panel against the live posting scan (the
+    // exact side of the recall audit) — same panel-kernel class
+    "q_ivf_recall",
+    // bounded md5-panel pair kernel (20² n-gram overlap eval) — the
+    // minhash-audit panel class
+    "q_rouge_pairs",
+    // broadcast 32-row lag dimension against the calendar-bounded day
+    // panel — the q_autocorr class
+    "q_ewma_smooth")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>

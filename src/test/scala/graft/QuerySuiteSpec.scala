@@ -568,4 +568,58 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(five.map(_.getLong(2)).sum == perLang.values.sum,
       "nTiers=5 lost documents")
   }
+
+  test("interval coalesce: crafted islands merge exactly (overlap " +
+    "merges, touching merges, gaps split); real-data rollup matches " +
+    "an independent driver fold") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val dirI = java.nio.file.Files.createTempDirectory("graft-isl").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 10, 0).plusMinutes(m.toLong))
+    // user 1: 0' and 10' overlap (merge), 40' starts after 10'+15' ends;
+    // user 2: singleton; user 3: 60' and 75' touch exactly (s = prev
+    // end, half-open windows -> merge)
+    Seq((1L, ts(0), 1L, "view", 0.0, "{}"),
+      (2L, ts(10), 1L, "view", 0.0, "{}"),
+      (3L, ts(40), 1L, "view", 0.0, "{}"),
+      (4L, ts(0), 2L, "view", 0.0, "{}"),
+      (5L, ts(60), 3L, "view", 0.0, "{}"),
+      (6L, ts(75), 3L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dirI/events.parquet")
+    val rows = graft.operators.Temporal.intervalCoalesce(sp, dirI)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) == ((2L, 2400000000L, 2L)), "overlap + gap")
+    assert(rows(2L) == ((1L, 900000000L, 1L)), "singleton")
+    assert(rows(3L) == ((1L, 1800000000L, 2L)), "touching merges")
+    // real data: fold islands in the driver from raw (user, ts) pairs —
+    // an independent implementation of the same half-open merge rule
+    val span = 900000000L
+    val raw = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("s"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = raw.groupBy(_._1).map { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3)).map(_._2)
+      var nIsl = 0L; var covered = 0L; var maxEv = 0L
+      var iStart = 0L; var iEnd = Long.MinValue; var nEv = 0L
+      for (s <- sorted) {
+        if (nIsl == 0L || s > iEnd) {
+          if (nIsl > 0L) { covered += iEnd - iStart; maxEv = maxEv.max(nEv) }
+          nIsl += 1; iStart = s; iEnd = s + span; nEv = 1L
+        } else { iEnd = iEnd.max(s + span); nEv += 1 }
+      }
+      covered += iEnd - iStart; maxEv = maxEv.max(nEv)
+      u -> ((nIsl, covered, maxEv))
+    }
+    val res = graft.operators.Temporal.intervalCoalesce(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(res == want, "driver island fold disagrees")
+  }
 }

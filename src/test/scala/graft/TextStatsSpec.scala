@@ -401,4 +401,240 @@ class TextStatsSpec extends AnyFunSuite {
       assert(r.getLong(5) - r.getLong(3) <= 1L)
     }
   }
+
+  test("lang confusion: crafted corpus lands in the expected cells; " +
+    "real-data cells close against the per-label totals") {
+    val sp = spark
+    import sp.implicits._
+    val dirC = java.nio.file.Files.createTempDirectory("graft-conf").toString
+    // two labeled-en docs that PREDICT en, one labeled-en doc with
+    // only Spanish markers (confused), one labeled-es doc predicted es
+    Seq((1L, "the cat and the dog is here", "en"),
+      (2L, "the end of the story is near", "en"),
+      (3L, "el gato y la casa que", "en"),
+      (4L, "los perros y el sol que brilla", "es"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s1"))
+      .write.parquet(s"$dirC/documents.parquet")
+    val cells = TextAnalysis.langConfusion(sp, dirC).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(cells(("en", "en")) == ((2L, 3L, 0.666667)))
+    assert(cells(("en", "es")) == ((1L, 3L, 0.333333)))
+    assert(cells(("es", "es")) == ((1L, 1L, 1.0)))
+    assert(cells.size == 3)
+    // real data: per-label cell mass must close to the label total and
+    // the shares to 1 (exact ratios of exact counts, rounded)
+    val res = TextAnalysis.langConfusion(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val tot = rows.head.getLong(3)
+      assert(rows.map(_.getLong(2)).sum == tot)
+      assert(rows.forall(_.getLong(3) == tot))
+    }
+  }
+
+  test("pii density: crafted hits per source recount by hand; real " +
+    "data closes against the per-doc redaction counts") {
+    val sp = spark
+    import sp.implicits._
+    val dirP = java.nio.file.Files.createTempDirectory("graft-piid").toString
+    // sA: 2 docs, 1 email + 1 idrun over 8 tokens; sB: clean
+    Seq((1L, "mail me at bob@example.com today", "sA"),
+      (2L, "ref 123456789 attached here now", "sA"),
+      (3L, "nothing sensitive in this text", "sB"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dirP/documents.parquet")
+    val d = TextAnalysis.piiDensity(sp, dirP).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // the 9-digit run matches BOTH the phone-like and idrun patterns —
+    // intentionally, as in piiRedact (the classes overlap)
+    assert(d("sA").getLong(1) == 2L && d("sA").getLong(3) == 1L &&
+      d("sA").getLong(4) == 1L && d("sA").getLong(5) == 1L,
+      "email + phone-like + idrun counted")
+    val toksA = d("sA").getLong(2)
+    assert(d("sA").getDouble(6) ==
+      BigDecimal(10000.0 * 3 / toksA)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(d("sB").getLong(3) == 0L && d("sB").getLong(4) == 0L &&
+      d("sB").getLong(5) == 0L && d("sB").getDouble(6) == 0.0)
+    // real data: per-source sums equal the per-doc piiRedact counts
+    val perDoc = TextAnalysis.piiRedact(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_emails")).as("e"), sum(col("n_phones")).as("p"),
+        sum(col("n_idruns")).as("i"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    TextAnalysis.piiDensity(spark, sf).collect().foreach { r =>
+      val (e, p, i) = perDoc(r.getString(0))
+      assert(r.getLong(3) == e && r.getLong(4) == p && r.getLong(5) == i,
+        s"${r.getString(0)} hit sums")
+    }
+  }
+
+  test("fertility: crafted constants by hand; real-data sums recount " +
+    "from the raw corpus") {
+    val sp = spark
+    import sp.implicits._
+    val dirF = java.nio.file.Files.createTempDirectory("graft-fert").toString
+    // s1: 2 docs, 6 tokens, 24 chars -> 4.0 chars/token, 3 tokens/doc
+    Seq((1L, "aa bb cc", "s1"), (2L, "dddd eeee ffffff", "s1"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dirF/documents.parquet")
+    val f = TextAnalysis.tokenFertility(sp, dirF).collect().head
+    assert(f.getLong(1) == 2L && f.getLong(2) == 6L && f.getLong(3) == 24L)
+    assert(f.getDouble(4) == 4.0 && f.getDouble(5) == 3.0)
+    // real data: integer sums recount from the raw token/char streams
+    val raw = Tables.documents(spark, sf)
+      .select(col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("t"),
+        length(col("text")).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    TextAnalysis.tokenFertility(spark, sf).collect().foreach { r =>
+      val rows = raw(r.getString(0))
+      assert(r.getLong(1) == rows.size.toLong &&
+        r.getLong(2) == rows.map(_._2).sum &&
+        r.getLong(3) == rows.map(_._3).sum, s"${r.getString(0)} sums")
+    }
+  }
+
+  test("mojibake screen: crafted artifacts count by class; clean " +
+    "source reads zero; density closes by hand") {
+    val sp = spark
+    import sp.implicits._
+    val dirM = java.nio.file.Files.createTempDirectory("graft-moji").toString
+    val d1 = "caf\u00c3\u00a9 menu"      // A-tilde + continuation
+    val d2 = "price \u00e2\u20ac\u00a2 here" // a-circ + euro + cent
+    val d3 = "bad \ufffd char \u0001 end" // replacement + control
+    val d4 = "x\u00c2\u00a0y"             // A-circumflex + nbsp
+    Seq((1L, d1, "sA"), (2L, d2, "sA"), (3L, d3, "sA"), (4L, d4, "sA"),
+      (5L, "plain ascii text", "sB"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dirM/documents.parquet")
+    val m = TextAnalysis.mojibakeScreen(sp, dirM).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = m("sA")
+    val chars = Seq(d1, d2, d3, d4).map(_.length.toLong).sum
+    assert(a.getLong(1) == 4L && a.getLong(2) == chars)
+    assert(a.getLong(3) == 1L, "one replacement char")
+    assert(a.getLong(4) == 1L, "one control char")
+    assert(a.getLong(5) == 3L, "three mojibake sequences")
+    assert(a.getLong(6) == 8L, "non-ascii mass")
+    assert(a.getDouble(7) ==
+      BigDecimal(10000.0 * 5 / chars)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val b = m("sB")
+    assert(b.getLong(3) == 0L && b.getLong(4) == 0L &&
+      b.getLong(5) == 0L && b.getLong(6) == 0L &&
+      b.getDouble(7) == 0.0)
+  }
+
+  test("sentence stats: crafted segmentation by hand (blank segments " +
+    "dropped, unterminated text is one sentence); real-data sums " +
+    "recount from raw splits") {
+    val sp = spark
+    import sp.implicits._
+    val dirS = java.nio.file.Files.createTempDirectory("graft-sent").toString
+    Seq((1L, "One two. Three! Four five six?", "sA"),
+      (2L, "no terminal punctuation here", "sA"),
+      (3L, "...", "sB"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dirS/documents.parquet")
+    val s = TextAnalysis.sentenceStats(sp, dirS).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = s("sA")
+    assert(a.getLong(1) == 2L && a.getLong(2) == 4L && a.getLong(3) == 10L)
+    assert(a.getDouble(4) == 2.0 && a.getDouble(5) == 2.5)
+    val b = s("sB")
+    assert(b.getLong(2) == 0L, "pure punctuation has no sentences")
+    assert(b.isNullAt(5), "0-sentence source reads NULL, not a throw")
+    // real data: sentence counts recount from an independent split
+    val raw = Tables.documents(spark, sf)
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0),
+        r.getString(1).split("[.!?]+").count(_.trim.nonEmpty).toLong))
+      .groupBy(_._1)
+    TextAnalysis.sentenceStats(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) == raw(r.getString(0)).map(_._2).sum,
+        s"${r.getString(0)} sentence recount")
+    }
+  }
+
+  test("readability: crafted Flesch score closes by hand; degenerate " +
+    "guards read NULL; vowel-run syllable proxy recounts on real data") {
+    val sp = spark
+    import sp.implicits._
+    val dirR = java.nio.file.Files.createTempDirectory("graft-read").toString
+    Seq((1L, "the cat sat. the dog ran.", "sA"), (2L, "...", "sB"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dirR/documents.parquet")
+    val r = TextAnalysis.readability(sp, dirR).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val a = r("sA")
+    assert(a.getLong(2) == 2L && a.getLong(3) == 6L && a.getLong(4) == 6L)
+    assert(a.getDouble(5) == 3.0 && a.getDouble(6) == 1.0)
+    assert(a.getDouble(7) == 119.19, "206.835 - 1.015*3 - 84.6*1")
+    assert(r("sB").isNullAt(5) && r("sB").isNullAt(7),
+      "no sentences -> NULL, not a throw")
+    // real data: syllable sums recount from an independent regex pass
+    val raw = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(x => (x.getString(0),
+        "[aeiouy]+".r.findAllIn(x.getString(1).toLowerCase).length.toLong))
+      .groupBy(_._1)
+    TextAnalysis.readability(spark, sf).collect().foreach { x =>
+      assert(x.getLong(4) == raw(x.getString(0)).map(_._2).sum,
+        s"${x.getString(0)} syllable recount")
+    }
+  }
+
+  test("rouge pairs: crafted overlaps close by hand at both gram " +
+    "orders; real-data panel is complete and one pair recounts from " +
+    "raw distinct gram sets") {
+    val sp = spark
+    import sp.implicits._
+    val dirG = java.nio.file.Files.createTempDirectory("graft-rouge").toString
+    Seq((1L, "a b c", "s"), (2L, "a b d", "s"), (3L, "x y", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dirG/documents.parquet")
+    val rows = TextAnalysis.rougePairs(sp, dirG).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r).toMap
+    assert(rows.size == 6, "3 pairs x 2 gram orders")
+    val u12 = rows((1L, 2L, 1L))
+    assert(u12.getLong(3) == 2L && u12.getLong(4) == 3L &&
+      u12.getLong(5) == 3L && u12.getDouble(8) == 0.666667)
+    val b12 = rows((1L, 2L, 2L))
+    assert(b12.getLong(3) == 1L && b12.getDouble(6) == 0.5 &&
+      b12.getDouble(7) == 0.5 && b12.getDouble(8) == 0.5)
+    assert(rows((1L, 3L, 1L)).getLong(3) == 0L &&
+      rows((1L, 3L, 1L)).getDouble(8) == 0.0)
+    assert(rows((2L, 3L, 2L)).getLong(3) == 0L)
+    // real data: C(20,2) pairs at each order, and the first pair's
+    // intersections recount from raw distinct gram sets
+    val res = TextAnalysis.rougePairs(spark, sf).collect()
+    assert(res.length == 380, "190 panel pairs x 2 orders")
+    val sets = graft.operators.Sampling.md5TopN(
+      Tables.documents(spark, sf), "doc_id", 20)
+      .select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+          .as("toks"))
+      .collect().map { r =>
+        val toks = r.getSeq[String](1).toVector
+        r.getLong(0) -> ((toks.toSet,
+          if (toks.size < 2) Set.empty[String]
+          else toks.sliding(2).map(_.mkString(" ")).toSet))
+      }.toMap
+    res.foreach { r =>
+      val (sa, sb) = (sets(r.getLong(0)), sets(r.getLong(1)))
+      val (ga, gb) =
+        if (r.getLong(2) == 1L) (sa._1, sb._1) else (sa._2, sb._2)
+      assert(r.getLong(3) == (ga & gb).size.toLong,
+        s"(${r.getLong(0)},${r.getLong(1)}) n=${r.getLong(2)} inter")
+      assert(r.getLong(4) == ga.size.toLong &&
+        r.getLong(5) == gb.size.toLong)
+    }
+  }
 }

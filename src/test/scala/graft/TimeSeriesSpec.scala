@@ -279,4 +279,46 @@ class TimeSeriesSpec extends AnyFunSuite {
         s"dow ${r.getLong(0)} recount")
     }
   }
+
+  test("ewma: constant series smooths to itself with the dyadic " +
+    "denominator law; real-data num/den recount exactly in BigInt") {
+    val sp = spark
+    import sp.implicits._
+    // constant 3/day over 40 days: every smoothed reading is exactly 3
+    // and den(t) = 2^32 - 2^(32-m) where m = min(t+1, 32) days seen
+    val const = (0 until 40).flatMap(i => Seq.fill(3)(day(i)))
+      .toDF("o_orderdate")
+    val cRows = TimeSeries.ewmaOn(const).collect()
+    assert(cRows.length == 40)
+    cRows.zipWithIndex.foreach { case (r, t) =>
+      val m = math.min(t + 1, 32)
+      val den = (1L << 32) - (1L << (32 - m))
+      assert(r.getLong(3) == den, s"day $t den")
+      assert(r.getLong(2) == 3L * den, s"day $t num")
+      assert(r.getDouble(4) == 3.0, s"day $t ewma")
+    }
+    // real data: fold the expected dyadic sums in the driver from the
+    // raw daily counts and demand bit equality, smoothed value included
+    val res = TimeSeries.ewma(spark, sf).collect()
+    val daily = Tables.orders(spark, sf)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    val msDay = 86400000L
+    val days = (daily.keys.min to daily.keys.max by msDay).toIndexedSeq
+    val xs = days.map(t => daily.getOrElse(t, 0L))
+    assert(res.length == days.length)
+    res.zipWithIndex.foreach { case (r, t) =>
+      val terms = (0 until math.min(t + 1, 32))
+        .map(k => (xs(t - k) * (1L << (31 - k)), 1L << (31 - k)))
+      val (num, den) = (terms.map(_._1).sum, terms.map(_._2).sum)
+      assert(r.getTimestamp(0).getTime == days(t))
+      assert(r.getLong(1) == xs(t), s"day $t x")
+      assert(r.getLong(2) == num && r.getLong(3) == den, s"day $t sums")
+      assert(r.getDouble(4) ==
+        BigDecimal(num.toDouble / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"day $t ewma close")
+    }
+  }
 }
