@@ -330,7 +330,12 @@ object SparkEntry {
     "q_readability" -> ((s: SparkSession, d: String) => TextAnalysis.readability(s, d)),
     "q_rouge_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.rougePairs(s, d)),
     "q_interval_coalesce" -> ((s: SparkSession, d: String) => Temporal.intervalCoalesce(s, d)),
-    "q_ewma_smooth" -> ((s: SparkSession, d: String) => TimeSeries.ewma(s, d))
+    "q_ewma_smooth" -> ((s: SparkSession, d: String) => TimeSeries.ewma(s, d)),
+    // r8 continuation 3: local-DP collection, quantized centroid
+    // drift, diurnal uniformity
+    "q_rr_debias" -> ((s: SparkSession, d: String) => Privacy.rrDebias(s, d)),
+    "q_label_centroid_drift" -> ((s: SparkSession, d: String) => Embeddings.labelCentroidDrift(s, d)),
+    "q_hour_profile" -> ((s: SparkSession, d: String) => Behavioral.hourProfile(s, d))
   )
 
   /** The unrolled INTEGER PageRank oracle for `q_pagerank_panel` —
@@ -4030,6 +4035,101 @@ object SparkEntry {
         | round(CAST(sum(y * (CAST(1 AS BIGINT) << (31 - lag))) AS DOUBLE)
         |  / CAST(sum(CAST(1 AS BIGINT) << (31 - lag)) AS BIGINT), 6)
         |  AS ewma
-        |FROM j GROUP BY day, x ORDER BY day""".stripMargin
+        |FROM j GROUP BY day, x ORDER BY day""".stripMargin,
+    // Warner randomized response at p = 1/2 over the observed lang
+    // domain, md5-hex coin, integer-cleared unbiased estimator
+    "q_rr_debias" ->
+      """WITH dims AS (
+        | SELECT lang,
+        |  CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS idx
+        | FROM (SELECT DISTINCT lang FROM documents)),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM dims),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |c AS (
+        | SELECT d.doc_id, i.idx,
+        |  CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+        |    AS INTEGER) AS BIGINT) AS u
+        | FROM documents d JOIN dims i USING (lang)),
+        |r AS (
+        | SELECT idx, u,
+        |  (u // 2) % ((SELECT k FROM kk) - 1) AS rr
+        | FROM c),
+        |rep AS (
+        | SELECT CASE WHEN u % 2 = 0 THEN idx
+        |   WHEN rr >= idx THEN rr + 1 ELSE rr END AS rep_idx,
+        |  CAST(count(*) AS BIGINT) AS n_rep
+        | FROM r GROUP BY 1),
+        |tru AS (
+        | SELECT lang, CAST(count(*) AS BIGINT) AS n_t
+        | FROM documents GROUP BY lang)
+        |SELECT dims.lang,
+        | CAST(coalesce(tru.n_t, 0) AS BIGINT) AS n_true,
+        | CAST(coalesce(rep.n_rep, 0) AS BIGINT) AS n_reported,
+        | CAST(2 * ((SELECT k FROM kk) - 1) * coalesce(rep.n_rep, 0)
+        |  - (SELECT n FROM nn) AS BIGINT) AS est_num,
+        | CAST((SELECT k FROM kk) - 2 AS BIGINT) AS est_den,
+        | CASE WHEN (SELECT k FROM kk) > 2 THEN
+        |  round(CAST(2 * ((SELECT k FROM kk) - 1) * coalesce(rep.n_rep, 0)
+        |   - (SELECT n FROM nn) AS DOUBLE)
+        |   / ((SELECT k FROM kk) - 2), 6) END AS est
+        |FROM dims
+        |LEFT JOIN tru USING (lang)
+        |LEFT JOIN rep ON rep.rep_idx = dims.idx
+        |ORDER BY dims.lang""".stripMargin,
+    // per-label centroid cosine vs the global centroid over globally
+    // int8-quantized components (BIGINT moments, fixed sqrt/div close)
+    "q_label_centroid_drift" ->
+      """WITH e AS (
+        | SELECT CAST(label AS BIGINT) AS label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        | FROM embeddings),
+        |sc AS (
+        | SELECT max(list_max(list_transform(vd, x -> abs(x)))) / 127.0 AS s
+        | FROM e),
+        |px AS (
+        | SELECT label, unnest(generate_series(1, len(vd))) AS pos, vd
+        | FROM e),
+        |q AS (
+        | SELECT label, pos,
+        |  CASE WHEN (SELECT s FROM sc) > 0 THEN
+        |   CAST(floor(vd[pos] / (SELECT s FROM sc) + 0.5) AS BIGINT)
+        |   ELSE 0 END AS qv
+        | FROM px),
+        |ls AS (SELECT label, pos, CAST(sum(qv) AS BIGINT) AS s
+        | FROM q GROUP BY 1, 2),
+        |gs AS (SELECT pos, CAST(sum(s) AS BIGINT) AS g FROM ls GROUP BY 1),
+        |ng AS (SELECT CAST(sum(g * g) AS BIGINT) AS ng2 FROM gs),
+        |nv AS (SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY 1),
+        |d AS (
+        | SELECT ls.label, CAST(sum(ls.s * gs.g) AS BIGINT) AS dot,
+        |  CAST(sum(ls.s * ls.s) AS BIGINT) AS norm2_label
+        | FROM ls JOIN gs USING (pos) GROUP BY 1)
+        |SELECT d.label, nv.n_vecs, d.dot, d.norm2_label,
+        | (SELECT ng2 FROM ng) AS norm2_global,
+        | CASE WHEN d.norm2_label > 0 AND (SELECT ng2 FROM ng) > 0 THEN
+        |  round(CAST(d.dot AS DOUBLE) /
+        |   (sqrt(CAST(d.norm2_label AS DOUBLE)) *
+        |    sqrt(CAST((SELECT ng2 FROM ng) AS DOUBLE))), 6) END AS cos
+        |FROM d JOIN nv USING (label) ORDER BY d.label""".stripMargin,
+    // dense hour-of-day chi-square uniformity grid per event type
+    "q_hour_profile" ->
+      """WITH obs AS (
+        | SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+        |  CAST(count(*) AS BIGINT) AS o
+        | FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS t_total
+        | FROM obs GROUP BY 1),
+        |grid AS (
+        | SELECT t.event_type, h.hr,
+        |  CAST(coalesce(obs.o, 0) AS BIGINT) AS o, t.t_total
+        | FROM tot t
+        | CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hr) h
+        | LEFT JOIN obs ON obs.event_type = t.event_type AND obs.hr = h.hr)
+        |SELECT event_type, CAST(hr AS BIGINT) AS hr, o, t_total,
+        | round((CAST(CAST(o AS HUGEINT) * 24 - t_total AS DOUBLE)
+        |   * CAST(CAST(o AS HUGEINT) * 24 - t_total AS DOUBLE))
+        |  / (24.0 * CAST(t_total AS DOUBLE)), 6) AS contrib
+        |FROM grid ORDER BY event_type, hr""".stripMargin
   )
 }

@@ -353,4 +353,35 @@ object Behavioral {
         col("m_quintile").cast("string")))
       .orderBy(col("user_id"))
   }
+
+  /** HOUR-OF-DAY UNIFORMITY PROFILE per event type: the dense 24-cell
+    * hour histogram with each cell's χ² contribution against the
+    * uniform 1/24 expectation — the diurnal-seasonality screen (a bot
+    * or batch-replay source reads as a few spiked hours; organic
+    * traffic as a smooth curve). Zeros materialized from the broadcast
+    * 24-row hour dimension (the t-closeness grid class); the per-cell
+    * gap 24·o − T forms in DECIMAL(38,0) (exact at any event count —
+    * the `Quality.chiCells` discipline) and the contribution closes in
+    * a fixed correctly-rounded double tree, no cross-cell float
+    * summation. One map-side-combined aggregate over the fact table;
+    * everything after is bounded by |event types| × 24. */
+  def hourProfile(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("o"))
+    val hours = spark.range(0, 24).select(col("id").as("hr"))
+    val tot = obs.groupBy(col("event_type")).agg(sum(col("o")).as("t_total"))
+    tot.crossJoin(broadcast(hours))
+      .join(obs, Seq("event_type", "hr"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("gap",
+        col("o").cast("decimal(38,0)") * 24 - col("t_total"))
+      .withColumn("contrib",
+        round((col("gap").cast("double") * col("gap").cast("double")) /
+          (lit(24.0) * col("t_total").cast("double")), 6))
+      .select(col("event_type"), col("hr"), col("o"), col("t_total"),
+        col("contrib"))
+      .orderBy(col("event_type"), col("hr"))
+  }
 }

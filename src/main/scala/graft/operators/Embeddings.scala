@@ -191,4 +191,46 @@ object Embeddings {
         col("ratio_to_max"))
       .orderBy(col("label"))
   }
+
+  /** Per-label CENTROID DRIFT against the global centroid, kept on the
+    * exact-oracle surface by GLOBAL int8 quantization: one corpus-wide
+    * scale (max |x| / 127, a 1-row scalar) turns every component into
+    * a small integer, so per-(label, dim) sums, the global sums they
+    * roll into (derived from the label sums — ONE pass over the
+    * vectors), and all dot/norm moments are BIGINT-exact and
+    * order-independent; cosine closes in the fixed √·√ ÷ tree. The
+    * audit a mixture rebalance reads: a label whose centroid points
+    * away from the corpus centroid (low cos) is the distribution-shift
+    * suspect. Shuffle ~ n_vecs × dim once, then everything is bounded
+    * by |labels| × dim. Float centroid means would be partial-sum-
+    * order-dependent — exactly what the quantization removes. */
+  def labelCentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+    val scale = e.agg((max(expr("array_max(transform(vd, x -> abs(x)))"))
+      / 127.0).as("s")).scalar()
+    val q = e.select(col("label"), posexplode(col("vd")))
+      .withColumnRenamed("col", "x")
+      .withColumn("qv", when(scale > 0,
+        floor(col("x") / scale + 0.5).cast("long")).otherwise(0L))
+    val ls = q.groupBy(col("label"), col("pos")).agg(sum(col("qv")).as("s"))
+    val gs = ls.groupBy(col("pos")).agg(sum(col("s")).as("g"))
+    val ng2 = gs.agg(sum(col("g") * col("g")).as("ng2")).scalar()
+    val nv = e.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    ls.join(gs, Seq("pos"))
+      .groupBy(col("label"))
+      .agg(sum(col("s") * col("g")).as("dot"),
+        sum(col("s") * col("s")).as("norm2_label"))
+      .withColumn("norm2_global", ng2.cast("long"))
+      .join(nv, Seq("label"))
+      .withColumn("cos",
+        when(col("norm2_label") > 0L && col("norm2_global") > 0L,
+          round(col("dot").cast("double") /
+            (sqrt(col("norm2_label").cast("double")) *
+              sqrt(col("norm2_global").cast("double"))), 6)))
+      .select(col("label"), col("n_vecs"), col("dot"),
+        col("norm2_label"), col("norm2_global"), col("cos"))
+      .orderBy(col("label"))
+  }
 }

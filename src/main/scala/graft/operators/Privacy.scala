@@ -243,4 +243,68 @@ object Privacy {
         when(col("emd_den") > 0L, lit(5L) * col("emd_num") <= col("emd_den")))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** RANDOMIZED-RESPONSE frequency debiasing (Warner 1965, generalized
+    * k-ary mechanism at p = ½): each row reports its true category
+    * with probability ½, else one of the other k−1 categories
+    * uniformly, and the per-category TRUE count is recovered by the
+    * unbiased estimator t̂_c = (2(k−1)·n_c − n)/(k−2) — the local-DP
+    * collection primitive (what a client-side telemetry or
+    * sensitive-label pipeline aggregates). The coin is the repo's
+    * hash-uniform: two md5 hex digits of the row key drive both the
+    * truth flip (parity) and the replacement draw (u div 2 mod k−1),
+    * so the whole mechanism is a pure function of the data —
+    * bit-reproducible across engines/partitionings, which is what puts
+    * a RANDOMIZED mechanism on the exact-oracle surface (production
+    * swaps a client CSPRNG; estimator and plan are unchanged). The
+    * category dimension is the observed domain, alphabetically
+    * indexed; the estimator clears to one BIGINT numerator over the
+    * integer k−2 with one closing division. Shuffle ~ corpus rows
+    * once; everything else is bounded by the category domain. */
+  def rrDebias(spark: SparkSession, dir: String): DataFrame =
+    rrDebiasOn(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang")))
+
+  /** Core of [[rrDebias]] over any (doc_id, lang) frame — split out so
+    * specs can drive crafted domains (skewed truth, k = 3) through
+    * the mechanism and recount the estimator by hand. */
+  def rrDebiasOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = docs.select(col("lang")).distinct()
+    // tiny post-aggregation frame; non-foldable constant partition key
+    // keeps the rank window off a single global-sort partition
+    val win = Window.partitionBy(pmod(length(col("lang")), lit(1)))
+      .orderBy(col("lang"))
+    val idx = dims.select(col("lang"),
+      (row_number().over(win) - 1).cast("long").as("idx"))
+    val k = dims.agg(count(lit(1)).as("k")).scalar()
+    val n = docs.agg(count(lit(1)).as("n")).scalar()
+    val coined = docs.join(broadcast(idx), Seq("lang"))
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long"))
+      .withColumn("r", expr("u div 2") % (k - lit(1L)))
+      .withColumn("rep_idx",
+        when(col("u") % 2 === 0, col("idx"))
+          .otherwise(when(col("r") >= col("idx"), col("r") + 1)
+            .otherwise(col("r"))))
+    val rep = coined.join(broadcast(
+        idx.select(col("idx").as("rep_idx"), col("lang").as("lang_rep"))),
+        Seq("rep_idx"))
+      .groupBy(col("lang_rep").as("lang"))
+      .agg(count(lit(1)).as("n_rep"))
+    val tru = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_t"))
+    idx.select(col("lang"))
+      .join(rep, Seq("lang"), "left")
+      .join(tru, Seq("lang"), "left")
+      .select(col("lang"),
+        coalesce(col("n_t"), lit(0L)).as("n_true"),
+        coalesce(col("n_rep"), lit(0L)).as("n_reported"))
+      .withColumn("est_num",
+        (lit(2L) * (k - lit(1L)) * col("n_reported") - n).cast("long"))
+      .withColumn("est_den", (k - lit(2L)).cast("long"))
+      .withColumn("est", when(col("est_den") > 0L,
+        round(col("est_num").cast("double") / col("est_den"), 6)))
+      .orderBy(col("lang"))
+  }
 }

@@ -371,4 +371,34 @@ class BehavioralSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sum
     assert(raw == top.getLong(3), "monetary milli-units disagree with raw")
   }
+
+  test("hour profile: fully concentrated crafted type reads the " +
+    "closed-form chi-square grid; real-data cells cover 24 hours and " +
+    "close to the type totals") {
+    val sp = spark
+    import sp.implicits._
+    val dirH = java.nio.file.Files.createTempDirectory("graft-hour").toString
+    def at(h: Int, m: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 3, 1, h, m))
+    // type A: 24 events all in hour 3 -> h3 contrib = 552^2/576 = 529,
+    // every other cell (0-24)^2/576 = 1; total chi2 = 23T = 552
+    val evs = (0 until 24).map(i => (i.toLong, at(3, i), 1L, "A", 0.0, "{}"))
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dirH/events.parquet")
+    val rows = graft.operators.Behavioral.hourProfile(sp, dirH).collect()
+    assert(rows.length == 24, "dense grid: all 24 hours present")
+    rows.foreach { r =>
+      assert(r.getLong(3) == 24L)
+      if (r.getLong(1) == 3L)
+        assert(r.getLong(2) == 24L && r.getDouble(4) == 529.0)
+      else assert(r.getLong(2) == 0L && r.getDouble(4) == 1.0)
+    }
+    // real data: 24 rows per type, observed mass closes to the total
+    val real = graft.operators.Behavioral.hourProfile(spark, sf).collect()
+    real.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      assert(rs.length == 24, s"$t grid density")
+      assert(rs.map(_.getLong(2)).sum == rs.head.getLong(3), s"$t closure")
+      assert(rs.forall(_.getLong(3) == rs.head.getLong(3)))
+    }
+  }
 }

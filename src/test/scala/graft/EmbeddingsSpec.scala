@@ -172,4 +172,40 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(res.map(_.getDouble(4)).max == 1.0,
       "the majority class is its own reference")
   }
+
+  test("label centroid drift: crafted orthogonal labels close by hand; " +
+    "real-data moments obey the sum-of-dots identity") {
+    val sp = spark
+    import sp.implicits._
+    val dirC = java.nio.file.Files.createTempDirectory("graft-lcd").toString
+    // label 0 mass on axis 1, label 1 on axis 2; scale = 127/127 = 1,
+    // so quantized components are the raw integers
+    Seq((1L, Array(127f, 0f, 0f, 0f), 0),
+      (2L, Array(127f, 0f, 0f, 0f), 0),
+      (3L, Array(0f, 127f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dirC/embeddings.parquet")
+    val res = Embeddings.labelCentroidDrift(sp, dirC).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // label sums: s0 = (254,0,0,0), s1 = (0,127,0,0); g = (254,127,0,0)
+    // ng2 = 254^2 + 127^2 = 80645
+    val r0 = res(0L)
+    assert(r0.getLong(1) == 2L && r0.getLong(2) == 254L * 254L &&
+      r0.getLong(3) == 254L * 254L && r0.getLong(4) == 80645L)
+    assert(r0.getDouble(5) ==
+      BigDecimal(64516.0 / (math.sqrt(64516.0) * math.sqrt(80645.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val r1 = res(1L)
+    assert(r1.getLong(2) == 127L * 127L && r1.getLong(3) == 127L * 127L)
+    // real data: sum of per-label dots IS the global norm (sum_l s_l = g),
+    // and every row carries the same global norm
+    val real = Embeddings.labelCentroidDrift(spark, sf).collect()
+    assert(real.nonEmpty)
+    val ng2 = real.head.getLong(4)
+    assert(real.forall(_.getLong(4) == ng2))
+    assert(real.map(_.getLong(2)).sum == ng2,
+      "sum of label-vs-global dots must equal the global norm-squared")
+    assert(real.forall(r => r.getDouble(5) >= -1.000001 &&
+      r.getDouble(5) <= 1.000001))
+  }
 }

@@ -91,7 +91,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_rouge_pairs",
     // broadcast 32-row lag dimension against the calendar-bounded day
     // panel — the q_autocorr class
-    "q_ewma_smooth")
+    "q_ewma_smooth",
+    // dense 24-row hour dimension against the per-type totals — the
+    // t-closeness grid class (zeros must materialize)
+    "q_hour_profile")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>

@@ -227,4 +227,51 @@ class PrivacySpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("within_t") == (5L * num <= den))
     }
   }
+
+  test("randomized response: crafted k=3 mechanism replays by hand " +
+    "from the md5 coin; estimator closure laws hold on real data") {
+    val sp = spark
+    import sp.implicits._
+    // k = 3 categories with a skewed truth: 6 a, 3 b, 1 c
+    val docs = ((1L to 6L).map(i => (i, "a")) ++
+      (7L to 9L).map(i => (i, "b")) ++ Seq((10L, "c")))
+      .toDF("doc_id", "lang")
+    val res = Privacy.rrDebiasOn(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // replay the mechanism in the driver: same md5 hex coin
+    def u(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 2), 16)
+    }
+    val cats = Vector("a", "b", "c")
+    val reported = ((1L to 10L)).map { id =>
+      val trueIdx = if (id <= 6) 0 else if (id <= 9) 1 else 2
+      val uu = u(id)
+      if (uu % 2 == 0) trueIdx
+      else {
+        val r = (uu / 2) % 2
+        if (r >= trueIdx) r + 1 else r
+      }
+    }.groupBy(identity).map { case (i, v) => cats(i.toInt) -> v.size.toLong }
+    for (c <- cats) {
+      val r = res(c)
+      assert(r.getLong(2) == reported.getOrElse(c, 0L), s"$c reported")
+      // k = 3: est_num = 4 n_c - 10, den = 1
+      assert(r.getLong(3) == 4L * r.getLong(2) - 10L && r.getLong(4) == 1L)
+      assert(r.getDouble(5) == (4L * r.getLong(2) - 10L).toDouble)
+    }
+    assert(res.values.map(_.getLong(1)).sum == 10L)
+    // real data: reported mass is conserved and the unbiased estimates
+    // sum EXACTLY to n (sum est_num = n (k-2) is an algebraic identity)
+    val real = Privacy.rrDebias(spark, sf).collect()
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    val k = real.length.toLong
+    assert(real.map(_.getLong(2)).sum == n, "reported mass conserved")
+    assert(real.map(_.getLong(1)).sum == n, "true mass conserved")
+    assert(real.forall(_.getLong(4) == k - 2))
+    assert(real.map(_.getLong(3)).sum == n * (k - 2),
+      "estimates must sum to n after clearing")
+  }
 }
