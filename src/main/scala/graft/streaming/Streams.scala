@@ -23,6 +23,8 @@ object Streams {
       last_status: String, last_ts: Timestamp)
   case class UserSession(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, total_value: Double)
+  case class Island(user_id: Long, island_start: Timestamp,
+      island_end: Timestamp, n_events: Long)
 
   /** Tumbling-window counts with a 10-minute watermark (append-mode
     * safe: late data beyond the watermark is dropped, state is pruned). */
@@ -572,6 +574,77 @@ object Streams {
             current.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.session_end.getTime + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Epoch MICROSECONDS of a Timestamp — the island merge verdict must
+    * run at the batch operator's µs grain (getTime's millisecond floor
+    * would flip touching-vs-gap on sub-ms offsets). */
+  private def tsMicros(t: Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private def microsTs(us: Long): Timestamp =
+    Timestamp.from(java.time.Instant.ofEpochSecond(
+      us / 1000000L, (us % 1000000L) * 1000L))
+
+  /** Stateful INTERVAL COALESCING — the streaming face of
+    * `Temporal.intervalCoalesce` (§2 r8j): each event opens a
+    * spanMicros half-open activity window; a window overlapping or
+    * touching the user's open island extends it in place, an event
+    * starting strictly after the island's max end closes the island
+    * (emitted downstream) and opens the next, and the event-time
+    * timeout at the island's end closes it when the stream goes quiet.
+    * All merge verdicts run in integer epoch MICROSECONDS — exactly
+    * the batch operator's arithmetic — so `closed islands ≡ batch
+    * islands` is a law the spec can demand bit-exactly, not "close
+    * enough" (ms-grain state would flip touching-vs-gap on sub-ms
+    * offsets). Micro-batch rows replay in (ts, event_id) order;
+    * watermark prunes state, one open island per active user bounds
+    * memory forever. */
+  def intervalCoalesceStream(spark: SparkSession, events: Dataset[Event],
+      spanMicros: Long = 900000000L): Dataset[Island] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Island, Island](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Island]) =>
+          if (state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val evs = batch.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Island]
+            evs.foreach { e =>
+              val s = tsMicros(e.ts)
+              cur match {
+                case Some(i) if s <= tsMicros(i.island_end) =>
+                  cur = Some(i.copy(
+                    island_end = microsTs(
+                      math.max(tsMicros(i.island_end), s + spanMicros)),
+                    n_events = i.n_events + 1))
+                case Some(i) =>
+                  closed += i
+                  cur = Some(Island(userId, e.ts,
+                    microsTs(s + spanMicros), 1L))
+                case None =>
+                  cur = Some(Island(userId, e.ts,
+                    microsTs(s + spanMicros), 1L))
+              }
+            }
+            cur.foreach { i =>
+              state.update(i)
+              // ceil to ms so the timeout can never fire before the
+              // island's true µs end
+              state.setTimeoutTimestamp(
+                (tsMicros(i.island_end) + 999L) / 1000L)
             }
             closed.result().iterator
           }

@@ -101,6 +101,22 @@ object ScaleProbe {
           .map(col).toIndexedSeq: _*)
       .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
 
+    // --- orders (daily-series source): replica orders keep the SAME
+    // calendar span (dates shift by replica days — a week against a
+    // seven-year span), so the day panel the time-series reductions
+    // fold into stays calendar-bounded while the per-day mass grows
+    // N× — which is exactly the claim those operators make (linear
+    // fact reduction onto a bounded panel)
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val maxOrd = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    replicas.crossJoin(ord)
+      .select((col("o_orderkey") + col("replica") * maxOrd).as("o_orderkey") +:
+        expr("timestampadd(DAY, CAST(replica AS INT), o_orderdate)")
+          .as("o_orderdate") +:
+        ord.columns.filter(c => c != "o_orderkey" && c != "o_orderdate")
+          .map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(s"$bigDir/orders.parquet")
+
     // --- embeddings: replica vectors get one coordinate nudged (a
     // replica-dependent dimension), so directions shift slightly —
     // template families again, not exact cosine twins (a pure rescale
@@ -213,6 +229,24 @@ object ScaleProbe {
       ("q_label_balance", 1.0, (d, _) => graft.operators.Embeddings.labelBalance(spark, d)),
       ("q_knn_labelcheck", 1.0, (d, _) => graft.operators.Similarity.knnLabelCheck(spark, d)),
       ("q_length_drift", 1.0, (d, _) => graft.operators.Quality.lengthDrift(spark, d)),
+      // r8 additions: row-local scans folded to source/label/type-
+      // bounded grids (linear), the calendar-bounded ewma reduction,
+      // and the two bounded md5-panel kernels (knn_labelcheck class:
+      // panel size is fixed, so the kernel claims the corpus-linear
+      // exponent of its scan + signature legs)
+      ("q_lang_confusion", 1.0, (d, _) => graft.operators.TextAnalysis.langConfusion(spark, d)),
+      ("q_pii_density", 1.0, (d, _) => graft.operators.TextAnalysis.piiDensity(spark, d)),
+      ("q_fertility", 1.0, (d, _) => graft.operators.TextAnalysis.tokenFertility(spark, d)),
+      ("q_mojibake", 1.0, (d, _) => graft.operators.TextAnalysis.mojibakeScreen(spark, d)),
+      ("q_sentence_stats", 1.0, (d, _) => graft.operators.TextAnalysis.sentenceStats(spark, d)),
+      ("q_readability", 1.0, (d, _) => graft.operators.TextAnalysis.readability(spark, d)),
+      ("q_rouge_pairs", 1.0, (d, _) => graft.operators.TextAnalysis.rougePairs(spark, d)),
+      ("q_minhash_est_audit", 1.0, (d, _) => graft.operators.Dedup.minhashEstAudit(spark, d)),
+      ("q_interval_coalesce", 1.0, (d, _) => graft.operators.Temporal.intervalCoalesce(spark, d)),
+      ("q_ewma_smooth", 1.0, (d, _) => graft.operators.TimeSeries.ewma(spark, d)),
+      ("q_hour_profile", 1.0, (d, _) => graft.operators.Behavioral.hourProfile(spark, d)),
+      ("q_rr_debias", 1.0, (d, _) => graft.operators.Privacy.rrDebias(spark, d)),
+      ("q_label_centroid_drift", 1.0, (d, _) => graft.operators.Embeddings.labelCentroidDrift(spark, d)),
       // skew stress: a CONSTANT 300-copy boilerplate family planted
       // into the growing corpus — the hot band buckets (and their
       // quadratic pair mass) are the same at 1× and N×, so the probe

@@ -1672,4 +1672,75 @@ class StreamingSpec extends AnyFunSuite {
       chunks.head.map(_._1).sorted.toSeq,
       "the pinned first version is exactly the first micro-batch")
   }
+
+  test("streaming interval coalescing merges touching windows across " +
+    "batch boundaries and equals the batch islands on the real log") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.intervalCoalesceStream(sp, input.toDS())
+      .writeStream.format("memory").queryName("isl_out")
+      .outputMode("append").start()
+    // batch 1: event at 0'; batch 2: touching event at exactly 15'
+    // (same island — batch boundary must not split it), then 40'
+    // opens a second island after the 15'+15' gap
+    input.addData(Event(1, ts(0), 10, "view", 0.0))
+    q.processAllAvailable()
+    input.addData(Event(2, ts(15), 10, "view", 0.0),
+      Event(3, ts(40), 10, "view", 0.0))
+    q.processAllAvailable()
+    // sentinel far in the future advances the watermark past every
+    // timeout so the open island closes
+    input.addData(Event(99, tsH(23, 0), 999, "view", 0.0))
+    q.processAllAvailable()
+    val crafted = sp.sql(
+      "SELECT * FROM isl_out WHERE user_id = 10 ORDER BY island_start")
+      .collect()
+    assert(crafted.length == 2, s"two islands, got ${crafted.length}")
+    assert(crafted(0).getAs[Long]("n_events") == 2L, "touching merged")
+    assert(crafted(0).getAs[Timestamp]("island_end").getTime -
+      crafted(0).getAs[Timestamp]("island_start").getTime == 1800000L)
+    assert(crafted(1).getAs[Long]("n_events") == 1L)
+    q.stop()
+    // real log: closed islands must reproduce the batch rollup exactly
+    val all = graft.sources.Tables.events(sp, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input2 = MemoryStream[Event]
+    val q2 = Streams.intervalCoalesceStream(sp, input2.toDS())
+      .writeStream.format("memory").queryName("isl_out2")
+      .outputMode("append").start()
+    all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+      input2.addData(chunk.toIndexedSeq)
+      q2.processAllAvailable()
+    }
+    val lastTs = all.last.ts.getTime
+    input2.addData(Event(20000000L, new Timestamp(lastTs + 48L * 3600 * 1000),
+      -1L, "view", 0.0))
+    q2.processAllAvailable()
+    val streamed = sp.sql("SELECT * FROM isl_out2 WHERE user_id >= 0")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[Timestamp](1).toInstant,
+        r.getAs[Timestamp](2).toInstant,
+        r.getLong(3)))
+      .groupBy(_._1)
+    q2.stop()
+    val batch = graft.operators.Temporal.intervalCoalesce(sp, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(streamed.keySet == batch.keySet, "user coverage")
+    streamed.foreach { case (u, isls) =>
+      def us(i: java.time.Instant) =
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      val covered = isls.map(x => us(x._3) - us(x._2)).sum
+      val (bN, bCov, bMax) = batch(u)
+      assert(isls.length.toLong == bN, s"user $u island count")
+      assert(covered == bCov, s"user $u covered micros")
+      assert(isls.map(_._4).max == bMax, s"user $u max island")
+    }
+  }
 }
