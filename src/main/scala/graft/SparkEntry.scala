@@ -335,7 +335,12 @@ object SparkEntry {
     // drift, diurnal uniformity
     "q_rr_debias" -> ((s: SparkSession, d: String) => Privacy.rrDebias(s, d)),
     "q_label_centroid_drift" -> ((s: SparkSession, d: String) => Embeddings.labelCentroidDrift(s, d)),
-    "q_hour_profile" -> ((s: SparkSession, d: String) => Behavioral.hourProfile(s, d))
+    "q_hour_profile" -> ((s: SparkSession, d: String) => Behavioral.hourProfile(s, d)),
+    // r8 continuation 4: vocab sizing curve, char-class profile,
+    // sweep-line peak concurrency
+    "q_vocab_curve" -> ((s: SparkSession, d: String) => TextAnalysis.vocabCurve(s, d)),
+    "q_char_classes" -> ((s: SparkSession, d: String) => TextAnalysis.charClasses(s, d)),
+    "q_peak_concurrency" -> ((s: SparkSession, d: String) => Temporal.peakConcurrency(s, d))
   )
 
   /** The unrolled INTEGER PageRank oracle for `q_pagerank_panel` —
@@ -4130,6 +4135,84 @@ object SparkEntry {
         | round((CAST(CAST(o AS HUGEINT) * 24 - t_total AS DOUBLE)
         |   * CAST(CAST(o AS HUGEINT) * 24 - t_total AS DOUBLE))
         |  / (24.0 * CAST(t_total AS DOUBLE)), 6) AS contrib
-        |FROM grid ORDER BY event_type, hr""".stripMargin
+        |FROM grid ORDER BY event_type, hr""".stripMargin,
+    // top-V vocabulary coverage: mass covered by the top-V types on
+    // the (freq desc, tok) total order, at V in {100, 1000, 10000}
+    "q_vocab_curve" ->
+      """WITH freq AS (
+        | SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents) GROUP BY tok),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS tt,
+        |  CAST(count(*) AS BIGINT) AS tv FROM freq),
+        |rk AS (
+        | SELECT freq, CAST(row_number() OVER (ORDER BY freq DESC, tok)
+        |   AS BIGINT) AS rank
+        | FROM freq ORDER BY freq DESC, tok LIMIT 10000),
+        |cuts AS (SELECT unnest([100, 1000, 10000]) AS v)
+        |SELECT CAST(cuts.v AS BIGINT) AS v_cut,
+        | CAST(max(rk.rank) AS BIGINT) AS n_types,
+        | CAST(sum(rk.freq) AS BIGINT) AS covered_tokens,
+        | (SELECT tt FROM tot) AS total_tokens,
+        | (SELECT tv FROM tot) AS total_types,
+        | round(CAST(sum(rk.freq) AS DOUBLE) / (SELECT tt FROM tot), 6)
+        |  AS share
+        |FROM cuts JOIN rk ON rk.rank <= cuts.v
+        |GROUP BY cuts.v ORDER BY v_cut""".stripMargin,
+    // per-source ASCII character-class profile with per-10k shares
+    "q_char_classes" ->
+      """WITH d AS (
+        | SELECT source, CAST(length(text) AS BIGINT) AS c,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS l,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS g,
+        |  CAST(len(regexp_extract_all(text, '\s')) AS BIGINT) AS w,
+        |  CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))
+        |    AS BIGINT) AS p
+        | FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(c) AS BIGINT) AS n_chars,
+        | CAST(sum(l) AS BIGINT) AS n_letters,
+        | CAST(sum(g) AS BIGINT) AS n_digits,
+        | CAST(sum(w) AS BIGINT) AS n_space,
+        | CAST(sum(p) AS BIGINT) AS n_punct,
+        | CAST(sum(c) - sum(l) - sum(g) - sum(w) - sum(p) AS BIGINT)
+        |  AS n_other,
+        | CASE WHEN sum(c) > 0 THEN
+        |  round(CAST(10000 * sum(l) AS DOUBLE) / sum(c), 6) END
+        |  AS letters_per_10k,
+        | CASE WHEN sum(c) > 0 THEN
+        |  round(CAST(10000 * sum(g) AS DOUBLE) / sum(c), 6) END
+        |  AS digits_per_10k,
+        | CASE WHEN sum(c) > 0 THEN
+        |  round(CAST(10000 * sum(w) AS DOUBLE) / sum(c), 6) END
+        |  AS space_per_10k,
+        | CASE WHEN sum(c) > 0 THEN
+        |  round(CAST(10000 * sum(p) AS DOUBLE) / sum(c), 6) END
+        |  AS punct_per_10k
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // sweep-line peak concurrency of 15-min half-open windows per type
+    // (the oracle may use the naive single global sweep)
+    "q_peak_concurrency" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS s FROM events),
+        |e AS (
+        | SELECT event_type, s AS t, CAST(1 AS BIGINT) AS d FROM ev
+        | UNION ALL
+        | SELECT event_type, s + 900000000, CAST(-1 AS BIGINT) FROM ev),
+        |r AS (
+        | SELECT event_type, t, d,
+        |  CAST(sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS conc
+        | FROM e),
+        |p AS (SELECT event_type, CAST(max(conc) AS BIGINT) AS peak
+        | FROM r GROUP BY 1),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        | FROM ev GROUP BY 1)
+        |SELECT p.event_type, n.n_events, p.peak,
+        | CAST(min(r.t) AS BIGINT) AS peak_at
+        |FROM r JOIN p ON r.event_type = p.event_type AND r.conc = p.peak
+        |JOIN n ON n.event_type = p.event_type
+        |GROUP BY p.event_type, n.n_events, p.peak
+        |ORDER BY p.event_type""".stripMargin
   )
 }

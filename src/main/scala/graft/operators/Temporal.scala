@@ -175,6 +175,55 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** PEAK CONCURRENCY per event type (sweep line over the same 15-min
+    * half-open activity windows as [[intervalCoalesce]]): the maximum
+    * number of simultaneously open windows and the earliest instant it
+    * is attained — the capacity-planning readout interval data exists
+    * for. Scale-safe two-level prefix sum: endpoint deltas (+1 start /
+    * −1 end, ends before starts at equal instants — half-open) fold to
+    * a BOUNDED (type × hour-bucket) panel whose exclusive running sum
+    * gives each bucket's entry concurrency, then the exact within-
+    * bucket running sum runs in a (type, bucket) window — partitions
+    * are hour-sized at any corpus scale, never one-partition-per-type
+    * (the single global sweep the naive formulation needs, and which
+    * the DuckDB oracle is allowed to use). Prefix trajectories are
+    * permutation-invariant within equal (t, d) groups, so the peak and
+    * its argmin instant are deterministic integers. */
+  def peakConcurrency(spark: SparkSession, dir: String,
+      spanMicros: Long = 900000000L): DataFrame = {
+    val hourMicros = 3600000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("s"))
+    val endpoints = ev
+      .select(col("event_type"), col("s").as("t"), lit(1L).as("d"))
+      .unionAll(ev.select(col("event_type"),
+        (col("s") + spanMicros).as("t"), lit(-1L).as("d")))
+      .withColumn("bucket", expr(s"t div ${hourMicros}L"))
+    val wB = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = endpoints.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("d")).as("net"))
+      .withColumn("offset", coalesce(sum(col("net")).over(wB), lit(0L)))
+      .select(col("event_type"), col("bucket"), col("offset"))
+    val wT = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val conc = endpoints.join(offsets, Seq("event_type", "bucket"))
+      .withColumn("conc", col("offset") + sum(col("d")).over(wT))
+      .localCheckpoint()
+    val peaks = conc.groupBy(col("event_type"))
+      .agg(max(col("conc")).as("peak"))
+    val nEv = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    conc.join(broadcast(peaks), Seq("event_type"))
+      .filter(col("conc") === col("peak"))
+      .groupBy(col("event_type"), col("peak"))
+      .agg(min(col("t")).as("peak_at"))
+      .join(broadcast(nEv), Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("peak"),
+        col("peak_at"))
+      .orderBy(col("event_type"))
+  }
+
   /** Top SESSION PATHS — the "what do users actually do" readout over
     * [[sessionize]]'s 30-minute-gap sessions: each session becomes its
     * ordered event-type sequence (truncated at 8 steps, so the path

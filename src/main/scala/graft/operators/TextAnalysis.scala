@@ -1518,6 +1518,76 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** TOP-V VOCABULARY COVERAGE CURVE: for each candidate vocabulary
+    * size V, the share of corpus token MASS the top-V types cover —
+    * the table a tokenizer-vocab or stopword-list sizing decision
+    * reads ("10k types cover 97% of tokens; the tail is hapax noise").
+    * One token-shuffle type count (map-side combined, checkpointed so
+    * the curve's three readers scan it, not the corpus), top-maxCut
+    * types via TakeOrderedAndProject on the (freq desc, tok) total
+    * order, rank window over that bounded frame behind a non-foldable
+    * constant partition key, cut sums against the broadcast |cuts|-row
+    * dimension. Exact integers; one fixed closing division per row. */
+  def vocabCurve(spark: SparkSession, dir: String,
+      cuts: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cuts.nonEmpty && cuts == cuts.sorted, "cuts ascending")
+    val freq = Tables.documents(spark, dir)
+      .select(explode(tokensCol).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val totalToks = freq.agg(sum(col("freq")).as("tt")).scalar()
+    val totalTypes = freq.agg(count(lit(1)).as("tv")).scalar()
+    val top = freq.orderBy(col("freq").desc, col("tok")).limit(cuts.max)
+    val w = Window.partitionBy(pmod(col("freq"), lit(1)))
+      .orderBy(col("freq").desc, col("tok"))
+    val ranked = top.withColumn("rank", row_number().over(w).cast("long"))
+    val cutDim = spark.createDataFrame(cuts.map(Tuple1(_)))
+      .toDF("v").select(col("v").cast("long").as("v_cut"))
+    ranked.crossJoin(broadcast(cutDim))
+      .filter(col("rank") <= col("v_cut"))
+      .groupBy(col("v_cut"))
+      .agg(max(col("rank")).as("n_types"),
+        sum(col("freq")).as("covered_tokens"))
+      .withColumn("total_tokens", totalToks.cast("long"))
+      .withColumn("total_types", totalTypes.cast("long"))
+      .withColumn("share", round(
+        col("covered_tokens").cast("double") / col("total_tokens"), 6))
+      .select(col("v_cut"), col("n_types"), col("covered_tokens"),
+        col("total_tokens"), col("total_types"), col("share"))
+      .orderBy(col("v_cut"))
+  }
+
+  /** Per-source CHARACTER-CLASS PROFILE: ASCII letters / digits /
+    * whitespace / ASCII punctuation / other, as exact counts with
+    * per-10k-chars shares — the coarse companion of the mojibake
+    * screen (a source whose digit or punctuation mass spikes is
+    * tables, logs, or markup, not prose, whatever its language).
+    * Row-local regexp counts, one source-bounded aggregate, fixed
+    * closing divisions. */
+  def charClasses(spark: SparkSession, dir: String): DataFrame = {
+    val counted = Tables.documents(spark, dir)
+      .select(col("source"), length(col("text")).cast("long").as("c"),
+        regexp_count(col("text"), lit("[A-Za-z]")).cast("long").as("l"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("g"),
+        regexp_count(col("text"), lit("\\s")).cast("long").as("w"),
+        regexp_count(col("text"),
+          lit("[!-/:-@\\[-`{-~]")).cast("long").as("p"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_chars"),
+        sum(col("l")).as("n_letters"), sum(col("g")).as("n_digits"),
+        sum(col("w")).as("n_space"), sum(col("p")).as("n_punct"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_letters") - col("n_digits") -
+          col("n_space") - col("n_punct"))
+    Seq("letters", "digits", "space", "punct").foldLeft(counted) {
+      (df, cls) =>
+        df.withColumn(s"${cls}_per_10k", when(col("n_chars") > 0L,
+          round((lit(10000L) * col(s"n_$cls")).cast("double") /
+            col("n_chars"), 6)))
+    }.orderBy(col("source"))
+  }
+
   /** Count–Min Sketch point-frequency audit: build a (depth × width)
     * CMS over the corpus token stream with md5-derived row hashes
     * (bucket key = the first two hex chars of md5(row ‖ ':' ‖ token) —

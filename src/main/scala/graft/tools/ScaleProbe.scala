@@ -247,6 +247,9 @@ object ScaleProbe {
       ("q_hour_profile", 1.0, (d, _) => graft.operators.Behavioral.hourProfile(spark, d)),
       ("q_rr_debias", 1.0, (d, _) => graft.operators.Privacy.rrDebias(spark, d)),
       ("q_label_centroid_drift", 1.0, (d, _) => graft.operators.Embeddings.labelCentroidDrift(spark, d)),
+      ("q_vocab_curve", 1.0, (d, _) => graft.operators.TextAnalysis.vocabCurve(spark, d)),
+      ("q_char_classes", 1.0, (d, _) => graft.operators.TextAnalysis.charClasses(spark, d)),
+      ("q_peak_concurrency", 1.0, (d, _) => graft.operators.Temporal.peakConcurrency(spark, d)),
       // skew stress: a CONSTANT 300-copy boilerplate family planted
       // into the growing corpus — the hot band buckets (and their
       // quadratic pair mass) are the same at 1× and N×, so the probe

@@ -94,7 +94,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_ewma_smooth",
     // dense 24-row hour dimension against the per-type totals — the
     // t-closeness grid class (zeros must materialize)
-    "q_hour_profile")
+    "q_hour_profile",
+    // broadcast |cuts|-row dimension against the TakeOrdered-bounded
+    // top-maxCut type frame — the q_autocorr lag-dim class
+    "q_vocab_curve")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>

@@ -622,4 +622,49 @@ class QuerySuiteSpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(res == want, "driver island fold disagrees")
   }
+
+  test("peak concurrency: crafted overlap stack reads its closed form; " +
+    "real-data peaks match a naive driver sweep line") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val dirP = java.nio.file.Files.createTempDirectory("graft-peak").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 10, 0).plusMinutes(m.toLong))
+    // A: 0'/5'/10' stack to 3 open windows at 10', then 40' alone;
+    // B: a singleton peaks at 1 at its own start
+    Seq((1L, ts(0), 1L, "A", 0.0, "{}"), (2L, ts(5), 1L, "A", 0.0, "{}"),
+      (3L, ts(10), 2L, "A", 0.0, "{}"), (4L, ts(40), 1L, "A", 0.0, "{}"),
+      (5L, ts(0), 3L, "B", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dirP/events.parquet")
+    val rows = graft.operators.Temporal.peakConcurrency(sp, dirP)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val t10 = ts(10).toInstant
+    assert(rows("A").getLong(1) == 4L && rows("A").getLong(2) == 3L)
+    assert(rows("A").getLong(3) ==
+      t10.getEpochSecond * 1000000L + t10.getNano / 1000L,
+      "peak first attained when the third window opens")
+    assert(rows("B").getLong(2) == 1L)
+    // real data: fold the naive single sweep line in the driver
+    val span = 900000000L
+    val raw = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = raw.groupBy(_._1).map { case (t, evs) =>
+      val endpoints = (evs.map(e => (e._2, 1L)) ++
+        evs.map(e => (e._2 + span, -1L))).sortBy(x => (x._1, x._2))
+      var cur = 0L; var peak = 0L; var peakAt = 0L
+      endpoints.foreach { case (tt, d) =>
+        cur += d
+        if (cur > peak) { peak = cur; peakAt = tt }
+      }
+      t -> ((evs.length.toLong, peak, peakAt))
+    }
+    val real = graft.operators.Temporal.peakConcurrency(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(real == want, "naive sweep disagrees with the two-level plan")
+  }
 }

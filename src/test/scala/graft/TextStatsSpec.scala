@@ -591,6 +591,67 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab curve: crafted frequencies close by hand at custom cuts; " +
+    "real-data curve is monotone and saturates at the full vocabulary") {
+    val sp = spark
+    import sp.implicits._
+    val dirV = java.nio.file.Files.createTempDirectory("graft-vc").toString
+    // a x5, b x3, c x1, d x1 -> total 10 tokens, 4 types
+    Seq((1L, "a a a b b", "s"), (2L, "a a b c d", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dirV/documents.parquet")
+    val rows = TextAnalysis.vocabCurve(sp, dirV, cuts = Seq(1, 2, 3))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(2) == 5L && rows(1L).getDouble(5) == 0.5)
+    assert(rows(2L).getLong(2) == 8L && rows(2L).getDouble(5) == 0.8)
+    // rank 3 is c ((freq desc, tok asc) total order breaks the c/d tie)
+    assert(rows(3L).getLong(1) == 3L && rows(3L).getLong(2) == 9L &&
+      rows(3L).getDouble(5) == 0.9)
+    assert(rows.values.forall(r => r.getLong(3) == 10L &&
+      r.getLong(4) == 4L))
+    // real data: shares nondecreasing in the cut; the 10k cut holds the
+    // whole (small-SF) vocabulary so the curve saturates at exactly 1
+    val real = TextAnalysis.vocabCurve(spark, sf).collect()
+    assert(real.length == 3)
+    val shares = real.map(_.getDouble(5))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    val last = real.last
+    if (last.getLong(4) <= 10000L) {
+      assert(last.getLong(1) == last.getLong(4))
+      assert(last.getLong(2) == last.getLong(3) &&
+        last.getDouble(5) == 1.0)
+    }
+  }
+
+  test("char classes: crafted counts by hand, classes partition the " +
+    "char mass; real-data letter counts recount via an independent pass") {
+    val sp = spark
+    import sp.implicits._
+    val dirK = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    Seq((1L, "Ab1 !x", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dirK/documents.parquet")
+    val r = TextAnalysis.charClasses(sp, dirK).collect().head
+    assert(r.getLong(2) == 6L && r.getLong(3) == 3L && r.getLong(4) == 1L &&
+      r.getLong(5) == 1L && r.getLong(6) == 1L && r.getLong(7) == 0L)
+    assert(r.getDouble(8) ==
+      BigDecimal(10000.0 * 3 / 6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // real data: the five classes partition the char mass by
+    // construction; letters recount from an independent driver pass
+    val letters = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(x => (x.getString(0),
+        x.getString(1).count(c => (c >= 'a' && c <= 'z') ||
+          (c >= 'A' && c <= 'Z')).toLong))
+      .groupBy(_._1)
+    TextAnalysis.charClasses(spark, sf).collect().foreach { x =>
+      assert(x.getLong(3) == letters(x.getString(0)).map(_._2).sum,
+        s"${x.getString(0)} letter recount")
+      assert(x.getLong(7) >= 0L, "other class cannot go negative")
+    }
+  }
+
   test("rouge pairs: crafted overlaps close by hand at both gram " +
     "orders; real-data panel is complete and one pair recounts from " +
     "raw distinct gram sets") {
