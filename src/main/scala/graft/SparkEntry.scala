@@ -340,7 +340,13 @@ object SparkEntry {
     // sweep-line peak concurrency
     "q_vocab_curve" -> ((s: SparkSession, d: String) => TextAnalysis.vocabCurve(s, d)),
     "q_char_classes" -> ((s: SparkSession, d: String) => TextAnalysis.charClasses(s, d)),
-    "q_peak_concurrency" -> ((s: SparkSession, d: String) => Temporal.peakConcurrency(s, d))
+    "q_peak_concurrency" -> ((s: SparkSession, d: String) => Temporal.peakConcurrency(s, d)),
+    // r8 continuation 5: duplication economics, graph shape, windowed
+    // attribution
+    "q_dup_multiplicity" -> ((s: SparkSession, d: String) => Dedup.dupMultiplicity(s, d)),
+    "q_degree_hist" -> ((s: SparkSession, d: String) => Graph.degreeHist(s, d)),
+    "q_clustering_coeff" -> ((s: SparkSession, d: String) => Graph.clusteringCoeff(s, d)),
+    "q_funnel_windowed" -> ((s: SparkSession, d: String) => Behavioral.windowedFunnel(s, d))
   )
 
   /** The unrolled INTEGER PageRank oracle for `q_pagerank_panel` —
@@ -4213,6 +4219,85 @@ object SparkEntry {
         |FROM r JOIN p ON r.event_type = p.event_type AND r.conc = p.peak
         |JOIN n ON n.event_type = p.event_type
         |GROUP BY p.event_type, n.n_events, p.peak
-        |ORDER BY p.event_type""".stripMargin
+        |ORDER BY p.event_type""".stripMargin,
+    // count-of-counts over the exact content-digest families
+    "q_dup_multiplicity" ->
+      """WITH fams AS (
+        | SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+        |  CAST(count(*) AS BIGINT) AS k
+        | FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM fams)
+        |SELECT k AS n_copies, CAST(count(*) AS BIGINT) AS n_families,
+        | CAST(k * count(*) AS BIGINT) AS n_docs,
+        | CAST((k - 1) * count(*) AS BIGINT) AS n_redundant,
+        | round(CAST(k * count(*) AS DOUBLE) / (SELECT n FROM tot), 6)
+        |  AS doc_share
+        |FROM fams GROUP BY k ORDER BY n_copies""".stripMargin,
+    // degree count-of-counts over the weight-2 co-purchase graph
+    "q_degree_hist" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT a.p AS u, b.p AS v FROM op a JOIN op b
+        |  ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS p FROM e0 UNION ALL SELECT v AS p FROM e0)
+        |  GROUP BY p)
+        |SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY d ORDER BY degree""".stripMargin,
+    // global transitivity: 3 triangles / wedges, all-integer moments
+    "q_clustering_coeff" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT a.p AS u, b.p AS v FROM op a JOIN op b
+        |  ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS p FROM e0 UNION ALL SELECT v AS p FROM e0)
+        |  GROUP BY p),
+        |w AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(coalesce(sum((d * (d - 1)) // 2), 0) AS BIGINT) AS n_wedges
+        | FROM deg),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0),
+        |ori AS (SELECT
+        |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+        |       THEN e0.u ELSE e0.v END AS s,
+        |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+        |       THEN e0.v ELSE e0.u END AS t
+        |  FROM e0 JOIN deg du ON e0.u = du.p JOIN deg dv ON e0.v = dv.p),
+        |tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |        FROM ori e1 JOIN ori e2 ON e1.t = e2.s
+        |        JOIN ori e3 ON e3.s = e1.s AND e3.t = e2.t),
+        |t3 AS (SELECT CAST(3 * count(*) AS BIGINT) AS tri3 FROM tri)
+        |SELECT w.n_nodes, ne.n_edges, w.n_wedges,
+        | CAST(t3.tri3 // 3 AS BIGINT) AS n_triangles, t3.tri3,
+        | CASE WHEN w.n_wedges > 0 THEN
+        |  round(CAST(t3.tri3 AS DOUBLE) / w.n_wedges, 6) END AS global_cc
+        |FROM w, ne, t3""".stripMargin,
+    // strict-order signup -> click -> purchase within 7 days of entry
+    "q_funnel_windowed" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM ev
+        | WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT ev.user_id, s1.t1, min(ev.t) AS t2
+        | FROM ev JOIN s1 USING (user_id)
+        | WHERE ev.event_type = 'click' AND ev.t > s1.t1
+        |  AND ev.t <= s1.t1 + 604800000000
+        | GROUP BY 1, 2),
+        |s3 AS (SELECT ev.user_id, min(ev.t) AS t3
+        | FROM ev JOIN s2 USING (user_id)
+        | WHERE ev.event_type = 'purchase' AND ev.t > s2.t2
+        |  AND ev.t <= s2.t1 + 604800000000
+        | GROUP BY 1),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s1),
+        |st AS (
+        | SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type,
+        |  CAST(count(*) AS BIGINT) AS n_users FROM s1
+        | UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+        | UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+        |SELECT stage, event_type, n_users,
+        | CASE WHEN (SELECT n FROM n1) > 0 THEN
+        |  round(CAST(n_users AS DOUBLE) / (SELECT n FROM n1), 6) END
+        |  AS share_of_entry
+        |FROM st ORDER BY stage""".stripMargin
   )
 }

@@ -354,6 +354,47 @@ object Behavioral {
       .orderBy(col("user_id"))
   }
 
+  /** WINDOWED STRICT-ORDER FUNNEL (the windowFunnel of the analytics
+    * engines, vs [[funnel]]'s unwindowed per-user stage fold): a user
+    * converts at stage i only via STRICTLY INCREASING timestamps
+    * signup < click < purchase, all within `windowMicros` of the FIRST
+    * signup — the attribution question "of the users who signed up,
+    * who clicked and then bought within a week". Each stage is one
+    * min-aggregate plus one equi-join against the previous stage's
+    * (user, cursor) relation — no self-join explosion, cost ~ events
+    * once per stage; shares close in fixed divisions over exact
+    * counts. */
+  def windowedFunnel(spark: SparkSession, dir: String,
+      windowMicros: Long = 604800000000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("t") > col("t1") && col("t") <= col("t1") + windowMicros)
+      .groupBy(col("user_id"), col("t1")).agg(min(col("t")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("t") > col("t2") && col("t") <= col("t1") + windowMicros)
+      .groupBy(col("user_id")).agg(min(col("t")).as("t3"))
+    val n1 = s1.agg(count(lit(1)).as("n")).scalar()
+    val stages = s1.agg(count(lit(1)).as("n_users"))
+      .withColumn("stage", lit(1L)).withColumn("event_type", lit("signup"))
+      .unionByName(s2.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit(2L)).withColumn("event_type", lit("click")))
+      .unionByName(s3.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit(3L))
+        .withColumn("event_type", lit("purchase")))
+    stages
+      .withColumn("share_of_entry", when(n1 > 0L,
+        round(col("n_users").cast("double") / n1, 6)))
+      .select(col("stage"), col("event_type"), col("n_users"),
+        col("share_of_entry"))
+      .orderBy(col("stage"))
+  }
+
   /** HOUR-OF-DAY UNIFORMITY PROFILE per event type: the dense 24-cell
     * hour histogram with each cell's χ² contribution against the
     * uniform 1/24 expectation — the diurnal-seasonality screen (a bot

@@ -73,6 +73,31 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** DUPLICATION-MULTIPLICITY HISTOGRAM: count-of-counts over the
+    * exact content-digest families — per family size k, how many
+    * families, how many documents they hold, and how many are
+    * redundant ((k−1) per family) — the one-screen "how duplicated is
+    * this crawl" readout that decides whether exact dedup is worth a
+    * pass at all (the k=1 row is the unique mass; a fat tail of large
+    * k is mirror/boilerplate territory). Two count aggregates (digest
+    * then size — the second over the already-small family relation)
+    * plus a broadcast total; result bounded by the largest family
+    * size. */
+  def dupMultiplicity(spark: SparkSession, dir: String): DataFrame = {
+    val fams = Tables.documents(spark, dir)
+      .select(digestCol.as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("k"))
+    val total = fams.agg(sum(col("k")).as("n")).scalar()
+    fams.groupBy(col("k").as("n_copies"))
+      .agg(count(lit(1)).as("n_families"))
+      .withColumn("n_docs", col("n_copies") * col("n_families"))
+      .withColumn("n_redundant",
+        (col("n_copies") - 1) * col("n_families"))
+      .withColumn("doc_share",
+        round(col("n_docs").cast("double") / total, 6))
+      .orderBy(col("n_copies"))
+  }
+
   /** Quality-aware exact-dup canonicalization — the keep POLICY layer
     * over [[exact]]'s groups: real pipelines keep the most complete
     * copy, not the smallest id (truncated mirrors and snippet copies

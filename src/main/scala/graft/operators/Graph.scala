@@ -319,6 +319,62 @@ object Graph {
       .groupBy(col("p")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** DEGREE HISTOGRAM of the co-purchase graph: count-of-counts over
+    * node degrees — the one-screen shape readout (a power-law tail is
+    * organic co-purchase structure; a spike at one degree is a
+    * template/batch artifact). One edge-list degree count + one
+    * count-of-counts over the already-node-sized relation; result
+    * bounded by the max degree. */
+  def degreeHist(spark: SparkSession, dir: String,
+      minWeight: Int = 2): DataFrame =
+    degreeHistOf(copurchaseEdges(spark, dir, minWeight))
+
+  /** Core of [[degreeHist]] over any (u, v) edge list — split out so
+    * specs can drive crafted graphs through it. */
+  def degreeHistOf(edges: DataFrame): DataFrame =
+    edges
+      .select(explode(array(col("u"), col("v"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+      .groupBy(col("d").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+
+  /** GLOBAL CLUSTERING COEFFICIENT of the co-purchase graph:
+    * C = 3·triangles / wedges, assembled entirely from exact BIGINT
+    * counts — node and edge totals, wedges Σ d(d−1) div 2, and the
+    * triangle-participation sum (which IS 3·triangles: every triangle
+    * contributes one participation at each of its three corners) — so
+    * the one closing division is the only IEEE op and the statistic is
+    * bit-stable. The transitivity screen over the basket graph:
+    * high C = communities (real product affinity), C near the random
+    * baseline = noise edges. Reuses the degree-oriented triangle
+    * kernel; wedge counting is one node-sized aggregate. Zero wedges
+    * (no node of degree ≥ 2) reports NULL, not a throw. */
+  def clusteringCoeff(spark: SparkSession, dir: String,
+      minWeight: Int = 2): DataFrame =
+    clusteringCoeffOf(copurchaseEdges(spark, dir, minWeight))
+
+  /** Core of [[clusteringCoeff]] over any (u, v) edge list — split out
+    * so specs can drive closed-form graphs (triangle ⇒ 1, star ⇒ 0)
+    * through it. */
+  def clusteringCoeffOf(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint()
+    val tri3 = triangleParticipation(e, "u", "v")
+      .agg(coalesce(sum(col("n_tri")), lit(0L)).as("t3")).scalar()
+    val nEdges = e.agg(count(lit(1)).as("ne")).scalar()
+    e.select(explode(array(col("u"), col("v"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
+      .withColumn("n_edges", nEdges.cast("long"))
+      .withColumn("tri3", tri3.cast("long"))
+      .withColumn("n_triangles", expr("tri3 div 3"))
+      .withColumn("global_cc", when(col("n_wedges") > 0L,
+        round(col("tri3").cast("double") / col("n_wedges"), 6)))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), col("tri3"), col("global_cc"))
+  }
+
   def coorderTriangles(spark: SparkSession, dir: String,
       minWeight: Int = 2): DataFrame =
     triangleParticipation(copurchaseEdges(spark, dir, minWeight), "u", "v")

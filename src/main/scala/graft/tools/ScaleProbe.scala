@@ -250,6 +250,12 @@ object ScaleProbe {
       ("q_vocab_curve", 1.0, (d, _) => graft.operators.TextAnalysis.vocabCurve(spark, d)),
       ("q_char_classes", 1.0, (d, _) => graft.operators.TextAnalysis.charClasses(spark, d)),
       ("q_peak_concurrency", 1.0, (d, _) => graft.operators.Temporal.peakConcurrency(spark, d)),
+      ("q_dup_multiplicity", 1.0, (d, _) => graft.operators.Dedup.dupMultiplicity(spark, d)),
+      ("q_degree_hist", 1.0, (d, _) => graft.operators.Graph.degreeHist(spark, d)),
+      ("q_funnel_windowed", 1.0, (d, _) => graft.operators.Behavioral.windowedFunnel(spark, d)),
+      // replicas carry DISJOINT part populations, so wedge/triangle
+      // mass grows with the replica count, not its square
+      ("q_clustering_coeff", 1.0, (d, _) => graft.operators.Graph.clusteringCoeff(spark, d)),
       // skew stress: a CONSTANT 300-copy boilerplate family planted
       // into the growing corpus — the hot band buckets (and their
       // quadratic pair mass) are the same at 1× and N×, so the probe

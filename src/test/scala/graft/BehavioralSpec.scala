@@ -372,6 +372,48 @@ class BehavioralSpec extends AnyFunSuite {
     assert(raw == top.getLong(3), "monetary milli-units disagree with raw")
   }
 
+  test("windowed funnel: strict order and the entry-anchored window " +
+    "gate conversions exactly; real-data stages are monotone and " +
+    "stage 1 recounts") {
+    val sp = spark
+    import sp.implicits._
+    val dirW = java.nio.file.Files.createTempDirectory("graft-wf").toString
+    def at(d: Int, h: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1 + d, h, 0))
+    // u1 converts fully; u2's click lands outside the 7-day window;
+    // u3's purchase precedes any click (strict order blocks stage 3
+    // AND stage 2 never fires); u4 never signs up
+    Seq((1L, at(0, 0), 1L, "signup", 0.0, "{}"),
+      (2L, at(1, 0), 1L, "click", 0.0, "{}"),
+      (3L, at(2, 0), 1L, "purchase", 0.0, "{}"),
+      (4L, at(0, 0), 2L, "signup", 0.0, "{}"),
+      (5L, at(8, 0), 2L, "click", 0.0, "{}"),
+      (6L, at(0, 0), 3L, "signup", 0.0, "{}"),
+      (7L, at(1, 0), 3L, "purchase", 0.0, "{}"),
+      (8L, at(0, 0), 4L, "click", 0.0, "{}"),
+      (9L, at(1, 0), 4L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dirW/events.parquet")
+    val rows = graft.operators.Behavioral.windowedFunnel(sp, dirW)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(2) == 3L && rows(1L).getDouble(3) == 1.0)
+    assert(rows(2L).getLong(2) == 1L &&
+      rows(2L).getDouble(3) == 0.333333)
+    assert(rows(3L).getLong(2) == 1L &&
+      rows(3L).getDouble(3) == 0.333333)
+    // real data: stages shrink monotonically; stage 1 is exactly the
+    // distinct signup population
+    val real = graft.operators.Behavioral.windowedFunnel(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(real.length == 3)
+    val ns = real.map(_.getLong(2))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2))
+    val signups = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    assert(ns(0) == signups)
+  }
+
   test("hour profile: fully concentrated crafted type reads the " +
     "closed-form chi-square grid; real-data cells cover 24 hours and " +
     "close to the type totals") {

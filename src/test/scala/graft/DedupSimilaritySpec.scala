@@ -845,4 +845,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
         "equal sets must agree at every signature position")
     }
   }
+
+  test("dup multiplicity: crafted histogram closes by hand; real-data " +
+    "rows recount from the exact-dedup family sizes") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Dedup
+    val dirD = java.nio.file.Files.createTempDirectory("graft-mult").toString
+    Seq((1L, "x x", "s"), (2L, "x x", "s"), (3L, "x  x", "s"),
+      (4L, "y", "s"), (5L, "y", "s"), (6L, "z", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dirD/documents.parquet")
+    // whitespace normalization folds doc 3 into the x-family: k=3
+    val rows = Dedup.dupMultiplicity(sp, dirD).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(1) == 1L && rows(1L).getLong(3) == 0L)
+    assert(rows(2L).getLong(1) == 1L && rows(2L).getLong(3) == 1L)
+    assert(rows(3L).getLong(1) == 1L && rows(3L).getLong(2) == 3L &&
+      rows(3L).getLong(3) == 2L && rows(3L).getDouble(4) == 0.5)
+    // real data: the histogram is exactly the count-of-counts of the
+    // exact-dedup family sizes, and doc mass closes to the corpus
+    val fams = Dedup.exact(spark, sf).collect()
+      .map(_.getLong(2)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val real = Dedup.dupMultiplicity(spark, sf).collect()
+    assert(real.map(r => r.getLong(0) -> r.getLong(1)).toMap == fams)
+    assert(real.map(_.getLong(2)).sum ==
+      graft.sources.Tables.documents(spark, sf).count())
+  }
 }

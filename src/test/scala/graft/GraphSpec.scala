@@ -409,4 +409,51 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getLong(4) == 4 * m * s3 - s1 * s1)
     assert(r.getLong(5) == 2 * m * s2 - s1 * s1)
   }
+
+  test("degree histogram and clustering coefficient: closed forms on a " +
+    "triangle and a star; real-data moments recount from the edge list") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Graph
+    // triangle: every node degree 2, wedges 3, participations 3, C = 1
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val dh = Graph.degreeHistOf(tri).collect()
+    assert(dh.length == 1 && dh.head.getLong(0) == 2L &&
+      dh.head.getLong(1) == 3L)
+    val cc = Graph.clusteringCoeffOf(tri).collect().head
+    assert(cc.getLong(0) == 3L && cc.getLong(1) == 3L &&
+      cc.getLong(2) == 3L && cc.getLong(3) == 1L && cc.getLong(4) == 3L)
+    assert(cc.getDouble(5) == 1.0)
+    // 4-star: center degree 4, leaves 1; wedges 6, no triangle, C = 0
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("u", "v")
+    val sh = Graph.degreeHistOf(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh == Map(1L -> 4L, 4L -> 1L))
+    val sc = Graph.clusteringCoeffOf(star).collect().head
+    assert(sc.getLong(2) == 6L && sc.getLong(3) == 0L &&
+      sc.getDouble(5) == 0.0)
+    // real data: histogram and wedge/triangle moments recount from the
+    // collected co-purchase edge list
+    val edges = Graph.copurchaseEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    val wantHist = deg.values.groupBy(identity)
+      .map { case (d, v) => d -> v.size.toLong }
+    val gotHist = Graph.degreeHist(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotHist == wantHist, "degree histogram recount")
+    val got = Graph.clusteringCoeff(spark, sf).collect().head
+    assert(got.getLong(0) == deg.size.toLong)
+    assert(got.getLong(1) == edges.length.toLong)
+    assert(got.getLong(2) == deg.values.map(d => d * (d - 1) / 2).sum)
+    // triangle recount: brute-force over the collected adjacency
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (u, v) => u -> v.map(_._2).toSet }
+    // each triangle counted once: at its (min, mid) edge via the
+    // common neighbor above both endpoints
+    val triExact = edges.map { case (u, v) =>
+      (adj(u) & adj(v)).count(c => c > math.max(u, v)).toLong }.sum
+    assert(got.getLong(3) == triExact, "triangle recount")
+  }
 }
