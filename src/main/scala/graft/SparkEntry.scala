@@ -346,7 +346,11 @@ object SparkEntry {
     "q_dup_multiplicity" -> ((s: SparkSession, d: String) => Dedup.dupMultiplicity(s, d)),
     "q_degree_hist" -> ((s: SparkSession, d: String) => Graph.degreeHist(s, d)),
     "q_clustering_coeff" -> ((s: SparkSession, d: String) => Graph.clusteringCoeff(s, d)),
-    "q_funnel_windowed" -> ((s: SparkSession, d: String) => Behavioral.windowedFunnel(s, d))
+    "q_funnel_windowed" -> ((s: SparkSession, d: String) => Behavioral.windowedFunnel(s, d)),
+    // r8 continuation 6: semi-structured schema discovery, mixture
+    // composition matrix
+    "q_json_profile" -> ((s: SparkSession, d: String) => Modern.jsonProfile(s, d)),
+    "q_lang_mix" -> ((s: SparkSession, d: String) => Quality.langMix(s, d))
   )
 
   /** The unrolled INTEGER PageRank oracle for `q_pagerank_panel` —
@@ -4298,6 +4302,38 @@ object SparkEntry {
         | CASE WHEN (SELECT n FROM n1) > 0 THEN
         |  round(CAST(n_users AS DOUBLE) / (SELECT n FROM n1), 6) END
         |  AS share_of_entry
-        |FROM st ORDER BY stage""".stripMargin
+        |FROM st ORDER BY stage""".stripMargin,
+    // top-level JSON key profile with integer-typed value stats
+    "q_json_profile" ->
+      """WITH total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+        |kv AS (
+        | SELECT k AS key,
+        |  json_extract_string(props, '$.' || k) AS v
+        | FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)),
+        |p AS (SELECT key, v, TRY_CAST(v AS BIGINT) AS num FROM kv)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n_rows,
+        | round(CAST(count(*) AS DOUBLE) / (SELECT n FROM total), 6)
+        |  AS presence,
+        | CAST(sum(CASE WHEN num IS NOT NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_numeric,
+        | CAST(min(num) AS BIGINT) AS num_min,
+        | CAST(max(num) AS BIGINT) AS num_max,
+        | CAST(sum(num) AS BIGINT) AS num_sum,
+        | CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+        |FROM p GROUP BY key ORDER BY key""".stripMargin,
+    // source x language composition with row and corpus shares
+    "q_lang_mix" ->
+      """WITH cells AS (
+        | SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        | FROM documents GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_source
+        | FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells)
+        |SELECT cells.source, cells.lang, cells.n, st.n_source,
+        | round(CAST(cells.n AS DOUBLE) / st.n_source, 6) AS source_share,
+        | round(CAST(cells.n AS DOUBLE) / (SELECT t FROM tot), 6)
+        |  AS corpus_share
+        |FROM cells JOIN st USING (source)
+        |ORDER BY cells.source, cells.lang""".stripMargin
   )
 }

@@ -221,4 +221,39 @@ object Modern {
     }
     reached.select(col("doc_id"), col("hop")).orderBy(col("doc_id"))
   }
+
+  /** JSON SCHEMA DISCOVERY over the semi-structured `props` column:
+    * per top-level key — occurrence count, presence share, how many
+    * values parse as integers (and their exact min/max/sum), and the
+    * distinct-value count — the profile that turns "a bag of JSON
+    * blobs" into a typed-extraction plan (which keys are dense enough
+    * to promote to columns, which are numeric, which are
+    * high-cardinality junk). Keys surface through one
+    * `from_json(map<string,string>)` explode (row-local — no schema
+    * supplied up front, which is the point); numeric inference is
+    * `try_cast` (never an ANSI throw on a stray string); one
+    * key-bounded aggregate. */
+  def jsonProfile(spark: SparkSession, dir: String): DataFrame = {
+    val total = Tables.events(spark, dir)
+      .agg(count(lit(1)).as("n")).scalar()
+    Tables.events(spark, dir)
+      .select(explode(from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))))
+      .withColumnRenamed("value", "v")
+      .withColumn("num", expr("try_cast(v AS BIGINT)"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("num").isNotNull, 1L).otherwise(0L)).as("n_numeric"),
+        min(col("num")).as("num_min"), max(col("num")).as("num_max"),
+        sum(col("num")).as("num_sum"),
+        countDistinct(col("v")).as("n_distinct"))
+      .withColumn("presence",
+        round(col("n_rows").cast("double") / total, 6))
+      .select(col("key"), col("n_rows"), col("presence"),
+        col("n_numeric"), col("num_min"), col("num_max"),
+        col("num_sum"), col("n_distinct"))
+      .orderBy(col("key"))
+  }
 }

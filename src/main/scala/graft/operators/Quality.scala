@@ -661,4 +661,28 @@ object Quality {
             col("b_t").cast("double")), 6))
       .select(col("source"), col("bin"), col("o"), col("n_s"),
         col("b_t"), col("n_all"), col("contrib"))
+
+  /** SOURCE × LANGUAGE COMPOSITION MATRIX: per (source, lang) cell the
+    * doc count, its share of the source, and its share of the corpus —
+    * the mixture table a multilingual rebalance reads next to the
+    * temperature mix (which languages does each crawl actually
+    * contribute, and how lopsided). One map-side-combined cell count;
+    * marginals derive from the cell table, never a second fact scan
+    * (the crosstab discipline); two fixed closing divisions. */
+  def langMix(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val srcTot = cells.groupBy(col("source")).agg(sum(col("n")).as("n_source"))
+    val total = cells.agg(sum(col("n")).as("t")).scalar()
+    cells.join(broadcast(srcTot), Seq("source"))
+      .withColumn("source_share",
+        round(col("n").cast("double") / col("n_source"), 6))
+      .withColumn("corpus_share",
+        round(col("n").cast("double") / total, 6))
+      .select(col("source"), col("lang"), col("n"), col("n_source"),
+        col("source_share"), col("corpus_share"))
+      .orderBy(col("source"), col("lang"))
+  }
 }

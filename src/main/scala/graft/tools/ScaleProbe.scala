@@ -256,6 +256,8 @@ object ScaleProbe {
       // replicas carry DISJOINT part populations, so wedge/triangle
       // mass grows with the replica count, not its square
       ("q_clustering_coeff", 1.0, (d, _) => graft.operators.Graph.clusteringCoeff(spark, d)),
+      ("q_json_profile", 1.0, (d, _) => graft.operators.Modern.jsonProfile(spark, d)),
+      ("q_lang_mix", 1.0, (d, _) => graft.operators.Quality.langMix(spark, d)),
       // skew stress: a CONSTANT 300-copy boilerplate family planted
       // into the growing corpus — the hot band buckets (and their
       // quadratic pair mass) are the same at 1× and N×, so the probe

@@ -667,4 +667,51 @@ class QuerySuiteSpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(real == want, "naive sweep disagrees with the two-level plan")
   }
+
+  test("json profile: crafted keys profile by hand (typed stats, " +
+    "presence); real-data numeric sums recount from raw extraction") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val dirJ = java.nio.file.Files.createTempDirectory("graft-jp").toString
+    def ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    Seq((1L, ts0, 1L, "view", 0.0, """{"a": 1, "b": "x"}"""),
+      (2L, ts0, 1L, "view", 0.0, """{"a": 2}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dirJ/events.parquet")
+    val rows = graft.operators.Modern.jsonProfile(sp, dirJ).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = rows("a")
+    assert(a.getLong(1) == 2L && a.getDouble(2) == 1.0 &&
+      a.getLong(3) == 2L && a.getLong(4) == 1L && a.getLong(5) == 2L &&
+      a.getLong(6) == 3L && a.getLong(7) == 2L)
+    val b = rows("b")
+    assert(b.getLong(1) == 1L && b.getDouble(2) == 0.5 &&
+      b.getLong(3) == 0L && b.isNullAt(4) && b.isNullAt(6) &&
+      b.getLong(7) == 1L)
+    // real data: the numeric sum per key recounts from raw extraction
+    val real = graft.operators.Modern.jsonProfile(spark, sf).collect()
+    assert(real.nonEmpty)
+    val rawSum = graft.sources.Tables.events(spark, sf)
+      .select(expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+        .as("v"))
+      .agg(sum(col("v"))).head.getLong(0)
+    val kRow = real.find(_.getString(0) == "k")
+    kRow.foreach(r => assert(r.getLong(6) == rawSum, "k sum recount"))
+  }
+
+  test("lang mix: cell mass closes to source and corpus totals and " +
+    "source shares sum to one") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Quality.langMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val nSrc = rs.head.getLong(3)
+      assert(rs.map(_.getLong(2)).sum == nSrc, s"$src closure")
+      assert(math.abs(rs.map(_.getDouble(4)).sum - 1.0) < 1e-4,
+        s"$src shares")
+    }
+  }
 }
