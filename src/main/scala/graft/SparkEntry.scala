@@ -4308,7 +4308,8 @@ object SparkEntry {
       """WITH total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
         |kv AS (
         | SELECT k AS key,
-        |  json_extract_string(props, '$.' || k) AS v
+        |  json_extract_string(props,
+        |   '$."' || replace(k, '"', '\"') || '"') AS v
         | FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)),
         |p AS (SELECT key, v, TRY_CAST(v AS BIGINT) AS num FROM kv)
         |SELECT key, CAST(count(*) AS BIGINT) AS n_rows,

@@ -446,6 +446,16 @@ object Multimodal {
       .toDF()
   }
 
+  /** Any (doc_id, text) frame → (doc_id, phash) through the stub
+    * hasher — the unit the pHash index append/probe batches feed. */
+  def mediaPhashOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[MediaRow]
+      .mapPartitions(StubPerceptualHasher.hashBatch _)
+      .toDF()
+  }
+
   /** Perceptual near-duplicate pairs: Hamming(phash) ≤ r via the
     * multi-index pigeonhole — split the 64-bit hash into 4 bands of
     * 16 bits; any pair within r ≤ 3 differing bits agrees on ≥ 1 band
@@ -457,26 +467,132 @@ object Multimodal {
   def mediaPhashDup(spark: SparkSession, dir: String, r: Int = 3): DataFrame =
     phashDupOn(mediaPhash(spark, dir), r)
 
-  /** Band core shared by the stub and real-pixel phash-dup paths:
-    * takes any (doc_id, phash) frame. */
-  def phashDupOn(hashes: DataFrame, r: Int): DataFrame = {
-    require(r <= 3, s"4x16 banding is pigeonhole-lossless only to r=3, got $r")
-    val bands = hashes.select(col("doc_id"), col("phash"),
+  /** The 4×16 pigeonhole bands of a (doc_id, phash) frame — the shared
+    * candidate-generation core of [[phashDupOn]] and the persisted
+    * index family. `band_key = xxhash64(band_id, band_sig)` is the
+    * bucket column the stored layout co-locates on; joins still carry
+    * the full (band_id, band_sig) so semantics stay collision-free. */
+  private def phashBands(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"), col("phash"),
         explode(expr(
           "transform(sequence(0, 3), " +
             "b -> struct(b AS band_id, " +
             "shiftright(phash, b * 16) & 65535 AS band_sig))")).as("band"))
       .select(col("doc_id"), col("phash"),
-        col("band.band_id"), col("band.band_sig"))
+        col("band.band_id"), col("band.band_sig"),
+        xxhash64(col("band.band_id"), col("band.band_sig")).as("band_key"))
+
+  /** Band core shared by the stub and real-pixel phash-dup paths:
+    * takes any (doc_id, phash) frame. */
+  def phashDupOn(hashes: DataFrame, r: Int): DataFrame = {
+    require(r <= 3, s"4x16 banding is pigeonhole-lossless only to r=3, got $r")
+    val bands = phashBands(hashes)
     bands.select(col("doc_id").as("doc_a"), col("phash").as("ha"),
-        col("band_id"), col("band_sig"))
+        col("band_key"), col("band_id"), col("band_sig"))
       .join(bands.select(col("doc_id").as("doc_b"), col("phash").as("hb"),
-        col("band_id"), col("band_sig")), Seq("band_id", "band_sig"))
+        col("band_key"), col("band_id"), col("band_sig")),
+        Seq("band_key", "band_id", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= r)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---------------------------------------------------------------
+  // Persisted pHash band index — the EIGHTH index family. Same
+  // build/probe/append/delete/purge + epoch-pin contract as
+  // [[graft.operators.Dedup.buildMinhashIndex]]: the corpus's band
+  // rows live BUCKETED by band_key, so screening an arriving media
+  // batch is an equi-join that shuffles only the batch — media
+  // near-dup at O(batch) per ingest wave instead of the O(corpus)
+  // per-query band regeneration [[phashDupOn]] pays.
+  // ---------------------------------------------------------------
+
+  /** Build the persisted pHash band index over the media corpus. */
+  def buildPhashIndex(spark: SparkSession, dir: String, name: String,
+      nBuckets: Int = 8): Unit =
+    buildPhashIndexOn(spark, mediaPhash(spark, dir), name, nBuckets)
+
+  /** Core of [[buildPhashIndex]] over any (doc_id, phash) frame (the
+    * real-pixel path feeds [[imagePhashOn]] output here). */
+  def buildPhashIndexOn(spark: SparkSession, hashes: DataFrame,
+      name: String, nBuckets: Int = 8): Unit = {
+    graft.sources.FormatIO.writeBucketed(
+      phashBands(hashes).withColumn("epoch", lit(0L)),
+      s"${name}_bands", "band_key", nBuckets, sortCol = Some("band_key"))
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "doc_id")
+    graft.sources.FormatIO.initIndexEpoch(spark, name)
+  }
+
+  /** Probe the persisted pHash index with a batch of (doc_id, phash)
+    * rows: near-dup pairs against the indexed corpus at Hamming ≤ r,
+    * symmetrized (doc_a < doc_b) and exact — the band equi-join
+    * generates candidates with recall 1.0 (4 bands absorb ≤ 3 errors)
+    * and `bit_count(xor)` keeps the ball. Probing the index's own
+    * corpus reproduces [[phashDupOn]] (spec-checked). Epoch-pinned
+    * once; tombstoned docs anti-joined before pair emission. */
+  def probePhashIndex(spark: SparkSession, name: String,
+      newHashes: DataFrame, r: Int = 3): DataFrame = {
+    require(r <= 3, s"4x16 banding is pigeonhole-lossless only to r=3, got $r")
+    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
+    val probe = phashBands(newHashes)
+      .select(col("doc_id"), col("phash").as("ha"),
+        col("band_key"), col("band_id"), col("band_sig"))
+    val index = graft.sources.FormatIO.pinnedAt(spark, s"${name}_bands", pin)
+      .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_tombstones",
+        pin), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("idx_doc"), col("phash").as("hb"),
+        col("band_key"), col("band_id"), col("band_sig"))
+    // no terminal orderBy: library probe, presentation order is the
+    // caller's (PlanHygieneSpec discipline)
+    probe.join(index, Seq("band_key", "band_id", "band_sig"))
+      .filter(col("doc_id") =!= col("idx_doc"))
+      .select(least(col("doc_id"), col("idx_doc")).as("doc_a"),
+        greatest(col("doc_id"), col("idx_doc")).as("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= r)
+  }
+
+  /** DELTA APPEND a batch of (doc_id, phash) rows into the persisted
+    * pHash index — O(batch) per wave, bucket placement identical to a
+    * rebuild's, published under one epoch commit
+    * (`append(batch) ∘ build(corpus)` is probe-equal to
+    * `build(corpus ∪ batch)`, parity-spec-proved). */
+  def appendToPhashIndex(spark: SparkSession, name: String,
+      newHashes: DataFrame): Unit = {
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_bands"))
+    graft.sources.FormatIO.appendBucketed(spark,
+      phashBands(newHashes).withColumn("epoch", lit(e)), s"${name}_bands")
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
+  }
+
+  /** TOMBSTONE-DELETE media docs from the persisted pHash index — same
+    * erasure contract as the MinHash family: immediate logical delete
+    * at O(deleted ids), bytes reclaimed by [[purgePhashTombstones]]. */
+  def deleteFromPhashIndex(spark: SparkSession, name: String,
+      docIds: DataFrame): Unit = {
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_tombstones"))
+    graft.sources.FormatIO.appendTombstones(spark,
+      docIds.select(col("doc_id")).distinct().withColumn("epoch", lit(e)),
+      s"${name}_tombstones")
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
+  }
+
+  /** Physically erase tombstoned docs' band rows (bucket-preserving
+    * rewrite, doubles as a compaction); reset the tombstones. */
+  def purgePhashTombstones(spark: SparkSession, name: String)
+      : graft.sources.FormatIO.TableCompactStats = {
+    val tomb = spark.table(s"${name}_tombstones").localCheckpoint()
+    val stats = graft.sources.FormatIO.purgeBucketedTable(spark,
+      s"${name}_bands", tomb, "doc_id")
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "doc_id")
+    stats
   }
 }

@@ -283,9 +283,15 @@ object Privacy {
       .withColumn("u",
         conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
           .cast("long"))
-      .withColumn("r", expr("u div 2") % (k - lit(1L)))
+      // k = 1 (single-category domain) has no replacement draw to make:
+      // guard the modulo (ANSI would throw on % 0) so the degenerate
+      // domain reports n_reported = n_true with est NULL instead of
+      // failing the whole frame
+      .withColumn("r",
+        when(k > lit(1L), expr("u div 2") % (k - lit(1L)))
+          .otherwise(lit(0L)))
       .withColumn("rep_idx",
-        when(col("u") % 2 === 0, col("idx"))
+        when(col("u") % 2 === 0 || k <= lit(1L), col("idx"))
           .otherwise(when(col("r") >= col("idx"), col("r") + 1)
             .otherwise(col("r"))))
     val rep = coined.join(broadcast(

@@ -520,37 +520,102 @@ object FormatIO {
   }
 
   /** Open a maintenance wave: returns the stage epoch E = committed+1
-    * and records the write-ahead `staged-E` marker. If a previous wave
-    * at E died mid-write (marker present, never committed), its
-    * orphaned rows are scrubbed from every table in `tables` first, so
-    * reusing E cannot resurrect half a wave. */
+    * and records the write-ahead `staged-E` marker, whose CONTENT is
+    * this wave's table list. If a previous wave at E died mid-write
+    * (marker present, never committed), its orphaned rows are scrubbed
+    * from every table THAT wave recorded — not merely the tables the
+    * new wave happens to touch — so a dead append (postings+lens+stats)
+    * followed by a delete wave (stats+tombstones only) cannot publish
+    * the dead wave's orphaned postings at commit. An EMPTY recorded
+    * list means the dead wave crashed between creating the marker and
+    * recording its tables, i.e. before writing any segment row — the
+    * new wave's own list is still scrubbed as belt-and-braces. */
   def stageIndexEpoch(spark: SparkSession, name: String,
       tables: Seq[String]): Long = {
     val root = epochRoot(spark, name)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val e = committedEpoch(spark, name) + 1L
     val marker = new org.apache.hadoop.fs.Path(root, s"staged-$e")
-    if (fs.exists(marker)) tables.foreach(t => scrubEpoch(spark, t, e))
-    else if (!fs.createNewFile(marker))
+    if (fs.exists(marker)) {
+      (readMarkerTables(fs, marker) ++ tables).distinct
+        .foreach(t => scrubEpoch(spark, t, e))
+      // a dead REBASE wave may have left its rebase marker; E was never
+      // committed, so the marker is an orphan — drop it (the new wave
+      // re-creates it at commit if it is itself a rebase)
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"rebase-$e"), false)
+    } else if (!fs.createNewFile(marker))
       throw new IllegalStateException(
         s"index $name lost the stage race for epoch $e - index " +
           "maintenance is single-writer per window, like compact()")
+    val out = fs.create(marker, true)
+    try out.write(tables.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     e
   }
 
+  private def readMarkerTables(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(marker)
+    try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    finally in.close()
+  }
+
   /** Publish a staged wave: all segment rows tagged `epoch` become
-    * visible to pinned readers in one atomic marker creation. */
+    * visible to pinned readers in one atomic marker creation. A
+    * `rebase = true` commit additionally declares epoch's rows a FULL
+    * REPLACEMENT of the rebase-scoped segment tables (see
+    * [[rebaseEpochOf]]/[[pinnedSince]]): the `rebase-E` marker is
+    * created BEFORE `epoch-E`, so a crash between the two leaves an
+    * orphan rebase marker above the committed pin — invisible to every
+    * reader, and cleaned by the next [[stageIndexEpoch]] at E. */
   def commitIndexEpoch(spark: SparkSession, name: String,
-      epoch: Long): Unit = {
+      epoch: Long, rebase: Boolean = false): Unit = {
     val root = epochRoot(spark, name)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(epoch == committedEpoch(spark, name) + 1L,
       s"commit of epoch $epoch out of order for index $name " +
         s"(committed is ${committedEpoch(spark, name)})")
+    if (rebase &&
+        !fs.createNewFile(new org.apache.hadoop.fs.Path(root, s"rebase-$epoch")))
+      throw new IllegalStateException(
+        s"index $name lost the rebase-commit race for epoch $epoch")
     if (!fs.createNewFile(new org.apache.hadoop.fs.Path(root, s"epoch-$epoch")))
       throw new IllegalStateException(
         s"index $name lost the commit race for epoch $epoch")
     fs.delete(new org.apache.hadoop.fs.Path(root, s"staged-$epoch"), false)
+  }
+
+  /** The highest REBASE epoch at or below `pin` — the generation cut a
+    * pinned reader of a rebase-scoped table starts from. A build is a
+    * rebase at epoch 0 by definition (no marker needed); only committed
+    * rebases are ≤ pin, so an orphan marker from a crashed rebase wave
+    * (always at committed+1 > pin) can never surface. */
+  def rebaseEpochOf(spark: SparkSession, name: String, pin: Long): Long = {
+    val root = epochRoot(spark, name)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rebases = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("rebase-\\d+"))
+      .map(_.stripPrefix("rebase-").toLong)
+      .filter(_ <= pin)
+    if (rebases.isEmpty) 0L else rebases.max
+  }
+
+  /** Segment table `table` pinned at epoch `pin`, scoped to the
+    * generation opened at rebase epoch `since`: rows committed in
+    * [since, pin], epoch column dropped. The read shape of a table
+    * whose rebase waves REPLACE it wholesale (an IVF retrain) while
+    * append waves between rebases accrete — both filters sit directly
+    * above the parquet scan (row-group stats prune them). */
+  def pinnedSince(spark: SparkSession, table: String, since: Long,
+      pin: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.table(table)
+      .filter(col("epoch") >= since && col("epoch") <= pin)
+      .drop("epoch")
   }
 
   /** Remove every row tagged `epoch` from `table` — crash recovery for

@@ -591,63 +591,78 @@ object Streams {
     Timestamp.from(java.time.Instant.ofEpochSecond(
       us / 1000000L, (us % 1000000L) * 1000L))
 
+  case class OpenIslands(islands: Seq[Island])
+
   /** Stateful INTERVAL COALESCING — the streaming face of
     * `Temporal.intervalCoalesce` (§2 r8j): each event opens a
-    * spanMicros half-open activity window; a window overlapping or
-    * touching the user's open island extends it in place, an event
-    * starting strictly after the island's max end closes the island
-    * (emitted downstream) and opens the next, and the event-time
-    * timeout at the island's end closes it when the stream goes quiet.
-    * All merge verdicts run in integer epoch MICROSECONDS — exactly
-    * the batch operator's arithmetic — so `closed islands ≡ batch
-    * islands` is a law the spec can demand bit-exactly, not "close
-    * enough" (ms-grain state would flip touching-vs-gap on sub-ms
-    * offsets). Micro-batch rows replay in (ts, event_id) order;
-    * watermark prunes state, one open island per active user bounds
-    * memory forever. */
+    * spanMicros half-open activity window, and overlapping-or-touching
+    * windows per user merge into maximal islands. State is the user's
+    * OPEN island list (every island whose end the watermark has not yet
+    * passed), kept sorted by start; an arriving event's window inserts
+    * by interval merge — extending an island's end, extending its START
+    * downward, or BRIDGING several open islands into one — so
+    * cross-micro-batch out-of-order events the 1-hour watermark admits
+    * land exactly where the batch operator would put them (the old
+    * single-open-island state silently mis-merged an event earlier
+    * than the open island's start). An island is emitted exactly when
+    * the watermark passes its end: from that point no admissible event
+    * (ts ≥ watermark > end) can touch it, so `closed islands ≡ batch
+    * islands over the watermark-admitted log` is bit-exact for ANY
+    * admitted arrival order, not just monotone input. All merge
+    * verdicts run in integer epoch MICROSECONDS — the batch operator's
+    * arithmetic (ms-grain state would flip touching-vs-gap on sub-ms
+    * offsets). State is bounded: open islands live inside the watermark
+    * horizon, ≤ horizon/span + 1 disjoint islands per user. */
   def intervalCoalesceStream(spark: SparkSession, events: Dataset[Event],
       spanMicros: Long = 900000000L): Dataset[Island] = {
     import spark.implicits._
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Island, Island](
+      .flatMapGroupsWithState[OpenIslands, Island](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[Island]) =>
-          if (state.hasTimedOut) {
-            val closed = state.get
-            state.remove()
-            Iterator.single(closed)
-          } else {
-            val evs = batch.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
-            var cur = state.getOption
-            val closed = Seq.newBuilder[Island]
-            evs.foreach { e =>
+        (userId: Long, batch: Iterator[Event],
+            state: GroupState[OpenIslands]) =>
+          // (startUs, endUs, nEvents), sorted by start, pairwise disjoint
+          var isl: List[(Long, Long, Long)] = state.getOption
+            .map(_.islands.toList.map(i =>
+              (tsMicros(i.island_start), tsMicros(i.island_end), i.n_events)))
+            .getOrElse(Nil)
+          if (!state.hasTimedOut) {
+            batch.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
               val s = tsMicros(e.ts)
-              cur match {
-                case Some(i) if s <= tsMicros(i.island_end) =>
-                  cur = Some(i.copy(
-                    island_end = microsTs(
-                      math.max(tsMicros(i.island_end), s + spanMicros)),
-                    n_events = i.n_events + 1))
-                case Some(i) =>
-                  closed += i
-                  cur = Some(Island(userId, e.ts,
-                    microsTs(s + spanMicros), 1L))
-                case None =>
-                  cur = Some(Island(userId, e.ts,
-                    microsTs(s + spanMicros), 1L))
-              }
+              val en = s + spanMicros
+              // islands entirely before the window (end < s: touching
+              // at s == end merges, matching the batch cummax rule)
+              val (left, rest) = isl.span(_._2 < s)
+              // islands the window reaches (start <= en) all bridge
+              val (mid, right) = rest.span(_._1 <= en)
+              val merged =
+                if (mid.isEmpty) (s, en, 1L)
+                else (math.min(s, mid.head._1),
+                  math.max(en, mid.map(_._2).max),
+                  mid.map(_._3).sum + 1L)
+              isl = left ::: (merged :: right)
             }
-            cur.foreach { i =>
-              state.update(i)
-              // ceil to ms so the timeout can never fire before the
-              // island's true µs end
-              state.setTimeoutTimestamp(
-                (tsMicros(i.island_end) + 999L) / 1000L)
-            }
-            closed.result().iterator
           }
+          // final ⟺ end < watermark: every admissible future event has
+          // ts ≥ watermark (ms grain ≤ its µs value), so it cannot
+          // satisfy s <= end — emit exactly once, drop from state
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, open) = isl.partition(_._2 < wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenIslands(open.map { case (s, e, n) =>
+              Island(userId, microsTs(s), microsTs(e), n) }))
+            // ceil to ms so the timeout can never fire before the
+            // earliest open end; strictly above the current watermark
+            // (Spark rejects a timeout at or behind it)
+            state.setTimeoutTimestamp(math.max(
+              (open.map(_._2).min + 999L) / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+          }
+          done.iterator.map { case (s, e, n) =>
+            Island(userId, microsTs(s), microsTs(e), n) }
       }
   }
 
@@ -1245,6 +1260,38 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.TextAnalysis.appendToWinnowIndex(spark, indexName,
           batch)
+      }
+      .start()
+
+  /** Streaming append into the persisted pHash band index (rows:
+    * doc_id, phash) — the eighth family's ingest half; see
+    * [[minhashAppendStream]] for the shared contract. Replay-safe by
+    * probe construction: a duplicated band row cannot create a phantom
+    * pair (pairs are distinct-ed and Hamming-verified against the full
+    * 64-bit hash). */
+  def phashAppendStream(spark: SparkSession, hashes: DataFrame,
+      indexName: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    hashes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Multimodal.appendToPhashIndex(spark, indexName, batch)
+      }
+      .start()
+
+  /** Streaming media near-dup screening against the PERSISTED pHash
+    * band index: each micro-batch of arriving (doc_id, phash) rows
+    * appends its Hamming ≤ r pairs against the pinned corpus — the
+    * media twin of [[winnowProbeStream]], O(batch) per wave. */
+  def phashProbeStream(spark: SparkSession, hashes: DataFrame,
+      indexName: String, outPath: String, checkpoint: String,
+      r: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    hashes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Multimodal.probePhashIndex(spark, indexName,
+            batch, r)
+          .write.mode("append").parquet(outPath)
       }
       .start()
 

@@ -127,6 +127,46 @@ class EpochPinSpec extends AnyFunSuite {
       "an uncommitted stats segment must not bend BM25 scores")
   }
 
+  test("crash recovery scrubs the DEAD wave's recorded table list: an " +
+    "append-crash followed by a DELETE wave (different table set) " +
+    "cannot publish the dead wave's orphaned postings") {
+    val sp = spark
+    import sp.implicits._
+    val dir = corpusDir()
+    Dedup.buildContainmentIndex(spark, dir, "ep_rec", nBuckets = 2)
+    // dead APPEND wave: stages postings+sets+df+prefixes, writes its
+    // phantom rows into postings and sets, dies before the commit
+    val e = FormatIO.stageIndexEpoch(spark, "ep_rec",
+      Seq("ep_rec_postings", "ep_rec_sets", "ep_rec_df", "ep_rec_prefixes"))
+    FormatIO.appendBucketed(spark,
+      spark.table("ep_rec_postings").drop("epoch")
+        .filter(col("doc_b") === 1L)
+        .withColumn("doc_b", lit(999L)).withColumn("epoch", lit(e)),
+      "ep_rec_postings")
+    FormatIO.appendBucketed(spark,
+      spark.table("ep_rec_sets").drop("epoch")
+        .filter(col("doc_b") === 1L)
+        .withColumn("doc_b", lit(999L)).withColumn("epoch", lit(e)),
+      "ep_rec_sets")
+    // successor is a DELETE wave staging ONLY {df, tombstones} — before
+    // the staged marker recorded table lists, this scrub missed the
+    // dead postings/sets and its commit PUBLISHED the phantom doc at
+    // epoch e with no df/prefix segments (the torn state the protocol
+    // claims to exclude)
+    Dedup.deleteFromContainmentIndex(spark, "ep_rec",
+      Seq(3L).toDF("doc_id"))
+    assert(FormatIO.committedEpoch(spark, "ep_rec") == 1L)
+    assert(spark.table("ep_rec_postings")
+      .filter(col("doc_b") === 999L).count() == 0L,
+      "the dead append's postings are scrubbed via its recorded tables")
+    assert(spark.table("ep_rec_sets")
+      .filter(col("doc_b") === 999L).count() == 0L)
+    val r = Dedup.probeContainmentIndex(spark, "ep_rec", probeBatch())
+      .collect()
+    assert(!r.exists(_.getLong(1) == 999L),
+      "the committed delete wave must not resurrect the phantom doc")
+  }
+
   test("commit discipline: out-of-order commits refuse; a second " +
     "stage at the next epoch is fine after a commit") {
     val dir = corpusDir()

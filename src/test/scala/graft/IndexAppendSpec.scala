@@ -208,6 +208,67 @@ class IndexAppendSpec extends AnyFunSuite {
       s"compacted index must still read bucketed:\n$formatted")
   }
 
+  test("phash index (8th family): self-probe reproduces phashDupOn; " +
+    "append∘build == build(union) probe-equal; a staged-uncommitted " +
+    "append is invisible to a pinned probe; tombstones erase pairs") {
+    import graft.operators.Multimodal
+    val (corpusDir, batchDocs) = splitDir("documents", "doc_id")
+    val allHashes = Multimodal.mediaPhash(spark, sf).localCheckpoint()
+    // self-probe law: probing the full index with its own corpus ==
+    // phashDupOn over the same hashes (symmetrized both ways already
+    // by least/greatest vs doc_a < doc_b)
+    Multimodal.buildPhashIndex(spark, sf, "ph_full", nBuckets = 4)
+    val selfProbe = rows(Multimodal.probePhashIndex(spark, "ph_full",
+      allHashes))
+    val direct = rows(Multimodal.phashDupOn(allHashes, 3))
+    assert(selfProbe.nonEmpty, "this corpus holds exact-dup payloads")
+    assert(selfProbe == direct,
+      "self-probe must reproduce the per-query band join")
+    // append parity: build(corpus) + append(batch) probe-equal to
+    // build(corpus ∪ batch)
+    Multimodal.buildPhashIndex(spark, corpusDir, "ph_inc", nBuckets = 4)
+    Multimodal.appendToPhashIndex(spark, "ph_inc",
+      Multimodal.mediaPhashOf(spark,
+        batchDocs.select(col("doc_id"), col("text"))))
+    // the probe set always contains srcId, whose phash the phantom
+    // below clones — so the committed phantom is guaranteed to pair
+    val srcId = allHashes.select(min(col("doc_id"))).head().getLong(0)
+    val probes = allHashes.filter(col("doc_id") === srcId)
+      .unionByName(allHashes.limit(80)).distinct().localCheckpoint()
+    val inc = rows(Multimodal.probePhashIndex(spark, "ph_inc", probes))
+    val full = rows(Multimodal.probePhashIndex(spark, "ph_full", probes))
+    assert(inc == full, "append∘build must be probe-equal to build(union)")
+    // epoch pin: a staged-but-uncommitted append wave (clone of srcId's
+    // bands under a phantom id) changes no probe result
+    val before = rows(Multimodal.probePhashIndex(spark, "ph_full", probes))
+    val e = FormatIO.stageIndexEpoch(spark, "ph_full", Seq("ph_full_bands"))
+    FormatIO.appendBucketed(spark,
+      spark.table("ph_full_bands").drop("epoch")
+        .filter(col("doc_id") === srcId)
+        .withColumn("doc_id", lit(-999L)).withColumn("epoch", lit(e)),
+      "ph_full_bands")
+    val torn = rows(Multimodal.probePhashIndex(spark, "ph_full", probes))
+    assert(torn == before,
+      "a staged-uncommitted wave must be invisible to pinned probes")
+    FormatIO.commitIndexEpoch(spark, "ph_full", e)
+    assert(rows(Multimodal.probePhashIndex(spark, "ph_full", probes))
+      != before, "the committed wave IS visible (phantom twin pairs)")
+    // tombstone delete: the phantom vanishes from probe results at once
+    val sp2 = spark
+    import sp2.implicits._
+    Multimodal.deleteFromPhashIndex(spark, "ph_full",
+      Seq(-999L).toDF("doc_id"))
+    val afterDel = rows(Multimodal.probePhashIndex(spark, "ph_full", probes))
+    assert(afterDel == before, "tombstoned doc must vanish from pairs")
+    // physical purge preserves probe results and the bucketed layout
+    Multimodal.purgePhashTombstones(spark, "ph_full")
+    assert(rows(Multimodal.probePhashIndex(spark, "ph_full", probes))
+      == before)
+    assert(spark.table("ph_full_bands")
+      .filter(col("doc_id") === -999L).count() == 0L,
+      "purge erases the tombstoned rows physically")
+  }
+
   test("tombstone deletion: delete∘build is probe-equal to building on " +
     "the reduced corpus (minhash + winnow incl. the negative-df " +
     "segment, idempotent retry); purge erases the bytes, probes and " +

@@ -1438,6 +1438,64 @@ class StreamingSpec extends AnyFunSuite {
       "streamed edit appends then probe must equal batch rebuild then probe")
   }
 
+  test("streaming pHash index (8th family): micro-batched appends reach " +
+    "probe-equality with a batch rebuild, and the probe stream equals " +
+    "the batch probe") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.operators.Multimodal
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-phs-docs").toString
+    val docs = graft.sources.Tables.documents(sp, sf)
+      .select(col("doc_id"), col("text"))
+    docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .write.parquet(s"$corpusDir/documents.parquet")
+    Multimodal.buildPhashIndex(sp, corpusDir, "ph_sapp_idx", nBuckets = 4)
+    val arrivals = Multimodal.mediaPhashOf(sp,
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-phs-ck").toString
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.phashAppendStream(sp,
+      input.toDF().toDF("doc_id", "phash"), "ph_sapp_idx", ckpt)
+    arrivals.grouped(math.max(1, arrivals.length / 3 + 1)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    Multimodal.buildPhashIndex(sp, sf, "ph_sapp_full", nBuckets = 4)
+    val probes = Multimodal.mediaPhash(sp, sf).limit(60).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val streamed = rows(Multimodal.probePhashIndex(sp, "ph_sapp_idx", probes))
+    val rebuilt = rows(Multimodal.probePhashIndex(sp, "ph_sapp_full", probes))
+    assert(rebuilt.nonEmpty)
+    assert(streamed == rebuilt,
+      "streamed pHash appends then probe must equal batch rebuild then probe")
+    // probe stream ≡ batch probe over the same arriving hashes
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-phs-out").toString
+    val pCkpt = java.nio.file.Files
+      .createTempDirectory("graft-phs-pck").toString
+    val probeRows = probes.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pInput = MemoryStream[(Long, Long)]
+    val pq = Streams.phashProbeStream(sp,
+      pInput.toDF().toDF("doc_id", "phash"), "ph_sapp_full", outPath, pCkpt)
+    probeRows.grouped(math.max(1, probeRows.length / 2 + 1)).foreach { chunk =>
+      pInput.addData(chunk.toIndexedSeq)
+      pq.processAllAvailable()
+    }
+    pq.stop()
+    // a symmetrized pair surfaces from BOTH endpoints when they land in
+    // different micro-batches — the batch probe's distinct() sees them
+    // together, the stream doesn't; dedup at the read edge
+    val streamedProbe = rows(sp.read.parquet(outPath).distinct())
+    assert(streamedProbe == rebuilt,
+      "the pHash probe stream must equal the batch probe")
+  }
+
   test("streaming winnow: appends grow the fp index to rebuild parity, " +
     "and the probe stream emits exactly the batch probe's pairs") {
     val sp = spark
@@ -1671,6 +1729,63 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq ==
       chunks.head.map(_._1).sorted.toSeq,
       "the pinned first version is exactly the first micro-batch")
+  }
+
+  test("streaming interval coalescing handles watermark-admitted OUT-OF-" +
+    "ORDER events across micro-batches: a late event extends an island's " +
+    "START downward, and a gapped-before late event opens its own island") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.intervalCoalesceStream(sp, input.toDS())
+      .writeStream.format("memory").queryName("isl_late")
+      .outputMode("append").start()
+    // batch 1: island [5:20, 5:35) — watermark becomes 4:20
+    input.addData(Event(1, tsH(5, 20), 77, "view", 0.0))
+    q.processAllAvailable()
+    // batch 2, both events ADMITTED (ts >= 4:20 watermark) but EARLIER
+    // than the open island's start:
+    //  * 5:10 → window [5:10, 5:25) overlaps [5:20, 5:35): the island's
+    //    start must extend DOWNWARD (the old single-island state merged
+    //    without lowering island_start)
+    //  * 4:30 → window [4:30, 4:45) gaps before 5:10: a SEPARATE island
+    //    must open before the existing one
+    input.addData(Event(2, tsH(5, 10), 77, "view", 0.0),
+      Event(3, tsH(4, 30), 77, "view", 0.0))
+    q.processAllAvailable()
+    // sentinel advances the watermark past every island end
+    input.addData(Event(99, tsH(23, 0), 999, "view", 0.0))
+    q.processAllAvailable()
+    val isls = sp.sql(
+      "SELECT * FROM isl_late WHERE user_id = 77 ORDER BY island_start")
+      .collect()
+    q.stop()
+    assert(isls.length == 2, s"two islands, got ${isls.length}")
+    assert(isls(0).getAs[Timestamp]("island_start") == tsH(4, 30))
+    assert(isls(0).getAs[Timestamp]("island_end") == tsH(4, 45))
+    assert(isls(0).getAs[Long]("n_events") == 1L)
+    assert(isls(1).getAs[Timestamp]("island_start") == tsH(5, 10),
+      "the late 5:10 event must extend the island's start downward")
+    assert(isls(1).getAs[Timestamp]("island_end") == tsH(5, 35))
+    assert(isls(1).getAs[Long]("n_events") == 2L)
+    // and the result equals the batch operator over the same admitted
+    // events — the bit-exact law now holds for out-of-order input
+    val evDir = java.nio.file.Files
+      .createTempDirectory("graft-isl-late").toString
+    Seq((1L, tsH(5, 20), 77L, "view", 0.0),
+      (2L, tsH(5, 10), 77L, "view", 0.0),
+      (3L, tsH(4, 30), 77L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.parquet(s"$evDir/events.parquet")
+    val b = graft.operators.Temporal.intervalCoalesce(sp, evDir)
+      .filter(col("user_id") === 77L).collect().head
+    assert(b.getLong(1) == 2L, "batch: two islands")
+    val coveredStream = isls.map(r =>
+      r.getAs[Timestamp]("island_end").getTime -
+        r.getAs[Timestamp]("island_start").getTime).sum * 1000L
+    assert(b.getLong(2) == coveredStream, "covered micros equal")
   }
 
   test("streaming interval coalescing merges touching windows across " +
