@@ -350,7 +350,21 @@ object SparkEntry {
     // r8 continuation 6: semi-structured schema discovery, mixture
     // composition matrix
     "q_json_profile" -> ((s: SparkSession, d: String) => Modern.jsonProfile(s, d)),
-    "q_lang_mix" -> ((s: SparkSession, d: String) => Quality.langMix(s, d))
+    "q_lang_mix" -> ((s: SparkSession, d: String) => Quality.langMix(s, d)),
+    // r9: federated summary-merge audit, growth/engagement ledgers,
+    // masking-budget accounting, content-defined chunk dedup,
+    // anonymization ladder, arrival-process + lead/lag diagnostics,
+    // shard-routing balance
+    "q_federated_quantiles" -> ((s: SparkSession, d: String) => Federation.federatedQuantileAudit(s, d)),
+    "q_growth_accounting" -> ((s: SparkSession, d: String) => Behavioral.growthAccounting(s, d)),
+    "q_stickiness" -> ((s: SparkSession, d: String) => Behavioral.stickiness(s, d)),
+    "q_power_users" -> ((s: SparkSession, d: String) => Behavioral.powerUsers(s, d)),
+    "q_span_corruption" -> ((s: SparkSession, d: String) => TextAnalysis.spanCorruption(s, d)),
+    "q_cdc_chunks" -> ((s: SparkSession, d: String) => Dedup.cdcChunks(s, d)),
+    "q_generalization_curve" -> ((s: SparkSession, d: String) => Privacy.generalizationCurve(s, d)),
+    "q_interarrival_hist" -> ((s: SparkSession, d: String) => TimeSeries.interarrivalHist(s, d)),
+    "q_cross_corr" -> ((s: SparkSession, d: String) => TimeSeries.crossCorr(s, d)),
+    "q_shard_balance" -> ((s: SparkSession, d: String) => Quality.shardBalance(s, d))
   )
 
   /** The unrolled INTEGER PageRank oracle for `q_pagerank_panel` —
@@ -4335,6 +4349,229 @@ object SparkEntry {
         | round(CAST(cells.n AS DOUBLE) / (SELECT t FROM tot), 6)
         |  AS corpus_share
         |FROM cells JOIN st USING (source)
-        |ORDER BY cells.source, cells.lang""".stripMargin
+        |ORDER BY cells.source, cells.lang""".stripMargin,
+    // federated exact B-quantile summary merge + pooled rank audit
+    "q_federated_quantiles" ->
+      """WITH o AS (SELECT o_orderpriority AS site,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+        |  o_orderkey AS k FROM orders),
+        |st AS (SELECT site, CAST(count(*) AS BIGINT) AS n_s
+        | FROM o GROUP BY 1),
+        |rk AS (SELECT site, v,
+        |  row_number() OVER (PARTITION BY site ORDER BY v, k) AS r
+        | FROM o),
+        |tg AS (SELECT site, n_s, i, (i * n_s + 15) // 16 AS r
+        | FROM st, range(1, 17) t(i)),
+        |pt AS (SELECT rk.site, rk.v, tg.n_s, tg.i
+        | FROM rk JOIN tg ON rk.site = tg.site AND rk.r = tg.r),
+        |cm AS (SELECT v,
+        |  sum(n_s) OVER (ORDER BY v, site, i) AS cw FROM pt),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |pr(p_num, p_den) AS (VALUES (1, 4), (1, 2), (3, 4), (9, 10)),
+        |es AS (SELECT p_num, p_den, min(v) AS est
+        | FROM pr, cm, n WHERE cw * p_den >= p_num * n.n * 16
+        | GROUP BY 1, 2)
+        |SELECT * FROM (
+        | SELECT CAST(es.p_num AS BIGINT) AS p_num,
+        |  CAST(es.p_den AS BIGINT) AS p_den, es.est,
+        |  CAST(sum(CASE WHEN o.v < es.est THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS rank_below,
+        |  CAST(sum(CASE WHEN o.v <= es.est THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS rank_at,
+        |  (SELECT n FROM n) AS n_total
+        | FROM es, o GROUP BY 1, 2, 3)
+        |ORDER BY CAST(p_num AS DOUBLE) / p_den""".stripMargin,
+    // monthly new/retained/resurrected/churned user ledger
+    "q_growth_accounting" ->
+      """WITH um AS (SELECT DISTINCT user_id,
+        |  CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS mi
+        | FROM events),
+        |fm AS (SELECT user_id, min(mi) AS first_mi FROM um GROUP BY 1),
+        |cl AS (SELECT um.mi,
+        |  CASE WHEN um.mi = fm.first_mi THEN 'new'
+        |   WHEN p.user_id IS NOT NULL THEN 'retained'
+        |   ELSE 'resurrected' END AS status
+        | FROM um JOIN fm USING (user_id)
+        | LEFT JOIN um p ON p.user_id = um.user_id AND p.mi = um.mi - 1),
+        |act AS (SELECT mi, CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_new,
+        |  CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_resurrected
+        | FROM cl GROUP BY 1),
+        |ch AS (SELECT a.mi + 1 AS mi, CAST(count(*) AS BIGINT) AS n_churned
+        | FROM um a LEFT JOIN um b
+        |  ON b.user_id = a.user_id AND b.mi = a.mi + 1
+        | WHERE b.user_id IS NULL GROUP BY 1)
+        |SELECT act.mi, n_active, n_new, n_retained, n_resurrected,
+        | COALESCE(ch.n_churned, 0) AS n_churned
+        |FROM act LEFT JOIN ch USING (mi) ORDER BY act.mi""".stripMargin,
+    // monthly DAU/MAU stickiness off the distinct user-day panel
+    "q_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |  CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS mi,
+        |  CAST(day(ts) AS BIGINT) AS d
+        | FROM events)
+        |SELECT mi, CAST(count(*) AS BIGINT) AS n_user_days,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+        | CAST(count(DISTINCT d) AS BIGINT) AS n_days,
+        | round(CAST(count(*) AS DOUBLE) /
+        |  (count(DISTINCT d) * count(DISTINCT user_id)), 6) AS stickiness
+        |FROM ud GROUP BY mi ORDER BY mi""".stripMargin,
+    // activity-decile concentration (Lorenz readout, total order)
+    "q_power_users" ->
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+        |  CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+        |   AS value_milli
+        | FROM events GROUP BY 1),
+        |dk AS (SELECT n_ev, value_milli,
+        |  CAST(ntile(10) OVER (ORDER BY n_ev DESC, user_id) AS BIGINT)
+        |   AS decile
+        | FROM pu),
+        |ag AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  CAST(sum(value_milli) AS BIGINT) AS value_milli
+        | FROM dk GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS t FROM ag)
+        |SELECT decile, n_users, n_events, value_milli,
+        | round(CAST(n_events AS DOUBLE) / (SELECT t FROM t), 6)
+        |  AS event_share,
+        | round(CAST(sum(n_events) OVER (ORDER BY decile) AS DOUBLE)
+        |  / (SELECT t FROM t), 6) AS cum_event_share
+        |FROM ag ORDER BY decile""".stripMargin,
+    // deterministic T5-style span-masking budget per source
+    "q_span_corruption" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  string_split_regex(lower(trim(text)), '\s+') AS toks
+        | FROM documents),
+        |s AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tok,
+        |  list_filter(list_transform(range(1, len(toks) + 1),
+        |    p -> struct_pack(p := p,
+        |      u := CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |        || ':' || CAST(p AS VARCHAR)), 1, 2))
+        |        AS INT))),
+        |   x -> x.u < 38) AS st,
+        |  len(toks) AS n
+        | FROM d),
+        |m AS (SELECT source, n_tok, CAST(len(st) AS BIGINT) AS n_spans,
+        |  CAST(len(list_distinct(flatten(list_transform(st,
+        |    x -> range(x.p, least(x.p + x.u % 3, n) + 1))))) AS BIGINT)
+        |   AS n_masked
+        | FROM s)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        | CAST(sum(n_spans) AS BIGINT) AS n_spans,
+        | CAST(sum(n_masked) AS BIGINT) AS n_masked,
+        | CASE WHEN sum(n_tok) > 0 THEN
+        |  round(CAST(sum(n_masked) AS DOUBLE) / sum(n_tok), 6) END
+        |  AS mask_ratio
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // content-defined chunking dedup profile per source
+    "q_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  string_split_regex(lower(trim(text)), '\s+') AS toks
+        | FROM documents),
+        |c AS (SELECT source, toks,
+        |  list_sort(list_distinct(list_concat(
+        |   list_filter(range(3, greatest(len(toks), 2) + 1),
+        |    p -> p <= len(toks) AND
+        |      CAST(('0x' || substr(md5(array_to_string(
+        |        toks[p-2:p], ' ')), 1, 2)) AS INT) < 32),
+        |   [CAST(len(toks) AS BIGINT)]))) AS cuts
+        | FROM d),
+        |ch AS (SELECT source,
+        |  unnest(list_transform(range(1, len(cuts) + 1),
+        |   i -> struct_pack(
+        |     n_tok := cuts[i] - CASE WHEN i = 1 THEN 0 ELSE cuts[i-1] END,
+        |     digest := md5(array_to_string(
+        |       toks[(CASE WHEN i = 1 THEN 0 ELSE cuts[i-1] END + 1):cuts[i]],
+        |       ' '))))) AS c
+        | FROM c)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(sum(c.n_tok) AS BIGINT) AS n_tokens,
+        | CAST(count(DISTINCT c.digest) AS BIGINT) AS n_distinct,
+        | CASE WHEN count(*) > 0 THEN
+        |  round(CAST(count(*) - count(DISTINCT c.digest) AS DOUBLE)
+        |   / count(*), 6) END AS dup_share
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
+    // k-anonymity generalization ladder over value bands
+    "q_generalization_curve" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm FROM events),
+        |x AS (SELECT event_type, user_id, lvl,
+        |  CASE WHEN lvl = 3 THEN 0
+        |   WHEN lvl = 0 THEN vm // 10000
+        |   WHEN lvl = 1 THEN vm // 100000
+        |   ELSE vm // 1000000 END AS band
+        | FROM e, (SELECT unnest([0, 1, 2, 3]) AS lvl)),
+        |cl AS (SELECT CAST(lvl AS BIGINT) AS lvl, event_type, band,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        | FROM x GROUP BY 1, 2, 3)
+        |SELECT lvl, CAST(count(*) AS BIGINT) AS n_classes,
+        | CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END)
+        |  AS BIGINT) AS rows_at_risk,
+        | CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS classes_at_risk,
+        | CASE WHEN sum(n_rows) > 0 THEN
+        |  round(CAST(sum(n_rows) - sum(CASE WHEN n_users < 5
+        |    THEN n_rows ELSE 0 END) AS DOUBLE) / sum(n_rows), 6) END
+        |  AS safe_share
+        |FROM cl GROUP BY lvl ORDER BY lvl""".stripMargin,
+    // power-of-two inter-arrival histogram per event type
+    "q_interarrival_hist" ->
+      """WITH t AS (SELECT event_type, event_id,
+        |  epoch_us(ts) AS t FROM events),
+        |g AS (SELECT event_type,
+        |  t - lag(t) OVER (PARTITION BY event_type
+        |    ORDER BY t, event_id) AS g
+        | FROM t)
+        |SELECT event_type,
+        | CASE WHEN g = 0 THEN 0
+        |  ELSE CAST(length(bin(g)) AS BIGINT) END AS bucket,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(min(g) AS BIGINT) AS min_gap,
+        | CAST(max(g) AS BIGINT) AS max_gap
+        |FROM g WHERE g IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    // daily volume x audience cross-correlation by lag
+    "q_cross_corr" ->
+      """WITH day AS (SELECT
+        |  epoch_us(ts) // 86400000000 AS di,
+        |  CAST(count(*) AS BIGINT) AS x,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS y
+        | FROM events GROUP BY 1),
+        |lg AS (SELECT CAST(unnest(range(-7, 8)) AS BIGINT) AS lag),
+        |pr AS (SELECT lg.lag, a.x, b.y
+        | FROM lg CROSS JOIN day a JOIN day b ON b.di = a.di + lg.lag),
+        |ag AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(y * y) AS BIGINT) AS syy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy
+        | FROM pr GROUP BY 1)
+        |SELECT lag, n_days,
+        | CASE WHEN n_days * sxx - sx * sx > 0
+        |   AND n_days * syy - sy * sy > 0 THEN
+        |  round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |   (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) *
+        |    sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))), 6) END AS r
+        |FROM ag ORDER BY lag""".stripMargin,
+    // md5-routed shard balance audit
+    "q_shard_balance" ->
+      """WITH d AS (SELECT
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |   AS BIGINT) % 32 AS shard, n_chars FROM documents),
+        |s AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM s)
+        |SELECT shard, n_docs, n_chars,
+        | CASE WHEN (SELECT t FROM t) > 0 THEN
+        |  round(CAST(n_docs AS DOUBLE) * 32 / (SELECT t FROM t), 6) END
+        |  AS skew
+        |FROM s ORDER BY shard""".stripMargin
   )
 }

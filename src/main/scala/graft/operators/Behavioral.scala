@@ -395,6 +395,113 @@ object Behavioral {
       .orderBy(col("stage"))
   }
 
+  /** MONTHLY GROWTH ACCOUNTING — the canonical active-user ledger: for
+    * every activity month, how many users are NEW (first month ever),
+    * RETAINED (also active the previous month), RESURRECTED (active
+    * before, skipped last month), and CHURNED (active last month, gone
+    * this month — reported at the month they went missing). The
+    * decomposition product teams reconcile MAU movements with; the
+    * identity n_active = n_new + n_retained + n_resurrected holds row
+    * by row. Scale shape: the event log reduces ONCE to the distinct
+    * (user, month-index) panel (map-side combine), first months are a
+    * per-user min, and previous-month membership is a self-equi-join
+    * on (user, mi−1) — panel-sized shuffles only, nothing proportional
+    * to raw events after the first reduction. Month index
+    * year·12+month keeps the lag arithmetic integer. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val um = Tables.events(spark, dir)
+      .select(col("user_id"),
+        (year(col("ts")) * 12 + month(col("ts")) - 1).cast("long").as("mi"))
+      .distinct()
+      .localCheckpoint() // the panel feeds three derivations below
+    val fm = um.groupBy(col("user_id")).agg(min(col("mi")).as("first_mi"))
+    val prev = um.select(col("user_id"), (col("mi") + 1L).as("mi"),
+      lit(1L).as("was_prev"))
+    val classified = um.join(fm, Seq("user_id"))
+      .join(prev, Seq("user_id", "mi"), "left")
+      .withColumn("status",
+        when(col("mi") === col("first_mi"), "new")
+          .otherwise(when(col("was_prev").isNotNull, "retained")
+            .otherwise("resurrected")))
+    val active = classified.groupBy(col("mi"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    // churn at month m: active at m-1, absent at m (only for months
+    // that exist in the panel — the ragged calendar edge stays out)
+    val churned = prev // (user, mi) meaning "was active at mi-1"
+      .join(um.select(col("user_id"), col("mi"), lit(1L).as("is_now")),
+        Seq("user_id", "mi"), "left")
+      .filter(col("is_now").isNull)
+      .groupBy(col("mi")).agg(count(lit(1)).as("n_churned"))
+    // left join from `active`: churn rows at a month past the observed
+    // calendar (mi+1 off the end) drop with it
+    active.join(churned, Seq("mi"), "left")
+      .select(col("mi"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), coalesce(col("n_churned"), lit(0L))
+          .as("n_churned"))
+      .orderBy(col("mi"))
+  }
+
+  /** MONTHLY STICKINESS (DAU/MAU): for each month, the distinct
+    * user-day count over (observed days × monthly actives) — the
+    * engagement-frequency ratio ("the average active user shows up on
+    * X% of days"). One distinct (user, day) reduction, folded to the
+    * month panel; exact integers under one closing division. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        (year(col("ts")) * 12 + month(col("ts")) - 1).cast("long").as("mi"),
+        dayofmonth(col("ts")).cast("long").as("d"))
+      .distinct()
+    ud.groupBy(col("mi"))
+      .agg(count(lit(1)).as("n_user_days"),
+        countDistinct(col("user_id")).as("mau"),
+        countDistinct(col("d")).as("n_days"))
+      .withColumn("stickiness",
+        round(col("n_user_days").cast("double") /
+          (col("n_days") * col("mau")).cast("double"), 6))
+      .orderBy(col("mi"))
+  }
+
+  /** POWER-USER CONCENTRATION (the Lorenz/Pareto readout per activity
+    * decile): users ranked by event count into ntile(10) deciles under
+    * a TOTAL order (count desc, user_id — ties broken, so the decile
+    * assignment is deterministic and engine-portable), then each
+    * decile's user count, event mass, value mass, and the cumulative
+    * event share — "the top 10% of users generate X% of traffic", the
+    * abuse/bot screen and capacity question in one table. The rank
+    * window runs over the per-user AGGREGATE (panel-sized, one row per
+    * user), never raw events. */
+  def powerUsers(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        // half-up milli-unit rounding BEFORE the sum — the repo's
+        // exact-money convention (a bare cast truncates in Spark but
+        // rounds in DuckDB)
+        sum(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
+          .as("value_milli"))
+    val w = Window.partitionBy(pmod(col("user_id"), lit(1)))
+      .orderBy(col("n_ev").desc, col("user_id"))
+    val total = perUser.agg(sum(col("n_ev")).as("t")).scalar()
+    val wCum = Window.partitionBy(pmod(col("decile"), lit(1)))
+      .orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perUser.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"),
+        sum(col("value_milli")).as("value_milli"))
+      .withColumn("event_share",
+        round(col("n_events").cast("double") / total, 6))
+      .withColumn("cum_event_share",
+        round(sum(col("n_events")).over(wCum).cast("double") / total, 6))
+      .orderBy(col("decile"))
+  }
+
   /** HOUR-OF-DAY UNIFORMITY PROFILE per event type: the dense 24-cell
     * hour histogram with each cell's χ² contribution against the
     * uniform 1/24 expectation — the diurnal-seasonality screen (a bot

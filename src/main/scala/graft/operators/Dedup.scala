@@ -1648,4 +1648,54 @@ object Dedup {
           6))
       .orderBy(col("source"))
   }
+
+  /** CONTENT-DEFINED CHUNKING dedup profile (the rsync/FastCDC family,
+    * at token grain): a chunk boundary falls after position p wherever
+    * the hash of the 3-token gram ENDING at p clears a 1-in-8 gate —
+    * the cut points are a pure function of local CONTENT, so shared
+    * passages produce identical chunks at any offset in any document
+    * (the property fixed-size blocking lacks, and the reason CDC is
+    * the storage-dedup standard). Per source: chunk count, token mass,
+    * distinct chunk digests, and the duplicated-chunk share — the
+    * sub-document dedup savings estimate that complements
+    * [[segmentDedup]]'s line-grain and [[dupSpans]]'s winnow-grain
+    * views. Boundary selection, chunk assembly and digests are all
+    * row-local array algebra (one md5 per position, one per chunk);
+    * one source-bounded aggregate after an explode. The gram hash is
+    * md5 — bit-identical cross-engine, so the whole profile is
+    * exact-oracle-checkable. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+      // cut list = content-gated positions ∪ {n}, let-bound so the
+      // boundary scan runs once per row; chunk i spans
+      // (cuts[i-1], cuts[i]]
+      .select(col("source"), explode(expr(
+        """transform(array(array_distinct(concat(
+          |   filter(sequence(3, greatest(size(toks), 3)),
+          |     p -> p <= size(toks) AND
+          |       CAST(conv(substring(md5(concat_ws(' ',
+          |         slice(toks, p - 2, 3))), 1, 2), 16, 10) AS INT) < 32),
+          |   array(size(toks))))),
+          | cuts -> transform(sequence(1, size(cuts)),
+          |   i -> struct(
+          |     element_at(cuts, i) -
+          |       IF(i = 1, 0, element_at(cuts, i - 1)) AS n_tok,
+          |     md5(concat_ws(' ', slice(toks,
+          |       IF(i = 1, 0, element_at(cuts, i - 1)) + 1,
+          |       element_at(cuts, i) -
+          |         IF(i = 1, 0, element_at(cuts, i - 1))))) AS digest)))[0]
+          |""".stripMargin)).as("c"))
+      .select(col("source"), col("c.n_tok").cast("long").as("n_tok"),
+        col("c.digest"))
+    chunks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("digest")).as("n_distinct"))
+      .withColumn("dup_share", when(col("n_chunks") > 0L,
+        round((col("n_chunks") - col("n_distinct")).cast("double") /
+          col("n_chunks"), 6)))
+      .orderBy(col("source"))
+  }
 }

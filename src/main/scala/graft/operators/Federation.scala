@@ -108,6 +108,114 @@ object Federation {
       count(lit(1)).as("n_sites"))
   }
 
+  /** FEDERATED MERGEABLE QUANTILES — the distribution twin of
+    * [[federatedDistinct]]: each site reduces its `valueCol` to ONE
+    * summary row (its row count + a grid of B+1 evenly-spaced local
+    * quantile points from `approx_percentile`, itself a one-pass
+    * mergeable GK summary) and only those ≤ sites·(B+1) points move —
+    * raw rows never leave a site (plan-asserted in the spec: every
+    * union branch aggregates below the union), which is the consortium
+    * shape the reference's multi-site rollups need for "cross-site
+    * length/score distributions" without pooling rows. The central
+    * merge treats point i of a site as carrying n_site/B mass for the
+    * value run (q_{i-1}, q_i]: sort the panel, cumulative weights, and
+    * each requested quantile is the first point whose cumulative mass
+    * reaches p·N. Rank error is bounded and budgetable: ≤ n_s/B
+    * mis-attributed mass per site (grid) + n_s/accuracy (GK) sums to a
+    * RELATIVE rank error ≤ 1/B + 1/accuracy, independent of site count
+    * and value distribution — the spec measures it against pooled
+    * exact percentiles. Panel-sized shuffles only; per-site cost is
+    * one scan. */
+  def federatedQuantiles(spark: SparkSession, sites: Seq[Site],
+      table: String, valueCol: String,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9),
+      b: Int = 128, accuracy: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(b >= 2 && probs.forall(p => p > 0.0 && p <= 1.0))
+    val grid = (0 to b).map(i =>
+      BigDecimal(i) / BigDecimal(b)).mkString(",")
+    val perSite = sites.map { s =>
+      graft.sources.Tables.load(spark, s.dir, table)
+        .agg(count(lit(1)).as("n"),
+          expr(s"approx_percentile($valueCol, array($grid), $accuracy)")
+            .as("qs"))
+        .withColumn("site", lit(s.name))
+    }.reduce(_ unionByName _)
+    // central merge over the tiny points panel (≤ sites·B rows): point
+    // i ≥ 1 carries its site's n/B mass; pos 0 (the local minimum) is
+    // grid metadata, not mass
+    val points = perSite
+      .select(col("site"), col("n"), posexplode(col("qs")).as(Seq("pos", "v")))
+      .filter(col("pos") >= 1)
+      .withColumn("w", col("n").cast("double") / b)
+    val total = points.agg(sum(col("w")).as("t")).scalar()
+    // panel-sized window; non-foldable constant partition key keeps it
+    // off a single global-sort partition by contract (PlanHygieneSpec)
+    val wCum = Window.partitionBy(pmod(col("pos"), lit(1)))
+      .orderBy(col("v"), col("site"), col("pos"))
+    val cum = points.withColumn("cw", sum(col("w")).over(wCum))
+    probs.toDF("p")
+      .crossJoin(cum.select(col("v"), col("cw"), total.as("n_total")))
+      .filter(col("cw") >= col("p") * col("n_total"))
+      .groupBy(col("p"))
+      .agg(min(col("v")).as("est"), max(col("n_total")).as("n_total"))
+      .orderBy(col("p"))
+  }
+
+  /** The EXACT-INTEGER federated-quantile merge audit (q_federated_
+    * quantiles): the same summary-merge protocol as
+    * [[federatedQuantiles]], but with per-site EXACT B-quantile grids
+    * (value at rank ⌈i·n_s/B⌉ under the total order (cents, orderkey))
+    * instead of approx_percentile sketches, over sites carved from the
+    * order-priority dimension — so every figure is integer arithmetic
+    * and the merged estimate's pooled rank interval is DuckDB-oracle-
+    * checkable. The audit row per requested quantile p = num/den:
+    * merged estimate, its exact pooled rank interval [rank_below,
+    * rank_at], and N — the rank gap |p·N − rank| the merge bound
+    * promises (≤ N/B + sites) is then a visible, verified number.
+    * Scale shape: one rank window per site partition (site-sized, not
+    * global), the summary panel is sites·B rows, and the pooled rank
+    * check is one broadcast pass over the fact table. */
+  def federatedQuantileAudit(spark: SparkSession, dir: String,
+      b: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val o = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("site"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("v"),
+        col("o_orderkey").as("k"))
+      .localCheckpoint() // ranked side + stats + pooled check share it
+    val ranked = o.withColumn("r",
+      row_number().over(Window.partitionBy(col("site"))
+        .orderBy(col("v"), col("k"))).cast("long"))
+    val targets = o.groupBy(col("site")).agg(count(lit(1)).as("n_s"))
+      .withColumn("i", explode(typedlit((1 to b).map(_.toLong))))
+      .withColumn("r", expr(s"(i * n_s + ${b - 1}) div $b"))
+    val points = ranked.join(targets, Seq("site", "r"))
+      .select(col("site"), col("i"), col("n_s"), col("v"))
+    // merged estimate: cumulative site-mass (scaled by B, so integer)
+    // over the value-ordered panel; quantile p = first point whose
+    // cumulative mass reaches p·B·N
+    val wCum = Window.partitionBy(pmod(col("i"), lit(1)))
+      .orderBy(col("v"), col("site"), col("i"))
+    val cum = points.withColumn("cw", sum(col("n_s")).over(wCum))
+    val nTotal = o.agg(count(lit(1)).as("n")).scalar()
+    val ests = Seq((1L, 4L), (1L, 2L), (3L, 4L), (9L, 10L))
+      .toDF("p_num", "p_den")
+      .crossJoin(cum.select(col("v"), col("cw")))
+      .filter(col("cw") * col("p_den") >= col("p_num") * nTotal * b)
+      .groupBy(col("p_num"), col("p_den")).agg(min(col("v")).as("est"))
+    // exact pooled rank interval of each estimate, one broadcast pass
+    o.crossJoin(broadcast(ests))
+      .groupBy(col("p_num"), col("p_den"), col("est"))
+      .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L))
+          .as("rank_below"),
+        sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("rank_at"))
+      .withColumn("n_total", nTotal)
+      .orderBy(col("p_num").cast("double") / col("p_den"))
+  }
+
   /** Federated set-OVERLAP estimation — the question HLL cannot answer
     * (HLL registers only union): "how many keys do groups A and B
     * SHARE?". Each group builds a KMV bottom-k sketch of its keys (one

@@ -313,4 +313,43 @@ object Privacy {
         round(col("est_num").cast("double") / col("est_den"), 6)))
       .orderBy(col("lang"))
   }
+
+  /** GENERALIZATION LADDER for k-anonymity planning: re-evaluate the
+    * quasi-identifier partition (event_type × value band) at four
+    * coarsening levels — 10-unit, 100-unit, 1000-unit bands, and the
+    * fully-suppressed band — and report, per level, the class count
+    * and how much row/user mass still sits in classes below k. Where
+    * [[kAnonymity]] grades cells at one grain and tests one rescue,
+    * this is the anonymization-DESIGN table: pick the coarsest level
+    * whose utility survives and whose at-risk share clears policy.
+    * One scan with a row-local 4-way level fan-out (explode), one
+    * keyed aggregate per (level, class), then a level-bounded rollup;
+    * milli-unit banding keeps every figure integer-exact. */
+  def generalizationCurve(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val divs = Seq(10000L, 100000L, 1000000L) // milli-units: 10/100/1000
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .withColumn("lvl", explode(typedlit(Seq(0L, 1L, 2L, 3L))))
+      .withColumn("band",
+        when(col("lvl") === 3L, lit(0L))
+          .otherwise(when(col("lvl") === 0L, expr(s"vm div ${divs(0)}L"))
+            .otherwise(when(col("lvl") === 1L, expr(s"vm div ${divs(1)}L"))
+              .otherwise(expr(s"vm div ${divs(2)}L")))))
+    val classes = e.groupBy(col("lvl"), col("event_type"), col("band"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+    classes.groupBy(col("lvl"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(when(col("n_users") < k, col("n_rows")).otherwise(0L))
+          .as("rows_at_risk"),
+        sum(when(col("n_users") < k, 1L).otherwise(0L))
+          .as("classes_at_risk"))
+      .withColumn("safe_share", when(col("n_rows") > 0L,
+        round((col("n_rows") - col("rows_at_risk")).cast("double") /
+          col("n_rows"), 6)))
+      .orderBy(col("lvl"))
+  }
 }

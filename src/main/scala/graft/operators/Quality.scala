@@ -685,4 +685,29 @@ object Quality {
         col("source_share"), col("corpus_share"))
       .orderBy(col("source"), col("lang"))
   }
+
+  /** SHARD-ROUTING BALANCE AUDIT: route every document to one of
+    * `nShards` writer shards by a content-stable hash of its id (the
+    * md5-hex prefix, so the assignment is engine-portable and
+    * reproducible at any cluster size) and report each shard's doc
+    * count, byte mass, and skew factor vs the uniform expectation —
+    * the pre-flight check before a 100 TB write fleet commits to a
+    * partitioning (one hot shard = one straggling writer). One
+    * map-side-combined aggregate; the skew closes over broadcast
+    * scalars. */
+  def shardBalance(spark: SparkSession, dir: String,
+      nShards: Int = 32): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % nShards).as("shard"),
+        col("n_chars"))
+    val shards = d.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val total = shards.agg(sum(col("n_docs")).as("t")).scalar()
+    shards
+      .withColumn("skew", when(total > 0L,
+        round(col("n_docs").cast("double") * nShards / total, 6)))
+      .orderBy(col("shard"))
+  }
 }

@@ -317,12 +317,17 @@ object Similarity {
     // compares [[appendToIvfIndex]] against (append assigns under the
     // existing centroids; retraining is by definition a full rebuild)
     val centroids = centroidSource match {
-      case Some(src) => loadCentroids(spark, src)
+      case Some(src) => loadCentroids(spark, src,
+        graft.sources.FormatIO.committedEpoch(spark, src))
       case None => trainCentroids(spark, normed, nCentroids, kmeansIters)
     }
+    // the codebook is epoch-tagged like every segment table: build
+    // writes generation 0, a retrain appends its codebook at the rebase
+    // epoch — readers pick the generation their pin's rebase cut names
     centroids.zipWithIndex
       .map { case (c, i) => ((i + 1).toLong, c) }.toSeq
       .toDF("bucket", "centroid")
+      .withColumn("epoch", lit(0L))
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_centroids")
     // empty corpus → empty index with the right schema (array() of zero
@@ -395,7 +400,9 @@ object Similarity {
       sampleN: Int = 64): DataFrame = {
     import spark.implicits._
     val pin = graft.sources.FormatIO.committedEpoch(spark, name)
-    val live = graft.sources.FormatIO.pinnedAt(spark, s"${name}_postings", pin)
+    val live = graft.sources.FormatIO.pinnedSince(spark,
+        s"${name}_postings",
+        graft.sources.FormatIO.rebaseEpochOf(spark, name, pin), pin)
       .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_tombstones",
         pin), Seq("id_b"), "left_anti")
       .select(col("id_b"), col("vb"))
@@ -452,12 +459,20 @@ object Similarity {
     checkIvfRecall(spark, name)
   }
 
-  /** The stored codebook of index `name` as K×dim doubles —
-    * dim-bounded driver state (K centroids, never corpus rows). */
-  private def loadCentroids(spark: SparkSession,
-      name: String): Array[Array[Double]] = {
+  /** The stored codebook of index `name` at pin `pin` as K×dim doubles
+    * — dim-bounded driver state (K centroids, never corpus rows). The
+    * generation read is the one `pin`'s rebase cut names: exactly the
+    * codebook whose assignment produced the postings [[pinnedSince]]
+    * exposes at the same pin, so a probe racing a retrain reads the
+    * OLD codebook with the OLD postings until the single rebase-commit
+    * marker lands. */
+  private def loadCentroids(spark: SparkSession, name: String,
+      pin: Long): Array[Array[Double]] = {
     import spark.implicits._
+    val gen = graft.sources.FormatIO.rebaseEpochOf(spark, name, pin)
     spark.table(s"${name}_centroids")
+      .filter(col("epoch") === gen)
+      .select(col("bucket"), col("centroid"))
       .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
   }
 
@@ -474,7 +489,8 @@ object Similarity {
     * decays — the standard IVF maintenance trade. */
   def appendToIvfIndex(spark: SparkSession, name: String,
       batch: DataFrame): Unit = {
-    val centroids = loadCentroids(spark, name)
+    val centroids = loadCentroids(spark, name,
+      graft.sources.FormatIO.committedEpoch(spark, name))
     require(centroids.nonEmpty,
       s"appendToIvfIndex($name): index has no centroids (built on an " +
         "empty corpus) — rebuild on a non-empty corpus before appending")
@@ -493,6 +509,68 @@ object Similarity {
     graft.sources.FormatIO.appendBucketed(spark,
       postings.withColumn("epoch", lit(e)), s"${name}_postings")
     graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
+  }
+
+  /** RETRAIN the persisted IVF index in place — the maintenance verb
+    * that remedies what [[checkIvfRecall]] detects: appends assign
+    * under a frozen codebook, so heavy drifted-append waves scatter
+    * true neighbors across lists the probe budget never visits.
+    * Retrain runs Lloyd over the LIVE vectors (current generation minus
+    * tombstones — so it doubles as the physical purge of tombstoned
+    * postings), stages the new codebook AND fully reassigned postings
+    * at one epoch E, and publishes both with a single REBASE commit
+    * ([[graft.sources.FormatIO.commitIndexEpoch]] `rebase = true`): a
+    * probe pinned before the commit reads the old codebook with the old
+    * postings, consistently; the first post-commit pin reads only the
+    * new generation ([[graft.sources.FormatIO.pinnedSince]]). Cost is
+    * O(corpus) by definition (a retrain IS a rebuild) — but in place,
+    * crash-safe, and invisible until the commit, where the old remedy
+    * was an offline rebuild under a new name and a caller-side swap.
+    * Reclaim the superseded generation's bytes later with
+    * [[graft.sources.FormatIO.purgeStaleGenerations]]. */
+  def retrainIvfIndex(spark: SparkSession, name: String,
+      nCentroids: Int = 16, kmeansIters: Int = 3): Unit = {
+    val e = stageRetrainIvf(spark, name, nCentroids, kmeansIters)
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e, rebase = true)
+  }
+
+  /** The staging phase of [[retrainIvfIndex]], split out as the
+    * two-phase maintenance hook (and so specs can interleave a pinned
+    * probe between stage and commit): trains, writes codebook +
+    * reassigned postings at epoch E, returns E uncommitted. */
+  def stageRetrainIvf(spark: SparkSession, name: String,
+      nCentroids: Int = 16, kmeansIters: Int = 3): Long = {
+    import spark.implicits._
+    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
+    val live = graft.sources.FormatIO.pinnedSince(spark,
+        s"${name}_postings",
+        graft.sources.FormatIO.rebaseEpochOf(spark, name, pin), pin)
+      .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_tombstones",
+        pin), Seq("id_b"), "left_anti")
+      .select(col("id_b").as("vec_id"), col("vb").as("vn"))
+      .localCheckpoint()
+    val centroids = trainCentroids(spark, live, nCentroids, kmeansIters)
+    require(centroids.nonEmpty,
+      s"retrainIvfIndex($name): no live vectors to train on")
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_postings", s"${name}_centroids"))
+    centroids.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c) }.toSeq
+      .toDF("bucket", "centroid")
+      .withColumn("epoch", lit(e))
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(s"${name}_centroids")
+    spark.catalog.refreshTable(s"${name}_centroids")
+    val dots = array(centroids.toIndexedSeq.map(c =>
+      dotProduct(col("vn"), typedlit(c.toSeq))): _*)
+    graft.sources.FormatIO.appendBucketed(spark,
+      live.withColumn("dots", dots)
+        .withColumn("bucket",
+          expr("array_position(dots, array_max(dots))").cast("long"))
+        .select(col("vec_id").as("id_b"), col("vn").as("vb"), col("bucket"))
+        .withColumn("epoch", lit(e)),
+      s"${name}_postings")
+    e
   }
 
   /** Probe a persisted IVF index: centroids load as K×dim doubles (a
@@ -521,7 +599,12 @@ object Similarity {
     * last ulp and could flip a cosine tie). */
   private def probeIvfNormalized(spark: SparkSession, name: String,
       queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val centroids = loadCentroids(spark, name)
+    // pinned ONCE (FormatIO index epochs), BEFORE the codebook load: a
+    // concurrent append/delete/RETRAIN wave is invisible until its
+    // commit marker lands, and the codebook generation matches the
+    // postings generation at the same pin
+    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
+    val centroids = loadCentroids(spark, name, pin)
     if (centroids.isEmpty)
       return queries.select(col("vec_id").as("id_a"),
         col("vec_id").as("id_b"), lit(0.0).as("cosine"), lit(0L).as("rank"))
@@ -536,11 +619,9 @@ object Similarity {
            |    (d, i) -> struct(-d AS nd, i AS idx))), 1, $nProbe),
            |  s -> CAST(s.idx AS BIGINT))""".stripMargin)))
       .select(col("vec_id").as("id_a"), col("vn").as("va"), col("bucket"))
-    // pinned ONCE (FormatIO index epochs): a concurrent append/delete
-    // wave is invisible until its commit marker lands
-    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
-    val indexed = graft.sources.FormatIO.pinnedAt(spark,
-        s"${name}_postings", pin)
+    val indexed = graft.sources.FormatIO.pinnedSince(spark,
+        s"${name}_postings",
+        graft.sources.FormatIO.rebaseEpochOf(spark, name, pin), pin)
       // tombstoned vectors are logically deleted until the purge
       .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_tombstones",
         pin), Seq("id_b"), "left_anti")

@@ -1954,4 +1954,39 @@ object TextAnalysis {
         round(graft.functions.HashExpressions.compressRatio(col("text")), 4)
           .as("ratio"))
       .orderBy(col("ratio").asc, col("doc_id")).limit(topK)
+
+  /** SPAN-CORRUPTION MASKING STATISTICS (the T5/UL2 denoising recipe's
+    * data-side audit): per source, how many tokens a deterministic
+    * span-masking pass would corrupt — span starts drawn at ~15% of
+    * positions, span lengths 1–3, overlapping spans counted once. The
+    * coin is the repo's hash-uniform (two md5 hex digits of
+    * doc_id:position drive both the start draw and the length), so the
+    * whole randomized mechanism is a pure function of the data —
+    * bit-reproducible in any engine, which puts masking-budget
+    * accounting on the exact-oracle surface (production swaps a seeded
+    * RNG; the accounting plan is unchanged). Everything is row-local
+    * array algebra under one source-bounded aggregate; the masked-
+    * position union is let-bound (`transform(array(x), ...)`) so the
+    * start list is computed once per row, not re-inlined per element. */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokensCol.as("toks"))
+      .select(col("source"), size(col("toks")).cast("long").as("n_tok"),
+        expr(
+          """transform(array(filter(transform(sequence(1, size(toks)),
+            |   p -> struct(p AS p,
+            |     CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),
+            |       ':', CAST(p AS STRING))), 1, 2), 16, 10) AS INT) AS u)),
+            |  s -> s.u < 38)),
+            | st -> struct(size(st) AS n_spans,
+            |   size(array_distinct(flatten(transform(st,
+            |     s -> sequence(s.p, least(s.p + s.u % 3, size(toks)))))))
+            |     AS n_masked))[0]""".stripMargin).as("m"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("m.n_spans").cast("long")).as("n_spans"),
+        sum(col("m.n_masked").cast("long")).as("n_masked"))
+      .withColumn("mask_ratio", when(col("n_tokens") > 0L,
+        round(col("n_masked").cast("double") / col("n_tokens"), 6)))
+      .orderBy(col("source"))
 }

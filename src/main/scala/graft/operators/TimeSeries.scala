@@ -354,4 +354,70 @@ object TimeSeries {
       })
       .select(col("n_above"), col("n_below"), col("runs"), col("z"))
   }
+
+  /** INTER-ARRIVAL TIME HISTOGRAM per event type, power-of-two bucketed:
+    * consecutive-event gaps (µs, per type in (ts, event_id) order) land
+    * in bucket ⌊log2 g⌋+1 = length(bin(g)) — zero-gap bursts in bucket
+    * 0 — with per-bucket count and exact min/max gap. The arrival-
+    * process shape screen (a Poisson-ish source fills a smooth band; a
+    * batch replayer spikes one bucket; clock-quantized feeds show comb
+    * gaps) that complements [[autocorr]]'s calendar view. One keyed
+    * window pass for the lag, one bounded aggregate; all integers. */
+  def interarrivalHist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("g", col("t") - lag(col("t"), 1).over(w))
+      .filter(col("g").isNotNull)
+      .withColumn("bucket",
+        when(col("g") === 0L, 0L)
+          .otherwise(length(bin(col("g"))).cast("long")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("g")).as("min_gap"), max(col("g")).as("max_gap"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** DAILY CROSS-CORRELATION at lags −7..7 between event volume and
+    * distinct active users: Pearson r of (events on day d, users on day
+    * d+lag) over the days where both sides exist — the lead/lag
+    * diagnostic ("does a traffic surge predict an audience surge days
+    * later, or trail it?"). The fact table reduces ONCE to the bounded
+    * day panel; each lag is a panel self-join on shifted integer day
+    * index, sums stay BIGINT, and r closes in a fixed correctly-rounded
+    * double tree (one multiply of two √, one divide) — engine-portable
+    * to the oracle. */
+  def crossCorr(spark: SparkSession, dir: String,
+      maxLag: Int = 7): DataFrame = {
+    val day = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("di"),
+        col("user_id"))
+      .groupBy(col("di"))
+      .agg(count(lit(1)).as("x"), countDistinct(col("user_id")).as("y"))
+      .localCheckpoint() // both sides of every lag join read this panel
+    // lag fan-out is row-local (explode over the panel), so the lag
+    // pairing is one hash equi-join — no nested-loop stage
+    val xs = day.select(col("di"), col("x"))
+      .withColumn("lag",
+        explode(typedlit((-maxLag to maxLag).map(_.toLong))))
+    val ys = day.select(col("di").as("dj"), col("y"))
+    xs.join(ys, col("dj") === col("di") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("dx", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("n_days") * col("syy") - col("sy") * col("sy"))
+      .withColumn("r", when(col("dx") > 0L && col("dy") > 0L,
+        round((col("n_days") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))),
+          6)))
+      .select(col("lag"), col("n_days"), col("r"))
+      .orderBy(col("lag"))
+  }
 }

@@ -162,6 +162,21 @@ object FormatIO {
       df => df.join(keys, Seq(keyCol), "left_anti"))
   }
 
+  /** Drop rows of generations strictly BEFORE index `name`'s current
+    * rebase cut from bucketed segment `table` — space reclamation after
+    * a retrain ([[rebaseEpochOf]]): pre-rebase rows are invisible to
+    * every probe pinned at or after the rebase commit, so once no
+    * reader still holds an older pin they are pure garbage. Doubles as
+    * a compaction; same single-writer window as
+    * [[compactBucketedTable]]. */
+  def purgeStaleGenerations(spark: SparkSession, name: String,
+      table: String): TableCompactStats = {
+    import org.apache.spark.sql.functions.col
+    val rebase = rebaseEpochOf(spark, name, committedEpoch(spark, name))
+    rewriteBucketedTable(spark, table,
+      df => df.filter(col("epoch") >= rebase))
+  }
+
   private def rewriteBucketedTable(spark: SparkSession, table: String,
       xform: DataFrame => DataFrame): TableCompactStats = {
     import org.apache.spark.sql.catalyst.TableIdentifier

@@ -219,6 +219,50 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming WINDOWED strict-order funnel — the stateful twin of
+    * `Behavioral.windowedFunnel` (§2 r8x): the cursor advances only on
+    * STRICTLY INCREASING event times that also land within
+    * `windowMicros` of the FIRST stage's timestamp (the attribution
+    * window "clicked and bought within a week of signup"), where
+    * [[FunnelProcessor]] is unwindowed. Same bounded state (≤ |stages|
+    * timestamps per user) and the same in-order parity contract: equal
+    * to the batch operator whenever stage-advancing events arrive in
+    * event-time order across batches — a late event behind the cursor
+    * drops rather than rewinding (batch backfill corrects). Window
+    * verdicts run in integer epoch micros, the batch operator's
+    * arithmetic, so the parity spec can demand exact stage counts. */
+  class WindowedFunnelProcessor(stages: Seq[String], windowMicros: Long)
+      extends StatefulProcessor[Long, Event, FunnelProgress] {
+    @transient private var state: ValueState[FunnelBuf] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelBuf]("wfunnel",
+        Encoders.product[FunnelBuf], TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[FunnelProgress] = {
+      var stamps: Vector[Timestamp] =
+        if (state.exists) state.get().stamps.toVector else Vector.empty
+      rows.toArray.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+        if (stamps.length < stages.length &&
+            e.event_type == stages(stamps.length) &&
+            (stamps.isEmpty ||
+              (tsMicros(e.ts) > tsMicros(stamps.last) &&
+                tsMicros(e.ts) <= tsMicros(stamps.head) + windowMicros)))
+          stamps = stamps :+ e.ts
+      }
+      state.update(FunnelBuf(stamps))
+      Iterator.single(FunnelProgress(userId, stamps.length, stamps))
+    }
+  }
+
+  def windowedFunnelStream(spark: SparkSession, events: Dataset[Event],
+      stages: Seq[String] = Seq("signup", "click", "purchase"),
+      windowMicros: Long = 604800000000L): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new WindowedFunnelProcessor(stages, windowMicros),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming upsert sink — the foreachBatch MERGE pattern without a
     * lakehouse format: each micro-batch reduces to one latest row per
     * key, merges with the existing parquet snapshot (old ∪ new →

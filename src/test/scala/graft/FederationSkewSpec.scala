@@ -45,6 +45,56 @@ class FederationSkewSpec extends AnyFunSuite {
     assert(rows("bad_site")._2.startsWith("failed"))
   }
 
+  test("federated mergeable quantiles: merged estimates sit within the " +
+    "documented rank-error bound of the pooled exact percentiles, and " +
+    "every union branch aggregates BELOW the union (rows never leave " +
+    "a site)") {
+    // three disjoint sites carved from the sf orders table (skewed
+    // sizes: mod-5 split 2/2/1) — the pooled union is exactly sf
+    val siteDirs = (0 until 3).map { i =>
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft-fedq-$i").toString
+      val part = Tables.orders(spark, sf).filter(
+        if (i < 2) pmod(col("o_orderkey"), lit(5)).isin(2 * i, 2 * i + 1)
+        else pmod(col("o_orderkey"), lit(5)) === 4)
+      part.write.parquet(s"$d/orders.parquet")
+      d
+    }
+    val fedSites = siteDirs.zipWithIndex.map { case (d, i) => Site(s"s$i", d) }
+    val b = 64
+    val accuracy = 10000
+    val probs = Seq(0.25, 0.5, 0.75, 0.9)
+    val result = Federation.federatedQuantiles(spark, fedSites, "orders",
+      "o_totalprice", probs, b = b, accuracy = accuracy)
+    // plan law: only aggregated summary rows cross the union — every
+    // union branch contains an Aggregate strictly below it
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Union}
+    val unions = result.queryExecution.optimizedPlan
+      .collect { case u: Union => u }
+    assert(unions.nonEmpty, "the site fan-in must be a plan-level union")
+    unions.foreach(_.children.foreach { branch =>
+      assert(branch.collectFirst { case a: Aggregate => a }.isDefined,
+        s"a union branch ships un-aggregated site rows:\n$branch")
+    })
+    // rank-error law: the estimate's exact pooled rank interval must
+    // intersect [p - bound, p + bound], bound = 1/B + 1/accuracy
+    val pooled = Tables.orders(spark, sf)
+      .select(col("o_totalprice").cast("double").as("v"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = pooled.length.toDouble
+    val bound = 1.0 / b + 1.0 / accuracy
+    val rows = result.collect()
+    assert(rows.map(_.getDouble(0)).toSeq == probs, "one row per prob")
+    rows.foreach { r =>
+      val (p, est) = (r.getDouble(0), r.getDouble(1))
+      val below = pooled.count(_ < est) / n
+      val atOrBelow = pooled.count(_ <= est) / n
+      assert(below - bound <= p && p <= atOrBelow + bound,
+        s"p=$p est=$est rank∈[$below,$atOrBelow] bound=$bound")
+      assert(r.getDouble(2) == n, "merged mass equals the pooled count")
+    }
+  }
+
   test("salted join equals the plain join") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")

@@ -94,4 +94,75 @@ class IvfRecallSpec extends AnyFunSuite {
       !retrained.getAs[Boolean]("retrain_recommended"),
       s"the retrained codebook must recover full recall: $retrained")
   }
+
+  test("in-place retrain: restores planted recall decay under one rebase " +
+    "commit; a probe pinned mid-retrain reads the old codebook+postings " +
+    "consistently; tombstoned vectors are purged; stale generations " +
+    "reclaim without changing probes") {
+    val sp = spark
+    import sp.implicits._
+    import graft.sources.FormatIO
+    // base: exact seeds a (id 1) and b (id 2) + copies at ids 21+;
+    // twins appended later at ids 3..10, so a 3-centroid RETRAIN seeds
+    // (3 smallest live ids) cover a, b, AND the twin cluster
+    val base = Seq((1L, a), (2L, b)) ++
+      (0 until 7).flatMap(i => Seq((21L + 3 * i, a), (22L + 3 * i, b)))
+    val dir = writeEmb(base)
+    Similarity.buildIvfIndex(spark, dir, "ivfret", nCentroids = 2,
+      kmeansIters = 2, nBuckets = 2)
+    val twins = (0 until 4).flatMap { j =>
+      val Seq(u, v) = twinPair(j)
+      Seq((3L + 2 * j, u), (4L + 2 * j, v))
+    }
+    Similarity.appendToIvfIndex(spark, "ivfret",
+      twins.map { case (id, v) => (id, v.map(_.toDouble).toSeq) }
+        .toDF("vec_id", "v"))
+    // one erased vector: retrain must not resurrect it (and must purge
+    // its postings physically — retrain reads only live rows)
+    Similarity.deleteFromIvfIndex(spark, "ivfret",
+      Seq(39L).toDF("vec_id"))
+    val drifted = Similarity.checkIvfRecall(spark, "ivfret",
+      target = 0.9, k = 1, nProbe = 1, sampleN = 64).collect().head
+    assert(drifted.getAs[Boolean]("retrain_recommended"),
+      s"planted drift must raise the alarm: $drifted")
+
+    // two-phase retrain: stage first, probe while UNCOMMITTED — the
+    // pinned probe must read the old generation bit-identically
+    val queries = twins.take(2)
+      .map { case (id, v) => (id, v.map(_.toDouble).toSeq) }
+      .toDF("vec_id", "v").localCheckpoint()
+    def probeRows() = Similarity
+      .probeIvfIndexOn(spark, "ivfret", queries, k = 1, nProbe = 1)
+      .collect().map(_.toString).sorted.toSeq
+    val before = probeRows()
+    val e = Similarity.stageRetrainIvf(spark, "ivfret", nCentroids = 3,
+      kmeansIters = 3)
+    assert(probeRows() == before,
+      "a probe pinned mid-retrain must read the old codebook+postings")
+    FormatIO.commitIndexEpoch(spark, "ivfret", e, rebase = true)
+
+    // post-commit: recall recovers (twin pairs share one list under the
+    // 3-centroid codebook), the alarm clears, the tombstoned vector is
+    // gone from the live generation
+    val after = Similarity.checkIvfRecall(spark, "ivfret",
+      target = 0.9, k = 1, nProbe = 1, sampleN = 64).collect().head
+    assert(after.getAs[Double]("recall") == 1.0 &&
+      !after.getAs[Boolean]("retrain_recommended"),
+      s"retrain must restore sampled recall: $after")
+    val pin = FormatIO.committedEpoch(spark, "ivfret")
+    val gen = FormatIO.rebaseEpochOf(spark, "ivfret", pin)
+    assert(gen == e, "the retrain epoch is the current rebase cut")
+    assert(FormatIO.pinnedSince(spark, "ivfret_postings", gen, pin)
+      .filter(col("id_b") === 39L).count() == 0L,
+      "retrain purges tombstoned postings from the new generation")
+
+    // stale-generation reclamation: pre-rebase rows drop, probes hold
+    val probeAfter = probeRows()
+    FormatIO.purgeStaleGenerations(spark, "ivfret", "ivfret_postings")
+    assert(spark.table("ivfret_postings")
+      .filter(col("epoch") < gen).count() == 0L,
+      "pre-rebase generations are physically reclaimed")
+    assert(probeRows() == probeAfter,
+      "generation purge must not change probe results")
+  }
 }

@@ -89,6 +89,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     // bounded md5-panel pair kernel (20² n-gram overlap eval) — the
     // minhash-audit panel class
     "q_rouge_pairs",
+    // 4-row quantile-request dimension against the sites·B summary
+    // panel, then the 4-row estimate frame broadcast against the fact
+    // scan for the pooled rank audit — both sides bounded by B and
+    // |probs|, never data-sized
+    "q_federated_quantiles",
     // broadcast 32-row lag dimension against the calendar-bounded day
     // panel — the q_autocorr class
     "q_ewma_smooth",

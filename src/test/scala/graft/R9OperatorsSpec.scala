@@ -1,0 +1,243 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Behavioral, Dedup, Federation, Privacy, Quality,
+  TextAnalysis, TimeSeries}
+
+/** Semantics specs for the round-9 operator batch — each test pins the
+  * law its SURVEY §2 row claims, on crafted inputs where the expected
+  * value is computable by hand (or an independent driver fold) and on
+  * the real sf tables where a global invariant must hold.
+  */
+class R9OperatorsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def eventsDir(rows: Seq[(Long, java.sql.Timestamp, Long, String,
+      Double)]): String = {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r9ev").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def ts(day: Int, hour: Int = 12): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, hour, 0)
+        .plusDays(day.toLong - 1))
+
+  test("growth accounting: crafted cohort ledger is exact and the " +
+    "active = new + retained + resurrected identity holds on real data") {
+    // months: Jan/Feb/Mar 2024. u1 active all three (new, ret, ret);
+    // u2 active Jan+Mar (new, -, resurrected; churn reported in Feb);
+    // u3 active Feb only (new; churn reported in Mar)
+    val dir = eventsDir(Seq(
+      (1L, ts(1), 1L, "view", 0.0), (2L, ts(40), 1L, "view", 0.0),
+      (3L, ts(70), 1L, "view", 0.0),
+      (4L, ts(2), 2L, "view", 0.0), (5L, ts(71), 2L, "view", 0.0),
+      (6L, ts(41), 3L, "view", 0.0)))
+    val rows = Behavioral.growthAccounting(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val jan = 2024L * 12 + 0
+    assert(rows(jan) == ((2L, 2L, 0L, 0L, 0L)), s"jan: ${rows(jan)}")
+    assert(rows(jan + 1) == ((2L, 1L, 1L, 0L, 1L)),
+      s"feb: new u3, retained u1, churned u2: ${rows(jan + 1)}")
+    assert(rows(jan + 2) == ((2L, 0L, 1L, 1L, 1L)),
+      s"mar: retained u1, resurrected u2, churned u3: ${rows(jan + 2)}")
+    // real data: ledger identity per month
+    Behavioral.growthAccounting(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"identity broken at mi=${r.getLong(0)}")
+    }
+  }
+
+  test("stickiness: singleton law (one user, one day => 1/n_days of the " +
+    "month's observed days) and (0,1] bounds on real data") {
+    val dir = eventsDir(Seq(
+      (1L, ts(1), 1L, "view", 0.0), (2L, ts(2), 1L, "view", 0.0),
+      (3L, ts(3), 1L, "view", 0.0), (4L, ts(2), 2L, "view", 0.0)))
+    // month has observed days {1,2,3}, users {1,2}: user-days = 4,
+    // stickiness = 4 / (3 * 2)
+    val r = Behavioral.stickiness(spark, dir).collect().head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == math.rint(4.0 / 6.0 * 1e6) / 1e6)
+    Behavioral.stickiness(spark, sf).collect().foreach { m =>
+      assert(m.getDouble(4) > 0.0 && m.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("power users: deciles conserve user and event mass, cumulative " +
+    "share closes at 1, the busiest user sits in decile 1") {
+    val rows = Behavioral.powerUsers(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val events = graft.sources.Tables.events(spark, sf)
+    assert(rows.map(_.getLong(1)).sum ==
+      events.select(col("user_id")).distinct().count())
+    assert(rows.map(_.getLong(2)).sum == events.count())
+    assert(rows.last.getDouble(5) == 1.0, "cumulative share closes at 1")
+    // per-user mean event count is non-increasing across deciles
+    val means = rows.map(r => r.getLong(2).toDouble / r.getLong(1))
+    means.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b - 1e-9, s"decile mean order broken: $means")
+    }
+  }
+
+  test("span corruption: crafted doc matches a driver replay of the " +
+    "same md5 coin (starts, lengths, overlap-once union)") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r9sc").toString
+    val docId = 7L
+    val toks = (1 to 40).map(i => s"tok$i")
+    Seq((docId, toks.mkString(" "), "s1", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    // driver replay of the documented mechanism
+    val coins = (1 to toks.length).map { p =>
+      p -> Integer.parseInt(md5hex(s"$docId:$p").substring(0, 2), 16)
+    }
+    val starts = coins.filter(_._2 < 38)
+    val masked = starts.flatMap { case (p, u) =>
+      p to math.min(p + u % 3, toks.length)
+    }.distinct
+    val r = TextAnalysis.spanCorruption(spark, dir).collect().head
+    assert(r.getLong(2) == toks.length.toLong, "token count")
+    assert(r.getLong(3) == starts.length.toLong, s"spans: $starts")
+    assert(r.getLong(4) == masked.length.toLong, "masked union")
+  }
+
+  test("cdc chunks: boundaries are content-defined (driver recount) and " +
+    "a shared passage chunks identically at different offsets") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r9cdc").toString
+    // a long shared passage embedded at different offsets in two docs
+    val passage = (1 to 60).map(i => s"p$i")
+    val a = (1 to 7).map(i => s"a$i") ++ passage
+    val b = (1 to 13).map(i => s"b$i") ++ passage
+    Seq((1L, a.mkString(" "), "sa", "en"), (2L, b.mkString(" "), "sb", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    // independent driver implementation of the boundary rule + digests
+    def chunksOf(toks: Seq[String]): Seq[String] = {
+      val n = toks.length
+      val cuts = ((3 to n).filter { p =>
+        Integer.parseInt(
+          md5hex(toks.slice(p - 3, p).mkString(" ")).substring(0, 2),
+          16) < 32
+      } :+ n).distinct
+      cuts.zip(0 +: cuts.dropRight(1)).map { case (end, prev) =>
+        md5hex(toks.slice(prev, end).mkString(" "))
+      }
+    }
+    val expectA = chunksOf(a)
+    val expectB = chunksOf(b)
+    val got = Dedup.cdcChunks(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("sa") == ((expectA.length.toLong, a.length.toLong,
+      expectA.distinct.length.toLong)), s"sa: $got vs $expectA")
+    assert(got("sb") == ((expectB.length.toLong, b.length.toLong,
+      expectB.distinct.length.toLong)))
+    // offset invariance: interior chunks of the shared passage coincide
+    // (only chunks straddling the prefix boundary may differ)
+    assert(expectA.toSet.intersect(expectB.toSet).nonEmpty,
+      "shared passage must produce shared chunk digests across offsets")
+  }
+
+  test("generalization ladder: coarser levels are never less safe on " +
+    "nested grids, level 3 is one class per event type") {
+    val rows = Privacy.generalizationCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L))
+    (0L to 2L).foreach { l =>
+      assert(rows(l + 1).getLong(3) <= rows(l).getLong(3),
+        s"rows_at_risk must be non-increasing from level $l")
+      assert(rows(l + 1).getLong(1) <= rows(l).getLong(1),
+        "classes shrink as bands coarsen")
+    }
+    val nTypes = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type")).distinct().count()
+    assert(rows(3L).getLong(1) == nTypes,
+      "full suppression leaves one class per event type")
+  }
+
+  test("inter-arrival histogram: crafted gaps land in their power-of-two " +
+    "buckets with exact min/max") {
+    // gaps within one type: 0µs, 1µs (bucket 1), 7µs (bucket 3),
+    // 8µs (bucket 4); sub-ms offsets built via Instant nanos
+    val base = java.time.Instant.ofEpochSecond(1700000000L)
+    def tUs(us: Long) = java.sql.Timestamp.from(base.plusNanos(us * 1000L))
+    val dir = eventsDir(Seq(
+      (1L, tUs(0L), 1L, "x", 0.0), (2L, tUs(0L), 1L, "x", 0.0),
+      (3L, tUs(1L), 1L, "x", 0.0), (4L, tUs(8L), 1L, "x", 0.0),
+      (5L, tUs(16L), 1L, "x", 0.0)))
+    val got = TimeSeries.interarrivalHist(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(0L) == ((1L, 0L, 0L)), "zero gap bucket")
+    assert(got(1L) == ((1L, 1L, 1L)), "1µs -> bucket 1")
+    assert(got(3L) == ((1L, 7L, 7L)), "7µs -> bucket 3 (111)")
+    assert(got(4L) == ((1L, 8L, 8L)), "8µs -> bucket 4 (1000)")
+  }
+
+  test("cross correlation: lag 0 equals a driver Pearson over the day " +
+    "panel; the lag grid is complete") {
+    val rows = TimeSeries.crossCorr(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (-7L to 7L))
+    val panel = graft.sources.Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("di"),
+        col("user_id"))
+      .groupBy(col("di"))
+      .agg(count(lit(1)).as("x"), countDistinct(col("user_id")).as("y"))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val n = panel.length.toDouble
+    val (sx, sy) = (panel.map(_._1).sum, panel.map(_._2).sum)
+    val sxx = panel.map(p => p._1 * p._1).sum
+    val syy = panel.map(p => p._2 * p._2).sum
+    val sxy = panel.map(p => p._1 * p._2).sum
+    val expect = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val got = rows.find(_.getLong(0) == 0L).get.getDouble(2)
+    assert(math.abs(got - expect) < 1e-6, s"lag0 $got vs $expect")
+  }
+
+  test("shard balance: mass conserves, routing is deterministic, skew " +
+    "is centered on 1") {
+    val r1 = Quality.shardBalance(spark, sf).collect()
+    val r2 = Quality.shardBalance(spark, sf).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(r1.map(_.getLong(1)).sum == nDocs, "doc mass conserves")
+    val meanSkew = r1.map(_.getDouble(3)).sum *
+      (r1.map(_.getLong(1)).sum.toDouble / nDocs) / r1.length
+    assert(math.abs(r1.map(r => r.getLong(1) * 32).sum.toDouble /
+      (nDocs * r1.length) - 1.0) < 1e-9, s"skew centers on 1: $meanSkew")
+  }
+
+  test("federated quantile audit: every estimate is a data value and its " +
+    "pooled rank interval sits within the documented N/B + sites bound") {
+    val rows = Federation.federatedQuantileAudit(spark, sf).collect()
+    assert(rows.length == 4)
+    val n = rows.head.getLong(5).toDouble
+    val bound = n / 16 + 5 // N/B + |sites| (order-priority domain)
+    rows.foreach { r =>
+      val p = r.getLong(0).toDouble / r.getLong(1)
+      val (lo, hi) = (r.getLong(3).toDouble, r.getLong(4).toDouble)
+      assert(p * n >= lo - bound && p * n <= hi + bound,
+        s"p=$p est rank [$lo,$hi] target ${p * n} bound $bound")
+    }
+  }
+}

@@ -518,6 +518,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming windowed funnel equals the batch windowed funnel's " +
+    "stage counts on the in-order log; the window and strictness gates " +
+    "hold on crafted users") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val all = graft.sources.Tables.events(sp, sf)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      val input = MemoryStream[Event]
+      val q = Streams.windowedFunnelStream(sp, input.toDS())
+        .writeStream.format("memory").queryName("wfunnel_out")
+        .outputMode("update").start()
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // crafted gates, negative user ids (absent from the real log):
+      //  * user -5: purchase 1ms past signup+7d -> stays at stage 2
+      //  * user -6: click at the signup instant -> strictness, stage 1
+      val w = 604800000000L / 1000L // window in ms
+      input.addData(
+        Event(20000001L, ts(0), -5L, "signup", 0.0),
+        Event(20000002L, ts(10), -5L, "click", 0.0),
+        Event(20000003L, new Timestamp(ts(0).getTime + w + 1L), -5L,
+          "purchase", 0.0),
+        Event(20000004L, ts(0), -6L, "signup", 0.0),
+        Event(20000005L, ts(0), -6L, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = sp.sql("SELECT * FROM wfunnel_out").collect()
+        .groupBy(_.getLong(0))
+        .map { case (u, rows) => u -> rows.map(_.getInt(1)).max }
+      q.stop()
+      assert(streamed(-5L) == 2, "outside-window purchase must not convert")
+      assert(streamed(-6L) == 1, "equal-time click must not convert (strict)")
+      // stage counts over the real log equal the batch operator's
+      val real = streamed.filter(_._1 >= 0L)
+      val batch = graft.operators.Behavioral.windowedFunnel(sp, sf)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(batch(1L) == real.count(_._2 >= 1).toLong, "stage-1 users")
+      assert(batch(2L) == real.count(_._2 >= 2).toLong, "stage-2 users")
+      assert(batch(3L) == real.count(_._2 >= 3).toLong, "stage-3 users")
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming heavy hitters: batch boundaries are invisible — final " +
     "summary equals a sequential Misra-Gries replay") {
     val sp = spark
