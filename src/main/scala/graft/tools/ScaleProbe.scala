@@ -275,6 +275,22 @@ object ScaleProbe {
           spark.read.parquet(s"$d/documents.parquet")
             .select(col("doc_id"), col("text")).unionByName(hot))
       }),
+      // r9 additions: distinct-panel ledgers (growth/stickiness/power),
+      // token-volume scans (span corruption, cdc chunking), the 4-way
+      // level fan-out (generalization ladder), keyed-lag and day-panel
+      // reductions (inter-arrival, cross-correlation), the routing
+      // audit, and the site-partitioned quantile summary merge — all
+      // linear claims
+      ("q_growth_accounting", 1.0, (d, _) => graft.operators.Behavioral.growthAccounting(spark, d)),
+      ("q_stickiness", 1.0, (d, _) => graft.operators.Behavioral.stickiness(spark, d)),
+      ("q_power_users", 1.0, (d, _) => graft.operators.Behavioral.powerUsers(spark, d)),
+      ("q_span_corruption", 1.0, (d, _) => graft.operators.TextAnalysis.spanCorruption(spark, d)),
+      ("q_cdc_chunks", 1.0, (d, _) => graft.operators.Dedup.cdcChunks(spark, d)),
+      ("q_generalization_curve", 1.0, (d, _) => graft.operators.Privacy.generalizationCurve(spark, d)),
+      ("q_interarrival_hist", 1.0, (d, _) => graft.operators.TimeSeries.interarrivalHist(spark, d)),
+      ("q_cross_corr", 1.0, (d, _) => graft.operators.TimeSeries.crossCorr(spark, d)),
+      ("q_shard_balance", 1.0, (d, _) => graft.operators.Quality.shardBalance(spark, d)),
+      ("q_federated_quantiles", 1.0, (d, _) => graft.operators.Federation.federatedQuantileAudit(spark, d)),
       // NOT q_media_phash_dup / q_split_leakage / q_blast_radius: like
       // minhashPairs, their OUTPUT is pair-shaped over template
       // families, so the replicated corpus grows it ~N²/2 by
