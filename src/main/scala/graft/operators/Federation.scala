@@ -133,8 +133,13 @@ object Federation {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     require(b >= 2 && probs.forall(p => p > 0.0 && p <= 1.0))
+    // bounded-scale division: BigDecimal(i)/BigDecimal(b) throws on
+    // non-terminating expansions (b = 3), and raw double formatting
+    // can print scientific notation — DECIMAL64 keeps the literal a
+    // plain decimal for any b
     val grid = (0 to b).map(i =>
-      BigDecimal(i) / BigDecimal(b)).mkString(",")
+      new java.math.BigDecimal(i).divide(new java.math.BigDecimal(b),
+        java.math.MathContext.DECIMAL64).toPlainString).mkString(",")
     val perSite = sites.map { s =>
       graft.sources.Tables.load(spark, s.dir, table)
         .agg(count(lit(1)).as("n"),

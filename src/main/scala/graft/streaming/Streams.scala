@@ -763,6 +763,65 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class GapState(last_us: Long,
+      cells: Seq[(Long, Long, Long, Long)])
+  case class GapHist(event_type: String, bucket: Long, n: Long,
+      min_gap: Long, max_gap: Long)
+
+  /** Streaming INTER-ARRIVAL HISTOGRAM per event type — the stateful
+    * twin of `TimeSeries.interarrivalHist` (§2c r9h): ValueState holds
+    * the last-seen µs instant plus the power-of-two bucket cells
+    * (≤ 64 buckets of (n, min, max) forever — bounded by the Long bit
+    * width, not stream length); each micro-batch replays its rows in
+    * (ts, event_id) order through the same lag fold, then emits the
+    * current histogram in update mode. Batch boundaries are invisible
+    * under event-time-ordered arrival (the funnel/markov parity
+    * contract): the last emission per (type, bucket) equals the batch
+    * operator bit-exactly — the live arrival-process screen (a batch
+    * replayer spikes one bucket the moment it starts). */
+  class InterarrivalProcessor
+      extends StatefulProcessor[String, Event, GapHist] {
+    @transient private var state: ValueState[GapState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[GapState]("gaps",
+        Encoders.product[GapState], TTLConfig.NONE)
+    override def handleInputRows(eventType: String, rows: Iterator[Event],
+        timers: TimerValues): Iterator[GapHist] = {
+      val cells = scala.collection.mutable.HashMap
+        .empty[Long, (Long, Long, Long)]
+      var last = -1L
+      if (state.exists) {
+        val s = state.get()
+        last = s.last_us
+        s.cells.foreach { case (b, n, mn, mx) => cells(b) = (n, mn, mx) }
+      }
+      rows.toArray.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+        val t = tsMicros(e.ts)
+        if (last >= 0L) {
+          val g = t - last
+          val b = if (g == 0L) 0L
+            else (64 - java.lang.Long.numberOfLeadingZeros(g)).toLong
+          val (n, mn, mx) = cells.getOrElse(b, (0L, g, g))
+          cells(b) = (n + 1L, math.min(mn, g), math.max(mx, g))
+        }
+        last = t
+      }
+      val sorted = cells.toSeq.sortBy(_._1)
+      state.update(GapState(last,
+        sorted.map { case (b, (n, mn, mx)) => (b, n, mn, mx) }))
+      sorted.iterator.map { case (b, (n, mn, mx)) =>
+        GapHist(eventType, b, n, mn, mx) }
+    }
+  }
+
+  def interarrivalStream(spark: SparkSession,
+      events: Dataset[Event]): Dataset[GapHist] = {
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new InterarrivalProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class MomentState(n: Long, meanX: Double, meanY: Double,
       m2x: Double, m2y: Double, cxy: Double)
   case class MomentRow(event_type: String, n: Long, mean_value: Double,

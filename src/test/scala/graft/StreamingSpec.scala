@@ -571,6 +571,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming inter-arrival histogram equals the batch operator " +
+    "bit-exactly on the in-order log; state is bucket-bounded") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val all = graft.sources.Tables.events(sp, sf)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      val input = MemoryStream[Event]
+      val q = Streams.interarrivalStream(sp, input.toDS())
+        .writeStream.format("memory").queryName("gap_out")
+        .outputMode("update").start()
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // last emission per (type, bucket) — memory sink appends updates
+      // in batch order, so the final row per cell is the live value
+      val streamed = sp.sql("SELECT * FROM gap_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap // later duplicates overwrite earlier: map keeps the last
+      q.stop()
+      val batch = graft.operators.TimeSeries.interarrivalHist(sp, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        "the live histogram must equal the batch lag fold bit-exactly")
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming heavy hitters: batch boundaries are invisible — final " +
     "summary equals a sequential Misra-Gries replay") {
     val sp = spark
