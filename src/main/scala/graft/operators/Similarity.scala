@@ -534,6 +534,29 @@ object Similarity {
     graft.sources.FormatIO.commitIndexEpoch(spark, name, e, rebase = true)
   }
 
+  /** Space reclamation after retrains: drop superseded generations
+    * from BOTH the bucketed postings
+    * ([[graft.sources.FormatIO.purgeStaleGenerations]], a
+    * bucket-preserving rewrite) and the small non-bucketed codebook
+    * table (kept rows = the current rebase generation). Run once no
+    * reader still pins a pre-rebase epoch; probe results are
+    * unchanged by construction (pinned reads never touch pre-rebase
+    * rows). */
+  def purgeIvfStaleGenerations(spark: SparkSession, name: String)
+      : graft.sources.FormatIO.TableCompactStats = {
+    val stats = graft.sources.FormatIO.purgeStaleGenerations(spark, name,
+      s"${name}_postings")
+    val gen = graft.sources.FormatIO.rebaseEpochOf(spark, name,
+      graft.sources.FormatIO.committedEpoch(spark, name))
+    val kept = spark.table(s"${name}_centroids")
+      .filter(col("epoch") === gen).localCheckpoint()
+    kept.write.format("parquet")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_centroids")
+    spark.catalog.refreshTable(s"${name}_centroids")
+    stats
+  }
+
   /** The staging phase of [[retrainIvfIndex]], split out as the
     * two-phase maintenance hook (and so specs can interleave a pinned
     * probe between stage and commit): trains, writes codebook +

@@ -156,12 +156,16 @@ class IvfRecallSpec extends AnyFunSuite {
       .filter(col("id_b") === 39L).count() == 0L,
       "retrain purges tombstoned postings from the new generation")
 
-    // stale-generation reclamation: pre-rebase rows drop, probes hold
+    // stale-generation reclamation: pre-rebase rows drop from BOTH the
+    // postings and the codebook, probes hold bit-exactly
     val probeAfter = probeRows()
-    FormatIO.purgeStaleGenerations(spark, "ivfret", "ivfret_postings")
+    Similarity.purgeIvfStaleGenerations(spark, "ivfret")
     assert(spark.table("ivfret_postings")
       .filter(col("epoch") < gen).count() == 0L,
-      "pre-rebase generations are physically reclaimed")
+      "pre-rebase posting generations are physically reclaimed")
+    assert(spark.table("ivfret_centroids")
+      .filter(col("epoch") =!= gen).count() == 0L,
+      "superseded codebook generations are physically reclaimed")
     assert(probeRows() == probeAfter,
       "generation purge must not change probe results")
   }
