@@ -332,11 +332,18 @@ object Privacy {
       .select(col("event_type"), col("user_id"),
         expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
       .withColumn("lvl", explode(typedlit(Seq(0L, 1L, 2L, 3L))))
+      // FLOOR division via the pmod identity (Spark `div` truncates
+      // toward zero, DuckDB `//` floors — they diverge on negative
+      // values; identical on this data, but banding must not silently
+      // change meaning if a future corpus carries refunds)
       .withColumn("band",
         when(col("lvl") === 3L, lit(0L))
-          .otherwise(when(col("lvl") === 0L, expr(s"vm div ${divs(0)}L"))
-            .otherwise(when(col("lvl") === 1L, expr(s"vm div ${divs(1)}L"))
-              .otherwise(expr(s"vm div ${divs(2)}L")))))
+          .otherwise(when(col("lvl") === 0L,
+            expr(s"(vm - pmod(vm, ${divs(0)}L)) div ${divs(0)}L"))
+            .otherwise(when(col("lvl") === 1L,
+              expr(s"(vm - pmod(vm, ${divs(1)}L)) div ${divs(1)}L"))
+              .otherwise(
+                expr(s"(vm - pmod(vm, ${divs(2)}L)) div ${divs(2)}L")))))
     val classes = e.groupBy(col("lvl"), col("event_type"), col("band"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("user_id")).as("n_users"))
