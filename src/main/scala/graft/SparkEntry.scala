@@ -364,8 +364,84 @@ object SparkEntry {
     "q_generalization_curve" -> ((s: SparkSession, d: String) => Privacy.generalizationCurve(s, d)),
     "q_interarrival_hist" -> ((s: SparkSession, d: String) => TimeSeries.interarrivalHist(s, d)),
     "q_cross_corr" -> ((s: SparkSession, d: String) => TimeSeries.crossCorr(s, d)),
-    "q_shard_balance" -> ((s: SparkSession, d: String) => Quality.shardBalance(s, d))
+    "q_shard_balance" -> ((s: SparkSession, d: String) => Quality.shardBalance(s, d)),
+    // r9 continuation: schema-profiling audits (FD / IND / key
+    // discovery) — the lake-onboarding integrity pass
+    "q_fd_audit" -> ((s: SparkSession, d: String) => Profiling.fdAudit(s, d)),
+    "q_ind_audit" -> ((s: SparkSession, d: String) => Profiling.indAudit(s, d)),
+    "q_key_profile" -> ((s: SparkSession, d: String) => Profiling.keyProfile(s, d))
   )
+
+  /** Generated profiling oracles — each iterates the SAME candidate
+    * list as the Spark operator ([[graft.operators.Profiling]]), so
+    * the audited surface cannot drift between engine and oracle.
+    * `ts` projects through `epoch_us` oracle-side: DuckDB reads the
+    * raw parquet (possibly TIMESTAMP_NS) while Spark's loader
+    * truncates to µs, and distinct-counting must see the same grain. */
+  private def fdAuditOracleSql: String = {
+    val branches = graft.operators.Profiling.FdCandidates.map {
+      case (t, lhs, rhs) =>
+        s"""SELECT '$t' AS tbl, '$lhs' AS lhs, '$rhs' AS rhs,
+           | CAST(count(*) AS BIGINT) AS n_groups,
+           | CAST(sum(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |  AS violating_groups,
+           | CAST(max(card) AS BIGINT) AS max_rhs_card,
+           | CAST(CASE WHEN sum(CASE WHEN card > 1 THEN 1 ELSE 0 END) = 0
+           |  THEN 1 ELSE 0 END AS BIGINT) AS holds
+           |FROM (SELECT g, CAST(count(*) AS BIGINT) AS card
+           |      FROM (SELECT DISTINCT $lhs AS g, $rhs AS v FROM $t)
+           |      GROUP BY g)""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, lhs, rhs")
+  }
+
+  private def indAuditOracleSql: String = {
+    val branches = graft.operators.Profiling.IndCandidates.map {
+      case (ct, cc, pt, pc) =>
+        s"""SELECT '$ct' AS child_tbl, '$cc' AS child_col,
+           | '$pt' AS parent_tbl, '$pc' AS parent_col,
+           | (SELECT CAST(count(*) AS BIGINT) FROM
+           |   (SELECT DISTINCT $cc FROM $ct WHERE $cc IS NOT NULL))
+           |  AS n_child,
+           | (SELECT CAST(count(*) AS BIGINT) FROM
+           |   (SELECT DISTINCT $cc AS k FROM $ct WHERE $cc IS NOT NULL)
+           |  WHERE k IN (SELECT $pc FROM $pt WHERE $pc IS NOT NULL))
+           |  AS n_contained""".stripMargin
+    }
+    s"""SELECT child_tbl, child_col, parent_tbl, parent_col,
+       | n_child, n_contained,
+       | CASE WHEN n_child > 0
+       |  THEN round(CAST(n_contained AS DOUBLE) / n_child, 6) END
+       |  AS containment,
+       | CAST(CASE WHEN n_contained = n_child THEN 1 ELSE 0 END AS BIGINT)
+       |  AS holds
+       |FROM (
+       |${branches.mkString("\nUNION ALL\n")}
+       |) ORDER BY child_tbl, child_col, parent_tbl""".stripMargin
+  }
+
+  private def keyProfileOracleSql: String = {
+    val branches = graft.operators.Profiling.KeyCandidates.map {
+      case (t, cols) =>
+        val proj = cols.map {
+          case "ts" => "epoch_us(ts) AS ts"
+          case c    => c
+        }.mkString(", ")
+        s"""SELECT '$t' AS tbl, '${cols.mkString(",")}' AS cols,
+           | (SELECT CAST(count(*) AS BIGINT) FROM $t) AS n_rows,
+           | (SELECT CAST(count(*) AS BIGINT) FROM
+           |   (SELECT DISTINCT $proj FROM $t)) AS n_distinct""".stripMargin
+    }
+    s"""SELECT tbl, cols, n_rows, n_distinct,
+       | CASE WHEN n_rows > 0
+       |  THEN round(CAST(n_distinct AS DOUBLE) / n_rows, 6) END
+       |  AS uniqueness,
+       | CAST(CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END AS BIGINT)
+       |  AS is_key
+       |FROM (
+       |${branches.mkString("\nUNION ALL\n")}
+       |) ORDER BY tbl, cols""".stripMargin
+  }
 
   /** The unrolled INTEGER PageRank oracle for `q_pagerank_panel` —
     * [[graft.operators.Graph.PagerankPanelRounds]] fixed-point rounds
@@ -4572,6 +4648,11 @@ object SparkEntry {
         | CASE WHEN (SELECT t FROM t) > 0 THEN
         |  round(CAST(n_docs AS DOUBLE) * 32 / (SELECT t FROM t), 6) END
         |  AS skew
-        |FROM s ORDER BY shard""".stripMargin
+        |FROM s ORDER BY shard""".stripMargin,
+    // schema-profiling audits — generated from the shared candidate
+    // lists in graft.operators.Profiling
+    "q_fd_audit" -> fdAuditOracleSql,
+    "q_ind_audit" -> indAuditOracleSql,
+    "q_key_profile" -> keyProfileOracleSql
   )
 }
