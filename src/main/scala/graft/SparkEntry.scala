@@ -369,7 +369,10 @@ object SparkEntry {
     // discovery) — the lake-onboarding integrity pass
     "q_fd_audit" -> ((s: SparkSession, d: String) => Profiling.fdAudit(s, d)),
     "q_ind_audit" -> ((s: SparkSession, d: String) => Profiling.indAudit(s, d)),
-    "q_key_profile" -> ((s: SparkSession, d: String) => Profiling.keyProfile(s, d))
+    "q_key_profile" -> ((s: SparkSession, d: String) => Profiling.keyProfile(s, d)),
+    // exact phrase search — the zero-shuffle row-local scan face; the
+    // positional-index probe face is parity-spec'd against it
+    "q_phrase_search" -> ((s: SparkSession, d: String) => Search.phraseSearch(s, d))
   )
 
   /** Generated profiling oracles — each iterates the SAME candidate
@@ -441,6 +444,28 @@ object SparkEntry {
        |FROM (
        |${branches.mkString("\nUNION ALL\n")}
        |) ORDER BY tbl, cols""".stripMargin
+  }
+
+  /** Generated phrase-search oracle — anchors are enumerated exactly
+    * as the Spark scan does it (1-based positions, overlaps counted),
+    * from the SAME [[graft.operators.Search.DefaultPhrase]] constant. */
+  private def phraseSearchOracleSql: String = {
+    val ph = graft.operators.Search.DefaultPhrase
+    val k = ph.length
+    val conds = ph.zipWithIndex.map { case (w, j) =>
+      if (j == 0) s"t[i] = '$w'" else s"t[i + $j] = '$w'"
+    }.mkString(" AND ")
+    s"""WITH d AS (SELECT doc_id,
+       |  string_split_regex(lower(trim(text)), '\\s+') AS t
+       | FROM documents),
+       |m AS (SELECT doc_id, i
+       | FROM d,
+       |  LATERAL (SELECT unnest(generate_series(1, len(t) - ${k - 1}))
+       |           AS i)
+       | WHERE len(t) >= $k AND $conds)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       | CAST(min(i) AS BIGINT) AS first_pos
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** The unrolled INTEGER PageRank oracle for `q_pagerank_panel` —
@@ -4653,6 +4678,7 @@ object SparkEntry {
     // lists in graft.operators.Profiling
     "q_fd_audit" -> fdAuditOracleSql,
     "q_ind_audit" -> indAuditOracleSql,
-    "q_key_profile" -> keyProfileOracleSql
+    "q_key_profile" -> keyProfileOracleSql,
+    "q_phrase_search" -> phraseSearchOracleSql
   )
 }

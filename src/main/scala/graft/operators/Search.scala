@@ -429,4 +429,146 @@ object Search {
         col("rrf"), col("rank"))
       .orderBy(col("rank"))
   }
+
+  // ---------------------------------------------------------------
+  // Exact PHRASE SEARCH — two faces of one semantics:
+  //  - a zero-shuffle row-local array scan (the one-off query path:
+  //    every doc checks its own token array, embarrassingly parallel,
+  //    nothing crosses the wire but the matching rows);
+  //  - a persisted POSITIONAL index (the NINTH family on the shared
+  //    build/probe/append/delete/purge + epoch-pin contract): postings
+  //    (tok, doc_id, pos) bucketed by token, so a phrase query touches
+  //    ONLY its own tokens' postings — O(Σ postings of phrase terms)
+  //    instead of O(corpus), the right trade once the corpus is
+  //    indexed and queries repeat.
+  // ---------------------------------------------------------------
+
+  /** The phrase the `q_phrase_search` query and its GENERATED DuckDB
+    * oracle share — one constant, no drift. */
+  val DefaultPhrase: Seq[String] = Seq("table", "scan")
+
+  /** Row-local phrase-occurrence scan over any (doc_id, text) frame:
+    * for each doc, the number of positions where the token sequence
+    * equals `phrase` (overlaps counted — every anchor position is
+    * tested independently) and the first such 1-based position.
+    * `sequence` is guarded: Spark's sequence(1, stop) runs BACKWARD
+    * when stop < 1, so short docs take the empty-array branch. */
+  def phraseMatchesOn(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val k = phrase.length
+    // element_at, not t[..]: SQL array subscripts are 0-based in Spark
+    // while the anchor convention here (and DuckDB's t[i]) is 1-based
+    val anchors = phrase.zipWithIndex.map { case (w, j) =>
+      if (j == 0) s"element_at(t, i) = '$w'"
+      else s"element_at(t, i + $j) = '$w'"
+    }.mkString(" AND ")
+    docs
+      .withColumn("t", tokensCol)
+      .withColumn("hits",
+        expr(s"""CASE WHEN size(t) >= $k THEN
+                 |  filter(sequence(1, size(t) - ${k - 1}),
+                 |         i -> $anchors)
+                 |ELSE array() END""".stripMargin))
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"),
+        size(col("hits")).cast("long").as("n_matches"),
+        element_at(col("hits"), 1).cast("long").as("first_pos"))
+  }
+
+  /** Exact phrase search over the corpus — the `q_phrase_search`
+    * surface: docs containing [[DefaultPhrase]] as a consecutive token
+    * run, with occurrence count and first position. Scale shape: one
+    * scan, all work row-local (no explode, no shuffle); the only
+    * exchange is the terminal presentation sort over matching docs. */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: Seq[String] = DefaultPhrase): DataFrame =
+    phraseMatchesOn(Tables.documents(spark, dir), phrase)
+      .orderBy(col("doc_id"))
+
+  /** Positional postings (doc_id, tok, pos) — pos is 1-based to match
+    * the SQL-side array convention. */
+  private def positionalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(tokensCol).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("tok"), (col("p0") + 1).cast("long").as("pos"))
+
+  /** Build the persisted POSITIONAL index: postings bucketed+sorted by
+    * token (a phrase probe's per-term slices read co-located), plus
+    * the family-standard tombstones and epoch marker. */
+  def buildPositionalIndex(spark: SparkSession, dir: String, name: String,
+      nBuckets: Int = 8): Unit =
+    buildPositionalIndexOn(spark, Tables.documents(spark, dir), name,
+      nBuckets)
+
+  /** Core of [[buildPositionalIndex]] over any (doc_id, text) frame. */
+  def buildPositionalIndexOn(spark: SparkSession, docs: DataFrame,
+      name: String, nBuckets: Int = 8): Unit = {
+    graft.sources.FormatIO.writeBucketed(
+      positionalPostings(docs).withColumn("epoch", lit(0L)),
+      s"${name}_postings", "tok", nBuckets, sortCol = Some("tok"))
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "doc_id")
+    graft.sources.FormatIO.initIndexEpoch(spark, name)
+  }
+
+  /** PHRASE PROBE against the positional index: each phrase term pulls
+    * its own postings slice (the token filter prunes at the bucketed
+    * scan), normalizes position to the phrase anchor (pos − offset),
+    * and the k slices intersect by (doc_id, anchor) equi-joins —
+    * an anchor surviving all k is exactly one phrase occurrence.
+    * Probe cost is the phrase terms' posting mass, never the corpus.
+    * Epoch-pinned once; tombstoned docs anti-joined out. Output is
+    * probe-equal to [[phraseMatchesOn]] on the indexed corpus
+    * (parity-spec-proved). No terminal orderBy: library probe. */
+  def phraseProbe(spark: SparkSession, name: String,
+      phrase: Seq[String] = DefaultPhrase): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
+    val live = graft.sources.FormatIO.pinnedAt(spark, s"${name}_postings", pin)
+      .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_tombstones",
+        pin), Seq("doc_id"), "left_anti")
+    val slices = phrase.zipWithIndex.map { case (w, j) =>
+      live.filter(col("tok") === lit(w))
+        .select(col("doc_id"), (col("pos") - lit(j.toLong)).as("anchor"))
+    }
+    slices.reduce(_.join(_, Seq("doc_id", "anchor")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("anchor")).as("first_pos"))
+  }
+
+  /** DELTA APPEND a document batch into the positional index —
+    * O(batch) per wave, one epoch commit; `append ∘ build` is
+    * probe-equal to a full rebuild on the union (parity-spec). */
+  def appendToPositionalIndex(spark: SparkSession, name: String,
+      docs: DataFrame): Unit = {
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_postings"))
+    graft.sources.FormatIO.appendBucketed(spark,
+      positionalPostings(docs).withColumn("epoch", lit(e)),
+      s"${name}_postings")
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
+  }
+
+  /** TOMBSTONE-DELETE docs from the positional index — the family's
+    * standard O(deleted ids) logical erase. */
+  def deleteFromPositionalIndex(spark: SparkSession, name: String,
+      docIds: DataFrame): Unit = {
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_tombstones"))
+    graft.sources.FormatIO.appendTombstones(spark,
+      docIds.select(col("doc_id")).distinct().withColumn("epoch", lit(e)),
+      s"${name}_tombstones")
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
+  }
+
+  /** Physically erase tombstoned docs' postings (bucket-preserving
+    * rewrite + compaction); reset the tombstones. */
+  def purgePositionalTombstones(spark: SparkSession, name: String)
+      : graft.sources.FormatIO.TableCompactStats = {
+    val tomb = spark.table(s"${name}_tombstones").localCheckpoint()
+    val stats = graft.sources.FormatIO.purgeBucketedTable(spark,
+      s"${name}_postings", tomb, "doc_id")
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "doc_id")
+    stats
+  }
 }

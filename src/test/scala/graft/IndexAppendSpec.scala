@@ -558,4 +558,69 @@ class IndexAppendSpec extends AnyFunSuite {
     assert(cells() == cellsBefore, "compaction must preserve every cell")
     assert(est() == estBefore, "compaction must preserve every estimate")
   }
+
+  test("positional index (9th family): phrase probe reproduces the " +
+    "row-local scan; append∘build == build(union); staged wave " +
+    "invisible until commit; tombstone + purge erase a doc's matches") {
+    val phrase = Search.DefaultPhrase
+    // probe ≡ scan law: the index answers exactly what the zero-shuffle
+    // per-doc array scan answers (positions, counts, and doc set)
+    Search.buildPositionalIndex(spark, sf, "pos_full", nBuckets = 4)
+    val direct = rows(Search.phraseMatchesOn(
+      Tables.documents(spark, sf), phrase))
+    val probe = rows(Search.phraseProbe(spark, "pos_full", phrase))
+    assert(direct.nonEmpty, "the corpus holds phrase occurrences")
+    assert(probe == direct, "phrase probe must equal the row-local scan")
+    // a longer phrase (3 tokens, k-1 = 2 position joins) agrees too
+    val doc = Tables.documents(spark, sf)
+      .filter(col("doc_id") === direct.head
+        .stripPrefix("[").takeWhile(_ != ',').toLong)
+      .select("text").head().getString(0)
+    val toks = doc.trim.toLowerCase.split("\\s+")
+    val at = toks.indices.dropRight(2).find(i =>
+      toks(i) == phrase.head && toks(i + 1) == phrase(1)).get
+    val tri = Seq(toks(at), toks(at + 1), toks(at + 2))
+    assert(rows(Search.phraseProbe(spark, "pos_full", tri)) ==
+      rows(Search.phraseMatchesOn(Tables.documents(spark, sf), tri)),
+      "3-token phrase probe must equal the scan")
+    // append parity
+    val (corpusDir, batch) = splitDir("documents", "doc_id")
+    Search.buildPositionalIndex(spark, corpusDir, "pos_inc", nBuckets = 4)
+    Search.appendToPositionalIndex(spark, "pos_inc",
+      batch.select(col("doc_id"), col("text")))
+    assert(rows(Search.phraseProbe(spark, "pos_inc", phrase)) == probe,
+      "append∘build must be probe-equal to build(union)")
+    // epoch pin: a staged-uncommitted append (a synthetic doc made of
+    // the phrase itself) changes no probe result until commit
+    val sp2 = spark
+    import sp2.implicits._
+    val phantom = Seq((-999L, phrase.mkString(" "))).toDF("doc_id", "text")
+    val e = FormatIO.stageIndexEpoch(spark, "pos_full",
+      Seq("pos_full_postings"))
+    FormatIO.appendBucketed(spark,
+      phantom.select(col("doc_id"),
+          posexplode(split(lower(trim(col("text"))), "\\s+"))
+            .as(Seq("p0", "tok")))
+        .select(col("doc_id"), col("tok"),
+          (col("p0") + 1).cast("long").as("pos"))
+        .withColumn("epoch", lit(e)),
+      "pos_full_postings")
+    assert(rows(Search.phraseProbe(spark, "pos_full", phrase)) == probe,
+      "a staged-uncommitted wave must be invisible to pinned probes")
+    FormatIO.commitIndexEpoch(spark, "pos_full", e)
+    val withPhantom = rows(Search.phraseProbe(spark, "pos_full", phrase))
+    assert(withPhantom.size == probe.size + 1,
+      "the committed phantom doc matches the phrase once")
+    // tombstone delete: the phantom vanishes immediately
+    Search.deleteFromPositionalIndex(spark, "pos_full",
+      Seq(-999L).toDF("doc_id"))
+    assert(rows(Search.phraseProbe(spark, "pos_full", phrase)) == probe,
+      "tombstoned doc must vanish from matches")
+    // physical purge preserves probe results and erases the rows
+    Search.purgePositionalTombstones(spark, "pos_full")
+    assert(rows(Search.phraseProbe(spark, "pos_full", phrase)) == probe)
+    assert(spark.table("pos_full_postings")
+      .filter(col("doc_id") === -999L).count() == 0L,
+      "purge erases the tombstoned postings physically")
+  }
 }
