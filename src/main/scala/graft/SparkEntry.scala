@@ -372,7 +372,10 @@ object SparkEntry {
     "q_key_profile" -> ((s: SparkSession, d: String) => Profiling.keyProfile(s, d)),
     // exact phrase search — the zero-shuffle row-local scan face; the
     // positional-index probe face is parity-spec'd against it
-    "q_phrase_search" -> ((s: SparkSession, d: String) => Search.phraseSearch(s, d))
+    "q_phrase_search" -> ((s: SparkSession, d: String) => Search.phraseSearch(s, d)),
+    // revenue-attach behavioral ledgers
+    "q_ltv_cohort" -> ((s: SparkSession, d: String) => Behavioral.ltvCohort(s, d)),
+    "q_order_gaps" -> ((s: SparkSession, d: String) => Behavioral.orderGaps(s, d))
   )
 
   /** Generated profiling oracles — each iterates the SAME candidate
@@ -4679,6 +4682,58 @@ object SparkEntry {
     "q_fd_audit" -> fdAuditOracleSql,
     "q_ind_audit" -> indAuditOracleSql,
     "q_key_profile" -> keyProfileOracleSql,
-    "q_phrase_search" -> phraseSearchOracleSql
+    "q_phrase_search" -> phraseSearchOracleSql,
+    // cohort LTV: milli-unit BIGINT revenue, cumulative window over
+    // the (cohort, offset) cell relation, one closing division
+    "q_ltv_cohort" ->
+      """WITH o AS (SELECT o_custkey AS cust,
+        |  CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+        |   AS mi,
+        |  CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT) AS milli
+        | FROM orders),
+        |f AS (SELECT cust, min(mi) AS cohort_mi FROM o GROUP BY cust),
+        |cs AS (SELECT cohort_mi, CAST(count(*) AS BIGINT) AS cohort_users
+        |       FROM f GROUP BY cohort_mi),
+        |cells AS (SELECT f.cohort_mi, o.mi - f.cohort_mi AS "offset",
+        |  CAST(count(DISTINCT o.cust) AS BIGINT) AS active_users,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(o.milli) AS BIGINT) AS revenue_milli
+        | FROM o JOIN f ON o.cust = f.cust
+        | GROUP BY 1, 2),
+        |cum AS (SELECT *, CAST(sum(revenue_milli) OVER (
+        |   PARTITION BY cohort_mi ORDER BY "offset") AS BIGINT)
+        |  AS cum_revenue_milli FROM cells)
+        |SELECT cum.cohort_mi, cum."offset" AS "offset", cs.cohort_users,
+        | cum.active_users, cum.n_orders, cum.revenue_milli,
+        | cum.cum_revenue_milli,
+        | CAST(cum.cum_revenue_milli // cs.cohort_users AS BIGINT)
+        |  AS ltv_per_user_milli
+        |FROM cum JOIN cs ON cum.cohort_mi = cs.cohort_mi
+        |ORDER BY cum.cohort_mi, "offset"""".stripMargin,
+    // repeat-purchase gaps: per-customer lag window, rank-exact median
+    // via the cumulative distinct-gap-value relation
+    "q_order_gaps" ->
+      """WITH g AS (SELECT c_mktsegment AS segment,
+        |  CAST(date_diff('day',
+        |   lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate, o_orderkey), o_orderdate) AS BIGINT)
+        |   AS gap
+        | FROM orders JOIN customer ON o_custkey = c_custkey),
+        |gg AS (SELECT segment, gap FROM g WHERE gap IS NOT NULL),
+        |tot AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(min(gap) AS BIGINT) AS min_gap,
+        |  CAST(max(gap) AS BIGINT) AS max_gap,
+        |  CAST(sum(gap) AS BIGINT) AS s FROM gg GROUP BY segment),
+        |cnt AS (SELECT segment, gap, count(*) AS c FROM gg GROUP BY 1, 2),
+        |cum AS (SELECT segment, gap, sum(c) OVER (
+        |   PARTITION BY segment ORDER BY gap) AS cum FROM cnt),
+        |med AS (SELECT cum.segment, CAST(min(gap) AS BIGINT) AS median_gap
+        | FROM cum JOIN tot ON cum.segment = tot.segment
+        | WHERE cum.cum >= (tot.n_gaps + 1) // 2 GROUP BY cum.segment)
+        |SELECT tot.segment, tot.n_gaps, tot.min_gap, tot.max_gap,
+        | med.median_gap, round(CAST(tot.s AS DOUBLE) / tot.n_gaps, 6)
+        |  AS avg_gap
+        |FROM tot JOIN med ON tot.segment = med.segment
+        |ORDER BY tot.segment""".stripMargin
   )
 }

@@ -532,4 +532,90 @@ object Behavioral {
         col("contrib"))
       .orderBy(col("event_type"), col("hr"))
   }
+
+  /** COHORT LTV CURVES: customers cohorted by first-order month, then
+    * per (cohort, month-offset) — active customers, orders, revenue,
+    * the cohort's cumulative revenue, and cumulative revenue per
+    * cohort member (the lifetime-value readout marketing reconciles
+    * acquisition spend against). Revenue is half-up MILLI-UNIT BIGINT
+    * before any sum (the repo's money discipline — float addition
+    * order can never split engines), and the per-member LTV stays a
+    * BIGINT floor division — at 1e9-milli magnitudes a round(·, 6)
+    * double is not representable and engines ulp-split on the closing
+    * digit. Scale shape: orders reduce once to per-customer
+    * first months, then once to (cohort, offset) cells; the cumulative
+    * window runs over the CELL relation partitioned by cohort (≤ months
+    * rows per partition, never raw orders). */
+  def ltvCohort(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("cust"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mi"),
+        expr("CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT)")
+          .as("milli"))
+    val first = o.groupBy(col("cust")).agg(min(col("mi")).as("cohort_mi"))
+    val cohortSize = first.groupBy(col("cohort_mi"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = o.join(first, Seq("cust"))
+      .withColumn("offset", col("mi") - col("cohort_mi"))
+      .groupBy(col("cohort_mi"), col("offset"))
+      .agg(countDistinct(col("cust")).as("active_users"),
+        count(lit(1)).as("n_orders"), sum(col("milli")).as("revenue_milli"))
+    val w = Window.partitionBy(col("cohort_mi")).orderBy(col("offset"))
+    cells
+      .withColumn("cum_revenue_milli", sum(col("revenue_milli")).over(w))
+      .join(broadcast(cohortSize), Seq("cohort_mi"))
+      .withColumn("ltv_per_user_milli",
+        expr("cum_revenue_milli div cohort_users"))
+      .select(col("cohort_mi"), col("offset"), col("cohort_users"),
+        col("active_users"), col("n_orders"), col("revenue_milli"),
+        col("cum_revenue_milli"), col("ltv_per_user_milli"))
+      .orderBy(col("cohort_mi"), col("offset"))
+  }
+
+  /** REPEAT-PURCHASE LATENCY per market segment: day gaps between a
+    * customer's consecutive orders, summarized as count / min / max /
+    * EXACT MEDIAN / mean. The median is rank-exact but never sorts a
+    * segment's raw gaps in one partition: the cumulative window runs
+    * over the per-(segment, gap-value) DISTINCT-VALUE relation (gap
+    * values are bounded by the calendar, so this is tiny) and the
+    * median is the first value whose cumulative count reaches
+    * ⌈n/2⌉ — the q_quality_tiers construction. The per-customer lag
+    * window follows the documented keyed-window contract (a customer's
+    * orders, not a segment's). Ties in order dates are broken by order
+    * key; the GAP MULTISET is invariant to tie order, so the summary
+    * is total-order stable. */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("gap",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long"))
+      .filter(col("gap").isNotNull)
+      .join(Tables.customer(spark, dir)
+          .select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment").as("segment")),
+        Seq("o_custkey"))
+      .select(col("segment"), col("gap"))
+    val tot = gaps.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_gaps"), min(col("gap")).as("min_gap"),
+        max(col("gap")).as("max_gap"), sum(col("gap")).as("gap_sum"))
+    val counts = gaps.groupBy(col("segment"), col("gap"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy(col("segment")).orderBy(col("gap"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = counts.withColumn("cum", sum(col("c")).over(wc))
+      .join(broadcast(tot.select(col("segment"), col("n_gaps"))),
+        Seq("segment"))
+      .filter(col("cum") >= expr("(n_gaps + 1) div 2")) // integer div
+      .groupBy(col("segment")).agg(min(col("gap")).as("median_gap"))
+    tot.join(med, Seq("segment"))
+      .select(col("segment"), col("n_gaps"), col("min_gap"),
+        col("max_gap"), col("median_gap"),
+        round(col("gap_sum").cast("double") / col("n_gaps"), 6)
+          .as("avg_gap"))
+      .orderBy(col("segment"))
+  }
 }

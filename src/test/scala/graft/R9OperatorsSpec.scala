@@ -240,4 +240,91 @@ class R9OperatorsSpec extends AnyFunSuite {
         s"p=$p est rank [$lo,$hi] target ${p * n} bound $bound")
     }
   }
+
+  private def ordersDir(rows: Seq[(Long, Long, Double, String)],
+      segments: Seq[(Long, String)]): String = {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r9ord").toString
+    rows.map { case (ok, ck, price, date) =>
+      (ok, ck, "O", price, java.sql.Timestamp.valueOf(date + " 00:00:00"),
+        "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    segments.map { case (ck, seg) => (ck, s"Customer#$ck", 0, 0.0, seg) }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    dir
+  }
+
+  test("ltv cohort: crafted two-cohort ledger is exact; real-data " +
+    "cumulative identity and bounds hold") {
+    import graft.operators.Behavioral
+    val dir = ordersDir(
+      rows = Seq(
+        (1L, 10L, 10.0, "2024-01-05"), // u10 cohort Jan
+        (2L, 10L, 20.0, "2024-02-11"),
+        (3L, 11L, 5.0, "2024-01-20"),  // u11 cohort Jan
+        (4L, 12L, 7.0, "2024-02-02")), // u12 cohort Feb
+      segments = Seq((10L, "A"), (11L, "A"), (12L, "B")))
+    val r = Behavioral.ltvCohort(spark, dir).collect()
+    val jan = (2024 * 12 + 1 - 1).toLong
+    def cell(mi: Long, off: Long) = r.find(x =>
+      x.getAs[Long]("cohort_mi") == mi && x.getAs[Long]("offset") == off).get
+    assert(cell(jan, 0L).getAs[Long]("cohort_users") === 2L)
+    assert(cell(jan, 0L).getAs[Long]("active_users") === 2L)
+    assert(cell(jan, 0L).getAs[Long]("revenue_milli") === 15000L)
+    assert(cell(jan, 1L).getAs[Long]("active_users") === 1L)
+    assert(cell(jan, 1L).getAs[Long]("cum_revenue_milli") === 35000L)
+    assert(cell(jan, 1L).getAs[Long]("ltv_per_user_milli") === 17500L)
+    assert(cell(jan + 1, 0L).getAs[Long]("cohort_users") === 1L)
+    assert(cell(jan + 1, 0L).getAs[Long]("ltv_per_user_milli") === 7000L)
+    // real data: cum is monotone per cohort, active ≤ cohort size, and
+    // the last cum equals the cohort's summed cells
+    val real = Behavioral.ltvCohort(spark, sf).collect()
+      .groupBy(_.getAs[Long]("cohort_mi"))
+    real.foreach { case (_, cells) =>
+      val sorted = cells.sortBy(_.getAs[Long]("offset"))
+      val cums = sorted.map(_.getAs[Long]("cum_revenue_milli"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+      assert(cums.last === sorted.map(_.getAs[Long]("revenue_milli")).sum)
+      sorted.foreach(c => assert(c.getAs[Long]("active_users") <=
+        c.getAs[Long]("cohort_users")))
+    }
+  }
+
+  test("order gaps: crafted gap multiset yields the exact lower " +
+    "median; tie-dates contribute zero gaps; real-data bounds hold") {
+    import graft.operators.Behavioral
+    // segment A, one customer: dates 1,2,4,104 → gaps {1,2,100};
+    // segment B, one customer: same-day pair then +3 → gaps {0,3}
+    val dir = ordersDir(
+      rows = Seq(
+        (1L, 10L, 1.0, "2024-01-01"), (2L, 10L, 1.0, "2024-01-02"),
+        (3L, 10L, 1.0, "2024-01-04"), (4L, 10L, 1.0, "2024-04-13"),
+        (5L, 20L, 1.0, "2024-01-01"), (6L, 20L, 1.0, "2024-01-01"),
+        (7L, 20L, 1.0, "2024-01-04")),
+      segments = Seq((10L, "A"), (20L, "B")))
+    val r = Behavioral.orderGaps(spark, dir).collect()
+    val a = r.find(_.getAs[String]("segment") == "A").get
+    assert(a.getAs[Long]("n_gaps") === 3L)
+    assert(a.getAs[Long]("min_gap") === 1L)
+    assert(a.getAs[Long]("max_gap") === 100L)
+    assert(a.getAs[Long]("median_gap") === 2L)
+    assert(math.abs(a.getAs[Double]("avg_gap") - 34.333333) < 1e-9)
+    val b = r.find(_.getAs[String]("segment") == "B").get
+    assert(b.getAs[Long]("n_gaps") === 2L)
+    assert(b.getAs[Long]("min_gap") === 0L)  // the same-day pair
+    assert(b.getAs[Long]("median_gap") === 0L) // lower median of {0,3}
+    // real data: ordering invariants per segment
+    Behavioral.orderGaps(spark, sf).collect().foreach { s =>
+      val (mn, md, mx) = (s.getAs[Long]("min_gap"),
+        s.getAs[Long]("median_gap"), s.getAs[Long]("max_gap"))
+      assert(mn <= md && md <= mx)
+      val avg = s.getAs[Double]("avg_gap")
+      assert(avg >= mn.toDouble && avg <= mx.toDouble)
+    }
+  }
 }
