@@ -375,7 +375,10 @@ object SparkEntry {
     "q_phrase_search" -> ((s: SparkSession, d: String) => Search.phraseSearch(s, d)),
     // revenue-attach behavioral ledgers
     "q_ltv_cohort" -> ((s: SparkSession, d: String) => Behavioral.ltvCohort(s, d)),
-    "q_order_gaps" -> ((s: SparkSession, d: String) => Behavioral.orderGaps(s, d))
+    "q_order_gaps" -> ((s: SparkSession, d: String) => Behavioral.orderGaps(s, d)),
+    // windowed lexical diversity + neighborhood-overlap similarity
+    "q_sttr" -> ((s: SparkSession, d: String) => TextAnalysis.sttr(s, d)),
+    "q_node_jaccard" -> ((s: SparkSession, d: String) => Graph.nodeJaccard(s, d))
   )
 
   /** Generated profiling oracles — each iterates the SAME candidate
@@ -4734,6 +4737,43 @@ object SparkEntry {
         | med.median_gap, round(CAST(tot.s AS DOUBLE) / tot.n_gaps, 6)
         |  AS avg_gap
         |FROM tot JOIN med ON tot.segment = med.segment
-        |ORDER BY tot.segment""".stripMargin
+        |ORDER BY tot.segment""".stripMargin,
+    // STTR: non-overlapping 20-token windows, distinct types per
+    // window, one closing division at ratio magnitude
+    "q_sttr" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t
+        | FROM documents),
+        |w AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(t) // 20 AS BIGINT) AS n_windows, t
+        | FROM d WHERE len(t) // 20 > 0),
+        |x AS (SELECT doc_id, n_tokens, n_windows,
+        |  CAST(sum(len(list_distinct(
+        |    t[(i * 20 + 1):(i * 20 + 20)]))) AS BIGINT) AS distinct_sum
+        | FROM w, LATERAL (SELECT
+        |    unnest(generate_series(0, CAST(n_windows AS INT) - 1)) AS i)
+        | GROUP BY doc_id, n_tokens, n_windows)
+        |SELECT doc_id, n_tokens, n_windows, distinct_sum,
+        | round(CAST(distinct_sum AS DOUBLE) / (n_windows * 20), 6) AS sttr
+        |FROM x ORDER BY doc_id""".stripMargin,
+    // neighborhood Jaccard over the co-order part graph — the
+    // symmetric face of q_basket_rules' directed confidence/lift
+    "q_node_jaccard" ->
+      """WITH op AS (
+        | SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pn AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM op GROUP BY p),
+        |pairs AS (
+        | SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS n_common
+        | FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        | GROUP BY a.p, b.p HAVING count(*) >= 2)
+        |SELECT pairs.u AS part_a, pairs.v AS part_b, pairs.n_common,
+        | pa.n_p AS n_a, pb.n_p AS n_b,
+        | pa.n_p + pb.n_p - pairs.n_common AS n_union,
+        | round(CAST(pairs.n_common AS DOUBLE)
+        |   / (pa.n_p + pb.n_p - pairs.n_common), 6) AS jaccard
+        |FROM pairs JOIN pn pa ON pairs.u = pa.p
+        |JOIN pn pb ON pairs.v = pb.p
+        |ORDER BY jaccard DESC, part_a, part_b
+        |LIMIT 50""".stripMargin
   )
 }

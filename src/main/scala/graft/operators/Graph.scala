@@ -698,4 +698,45 @@ object Graph {
       .select(col("m_edges"), col("s1"), col("s2"), col("s3"),
         col("r_num"), col("r_den"), col("assortativity"))
   }
+
+  /** NEIGHBORHOOD JACCARD over the co-order part graph (the classical
+    * link-prediction / item-similarity score, Salton-family): for part
+    * pairs co-ordered at least `minSupport` times, the Jaccard of
+    * their ORDER NEIGHBORHOODS |N(a)∩N(b)| / |N(a)∪N(b)| — "customers
+    * who ordered a also ordered b, normalized by how common each is".
+    * Where [[basketRules]] reads the same pair counts as directed
+    * confidence/lift, this is the symmetric set-overlap face. All
+    * counts exact BIGINTs; the union comes from inclusion-exclusion
+    * (n_a + n_b − n_common), one correctly-rounded closing division;
+    * the top-N cut is `TakeOrderedAndProject` under the (rounded
+    * jaccard, pair) TOTAL order — cross-engine identical. Scale shape:
+    * distinct (order, part) reduce, row-local sorted pair generation
+    * per order (baskets bounded by order size), one pair-keyed count —
+    * the minSupport filter keeps only recurring pairs. */
+  def nodeJaccard(spark: SparkSession, dir: String, minSupport: Int = 2,
+      topN: Int = 50): DataFrame = {
+    val op = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val partN = op.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val pairN = op.groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
+        .as("e"))
+      .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minSupport)
+    pairN
+      .join(partN.select(col("p").as("u"), col("n_p").as("n_a")), Seq("u"))
+      .join(partN.select(col("p").as("v"), col("n_p").as("n_b")), Seq("v"))
+      .select(col("u").as("part_a"), col("v").as("part_b"),
+        col("n_common"), col("n_a"), col("n_b"),
+        (col("n_a") + col("n_b") - col("n_common")).as("n_union"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("part_a"), col("part_b"))
+      .limit(topN)
+  }
 }

@@ -327,4 +327,62 @@ class R9OperatorsSpec extends AnyFunSuite {
       assert(avg >= mn.toDouble && avg <= mx.toDouble)
     }
   }
+
+  test("sttr: constant doc scores 1/w per window, all-distinct doc " +
+    "scores 1.0, short docs drop; real-data bounds hold") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r9st").toString
+    Seq(
+      (1L, Seq.fill(40)("x").mkString(" "), "en", "s", 40L),
+      (2L, (0 until 40).map(i => s"w$i").mkString(" "), "en", "s", 40L),
+      (3L, Seq.fill(19)("y").mkString(" "), "en", "s", 19L), // < 1 window
+      (4L, (Seq.fill(20)("a") ++ (0 until 25).map(i => s"z$i"))
+        .mkString(" "), "en", "s", 45L)) // 2 windows: 1 + 20 distinct
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.TextAnalysis.sttr(spark, dir).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 2L, 4L))
+    def row(id: Long) = r.find(_.getAs[Long]("doc_id") == id).get
+    assert(row(1L).getAs[Long]("n_windows") === 2L)
+    assert(row(1L).getAs[Long]("distinct_sum") === 2L)
+    assert(math.abs(row(1L).getAs[Double]("sttr") - 0.05) < 1e-12)
+    assert(math.abs(row(2L).getAs[Double]("sttr") - 1.0) < 1e-12)
+    // doc 4: window 1 all 'a' (1 type), window 2 = 20 distinct z's
+    assert(row(4L).getAs[Long]("distinct_sum") === 21L)
+    assert(math.abs(row(4L).getAs[Double]("sttr") - 21.0 / 40.0) < 1e-12)
+    graft.operators.TextAnalysis.sttr(spark, sf).collect().foreach { x =>
+      val s = x.getAs[Double]("sttr")
+      assert(s > 0.0 && s <= 1.0)
+      assert(x.getAs[Long]("distinct_sum") <=
+        x.getAs[Long]("n_windows") * 20L)
+      assert(x.getAs[Long]("n_windows") === x.getAs[Long]("n_tokens") / 20L)
+    }
+  }
+
+  test("node jaccard: crafted co-order graph is exact; real-data " +
+    "inclusion-exclusion identity holds") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r9nj").toString
+    // orders: 1:{p1,p2,p3} 2:{p1,p2} 3:{p1,p2} 4:{p3}
+    Seq((1L, 101L), (1L, 102L), (1L, 103L), (2L, 101L), (2L, 102L),
+      (3L, 101L), (3L, 102L), (4L, 103L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = graft.operators.Graph.nodeJaccard(spark, dir).collect()
+    assert(r.length === 1) // only (p1,p2) reaches minSupport=2
+    val p = r.head
+    assert(p.getAs[Long]("part_a") === 101L)
+    assert(p.getAs[Long]("part_b") === 102L)
+    assert(p.getAs[Long]("n_common") === 3L)
+    assert(p.getAs[Long]("n_union") === 3L) // {o1,o2,o3}
+    assert(math.abs(p.getAs[Double]("jaccard") - 1.0) < 1e-12)
+    graft.operators.Graph.nodeJaccard(spark, sf).collect().foreach { x =>
+      assert(x.getAs[Long]("n_union") === x.getAs[Long]("n_a") +
+        x.getAs[Long]("n_b") - x.getAs[Long]("n_common"))
+      val j = x.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
 }
