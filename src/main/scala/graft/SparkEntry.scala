@@ -378,7 +378,12 @@ object SparkEntry {
     "q_order_gaps" -> ((s: SparkSession, d: String) => Behavioral.orderGaps(s, d)),
     // windowed lexical diversity + neighborhood-overlap similarity
     "q_sttr" -> ((s: SparkSession, d: String) => TextAnalysis.sttr(s, d)),
-    "q_node_jaccard" -> ((s: SparkSession, d: String) => Graph.nodeJaccard(s, d))
+    "q_node_jaccard" -> ((s: SparkSession, d: String) => Graph.nodeJaccard(s, d)),
+    // rank-based SAX signatures of the daily volume series
+    "q_sax_symbols" -> ((s: SparkSession, d: String) => TimeSeries.saxSymbols(s, d)),
+    // rows-only: PQ codebooks are Lloyd float iterations (SURVEY §4);
+    // determinism/zero-error/capacity laws carried by SimilaritySpec.
+    "q_pq_codes" -> ((s: SparkSession, d: String) => Similarity.pqCodes(s, d))
   )
 
   /** Generated profiling oracles — each iterates the SAME candidate
@@ -4774,6 +4779,24 @@ object SparkEntry {
         |FROM pairs JOIN pn pa ON pairs.u = pa.p
         |JOIN pn pb ON pairs.v = pb.p
         |ORDER BY jaccard DESC, part_a, part_b
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+    // SAX: rank-based quartile symbols over the (type, day) panel;
+    // n_runs counts symbol changes (first day counts as a run start)
+    "q_sax_symbols" ->
+      """WITH dc AS (SELECT event_type,
+        |  CAST(date_diff('day', DATE '2020-01-01',
+        |    CAST(ts AS DATE)) AS BIGINT) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |sym AS (SELECT event_type, day,
+        |  ntile(4) OVER (PARTITION BY event_type ORDER BY n, day) AS q
+        | FROM dc),
+        |runs AS (SELECT event_type, day, q,
+        |  CASE WHEN lag(q) OVER (PARTITION BY event_type ORDER BY day)
+        |   IS DISTINCT FROM q THEN 1 ELSE 0 END AS chg FROM sym)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        | CAST(sum(chg) AS BIGINT) AS n_runs,
+        | string_agg(chr(CAST(96 + q AS INT)), '' ORDER BY day) AS sax
+        |FROM runs GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

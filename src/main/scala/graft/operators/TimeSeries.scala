@@ -420,4 +420,40 @@ object TimeSeries {
       .select(col("lag"), col("n_days"), col("r"))
       .orderBy(col("lag"))
   }
+
+  /** SAX SYMBOLIZATION of the per-type daily volume series (Lin et
+    * al., DMKD 2007's Symbolic Aggregate approXimation, with the
+    * breakpoints taken RANK-BASED rather than Gaussian — ntile(4)
+    * under the (count, day) total order is engine-portable where
+    * N(0,1) breakpoints would drag erf in): each observed day maps to
+    * a quartile symbol a–d of its type's own volume distribution, the
+    * symbols concatenate in day order into the type's signature
+    * string, and n_runs counts symbol changes — the burst-structure
+    * readout (a flat feed alternates rarely; a batch replayer is one
+    * long run of d's punctuated by a's). Scale shape: the log reduces
+    * once to the (type, day) count panel; the ntile and lag windows
+    * run per type over calendar-bounded panels (the documented
+    * keyed-window contract); the string assembles row-locally from
+    * one sorted collect_list per type. */
+  def saxSymbols(spark: SparkSession, dir: String): DataFrame = {
+    val dc = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2020-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wQ = Window.partitionBy(col("event_type"))
+      .orderBy(col("n"), col("day"))
+    val wD = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    dc.withColumn("q", ntile(4).over(wQ))
+      .withColumn("chg",
+        when(lag(col("q"), 1).over(wD).isNull ||
+          lag(col("q"), 1).over(wD) =!= col("q"), 1L).otherwise(0L))
+      .withColumn("sym", expr("char(96 + q)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("chg")).as("n_runs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("day"), col("sym")))),
+          x => x.getField("sym")), "").as("sax"))
+      .orderBy(col("event_type"))
+  }
 }

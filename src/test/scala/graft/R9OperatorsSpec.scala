@@ -385,4 +385,71 @@ class R9OperatorsSpec extends AnyFunSuite {
       assert(j > 0.0 && j <= 1.0)
     }
   }
+
+  test("sax symbols: monotone series spells abcd, ties split by day, " +
+    "run count is exact; real-data signature length law") {
+    import graft.operators.TimeSeries
+    // type m: counts 1,2,3,4 over days 1..4 → quartiles in day order;
+    // type t: all-tied counts — ntile still forces abcd (rank-based
+    // breakpoints, day tiebreak); type s: one day → 'a'
+    val dir = eventsDir(
+      (1 to 4).flatMap(d => (1 to d).map(i =>
+        ((d * 10 + i).toLong, ts(d), 1L, "m", 1.0))) ++
+      (1 to 4).flatMap(d => (1 to 2).map(i =>
+        ((100 + d * 10 + i).toLong, ts(d), 1L, "t", 1.0))) ++
+      Seq((900L, ts(1), 1L, "s", 1.0)))
+    val r = TimeSeries.saxSymbols(spark, dir).collect()
+    def row(t: String) = r.find(_.getAs[String]("event_type") == t).get
+    assert(row("m").getAs[String]("sax") === "abcd")
+    assert(row("m").getAs[Long]("n_runs") === 4L)
+    assert(row("t").getAs[String]("sax") === "abcd")
+    assert(row("s").getAs[String]("sax") === "a")
+    assert(row("s").getAs[Long]("n_runs") === 1L)
+    TimeSeries.saxSymbols(spark, sf).collect().foreach { x =>
+      assert(x.getAs[String]("sax").length.toLong ===
+        x.getAs[Long]("n_days"))
+      assert(x.getAs[Long]("n_runs") >= 1L)
+      assert(x.getAs[Long]("n_runs") <= x.getAs[Long]("n_days"))
+      assert(x.getAs[String]("sax").forall(c => c >= 'a' && c <= 'd'))
+    }
+  }
+
+  test("pq codes: coverable crafted data quantizes at zero error; " +
+    "encoding is deterministic; capacity law holds on real data") {
+    import graft.operators.Similarity
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r9pq").toString
+    // two whole-vector patterns; the first 16 vec_ids (the seeds)
+    // contain both, so every vector sits exactly on a centroid
+    val a = Array.fill(64)(1.0f); val b = Array.fill(64)(-1.0f)
+    (0L until 40L).map(i => (i, if (i % 2 == 0) a else b, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.pqCodes(spark, dir).collect()
+    assert(r.length === 40)
+    assert(r.forall(_.getAs[Double]("err") === 0.0))
+    val codesByPattern = r.groupBy(_.getAs[Long]("vec_id") % 2)
+      .view.mapValues(_.map(_.getAs[String]("code")).toSet).toMap
+    assert(codesByPattern(0L).size === 1 && codesByPattern(1L).size === 1)
+    assert(codesByPattern(0L) != codesByPattern(1L))
+    // determinism + capacity on the real embeddings
+    val e1 = Similarity.pqCodes(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    val e2 = Similarity.pqCodes(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    assert(e1 === e2, "PQ encoding must be deterministic")
+    val err16 = Similarity.pqCodes(spark, sf)
+      .agg(sum(col("err"))).head().getDouble(0)
+    val err1 = Similarity.pqCodes(spark, sf, codebookK = 1)
+      .agg(sum(col("err"))).head().getDouble(0)
+    assert(err16 < err1,
+      s"16-entry codebooks must beat the rank-0 mean codebook " +
+        s"($err16 vs $err1)")
+    Similarity.pqCodes(spark, sf).collect().foreach { x =>
+      assert(x.getAs[Double]("err") >= 0.0)
+      val parts = x.getAs[String]("code").split("-").map(_.toInt)
+      assert(parts.length === 4 && parts.forall(c => c >= 1 && c <= 16))
+    }
+  }
 }
