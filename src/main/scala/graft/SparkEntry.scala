@@ -383,7 +383,10 @@ object SparkEntry {
     "q_sax_symbols" -> ((s: SparkSession, d: String) => TimeSeries.saxSymbols(s, d)),
     // rows-only: PQ codebooks are Lloyd float iterations (SURVEY §4);
     // determinism/zero-error/capacity laws carried by SimilaritySpec.
-    "q_pq_codes" -> ((s: SparkSession, d: String) => Similarity.pqCodes(s, d))
+    "q_pq_codes" -> ((s: SparkSession, d: String) => Similarity.pqCodes(s, d)),
+    // rows-only: the ADC-vs-exact audit rides the PQ float codebooks;
+    // crafted lossless-data recall=1.0 + bounds carried by spec.
+    "q_pq_recall" -> ((s: SparkSession, d: String) => Similarity.pqRecallAudit(s, d))
   )
 
   /** Generated profiling oracles — each iterates the SAME candidate

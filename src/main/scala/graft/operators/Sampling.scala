@@ -130,6 +130,28 @@ object Sampling {
       .limit(n)
   }
 
+  /** Per-GROUP Efraimidis–Spirakis weighted sample — [[weightedSample]]
+    * stratified: the same deterministic content-hash key, ranked inside
+    * each `groupCol` partition, top `n` kept per group. The batch
+    * reference for the streaming reservoir
+    * ([[graft.streaming.Streams.reservoirStream]]), and the "n docs per
+    * language, drawn ∝ weight" selection shape. The rank window's
+    * partitions are per-group reservoirs; the heavy input should be
+    * pre-aggregated to one row per key (as the doc tables are). */
+  def weightedSamplePerGroup(df: DataFrame, keyCol: String,
+      weightCol: String, groupCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
+      .cast("double") + lit(0.5)) / lit(math.pow(16.0, 13))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("es_key").desc, col(keyCol))
+    df.withColumn("es_key",
+        round(log(u) / col(weightCol).cast("double"), 9))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .drop("rk")
+  }
+
   /** Audit query: 100 docs drawn with probability ∝ token count (the
     * "sample training docs proportional to length" shape). */
   def weightedSampleDocs(spark: SparkSession, dir: String,

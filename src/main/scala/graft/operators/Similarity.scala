@@ -1210,14 +1210,29 @@ object Similarity {
     * same broadcast codebook expressions; nothing shuffles. */
   def pqCodes(spark: SparkSession, dir: String, m: Int = 4,
       codebookK: Int = 16, iters: Int = 3): DataFrame = {
+    val trained = trainPq(spark, dir, m, codebookK, iters)
+    if (trained.isEmpty) {
+      return vecs(spark, dir).select(col("vec_id"), lit("").as("code"),
+        lit(0.0).as("err")).limit(0)
+    }
+    val (coded, mm, _) = trained.get
+    coded.select(col("vec_id"),
+      concat_ws("-", (0 until mm).map(i => col(s"c$i")): _*).as("code"),
+      round((0 until mm).map(i => col(s"e$i")).reduce(_ + _), 6).as("err"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Shared PQ training + encoding: returns the coded frame (vec_id,
+    * s0..s{m−1} subvectors, c0..c{m−1} codes, e0..e{m−1} residuals)
+    * plus m and the codebooks, or None on an empty corpus. */
+  private def trainPq(spark: SparkSession, dir: String, m: Int,
+      codebookK: Int, iters: Int)
+      : Option[(DataFrame, Int, IndexedSeq[Array[Array[Double]]])] = {
     val base = vecs(spark, dir)
     val dim = base.select(size(col("v"))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
-    if (dim == 0 || dim % m != 0) {
-      require(dim == 0, s"embedding dim $dim not divisible by m=$m")
-      return base.select(col("vec_id"), lit("").as("code"),
-        lit(0.0).as("err")).limit(0)
-    }
+    if (dim == 0) return None
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val sub = dim / m
     val subs = base.select(
       col("vec_id") +: (0 until m).map(i =>
@@ -1233,9 +1248,73 @@ object Similarity {
         .withColumn(s"c$i", expr(s"array_position(d$i, array_min(d$i))"))
         .withColumn(s"e$i", expr(s"array_min(d$i)"))
     }
-    coded.select(col("vec_id"),
-      concat_ws("-", (0 until m).map(i => col(s"c$i")): _*).as("code"),
-      round((0 until m).map(i => col(s"e$i")).reduce(_ + _), 6).as("err"))
-      .orderBy(col("vec_id"))
+    Some((coded, m, codebooks))
+  }
+
+  /** PQ-ADC RECALL AUDIT — the [[checkIvfRecall]] of the compression
+    * path: for an md5-sampled query panel, rank the corpus by the
+    * ASYMMETRIC distance (query subvector vs the indexed vector's
+    * codebook entry — raw query, compressed corpus: exactly how an
+    * IVF-PQ serving tier scores) and measure top-k overlap against the
+    * exact L2 ranking. The number that tells you whether 4×4-bit
+    * compression is still safe for YOUR corpus, and the alarm that
+    * says the codebooks need retraining after drift. Rows-only (Lloyd
+    * floats); the exact side is panel-bounded — |panel|·corpus
+    * row-local distances, the recall-audit shape the IVF audit
+    * established, never all-pairs. */
+  def pqRecallAudit(spark: SparkSession, dir: String, nQueries: Int = 20,
+      k: Int = 5, m: Int = 4, codebookK: Int = 16,
+      iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m == 4, "the ADC audit's table plumbing is written for m=4")
+    val trained = trainPq(spark, dir, m, codebookK, iters)
+    if (trained.isEmpty) {
+      return vecs(spark, dir).select(lit(0L).as("n_queries"),
+        lit(0L).as("k"), lit(0.0).as("mean_recall"),
+        lit(0.0).as("min_recall")).limit(0)
+    }
+    val (coded, _, codebooks) = trained.get
+    val corpus = coded.localCheckpoint()
+    // md5-stable query panel: raw vectors + their per-subspace ADC
+    // distance tables against the trained codebooks
+    val queries = graft.operators.Sampling
+      .md5TopN(vecs(spark, dir), "vec_id", nQueries)
+      .collect().map { r =>
+        val id = r.getAs[Long]("vec_id")
+        val v = r.getSeq[Double](r.fieldIndex("v")).toArray
+        val tables = (0 until m).map { i =>
+          val s = v.slice(i * (v.length / m), (i + 1) * (v.length / m))
+          codebooks(i).map(c =>
+            c.indices.iterator.map(j => {
+              val d = s(j) - c(j); d * d
+            }).sum).toSeq
+        }
+        (id, v.toSeq, tables(0), tables(1), tables(2), tables(3))
+      }
+    val sp = spark
+    import sp.implicits._
+    val qdf = broadcast(queries.toSeq
+      .toDF("q_id", "qv", "t0", "t1", "t2", "t3"))
+    val scored = corpus.join(qdf, col("vec_id") =!= col("q_id"))
+      .withColumn("adc", (0 until m).map(i =>
+        element_at(col(s"t$i"), col(s"c$i").cast("int"))).reduce(_ + _))
+      .withColumn("exact", expr(
+        "aggregate(zip_with(concat(s0, s1, s2, s3), qv, " +
+          "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    val wE = Window.partitionBy(col("q_id"))
+      .orderBy(col("exact"), col("vec_id"))
+    val ranked = scored
+      .withColumn("ra", row_number().over(wA))
+      .withColumn("re", row_number().over(wE))
+      .filter(col("ra") <= k || col("re") <= k)
+    val perQuery = ranked
+      .groupBy(col("q_id"))
+      .agg((sum(when(col("ra") <= k && col("re") <= k, 1L).otherwise(0L))
+        .cast("double") / k).as("recall"))
+    perQuery.agg(count(lit(1)).as("n_queries"), lit(k.toLong).as("k"),
+      round(avg(col("recall")), 6).as("mean_recall"),
+      round(min(col("recall")), 6).as("min_recall"))
   }
 }

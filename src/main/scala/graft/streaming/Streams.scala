@@ -1675,4 +1675,69 @@ object Streams {
         ()
       }
       .start()
+
+  case class LangDoc(doc_id: Long, lang: String, text: String)
+  case class ReservoirEntry(es_key: Double, doc_id: Long, n_tokens: Long)
+  case class ReservoirState(rev: Long, entries: Seq[ReservoirEntry])
+  case class ReservoirRow(lang: String, rev: Long, doc_id: Long,
+      es_key: Double, n_tokens: Long)
+
+  /** Streaming WEIGHTED RESERVOIR per language — the stateful twin of
+    * [[graft.operators.Sampling.weightedSamplePerGroup]]: Efraimidis–
+    * Spirakis keys are a PURE FUNCTION of the doc id (13 md5 hex
+    * digits → u, then round(ln(u)/weight, 9) with the exact BigDecimal
+    * HALF_UP rounding the batch `round` applies), so the streaming
+    * top-n and the batch top-n over the same log are BIT-IDENTICAL —
+    * no randomness to reconcile, and a replayed doc recomputes the
+    * same key and dedupes away (at-least-once safe by construction).
+    * State per language is the current n-entry reservoir, bounded by n
+    * forever; each batch emits the updated reservoir (Update mode), so
+    * the last emission ≡ the batch sample of the whole log. */
+  class ReservoirProcessor(n: Int)
+      extends StatefulProcessor[String, LangDoc, ReservoirRow] {
+    @transient private var state: ValueState[ReservoirState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ReservoirState]("reservoir",
+        Encoders.product[ReservoirState], TTLConfig.NONE)
+
+    private def esKey(docId: Long, weight: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+        math.pow(16.0, 13)
+      BigDecimal(math.log(u) / weight)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[LangDoc],
+        timers: TimerValues): Iterator[ReservoirRow] = {
+      val st = if (state.exists) state.get()
+        else ReservoirState(0L, Seq.empty)
+      val fresh = rows.map { d =>
+        val w = math.max(
+          d.text.trim.toLowerCase.split("\\s+").length.toLong, 1L)
+        ReservoirEntry(esKey(d.doc_id, w), d.doc_id, w)
+      }.toSeq
+      val merged = (st.entries ++ fresh)
+        .groupBy(_.doc_id).map(_._2.head).toSeq // replay dedupe
+        .sortBy(e => (-e.es_key, e.doc_id))
+        .take(n)
+      val rev = st.rev + 1
+      state.update(ReservoirState(rev, merged))
+      // rev tags each emission so a sink can isolate the LATEST
+      // reservoir per language (membership shrinks as better keys
+      // arrive — last-row-per-doc would keep stale members)
+      merged.iterator.map(e =>
+        ReservoirRow(key, rev, e.doc_id, e.es_key, e.n_tokens))
+    }
+  }
+
+  def reservoirStream(spark: SparkSession, docs: Dataset[LangDoc],
+      n: Int = 20): Dataset[ReservoirRow] = {
+    import spark.implicits._
+    docs.groupByKey(_.lang)
+      .transformWithState(new ReservoirProcessor(n),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -452,4 +452,31 @@ class R9OperatorsSpec extends AnyFunSuite {
       assert(parts.length === 4 && parts.forall(c => c >= 1 && c <= 16))
     }
   }
+
+  test("pq recall audit: lossless crafted data scores recall 1.0; " +
+    "real-data audit is deterministic and bounded") {
+    import graft.operators.Similarity
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r9pr").toString
+    // 4 whole-vector patterns, all inside the 16 seeds → PQ is
+    // LOSSLESS, so the ADC ranking must reproduce the exact ranking
+    val pats = (0 until 4).map(p => Array.fill(64)(p.toFloat - 1.5f))
+    (0L until 48L).map(i => (i, pats((i % 4).toInt), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.pqRecallAudit(spark, dir, nQueries = 8, k = 3)
+      .collect().head
+    assert(r.getAs[Long]("n_queries") === 8L)
+    assert(r.getAs[Double]("min_recall") === 1.0,
+      "zero reconstruction error must preserve every exact neighbor")
+    // real data: deterministic, bounded — and honest about random
+    // embeddings compressing badly (that is the audit's purpose)
+    val a = Similarity.pqRecallAudit(spark, sf).collect().head
+    val b = Similarity.pqRecallAudit(spark, sf).collect().head
+    assert(a.toString === b.toString, "audit must be deterministic")
+    val mean = a.getAs[Double]("mean_recall")
+    assert(mean >= 0.0 && mean <= 1.0)
+    assert(a.getAs[Double]("min_recall") <= mean)
+  }
 }

@@ -1952,4 +1952,65 @@ class StreamingSpec extends AnyFunSuite {
       assert(isls.map(_._4).max == bMax, s"user $u max island")
     }
   }
+
+  test("streaming weighted reservoir equals the batch per-group " +
+    "Efraimidis-Spirakis sample bit-exactly; replays are absorbed") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val n = 10
+      val all = graft.sources.Tables.documents(sp, sf)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[Streams.LangDoc].collect().sortBy(_.doc_id)
+      val input = MemoryStream[Streams.LangDoc]
+      val q = Streams.reservoirStream(sp, input.toDS(), n)
+        .writeStream.format("memory").queryName("res_out")
+        .outputMode("update").start()
+      val chunks = all.grouped(math.max(1, all.length / 3 + 1)).toSeq
+      chunks.foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // replay the middle chunk: deterministic keys dedupe, nothing moves
+      input.addData(chunks(1).toIndexedSeq)
+      q.processAllAvailable()
+      val rows = sp.sql("SELECT * FROM res_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4)))
+      q.stop()
+      // the LATEST revision per language is the live reservoir
+      val latest = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val maxRev = rs.map(_._2).max
+        rs.filter(_._2 == maxRev).toSeq
+      }
+      val streamed = latest
+        .map(r => (r._1, r._3, r._4, r._5)).toSet
+      val docs = graft.sources.Tables.documents(sp, sf)
+        .select(col("doc_id"), col("lang"),
+          greatest(size(split(lower(trim(col("text"))), "\\s+"))
+            .cast("long"), lit(1L)).as("n_tokens"))
+      val batch = graft.operators.Sampling
+        .weightedSamplePerGroup(docs, "doc_id", "n_tokens", "lang", n)
+        .collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("es_key"), r.getAs[Long]("n_tokens"))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        "final reservoirs must equal the batch per-group sample " +
+          "bit-exactly (deterministic ES keys)")
+      // replay absorbed: the post-replay revision's membership equals
+      // the pre-replay one — already implied by batch equality, but
+      // assert the reservoir sizes never exceed n
+      latest.groupBy(_._1).foreach { case (lang, rs) =>
+        assert(rs.size <= n, s"$lang reservoir exceeded n")
+      }
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
