@@ -62,6 +62,7 @@ object ScaleProbe {
         (col("doc_id") + col("replica") * (nDocs + 1)).as("doc_id"),
         concat(col("text"), lit(" rep"), col("replica")).as("text"),
         col("lang"), col("source"), col("n_chars"))
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
 
     // --- events: each replica is a fresh user population (id offset)
@@ -81,6 +82,7 @@ object ScaleProbe {
         col("ts"),
         (col("user_id") + col("replica") * maxUser).as("user_id"),
         col("event_type"), col("value"), col("props"))
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
 
     // --- lineitem (co-purchase graph source): each replica is a fresh
@@ -99,6 +101,7 @@ object ScaleProbe {
         (col("l_partkey") + col("replica") * maxPart).as("l_partkey") +:
         li.columns.filter(c => c != "l_orderkey" && c != "l_partkey")
           .map(col).toIndexedSeq: _*)
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
 
     // --- orders (daily-series source): replica orders keep the SAME
@@ -115,6 +118,7 @@ object ScaleProbe {
           .as("o_orderdate") +:
         ord.columns.filter(c => c != "o_orderkey" && c != "o_orderdate")
           .map(col).toIndexedSeq: _*)
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$bigDir/orders.parquet")
 
     // --- embeddings: replica vectors get one coordinate nudged (a
@@ -129,7 +133,17 @@ object ScaleProbe {
         expr("transform(embedding, (x, i) -> IF(i = CAST(replica % 64 AS INT)," +
           " CAST(x + 0.05 AS FLOAT), x))").as("embedding"),
         col("label"))
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+
+    // --- dimension tables pass through at 1× (the grown-lake shape:
+    // the customer/part/geo population is fixed while fact volume
+    // grows) — the profiling audits and dim-joining operators read
+    // them from the probe dir unchanged
+    Seq("customer", "nation", "region", "part", "supplier").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$bigDir/$t.parquet")
+    }
 
     // scaled index parameters: nlist ∝ √n (IVF / SemDeDup), +log2(N)
     // hyperplanes (LSH) — the growth path each operator documents
@@ -291,6 +305,23 @@ object ScaleProbe {
       ("q_cross_corr", 1.0, (d, _) => graft.operators.TimeSeries.crossCorr(spark, d)),
       ("q_shard_balance", 1.0, (d, _) => graft.operators.Quality.shardBalance(spark, d)),
       ("q_federated_quantiles", 1.0, (d, _) => graft.operators.Federation.federatedQuantileAudit(spark, d)),
+      // r9 continuation: profiling audits reduce to distinct panels
+      // (facts grow N×, dims fixed); phrase/sttr are row-local scans;
+      // ltv/gaps/sax fold onto calendar- or segment-bounded panels;
+      // node-jaccard pair mass is linear (disjoint replica parts, same
+      // basket sizes); PQ trains fixed-k codebooks in linear scans and
+      // the recall audit is a fixed panel against a linear corpus
+      ("q_fd_audit", 1.0, (d, _) => graft.operators.Profiling.fdAudit(spark, d)),
+      ("q_ind_audit", 1.0, (d, _) => graft.operators.Profiling.indAudit(spark, d)),
+      ("q_key_profile", 1.0, (d, _) => graft.operators.Profiling.keyProfile(spark, d)),
+      ("q_phrase_search", 1.0, (d, _) => graft.operators.Search.phraseSearch(spark, d)),
+      ("q_ltv_cohort", 1.0, (d, _) => graft.operators.Behavioral.ltvCohort(spark, d)),
+      ("q_order_gaps", 1.0, (d, _) => graft.operators.Behavioral.orderGaps(spark, d)),
+      ("q_sttr", 1.0, (d, _) => graft.operators.TextAnalysis.sttr(spark, d)),
+      ("q_node_jaccard", 1.0, (d, _) => graft.operators.Graph.nodeJaccard(spark, d)),
+      ("q_sax_symbols", 1.0, (d, _) => graft.operators.TimeSeries.saxSymbols(spark, d)),
+      ("q_pq_codes", 1.0, (d, _) => graft.operators.Similarity.pqCodes(spark, d)),
+      ("q_pq_recall", 1.0, (d, _) => graft.operators.Similarity.pqRecallAudit(spark, d)),
       // NOT q_media_phash_dup / q_split_leakage / q_blast_radius: like
       // minhashPairs, their OUTPUT is pair-shaped over template
       // families, so the replicated corpus grows it ~N²/2 by
