@@ -373,6 +373,7 @@ object SparkEntry {
     // exact phrase search — the zero-shuffle row-local scan face; the
     // positional-index probe face is parity-spec'd against it
     "q_phrase_search" -> ((s: SparkSession, d: String) => Search.phraseSearch(s, d)),
+    "q_phrase_native" -> ((s: SparkSession, d: String) => Search.phraseSearchNative(s, d)),
     // revenue-attach behavioral ledgers
     "q_ltv_cohort" -> ((s: SparkSession, d: String) => Behavioral.ltvCohort(s, d)),
     "q_order_gaps" -> ((s: SparkSession, d: String) => Behavioral.orderGaps(s, d)),
@@ -386,7 +387,9 @@ object SparkEntry {
     "q_pq_codes" -> ((s: SparkSession, d: String) => Similarity.pqCodes(s, d)),
     // rows-only: the ADC-vs-exact audit rides the PQ float codebooks;
     // crafted lossless-data recall=1.0 + bounds carried by spec.
-    "q_pq_recall" -> ((s: SparkSession, d: String) => Similarity.pqRecallAudit(s, d))
+    "q_pq_recall" -> ((s: SparkSession, d: String) => Similarity.pqRecallAudit(s, d)),
+    // first/last-touch conversion attribution (closed ledger)
+    "q_attribution" -> ((s: SparkSession, d: String) => Behavioral.attribution(s, d))
   )
 
   /** Generated profiling oracles — each iterates the SAME candidate
@@ -4694,6 +4697,8 @@ object SparkEntry {
     "q_ind_audit" -> indAuditOracleSql,
     "q_key_profile" -> keyProfileOracleSql,
     "q_phrase_search" -> phraseSearchOracleSql,
+    // same semantics, native codegen'd kernel - same generated oracle
+    "q_phrase_native" -> phraseSearchOracleSql,
     // cohort LTV: milli-unit BIGINT revenue, cumulative window over
     // the (cohort, offset) cell relation, one closing division
     "q_ltv_cohort" ->
@@ -4800,6 +4805,39 @@ object SparkEntry {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
         | CAST(sum(chg) AS BIGINT) AS n_runs,
         | string_agg(chr(CAST(96 + q AS INT)), '' ORDER BY day) AS sax
-        |FROM runs GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM runs GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // first/last-touch attribution: user-keyed range join + total-order
+    // argmin/argmax per purchase; "(none)" closes the ledger
+    "q_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS s FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, s AS p_s FROM ev
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS t_id, event_type AS channel,
+        |      s AS t_s FROM ev WHERE event_type <> 'purchase'),
+        |cand AS (SELECT p.p_id, t.channel, t.t_s, t.t_id
+        | FROM p JOIN t ON p.user_id = t.user_id
+        |  AND t.t_s < p.p_s AND t.t_s >= p.p_s - 604800000000),
+        |picked AS (SELECT p_id, channel,
+        |  row_number() OVER (PARTITION BY p_id ORDER BY t_s, t_id) AS rf,
+        |  row_number() OVER (PARTITION BY p_id
+        |    ORDER BY t_s DESC, t_id DESC) AS rl
+        | FROM cand),
+        |f AS (SELECT channel, CAST(count(*) AS BIGINT) AS first_touch
+        |      FROM picked WHERE rf = 1 GROUP BY 1),
+        |l AS (SELECT channel, CAST(count(*) AS BIGINT) AS last_touch
+        |      FROM picked WHERE rl = 1 GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+        |tch AS (SELECT CAST(count(*) AS BIGINT) AS n FROM picked
+        |        WHERE rf = 1)
+        |SELECT channel, first_touch, last_touch FROM (
+        | SELECT coalesce(f.channel, l.channel) AS channel,
+        |  CAST(coalesce(f.first_touch, 0) AS BIGINT) AS first_touch,
+        |  CAST(coalesce(l.last_touch, 0) AS BIGINT) AS last_touch
+        | FROM f FULL OUTER JOIN l ON f.channel = l.channel
+        | UNION ALL
+        | SELECT '(none)', tot.n - tch.n, tot.n - tch.n
+        | FROM tot CROSS JOIN tch)
+        |ORDER BY channel""".stripMargin
   )
 }

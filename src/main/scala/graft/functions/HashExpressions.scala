@@ -41,6 +41,8 @@ object HashExpressions {
   def zorder2(a: Column, b: Column): Column = toCol(ZOrder2(toExpr(a), toExpr(b)))
   def charEntropy(c: Column): Column = toCol(CharEntropy(toExpr(c)))
   def compressRatio(c: Column): Column = toCol(CompressRatio(toExpr(c)))
+  def phrasePack(c: Column, phrase: Seq[String]): Column =
+    toCol(PhrasePack(toExpr(c), phrase))
 }
 
 /** 64-bit SimHash over whitespace tokens: per token a 64-bit FNV hash
@@ -234,6 +236,35 @@ case class CompressRatio(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.ExprRuntime.compressRatio($c)")
   override protected def withNewChildInternal(c: Expression): CompressRatio = copy(c)
   override def prettyName: String = "compress_ratio"
+}
+
+/** PACKED PHRASE SCAN — the native kernel behind
+  * [[graft.operators.Search.phraseSearchNative]]: one pass over the
+  * whitespace-tokenized, lowercased text counting every (overlapping)
+  * anchor where the token run equals `phrase`, packed as
+  * (count << 32) | first 1-based position (0 when absent). One long
+  * per row where the declarative twin materializes a position
+  * sequence, a lambda filter, and an array per document — same
+  * answer (parity-spec-proved against the oracle-checked scan),
+  * leaner inner loop. The phrase rides into generated code as a
+  * reference object, so the hot path never re-parses it. */
+case class PhrasePack(child: Expression, phrase: Seq[String])
+    extends UnaryExpression {
+  require(phrase.nonEmpty, "empty phrase")
+  private val phraseArr: Array[String] = phrase.toArray
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      ExprRuntime.phrasePack(input.asInstanceOf[UTF8String], phraseArr))
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("phrase", phraseArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprRuntime.phrasePack($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): PhrasePack =
+    copy(child = c)
+  override def prettyName: String = "phrase_pack"
 }
 
 /** Static computational kernels, the single source of truth for both
@@ -454,5 +485,29 @@ object ExprRuntime {
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** Packed phrase scan kernel; see [[PhrasePack]]. Tokenization
+    * matches the declarative scan's `split(lower(trim(text)), "\s+")`
+    * (ROOT-locale lowercase, limit −1 split after trim — trailing
+    * empties cannot occur post-trim). */
+  def phrasePack(text: UTF8String, phrase: Array[String]): Long = {
+    val toks = text.toString.trim
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    val k = phrase.length
+    var count = 0L
+    var first = 0L
+    var i = 0
+    val last = toks.length - k
+    while (i <= last) {
+      var j = 0
+      while (j < k && toks(i + j) == phrase(j)) j += 1
+      if (j == k) {
+        count += 1
+        if (first == 0L) first = i + 1L
+      }
+      i += 1
+    }
+    (count << 32) | first
   }
 }

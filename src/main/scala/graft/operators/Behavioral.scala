@@ -585,6 +585,64 @@ object Behavioral {
     * orders, not a segment's). Ties in order dates are broken by order
     * key; the GAP MULTISET is invariant to tie order, so the summary
     * is total-order stable. */
+  /** FIRST/LAST-TOUCH CONVERSION ATTRIBUTION: every purchase credits
+    * the user's earliest non-purchase event inside the 7-day lookback
+    * (first touch) and the latest one before conversion (last touch);
+    * purchases with no prior touch land in the "(none)" ledger row, so
+    * BOTH credit columns sum to the total purchase count — the
+    * closed-ledger property marketing attribution must satisfy.
+    * Candidates come from a user-keyed range join (purchase × prior
+    * events within the window — bounded by per-user activity in 7
+    * days, the range-join shape q_range_join established); the
+    * argmin/argmax per purchase is a row_number under the (ts,
+    * event_id) TOTAL order, cross-engine identical. */
+  def attribution(spark: SparkSession, dir: String,
+      lookbackDays: Int = 7): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("s")) // epoch microseconds
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("s").as("p_s"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("channel"), col("s").as("t_s"))
+    val cand = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_s") < col("p_s") &&
+        col("t_s") >= col("p_s") - lit(lookbackDays * 86400000000L))
+    val wF = Window.partitionBy(col("p_id"))
+      .orderBy(col("t_s"), col("t_id"))
+    val wL = Window.partitionBy(col("p_id"))
+      .orderBy(col("t_s").desc, col("t_id").desc)
+    val picked = cand
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rl", row_number().over(wL))
+      .filter(col("rf") === 1 || col("rl") === 1)
+      .localCheckpoint() // first- and last-credit reads share this
+    val first = picked.filter(col("rf") === 1)
+      .groupBy(col("channel")).agg(count(lit(1)).as("first_touch"))
+    val last = picked.filter(col("rl") === 1)
+      .groupBy(col("channel")).agg(count(lit(1)).as("last_touch"))
+    val total = purchases.agg(count(lit(1)).as("n")).scalar()
+    val touched = picked.filter(col("rf") === 1)
+      .agg(count(lit(1)).as("n")).scalar()
+    val untouched = noneRow(spark)
+      .withColumn("first_touch", total - touched)
+      .withColumn("last_touch", total - touched)
+    first.join(last, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"))
+      .unionByName(untouched)
+      .orderBy(col("channel"))
+  }
+
+  // toDF on a 1-row literal needs the session's implicits in scope
+  private def noneRow(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq("(none)").toDF("channel")
+  }
+
   def orderGaps(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))

@@ -485,6 +485,23 @@ object Search {
     phraseMatchesOn(Tables.documents(spark, dir), phrase)
       .orderBy(col("doc_id"))
 
+  /** [[phraseSearch]] on the NATIVE packed-scan kernel
+    * ([[graft.functions.PhrasePack]], §2e): one codegen'd long per
+    * document instead of the declarative sequence + lambda filter +
+    * array materialization — same rows, same oracle (the q_asof_join /
+    * q_asof_join_native pattern: one semantics, two engines' worth of
+    * evidence). */
+  def phraseSearchNative(spark: SparkSession, dir: String,
+      phrase: Seq[String] = DefaultPhrase): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("pack",
+        graft.functions.HashExpressions.phrasePack(col("text"), phrase))
+      .filter(col("pack") > 0L)
+      .select(col("doc_id"),
+        shiftright(col("pack"), 32).as("n_matches"),
+        col("pack").bitwiseAND(lit(0xffffffffL)).as("first_pos"))
+      .orderBy(col("doc_id"))
+
   /** Positional postings (doc_id, tok, pos) — pos is 1-based to match
     * the SQL-side array convention. */
   private def positionalPostings(docs: DataFrame): DataFrame =

@@ -181,4 +181,38 @@ class ExpressionPropertySpec extends AnyFunSuite {
       org.apache.spark.unsafe.types.UTF8String.fromString("ab " * 100))
     assert(viaSql == viaKernel)
   }
+
+  test("phrase pack: overlap counting, packing layout, edge cases, " +
+    "and codegen/declarative parity on generated text") {
+    val sp = spark
+    import sp.implicits._
+    def pack(s: String, ph: Seq[String]): (Long, Long) = {
+      val p = graft.functions.ExprRuntime.phrasePack(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), ph.toArray)
+      (p >>> 32, p & 0xffffffffL)
+    }
+    assert(pack("x x x", Seq("x", "x")) === ((2L, 1L))) // overlaps count
+    assert(pack("a table scan b table scan", Seq("table", "scan")) ===
+      ((2L, 2L)))
+    assert(pack("short", Seq("table", "scan")) === ((0L, 0L)))
+    assert(pack("", Seq("x")) === ((0L, 0L)))
+    assert(pack("  TABLE   SCAN  ", Seq("table", "scan")) === ((1L, 1L)))
+    // parity with the declarative scan over generated token soup —
+    // exercised THROUGH SQL so the codegen path compiles and runs
+    val words = Seq("table", "scan", "a", "b")
+    val docs = (0 until 200).map { i =>
+      val r = new scala.util.Random(i.toLong)
+      (i.toLong, Seq.fill(r.nextInt(30))(words(r.nextInt(4))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val viaNative = docs
+      .withColumn("pack", phrasePack(col("text"), Seq("table", "scan")))
+      .filter(col("pack") > 0L)
+      .select(col("doc_id"), shiftright(col("pack"), 32).as("n_matches"),
+        col("pack").bitwiseAND(lit(0xffffffffL)).as("first_pos"))
+      .collect().map(_.toString).sorted.toSeq
+    val viaDecl = graft.operators.Search
+      .phraseMatchesOn(docs, Seq("table", "scan"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaNative === viaDecl)
+  }
 }

@@ -453,6 +453,33 @@ class R9OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution: crafted first/last-touch credits are exact, the " +
+    "lookback window excludes stale touches, and the ledger closes") {
+    import graft.operators.Behavioral
+    val dir = eventsDir(Seq(
+      // u1: signup d1 → view d2 → purchase d3: first=signup, last=view
+      (1L, ts(1), 1L, "signup", 0.0), (2L, ts(2), 1L, "view", 0.0),
+      (3L, ts(3), 1L, "purchase", 9.0),
+      // u2: bare purchase → (none)
+      (4L, ts(5), 2L, "purchase", 5.0),
+      // u3: click 10 days before purchase — outside the 7d lookback
+      (5L, ts(1), 3L, "click", 0.0), (6L, ts(11), 3L, "purchase", 7.0)))
+    val r = Behavioral.attribution(spark, dir).collect()
+    def row(c: String) = r.find(_.getAs[String]("channel") == c)
+    assert(row("signup").get.getAs[Long]("first_touch") === 1L)
+    assert(row("signup").get.getAs[Long]("last_touch") === 0L)
+    assert(row("view").get.getAs[Long]("first_touch") === 0L)
+    assert(row("view").get.getAs[Long]("last_touch") === 1L)
+    assert(row("(none)").get.getAs[Long]("first_touch") === 2L)
+    assert(row("click").isEmpty, "stale touch must earn no credit")
+    // ledger law on real data: both columns sum to the purchase count
+    val real = Behavioral.attribution(spark, sf).collect()
+    val nPurch = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(real.map(_.getAs[Long]("first_touch")).sum === nPurch)
+    assert(real.map(_.getAs[Long]("last_touch")).sum === nPurch)
+  }
+
   test("pq recall audit: lossless crafted data scores recall 1.0; " +
     "real-data audit is deterministic and bounded") {
     import graft.operators.Similarity
