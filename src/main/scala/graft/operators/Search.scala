@@ -456,19 +456,22 @@ object Search {
   def phraseMatchesOn(docs: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
     val k = phrase.length
-    // element_at, not t[..]: SQL array subscripts are 0-based in Spark
-    // while the anchor convention here (and DuckDB's t[i]) is 1-based
-    val anchors = phrase.zipWithIndex.map { case (w, j) =>
-      if (j == 0) s"element_at(t, i) = '$w'"
-      else s"element_at(t, i + $j) = '$w'"
-    }.mkString(" AND ")
+    // the token array is LET-BOUND as a lambda variable (the
+    // winnowFpsOf idiom): a projection alias would be CollapseProject-
+    // inlined into the filter lambda's BODY and re-tokenize the text
+    // per anchor position — O(len²) interpreted eval per doc (the
+    // plan-hygiene net catches exactly this). element_at, not t[..]:
+    // SQL array subscripts are 0-based while the anchor convention
+    // here (and DuckDB's t[i]) is 1-based.
+    val hits = transform(array(tokensCol), t =>
+      when(size(t) >= k,
+        filter(sequence(lit(1), size(t) - (k - 1)), i =>
+          phrase.zipWithIndex.map { case (w, j) =>
+            element_at(t, (i + lit(j)).cast("int")) === lit(w)
+          }.reduce(_ && _)))
+        .otherwise(array().cast("array<int>"))).getItem(0)
     docs
-      .withColumn("t", tokensCol)
-      .withColumn("hits",
-        expr(s"""CASE WHEN size(t) >= $k THEN
-                 |  filter(sequence(1, size(t) - ${k - 1}),
-                 |         i -> $anchors)
-                 |ELSE array() END""".stripMargin))
+      .select(col("doc_id"), hits.as("hits"))
       .filter(size(col("hits")) > 0)
       .select(col("doc_id"),
         size(col("hits")).cast("long").as("n_matches"),

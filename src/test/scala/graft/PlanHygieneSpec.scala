@@ -102,7 +102,16 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_hour_profile",
     // broadcast |cuts|-row dimension against the TakeOrdered-bounded
     // top-maxCut type frame — the q_autocorr lag-dim class
-    "q_vocab_curve")
+    "q_vocab_curve",
+    // per-candidate 1-row (n_child) × 1-row (n_contained) scalar
+    // crossJoins — the 1-row scalar-reduction class
+    "q_ind_audit",
+    // per-candidate 1-row (n_rows) × 1-row (n_distinct) scalar
+    // crossJoins — same class
+    "q_key_profile",
+    // bounded md5 query panel (raw vectors + ADC tables) against the
+    // coded corpus scan — the q_ivf_recall panel-kernel class
+    "q_pq_recall")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
