@@ -1740,4 +1740,64 @@ object Streams {
       .transformWithState(new ReservoirProcessor(n),
         TimeMode.None(), OutputMode.Update())
   }
+
+  case class Touch(t_us: Long, t_id: Long, channel: String)
+  case class TouchState(touches: Seq[Touch])
+  case class AttributionCredit(p_id: Long, user_id: Long,
+      first_channel: String, last_channel: String)
+
+  /** Streaming FIRST/LAST-TOUCH ATTRIBUTION — the real-time face of
+    * [[graft.operators.Behavioral.attribution]]: per user the state is
+    * the non-purchase touches still inside the lookback horizon; each
+    * purchase emits its credit row the moment it arrives (earliest and
+    * latest touch in [p − lookback, p), strict on the left of the
+    * purchase — an equal-timestamp touch earns nothing, matching the
+    * batch operator's t_s < p_s). Touches older than the newest
+    * event's lookback prune immediately (an in-order log can never
+    * credit them again), so state per user is bounded by the user's
+    * activity inside one lookback window. Parity law: on an in-order
+    * log, per-channel credit counts ≡ the batch operator's ledger
+    * (including the "(none)" row). */
+  class AttributionProcessor(lookbackUs: Long)
+      extends StatefulProcessor[Long, Event, AttributionCredit] {
+    @transient private var state: ValueState[TouchState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TouchState]("touches",
+        Encoders.product[TouchState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[AttributionCredit] = {
+      var touches = if (state.exists) state.get().touches else Seq.empty
+      val out = Seq.newBuilder[AttributionCredit]
+      rows.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        if (e.event_type == "purchase") {
+          val cands = touches.filter(t =>
+            t.t_us < us && t.t_us >= us - lookbackUs)
+          if (cands.isEmpty)
+            out += AttributionCredit(e.event_id, key, "(none)", "(none)")
+          else {
+            val first = cands.minBy(t => (t.t_us, t.t_id))
+            val last = cands.maxBy(t => (t.t_us, t.t_id))
+            out += AttributionCredit(e.event_id, key,
+              first.channel, last.channel)
+          }
+        } else {
+          touches = touches :+ Touch(us, e.event_id, e.event_type)
+        }
+        // an in-order log can never credit a touch older than the
+        // newest event's horizon — prune keeps state window-bounded
+        touches = touches.filter(_.t_us >= us - lookbackUs)
+      }
+      state.update(TouchState(touches))
+      out.result().iterator
+    }
+  }
+
+  def attributionStream(spark: SparkSession, events: Dataset[Event],
+      lookbackDays: Int = 7): Dataset[AttributionCredit] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor(
+        lookbackDays * 86400000000L), TimeMode.None(), OutputMode.Append())
+  }
 }

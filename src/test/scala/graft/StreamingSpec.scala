@@ -2013,4 +2013,48 @@ class StreamingSpec extends AnyFunSuite {
       case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming attribution credits equal the batch ledger on the " +
+    "in-order log; every purchase emits exactly one credit row") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val all = graft.sources.Tables.events(sp, sf)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      val input = MemoryStream[Event]
+      val q = Streams.attributionStream(sp, input.toDS())
+        .writeStream.format("memory").queryName("attr_out")
+        .outputMode("append").start()
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val credits = sp.sql("SELECT * FROM attr_out").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+      q.stop()
+      val nPurch = all.count(_.event_type == "purchase")
+      assert(credits.length === nPurch,
+        "exactly one credit row per purchase")
+      assert(credits.map(_._1).distinct.length === nPurch)
+      val firstCounts = credits.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val lastCounts = credits.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val batch = graft.operators.Behavioral.attribution(sp, sf).collect()
+      batch.foreach { r =>
+        val ch = r.getAs[String]("channel")
+        assert(firstCounts.getOrElse(ch, 0L) === r.getAs[Long]("first_touch"),
+          s"first-touch ledger for $ch")
+        assert(lastCounts.getOrElse(ch, 0L) === r.getAs[Long]("last_touch"),
+          s"last-touch ledger for $ch")
+      }
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
