@@ -489,11 +489,15 @@ object ExprRuntime {
 
   /** Packed phrase scan kernel; see [[PhrasePack]]. Tokenization
     * matches the declarative scan's `split(lower(trim(text)), "\s+")`
-    * (ROOT-locale lowercase, limit −1 split after trim — trailing
-    * empties cannot occur post-trim). */
+    * EXACTLY by reusing the same UTF8String primitives Spark's own
+    * trim/lower compile to: `UTF8String.trim()` strips only space
+    * (U+0020) — unlike `java.lang.String.trim`, which also strips
+    * \t/\n/\r and would DROP the leading empty token the SQL split
+    * keeps on tab-prefixed docs, shifting first_pos — and
+    * `UTF8String.toLowerCase()` is the identical lowercase path
+    * (ASCII fast path, default-locale fallback) as SQL `lower`. */
   def phrasePack(text: UTF8String, phrase: Array[String]): Long = {
-    val toks = text.toString.trim
-      .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    val toks = text.trim().toLowerCase().toString.split("\\s+", -1)
     val k = phrase.length
     var count = 0L
     var first = 0L

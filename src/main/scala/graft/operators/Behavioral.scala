@@ -573,18 +573,6 @@ object Behavioral {
       .orderBy(col("cohort_mi"), col("offset"))
   }
 
-  /** REPEAT-PURCHASE LATENCY per market segment: day gaps between a
-    * customer's consecutive orders, summarized as count / min / max /
-    * EXACT MEDIAN / mean. The median is rank-exact but never sorts a
-    * segment's raw gaps in one partition: the cumulative window runs
-    * over the per-(segment, gap-value) DISTINCT-VALUE relation (gap
-    * values are bounded by the calendar, so this is tiny) and the
-    * median is the first value whose cumulative count reaches
-    * ⌈n/2⌉ — the q_quality_tiers construction. The per-customer lag
-    * window follows the documented keyed-window contract (a customer's
-    * orders, not a segment's). Ties in order dates are broken by order
-    * key; the GAP MULTISET is invariant to tie order, so the summary
-    * is total-order stable. */
   /** FIRST/LAST-TOUCH CONVERSION ATTRIBUTION: every purchase credits
     * the user's earliest non-purchase event inside the 7-day lookback
     * (first touch) and the latest one before conversion (last touch);
@@ -643,6 +631,18 @@ object Behavioral {
     Seq("(none)").toDF("channel")
   }
 
+  /** REPEAT-PURCHASE LATENCY per market segment: day gaps between a
+    * customer's consecutive orders, summarized as count / min / max /
+    * EXACT MEDIAN / mean. The median is rank-exact but never sorts a
+    * segment's raw gaps in one partition: the cumulative window runs
+    * over the per-(segment, gap-value) DISTINCT-VALUE relation (gap
+    * values are bounded by the calendar, so this is tiny) and the
+    * median is the first value whose cumulative count reaches
+    * ⌈n/2⌉ — the q_quality_tiers construction. The per-customer lag
+    * window follows the documented keyed-window contract (a customer's
+    * orders, not a segment's). Ties in order dates are broken by order
+    * key; the GAP MULTISET is invariant to tie order, so the summary
+    * is total-order stable. */
   def orderGaps(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))

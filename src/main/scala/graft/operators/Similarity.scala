@@ -1163,33 +1163,53 @@ object Similarity {
       .orderBy(col("label"))
   }
 
-  /** Lloyd over ONE PQ subspace: plain-L2 k-means on the `colName`
-    * subvector column (PQ codebooks are unnormalized means, unlike the
-    * cosine-space [[trainCentroids]]). Deterministic seeds (smallest
-    * vec_ids); per iteration one assignment scan + one ≤k-row collect.
-    * Ties in the argmin go to the LOWEST code (array_position returns
-    * the first minimum) — assignment is a pure function of the data. */
-  private def trainSubCodebook(spark: SparkSession, subs: DataFrame,
-      colName: String, k: Int, iters: Int): Array[Array[Double]] = {
+  /** Lloyd over ALL m PQ subspaces FUSED into one job per iteration:
+    * plain-L2 k-means on each `s0..s{m−1}` subvector column (PQ
+    * codebooks are unnormalized means, unlike the cosine-space
+    * [[trainCentroids]]). Deterministic seeds (smallest vec_ids, one
+    * pass for all m); per iteration ONE assignment scan that computes
+    * every subspace's argmin code, explodes to an (sub, code,
+    * subvector) relation — m rows per vector, still the same single
+    * scan — and aggregates every (sub, code) cell in one groupBy,
+    * followed by one ≤m·k-row collect. m×iters jobs → iters jobs:
+    * at toy scale the 12-job driver overhead was two-thirds of
+    * q_pq_codes' wall; at 100 TB it is m− 1 redundant full scans per
+    * iteration. Ties in the argmin go to the LOWEST code
+    * (array_position returns the first minimum) — assignment is a
+    * pure function of the data, and per-cell sums use the same
+    * VectorSum merge as the unfused trainer, so codebooks are
+    * unchanged. */
+  private def trainCodebooks(spark: SparkSession, subs: DataFrame,
+      m: Int, k: Int, iters: Int): IndexedSeq[Array[Array[Double]]] = {
     import spark.implicits._
-    var cents = subs.orderBy(col("vec_id")).limit(k)
-      .select(col(colName)).as[Array[Double]].collect()
-    val dim = cents.headOption.map(_.length).getOrElse(0)
-    def l2(c: Array[Double]): Column =
-      expr(s"aggregate(zip_with($colName, " +
-        s"array(${c.mkString(",")}), (a, b) -> (a - b) * (a - b)), " +
-        "0D, (acc, x) -> acc + x)")
-    for (_ <- 0 until iters if cents.nonEmpty) {
-      val dists = array(cents.toIndexedSeq.map(l2): _*)
-      val means = subs.withColumn("dists", dists)
-        .withColumn("code", expr("array_position(dists, array_min(dists))"))
-        .groupBy(col("code"))
-        .agg(graft.functions.Aggregates.vectorSum(col(colName), dim).as("s"),
+    val seedRows = subs.orderBy(col("vec_id")).limit(k)
+      .select((0 until m).map(i => col(s"s$i")): _*).collect()
+    var cents: IndexedSeq[Array[Array[Double]]] = (0 until m).map(i =>
+      seedRows.map(_.getSeq[Double](i).toArray))
+    if (seedRows.isEmpty) return cents
+    val dim = cents(0).headOption.map(_.length).getOrElse(0)
+    for (_ <- 0 until iters) {
+      // bind each subspace's distance array to a named column so the
+      // argmin reads it once (let-binding, not a repeated subtree)
+      val withDists = (0 until m).foldLeft(subs) { (df, i) =>
+        df.withColumn(s"d$i", array(cents(i).toIndexedSeq.map(c =>
+          expr(s"aggregate(zip_with(s$i, array(${c.mkString(",")}), " +
+            "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")): _*))
+      }
+      val cells = (0 until m).map(i =>
+        struct(lit(i).as("sub"),
+          expr(s"array_position(d$i, array_min(d$i))").as("code"),
+          col(s"s$i").as("sv")))
+      val means = withDists
+        .select(explode(array(cells: _*)).as("cell"))
+        .select(col("cell.sub"), col("cell.code"), col("cell.sv"))
+        .groupBy(col("sub"), col("code"))
+        .agg(graft.functions.Aggregates.vectorSum(col("sv"), dim).as("s"),
           count(lit(1)).as("n"))
-        .as[(Long, Array[Double], Long)].collect()
-        .map { case (b, s, n) => b -> s.map(_ / n) }.toMap
-      cents = cents.indices.map(i =>
-        means.getOrElse(i + 1L, cents(i))).toArray
+        .as[(Int, Long, Array[Double], Long)].collect()
+        .map { case (i, b, s, n) => (i, b) -> s.map(_ / n) }.toMap
+      cents = (0 until m).map(i => cents(i).indices.map(j =>
+        means.getOrElse((i, j + 1L), cents(i)(j))).toArray)
     }
     cents
   }
@@ -1238,8 +1258,7 @@ object Similarity {
       col("vec_id") +: (0 until m).map(i =>
         expr(s"slice(v, ${i * sub + 1}, $sub)").as(s"s$i")): _*)
       .localCheckpoint()
-    val codebooks = (0 until m).map(i =>
-      trainSubCodebook(spark, subs, s"s$i", codebookK, iters))
+    val codebooks = trainCodebooks(spark, subs, m, codebookK, iters)
     val coded = (0 until m).foldLeft(subs) { (df, i) =>
       val dists = array(codebooks(i).toIndexedSeq.map(c =>
         expr(s"aggregate(zip_with(s$i, array(${c.mkString(",")}), " +
@@ -1305,13 +1324,27 @@ object Similarity {
       .orderBy(col("adc"), col("vec_id"))
     val wE = Window.partitionBy(col("q_id"))
       .orderBy(col("exact"), col("vec_id"))
-    val ranked = scored
+    // Rank each leg in its OWN projection with the rank cut adjacent
+    // to its window, so InferWindowGroupLimit pushes BOTH cuts (an
+    // OR-of-two-ranks filter over one frame can push neither — a row
+    // failing one rank may pass the other, leaving two full
+    // panel-partition sorts). Each leg is a partial per-partition
+    // top-k + one k-row window; the overlap join is nQueries·k rows.
+    val adcTop = scored.select(col("q_id"), col("vec_id"), col("adc"))
       .withColumn("ra", row_number().over(wA))
+      .filter(col("ra") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val exactTop = scored.select(col("q_id"), col("vec_id"), col("exact"))
       .withColumn("re", row_number().over(wE))
-      .filter(col("ra") <= k || col("re") <= k)
-    val perQuery = ranked
+      .filter(col("re") <= k)
+      .select(col("q_id"), col("vec_id"))
+    // exact leg carries the panel (≥1 row per query whenever the
+    // corpus has a non-self row), so zero-overlap queries keep recall 0
+    val perQuery = exactTop
+      .join(adcTop.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"),
+        "left")
       .groupBy(col("q_id"))
-      .agg((sum(when(col("ra") <= k && col("re") <= k, 1L).otherwise(0L))
+      .agg((sum(coalesce(col("hit"), lit(0L)))
         .cast("double") / k).as("recall"))
     perQuery.agg(count(lit(1)).as("n_queries"), lit(k.toLong).as("k"),
       round(avg(col("recall")), 6).as("mean_recall"),

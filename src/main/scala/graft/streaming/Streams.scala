@@ -1715,8 +1715,15 @@ object Streams {
       val st = if (state.exists) state.get()
         else ReservoirState(0L, Seq.empty)
       val fresh = rows.map { d =>
-        val w = math.max(
-          d.text.trim.toLowerCase.split("\\s+").length.toLong, 1L)
+        // EXACT batch-twin tokenization (greatest(size(split(lower(
+        // trim(text)), "\s+")), 1)): UTF8String.trim strips only
+        // space (SQL trim) — Java String.trim would also eat \t/\n/\r
+        // and drop the leading empty token SQL keeps — UTF8String
+        // .toLowerCase is SQL lower's exact path, and limit −1 keeps
+        // trailing empties like SQL split does
+        val w = math.max(org.apache.spark.unsafe.types.UTF8String
+          .fromString(d.text).trim().toLowerCase().toString
+          .split("\\s+", -1).length.toLong, 1L)
         ReservoirEntry(esKey(d.doc_id, w), d.doc_id, w)
       }.toSeq
       val merged = (st.entries ++ fresh)

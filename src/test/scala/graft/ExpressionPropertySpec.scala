@@ -197,12 +197,23 @@ class ExpressionPropertySpec extends AnyFunSuite {
     assert(pack("short", Seq("table", "scan")) === ((0L, 0L)))
     assert(pack("", Seq("x")) === ((0L, 0L)))
     assert(pack("  TABLE   SCAN  ", Seq("table", "scan")) === ((1L, 1L)))
+    // SQL trim strips ONLY spaces: a tab-prefixed doc keeps its leading
+    // empty token under split(lower(trim(text)), "\s+"), shifting
+    // first_pos to 2 — the kernel must agree (Java String.trim would
+    // eat the tab and report 1)
+    assert(pack("\ttable scan", Seq("table", "scan")) === ((1L, 2L)))
+    assert(pack("table scan\n", Seq("table", "scan")) === ((1L, 1L)))
     // parity with the declarative scan over generated token soup —
     // exercised THROUGH SQL so the codegen path compiles and runs
     val words = Seq("table", "scan", "a", "b")
+    // every 4th doc gets non-space leading/trailing whitespace — SQL
+    // trim keeps it, so the empty-token positions must match too
+    val wraps = Seq(("", ""), ("\t", ""), ("", "\n"), ("\t ", " \r"))
     val docs = (0 until 200).map { i =>
       val r = new scala.util.Random(i.toLong)
-      (i.toLong, Seq.fill(r.nextInt(30))(words(r.nextInt(4))).mkString(" "))
+      val (pre, post) = wraps(i % 4)
+      (i.toLong, pre +
+        Seq.fill(r.nextInt(30))(words(r.nextInt(4))).mkString(" ") + post)
     }.toDF("doc_id", "text")
     val viaNative = docs
       .withColumn("pack", phrasePack(col("text"), Seq("table", "scan")))

@@ -308,6 +308,16 @@ class PlanHygieneSpec extends AnyFunSuite {
       assert(plan.contains("WindowGroupLimit"),
         s"$q: expected WindowGroupLimit in:\n$plan")
     }
+    // the PQ-ADC recall audit ranks its ADC leg and its exact leg in
+    // SEPARATE projections, each with its rank cut adjacent — BOTH
+    // legs must net a WindowGroupLimit (an OR-of-two-ranks filter
+    // over one frame pushes neither and fully sorts each panel slice)
+    val pqPlan = SparkEntry.queries("q_pq_recall")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val wglCount = "WindowGroupLimit".r.findAllIn(pqPlan).size
+    assert(wglCount >= 2,
+      s"q_pq_recall: expected both rank legs to plan WindowGroupLimit " +
+        s"(found $wglCount):\n$pqPlan")
     // the persisted-index probe faces (library operators — same law)
     graft.operators.Similarity.buildIvfIndex(spark, sf, "wgl_ivf",
       nBuckets = 2)

@@ -2014,6 +2014,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("reservoir weight tokenization matches the batch n_tokens on " +
+    "whitespace-prefixed docs (SQL trim is space-only: a tab-prefixed " +
+    "doc keeps its leading empty token, so the ES key must too)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val n = 3
+      val synth = Seq(
+        Streams.LangDoc(1L, "en", "\talpha beta gamma"), // leading tab
+        Streams.LangDoc(2L, "en", "alpha beta\n"),       // trailing \n
+        Streams.LangDoc(3L, "en", "  alpha beta  "),     // spaces: trimmed
+        Streams.LangDoc(4L, "en", "alpha\tbeta gamma delta"),
+        Streams.LangDoc(5L, "en", ""))
+      val input = MemoryStream[Streams.LangDoc]
+      val q = Streams.reservoirStream(sp, input.toDS(), n)
+        .writeStream.format("memory").queryName("res_ws_out")
+        .outputMode("update").start()
+      input.addData(synth.toIndexedSeq)
+      q.processAllAvailable()
+      val rows = sp.sql("SELECT * FROM res_ws_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4)))
+      q.stop()
+      val maxRev = rows.map(_._2).max
+      val streamed = rows.filter(_._2 == maxRev)
+        .map(r => (r._1, r._3, r._4, r._5)).toSet
+      val docs = synth.toDF("doc_id", "lang", "text")
+        .select(col("doc_id"), col("lang"),
+          greatest(size(split(lower(trim(col("text"))), "\\s+"))
+            .cast("long"), lit(1L)).as("n_tokens"))
+      val batch = graft.operators.Sampling
+        .weightedSamplePerGroup(docs, "doc_id", "n_tokens", "lang", n)
+        .collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("es_key"), r.getAs[Long]("n_tokens"))).toSet
+      assert(streamed == batch,
+        s"whitespace-prefixed token counts diverged: $streamed vs $batch")
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming attribution credits equal the batch ledger on the " +
     "in-order log; every purchase emits exactly one credit row") {
     val sp = spark
