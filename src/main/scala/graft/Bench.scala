@@ -22,12 +22,24 @@ object Bench {
     }
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // steady state = min of two timed runs (absorbs GC/scheduler noise)
+    // steady state = MEDIAN of N timed runs (default 3): host load
+    // swings single-run walls ±25% (r9 measured 210-267 s full-bench
+    // spread at identical recorded loads), so a min-of-2 artifact
+    // cannot attribute per-query regressions — the median over N with
+    // min/max spread in the artifact is what makes a round-over-round
+    // comparison adjudicatable without solo replays
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
     // Session state accumulated by one query must not be billed to the
     // next: iterative operators localCheckpoint (pinned block-manager
@@ -55,15 +67,17 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     val loadStart = loadAvg
-    val results = queries.map { case (name, fn) =>
+    val stats = queries.map { case (name, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
       resetSessionState()
-      val t1 = timeOnce(fn)
-      resetSessionState()
-      val t2 = timeOnce(fn)
-      resetSessionState()
-      name -> math.min(t1, t2)
+      val times = (1 to reps).map { _ =>
+        val t = timeOnce(fn)
+        resetSessionState()
+        t
+      }
+      name -> ((median(times), times.min, times.max))
     }
+    val results = stats.map { case (n, (med, _, _)) => n -> med }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The harness captures only a bounded output tail (observed: 2000
     // chars, with sbt's "[success] ..." line inside it). Emit per-query
@@ -83,17 +97,28 @@ object Bench {
     // null rather than a value tooling could mistake for a real
     // quiet-machine reading
     def fmtLoad(v: Double): String = if (v < 0) "null" else fmt(v)
-    def render(entries: Seq[(String, Double)], omitted: Int): String = {
+    def render(entries: Seq[(String, Double)], omitted: Int,
+        withSpread: Boolean): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+      // the file artifact carries the full per-query spread; the
+      // bounded stdout line keeps only medians
+      val spread = if (!withSpread) "" else {
+        val st = entries.map { case (k, _) =>
+          val (med, mn, mx) = stats(k)
+          "\"" + k + "\":{\"med\":" + fmt(med) + ",\"min\":" + fmt(mn) +
+            ",\"max\":" + fmt(mx) + "}"
+        }.mkString("{", ",", "}")
+        s""","reps":$reps,"query_spread":$st"""
+      }
       val extra = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"load_avg_start":${fmtLoad(loadStart)},"load_avg_end":${fmtLoad(loadAvg)},"queries":$qs$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"load_avg_start":${fmtLoad(loadStart)},"load_avg_end":${fmtLoad(loadAvg)},"queries":$qs$extra$spread,"sf":"$sfDir"}"""
     }
-    var line = render(sorted, 0)
+    var line = render(sorted, 0, withSpread = false)
     var keep = sorted.size
     while (line.length > budget && keep > 1) {
       keep -= 1
-      line = render(sorted.take(keep), sorted.size - keep)
+      line = render(sorted.take(keep), sorted.size - keep, withSpread = false)
     }
     // The stdout line interleaves with log4j output (round 6's harness
     // tail glued a WARN line in front of the JSON and parsed null), so:
@@ -103,7 +128,7 @@ object Bench {
     // logger interleaving. Path override via SPARK_GRAFT_BENCH_OUT.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (render(sorted, 0) + "\n").getBytes("UTF-8"))
+      (render(sorted, 0, withSpread = true) + "\n").getBytes("UTF-8"))
     println("\n" + line)
     spark.stop()
   }
