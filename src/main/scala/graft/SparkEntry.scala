@@ -323,6 +323,11 @@ object SparkEntry {
     "q_fertility" -> ((s: SparkSession, d: String) => TextAnalysis.tokenFertility(s, d)),
     "q_minhash_est_audit" -> ((s: SparkSession, d: String) => Dedup.minhashEstAudit(s, d)),
     "q_ivf_recall" -> ((s: SparkSession, d: String) => Similarity.ivfRecallAudit(s, d)),
+    // r10: the IVF-PQ COMPOSITION — posting lists carry PQ codes, not
+    // raw vectors; probes score by ADC tables with an exact-rerank
+    // refine face (rows-only: float Lloyd + ADC; semantics in
+    // IvfPqSpec's lossless parity + drift/retrain fixtures)
+    "q_ivfpq_recall" -> ((s: SparkSession, d: String) => Similarity.ivfPqRecallAudit(s, d)),
     // r8 continuation 2: encoding hygiene, structural text stats,
     // n-gram eval kernel, gaps-and-islands, dyadic EWMA
     "q_mojibake" -> ((s: SparkSession, d: String) => TextAnalysis.mojibakeScreen(s, d)),

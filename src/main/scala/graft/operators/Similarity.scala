@@ -1350,4 +1350,429 @@ object Similarity {
       round(avg(col("recall")), 6).as("mean_recall"),
       round(min(col("recall")), 6).as("min_recall"))
   }
+
+  // ──────────────────────────────────────────────────────────────────
+  // IVF-PQ: the composed index — IVF posting lists whose entries are
+  // PQ CODES, not raw vectors (Jégou et al., TPAMI 2011). The raw IVF
+  // index stores a unit vector per posting (dim doubles); at 10⁹+
+  // vectors the posting bytes are the serving bill. Here a posting is
+  // m small codes (m longs; 4×4 bits of information at the default
+  // config against 64 doubles — the memory story the PQ docstring
+  // promises), probes score via per-query ADC tables against the PQ
+  // codebook, and an optional rerank stage fetches ONLY the top
+  // candidates' full vectors from a side table keyed by id. Same
+  // epoch-pin maintenance protocol as the raw IVF family: append under
+  // frozen codebooks, tombstone deletes, retrain = one rebase commit.
+  // ──────────────────────────────────────────────────────────────────
+
+  /** Loaded PQ codebook of index `name` at pin `pin`: m × K × (dim/m)
+    * doubles — driver-bounded (K·dim values, never corpus rows); the
+    * generation is the pin's rebase cut, matching [[loadCentroids]]. */
+  private def loadPqCodebooks(spark: SparkSession, name: String,
+      pin: Long): IndexedSeq[Array[Array[Double]]] = {
+    import spark.implicits._
+    val gen = graft.sources.FormatIO.rebaseEpochOf(spark, name, pin)
+    val rows = spark.table(s"${name}_pq")
+      .filter(col("epoch") === gen)
+      .select(col("sub"), col("code"), col("centroid"))
+      .as[(Int, Long, Array[Double])].collect()
+    val m = if (rows.isEmpty) 0 else rows.map(_._1).max + 1
+    (0 until m).map(i => rows.filter(_._1 == i).sortBy(_._2).map(_._3))
+  }
+
+  /** Encode normalized vectors (vec_id, vn [, keep…]) to (vec_id,
+    * codes [, keep…]): per-subspace L2 argmin against the broadcast
+    * codebooks — one row-local pass, ties to the lowest code
+    * (array_position). */
+  private def pqEncode(normed: DataFrame,
+      codebooks: IndexedSeq[Array[Array[Double]]],
+      keep: Seq[String] = Seq.empty): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val withDists = (0 until m).foldLeft(
+      (0 until m).foldLeft(normed) { (df, i) =>
+        df.withColumn(s"s$i", expr(s"slice(vn, ${i * sub + 1}, $sub)"))
+      }) { (df, i) =>
+      df.withColumn(s"d$i", array(codebooks(i).toIndexedSeq.map(c =>
+        expr(s"aggregate(zip_with(s$i, array(${c.mkString(",")}), " +
+          "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")): _*))
+    }
+    withDists.withColumn("codes", array((0 until m).map(i =>
+        expr(s"array_position(d$i, array_min(d$i))")): _*)
+      .cast("array<long>"))
+      .select(col("vec_id") +: col("codes") +: keep.map(col): _*)
+  }
+
+  /** Build the persisted IVF-PQ index: IVF centroids (cosine Lloyd,
+    * as [[buildIvfIndex]]) + PQ codebooks (L2 Lloyd per subspace over
+    * the NORMALIZED vectors, the fused [[trainCodebooks]]); postings
+    * store (bucket, id_b, codes) bucketed by posting list — the
+    * compressed serving layout — and the full unit vectors land in a
+    * SEPARATE `_vecs` side table bucketed by id, read only by the
+    * rerank stage and by retrain (the refine pattern: codes in RAM,
+    * raw on disk, fetched per-candidate). */
+  def buildIvfPqIndex(spark: SparkSession, dir: String, name: String,
+      nCentroids: Int = 16, kmeansIters: Int = 3, nBuckets: Int = 8,
+      m: Int = 4, codebookK: Int = 16, pqIters: Int = 3): Unit = {
+    import spark.implicits._
+    val normed = vecs(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+          .as("vn"))
+      .localCheckpoint()
+    val centroids = trainCentroids(spark, normed, nCentroids, kmeansIters)
+    centroids.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c) }.toSeq
+      .toDF("bucket", "centroid")
+      .withColumn("epoch", lit(0L))
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_centroids")
+    val dim = normed.select(size(col("vn"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(centroids.isEmpty || dim % m == 0,
+      s"embedding dim $dim not divisible by m=$m")
+    val subCols = (0 until m).foldLeft(normed) { (df, i) =>
+      df.withColumn(s"s$i", expr(s"slice(vn, ${i * (dim / m) + 1}, ${dim / m})"))
+    }
+    val codebooks =
+      if (centroids.isEmpty) IndexedSeq.empty[Array[Array[Double]]]
+      else trainCodebooks(spark, subCols, m, codebookK, pqIters)
+    codebooks.zipWithIndex.flatMap { case (cb, i) =>
+      cb.zipWithIndex.map { case (c, j) => (i, (j + 1).toLong, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .withColumn("epoch", lit(0L))
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_pq")
+    val postings =
+      if (centroids.isEmpty)
+        normed.select(col("vec_id").as("id_b"),
+          lit(null).cast("array<long>").as("codes"), lit(0L).as("bucket"))
+          .limit(0)
+      else {
+        val dots = array(centroids.toIndexedSeq.map(c =>
+          dotProduct(col("vn"), typedlit(c.toSeq))): _*)
+        val assigned = normed.withColumn("dots", dots)
+          .withColumn("bucket",
+            expr("array_position(dots, array_max(dots))").cast("long"))
+          .select(col("vec_id"), col("vn"), col("bucket"))
+        pqEncode(assigned, codebooks, keep = Seq("bucket"))
+          .select(col("vec_id").as("id_b"), col("codes"), col("bucket"))
+      }
+    graft.sources.FormatIO.writeBucketed(
+      postings.withColumn("epoch", lit(0L)), s"${name}_postings",
+      "bucket", nBuckets, sortCol = Some("bucket"))
+    graft.sources.FormatIO.writeBucketed(
+      normed.select(col("vec_id").as("id_b"), col("vn").as("vb"))
+        .withColumn("epoch", lit(0L)),
+      s"${name}_vecs", "id_b", nBuckets, sortCol = Some("id_b"))
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "id_b")
+    graft.sources.FormatIO.initIndexEpoch(spark, name)
+  }
+
+  /** DELTA APPEND into the IVF-PQ index: bucket under the frozen IVF
+    * centroids, encode under the frozen PQ codebooks (append never
+    * retrains — the [[appendToIvfIndex]] contract), postings and full
+    * vectors land in their own bucket layouts under one epoch. */
+  def appendToIvfPqIndex(spark: SparkSession, name: String,
+      batch: DataFrame): Unit = {
+    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
+    val centroids = loadCentroids(spark, name, pin)
+    val codebooks = loadPqCodebooks(spark, name, pin)
+    require(centroids.nonEmpty && codebooks.nonEmpty,
+      s"appendToIvfPqIndex($name): index has no codebooks (built on an " +
+        "empty corpus) — rebuild on a non-empty corpus before appending")
+    val dots = array(centroids.toIndexedSeq.map(c =>
+      dotProduct(col("vn"), typedlit(c.toSeq))): _*)
+    val assigned = batch
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+          .as("vn"))
+      .withColumn("dots", dots)
+      .withColumn("bucket",
+        expr("array_position(dots, array_max(dots))").cast("long"))
+      .select(col("vec_id"), col("vn"), col("bucket"))
+      .localCheckpoint()
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_postings", s"${name}_vecs"))
+    graft.sources.FormatIO.appendBucketed(spark,
+      pqEncode(assigned, codebooks, keep = Seq("bucket"))
+        .select(col("vec_id").as("id_b"), col("codes"), col("bucket"))
+        .withColumn("epoch", lit(e)),
+      s"${name}_postings")
+    graft.sources.FormatIO.appendBucketed(spark,
+      assigned.select(col("vec_id").as("id_b"), col("vn").as("vb"))
+        .withColumn("epoch", lit(e)),
+      s"${name}_vecs")
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
+  }
+
+  /** TOMBSTONE-DELETE from the IVF-PQ index — postings AND the vector
+    * side table share one tombstone set (both read through the same
+    * anti-join). */
+  def deleteFromIvfPqIndex(spark: SparkSession, name: String,
+      vecIds: DataFrame): Unit = {
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_tombstones"))
+    graft.sources.FormatIO.appendTombstones(spark,
+      vecIds.select(col("vec_id").as("id_b")).distinct()
+        .withColumn("epoch", lit(e)),
+      s"${name}_tombstones")
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e)
+  }
+
+  /** Physically erase tombstoned entries from postings and the vector
+    * side table; reset the tombstones. */
+  def purgeIvfPqTombstones(spark: SparkSession, name: String)
+      : (graft.sources.FormatIO.TableCompactStats,
+        graft.sources.FormatIO.TableCompactStats) = {
+    val tomb = spark.table(s"${name}_tombstones").localCheckpoint()
+    val p = graft.sources.FormatIO.purgeBucketedTable(spark,
+      s"${name}_postings", tomb, "id_b")
+    val v = graft.sources.FormatIO.purgeBucketedTable(spark,
+      s"${name}_vecs", tomb, "id_b")
+    graft.sources.FormatIO.initTombstones(spark, s"${name}_tombstones",
+      "id_b")
+    (p, v)
+  }
+
+  /** RETRAIN the IVF-PQ index in place — the [[retrainIvfIndex]] verb
+    * for the compressed family: Lloyd over the LIVE full vectors (the
+    * `_vecs` side table minus tombstones — the codes are lossy, so
+    * retrain reads the raw side, never reconstructs), new IVF
+    * centroids + new PQ codebooks + fully re-encoded postings staged
+    * at one epoch and published with a single REBASE commit. The
+    * `_vecs` table itself is NOT rewritten (vectors don't change on
+    * retrain); it stays append-only under [[pinnedAt]] reads. */
+  def retrainIvfPqIndex(spark: SparkSession, name: String,
+      nCentroids: Int = 16, kmeansIters: Int = 3,
+      m: Int = 4, codebookK: Int = 16, pqIters: Int = 3): Unit = {
+    val e = stageRetrainIvfPq(spark, name, nCentroids, kmeansIters, m,
+      codebookK, pqIters)
+    graft.sources.FormatIO.commitIndexEpoch(spark, name, e, rebase = true)
+  }
+
+  /** Staging phase of [[retrainIvfPqIndex]] (two-phase hook so specs
+    * can interleave a pinned probe between stage and commit). */
+  def stageRetrainIvfPq(spark: SparkSession, name: String,
+      nCentroids: Int, kmeansIters: Int, m: Int, codebookK: Int,
+      pqIters: Int): Long = {
+    import spark.implicits._
+    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
+    val live = graft.sources.FormatIO.pinnedAt(spark, s"${name}_vecs", pin)
+      .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_tombstones",
+        pin), Seq("id_b"), "left_anti")
+      .select(col("id_b").as("vec_id"), col("vb").as("vn"))
+      .localCheckpoint()
+    val centroids = trainCentroids(spark, live, nCentroids, kmeansIters)
+    require(centroids.nonEmpty,
+      s"retrainIvfPqIndex($name): no live vectors to train on")
+    val dim = live.select(size(col("vn"))).limit(1).collect()
+      .head.getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val subCols = (0 until m).foldLeft(live) { (df, i) =>
+      df.withColumn(s"s$i", expr(s"slice(vn, ${i * (dim / m) + 1}, ${dim / m})"))
+    }
+    val codebooks = trainCodebooks(spark, subCols, m, codebookK, pqIters)
+    val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
+      Seq(s"${name}_postings", s"${name}_centroids", s"${name}_pq"))
+    centroids.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c) }.toSeq
+      .toDF("bucket", "centroid")
+      .withColumn("epoch", lit(e))
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(s"${name}_centroids")
+    spark.catalog.refreshTable(s"${name}_centroids")
+    codebooks.zipWithIndex.flatMap { case (cb, i) =>
+      cb.zipWithIndex.map { case (c, j) => (i, (j + 1).toLong, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .withColumn("epoch", lit(e))
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(s"${name}_pq")
+    spark.catalog.refreshTable(s"${name}_pq")
+    val dots = array(centroids.toIndexedSeq.map(c =>
+      dotProduct(col("vn"), typedlit(c.toSeq))): _*)
+    val assigned = live.withColumn("dots", dots)
+      .withColumn("bucket",
+        expr("array_position(dots, array_max(dots))").cast("long"))
+      .select(col("vec_id"), col("vn"), col("bucket"))
+      .localCheckpoint()
+    graft.sources.FormatIO.appendBucketed(spark,
+      pqEncode(assigned, codebooks, keep = Seq("bucket"))
+        .select(col("vec_id").as("id_b"), col("codes"), col("bucket"))
+        .withColumn("epoch", lit(e)),
+      s"${name}_postings")
+    e
+  }
+
+  /** Space reclamation after IVF-PQ retrains: drop superseded
+    * generations from the postings plus the small codebook tables
+    * (`_vecs` is never rebased — nothing stale to drop there). */
+  def purgeIvfPqStaleGenerations(spark: SparkSession, name: String)
+      : graft.sources.FormatIO.TableCompactStats = {
+    val stats = graft.sources.FormatIO.purgeStaleGenerations(spark, name,
+      s"${name}_postings")
+    val gen = graft.sources.FormatIO.rebaseEpochOf(spark, name,
+      graft.sources.FormatIO.committedEpoch(spark, name))
+    for (t <- Seq(s"${name}_centroids", s"${name}_pq")) {
+      val kept = spark.table(t).filter(col("epoch") === gen)
+        .localCheckpoint()
+      kept.write.format("parquet")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(t)
+      spark.catalog.refreshTable(t)
+    }
+    stats
+  }
+
+  /** Probe the IVF-PQ index: queries explode to their nProbe nearest
+    * lists exactly as [[probeIvfIndexOn]]; candidates score by ADC —
+    * per query, an m × K table of subvector·codeword dot products
+    * (row-local against the broadcast codebook), each posting's score
+    * is m table lookups on its codes, NO vector math per candidate —
+    * and the per-query rank cut sits adjacent to its window
+    * (WindowGroupLimit). With `rerank > 0` the top `rerank` ADC
+    * candidates per query fetch their full vectors from the `_vecs`
+    * side table (a bucketed equi-join on id — candidate-mass I/O, not
+    * corpus I/O) and re-rank by exact cosine to k: the refine stage
+    * that buys back quantization error at the cost of rerank·|queries|
+    * row lookups. */
+  def probeIvfPqIndex(spark: SparkSession, name: String,
+      queries: DataFrame, k: Int = 3, nProbe: Int = 8,
+      rerank: Int = 0): DataFrame = {
+    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
+    val centroids = loadCentroids(spark, name, pin)
+    val codebooks = loadPqCodebooks(spark, name, pin)
+    val normQ = queries.select(col("vec_id"),
+      expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+        .as("vn"))
+    if (centroids.isEmpty || codebooks.isEmpty)
+      return normQ.select(col("vec_id").as("id_a"),
+        col("vec_id").as("id_b"), lit(0.0).as("score"), lit(0L).as("rank"))
+        .limit(0)
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val dots = array(centroids.toIndexedSeq.map(c =>
+      dotProduct(col("vn"), typedlit(c.toSeq))): _*)
+    // per-query ADC tables: t_i[c] = dot(query subvector i, codeword c)
+    // — computed ONCE per (query, probe) row, broadcast-literal
+    // codebooks, no per-candidate vector arithmetic downstream
+    val probed = (0 until m).foldLeft(
+      normQ.withColumn("dots", dots)
+        .withColumn("bucket", explode(expr(
+          s"""transform(
+             |  slice(array_sort(zip_with(dots, sequence(1, ${centroids.length}),
+             |    (d, i) -> struct(-d AS nd, i AS idx))), 1, $nProbe),
+             |  s -> CAST(s.idx AS BIGINT))""".stripMargin)))) { (df, i) =>
+      df.withColumn(s"t$i", array(codebooks(i).toIndexedSeq.map(c =>
+        dotProduct(expr(s"slice(vn, ${i * sub + 1}, $sub)"),
+          typedlit(c.toSeq))): _*))
+    }.select(col("vec_id").as("id_a") +: col("vn").as("va") +:
+      col("bucket") +: (0 until m).map(i => col(s"t$i")): _*)
+    val indexed = graft.sources.FormatIO.pinnedSince(spark,
+        s"${name}_postings",
+        graft.sources.FormatIO.rebaseEpochOf(spark, name, pin), pin)
+      .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_tombstones",
+        pin), Seq("id_b"), "left_anti")
+    val cut = if (rerank > 0) math.max(rerank, k) else k
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("adc").desc, col("id_b"))
+    val adcTop = probed.join(indexed, Seq("bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("adc", (0 until m).map(i =>
+        element_at(col(s"t$i"), element_at(col("codes"), i + 1)
+          .cast("int"))).reduce(_ + _))
+      .select(col("id_a"), col("va"), col("id_b"), col("adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= cut)
+    if (rerank <= 0)
+      adcTop.select(col("id_a"), col("id_b"),
+        round(col("adc"), 6).as("score"), col("rank"))
+    else {
+      val vecsT = graft.sources.FormatIO.pinnedAt(spark, s"${name}_vecs",
+        pin)
+      val wx = Window.partitionBy(col("id_a"))
+        .orderBy(col("cos").desc, col("id_b"))
+      adcTop.select(col("id_a"), col("va"), col("id_b"))
+        .join(vecsT, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          dotProduct(col("va"), col("vb")).as("cos"))
+        .withColumn("rank", row_number().over(wx).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("id_a"), col("id_b"),
+          round(col("cos"), 6).as("score"), col("rank"))
+    }
+  }
+
+  /** IVF-PQ RECALL AUDIT — [[checkIvfRecall]] for the compressed
+    * family, measuring BOTH faces of the compression trade on a
+    * deterministic md5 panel of live vectors: `recall_adc` (pure
+    * code-table scoring — what the RAM-resident serving tier sees) and
+    * `recall_rerank` (ADC shortlist 4k wide, exact refine — what the
+    * probe-with-refine deployment sees) against exact top-k over the
+    * live full vectors. `retrain_recommended` fires on the REFINED
+    * recall undershooting target: rerank is the shipped read path, and
+    * a shortlist that misses is the signal codebooks drifted. */
+  def checkIvfPqRecall(spark: SparkSession, name: String,
+      target: Double = 0.8, k: Int = 3, nProbe: Int = 8,
+      sampleN: Int = 64): DataFrame = {
+    import spark.implicits._
+    val pin = graft.sources.FormatIO.committedEpoch(spark, name)
+    val live = graft.sources.FormatIO.pinnedAt(spark, s"${name}_vecs", pin)
+      .join(graft.sources.FormatIO.pinnedAt(spark, s"${name}_tombstones",
+        pin), Seq("id_b"), "left_anti")
+      .select(col("id_b"), col("vb"))
+      .localCheckpoint()
+    val sample = graft.operators.Sampling.md5TopN(live, "id_b", sampleN)
+      .select(col("id_b").as("vec_id"), col("vb").as("v"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b"))
+    val exact = sample
+      .select(col("vec_id").as("id_a"), col("v").as("va"))
+      .crossJoin(live)
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        dotProduct(col("va"), col("vb")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val nExact = exact.count()
+    def recallOf(hitsDf: DataFrame): Double = {
+      val hits = hitsDf.select(col("id_a"), col("id_b"))
+        .join(exact, Seq("id_a", "id_b"), "left_semi").count()
+      if (nExact == 0) 1.0
+      else BigDecimal(hits.toDouble / nExact)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // the probe normalizes internally; stored vectors are already unit
+    // so the re-normalize is an exact no-op modulo last-ulp — the
+    // sample feeds the probe as raw (vec_id, v), the public face
+    val rAdc = recallOf(probeIvfPqIndex(spark, name, sample, k, nProbe))
+    val rRefine = recallOf(probeIvfPqIndex(spark, name, sample, k, nProbe,
+      rerank = 4 * k))
+    val nSample = sample.count()
+    Seq((nSample, nExact, k.toLong, rAdc, rRefine, rRefine < target))
+      .toDF("n_sample", "n_exact", "k", "recall_adc", "recall_rerank",
+        "retrain_recommended")
+  }
+
+  private val ivfPqRecallCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** Query-surface instance of [[checkIvfPqRecall]] — stage the
+    * compressed index once per session, emit the two-face recall row.
+    * Rows-only (float Lloyd + ADC); semantics are IvfPqSpec's planted
+    * lossless fixture and the real-data bound below. */
+  def ivfPqRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val name = ivfPqRecallCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir), _ => {
+        val n = "graft_ivfpqrec_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        buildIvfPqIndex(spark, dir, n)
+        n
+      })
+    checkIvfPqRecall(spark, name)
+  }
 }
