@@ -1,12 +1,14 @@
 #!/usr/bin/env python3
-"""sf0.5 oracle spot-sweep (round-9 verdict item #5).
+"""sf0.5 oracle spot-sweep (round-9 verdict item #5, widened to ~40
+keys in round 10 per verdict item #7).
 
-Runs the 15 heaviest ORACLE queries' DuckDB SQL against the generated
+Runs the selected ORACLE queries' DuckDB SQL against the generated
 sf0.5 tables (graft.tools.GenData — real key growth, not replication),
 compares against the Spark dumps from `graft.Verify <sf05> <out> <keys>`,
-and writes CORRECTNESS_SF05_r9.json with per-query match + both
-engines' wall seconds. Queries run longest-expected-first so the
-all-pairs naive oracles (jaccard/edit) overlap the rest of the round.
+and writes CORRECTNESS_SF05_r{N}.json with per-query match + both
+engines' wall seconds. Queries run cheapest-expected-first so the
+all-pairs naive oracles (jaccard/edit/ER) overlap the rest of the round
+and a wall-clock cutoff loses only them.
 
 usage: python3 sf05_oracle_sweep.py <sf05_dir> <spark_out_dir> <result_json>
 """
@@ -19,6 +21,18 @@ sf, out, result_path = sys.argv[1], sys.argv[2], sys.argv[3]
 # (quadratic BY DESIGN — the engine's prefix-filter/deletion-variant
 # plans are the point) run last so a wall-clock cutoff loses only them
 ORDER = [
+    # r10 widening: behavioral / profiling / temporal / search /
+    # federation families that had never seen a real SF bump
+    "q_rfm_segments", "q_attribution", "q_ltv_cohort", "q_order_gaps",
+    "q_growth_accounting", "q_stickiness", "q_power_users",
+    "q_churn_labels", "q_retention", "q_funnel_windowed",
+    "q_markov_transitions", "q_ab_lift",
+    "q_fd_audit", "q_ind_audit", "q_key_profile",
+    "q_interval_coalesce", "q_peak_concurrency", "q_session_paths",
+    "q_bm25", "q_phrase_search", "q_phrase_native",
+    "q_quality_tiers", "q_gopher_rules", "q_hybrid_rrf",
+    "q_federated_quantiles", "q_federated_topk",
+    # the r9 set
     "q_dsir_select", "q_dup_spans", "q_winnow_candidates",
     "q_containment_join", "q_split_leakage", "q_basket_rules",
     "q_degree_hist", "q_clustering_coeff", "q_triangle_count",

@@ -1505,6 +1505,43 @@ object Streams {
       }
       .start()
 
+  /** Streaming append into the persisted IVF-PQ index (rows: vec_id,
+    * v) — the TENTH family's ingest half: frozen IVF centroids place
+    * the bucket, frozen PQ codebooks encode the codes, the full vector
+    * lands in the `_vecs` rerank side table; all row-local against
+    * broadcast codebooks, O(batch) per wave. See
+    * [[minhashAppendStream]] for the shared at-least-once contract
+    * (a replayed posting widens a shortlist but rerank re-scores by
+    * exact cosine, and the ADC face dedups on (id_a, id_b) ranks). */
+  def ivfPqAppendStream(spark: SparkSession, vectors: DataFrame,
+      indexName: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.appendToIvfPqIndex(spark, indexName,
+          batch)
+      }
+      .start()
+
+  /** Streaming ANN against the PERSISTED IVF-PQ index: each
+    * micro-batch of query vectors scores its nProbe lists by ADC and
+    * appends per-query top-k (exact-reranked when `rerank > 0`) — the
+    * compressed-family twin of [[ivfProbeStream]], same foreachBatch
+    * shape, code postings never reshuffle. */
+  def ivfPqProbeStream(spark: SparkSession, queries: DataFrame,
+      indexName: String, outPath: String, checkpoint: String,
+      k: Int = 3, nProbe: Int = 8, rerank: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.probeIvfPqIndex(spark, indexName,
+            batch, k, nProbe, rerank)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   case class ViewPtr(view_id: Long, view_ts: Timestamp)
   case class AsOfMatch(event_id: Long, user_id: Long, ts: Timestamp,
       last_view_id: Option[Long], last_view_ts: Option[Timestamp])

@@ -1314,6 +1314,71 @@ class StreamingSpec extends AnyFunSuite {
         s"only-batch=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming IVF-PQ append + probe: stream-appended waves match a " +
+    "one-shot batch append posting for posting (frozen codebooks make " +
+    "encode row-local), and the micro-batched ADC probe equals the " +
+    "batch probe — the tenth family on the full streaming contract") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // two indexes built on the SAME corpus: deterministic Lloyd seeds
+    // make their IVF centroids and PQ codebooks identical, so the only
+    // difference is HOW the appends arrive
+    graft.operators.Similarity.buildIvfPqIndex(sp, sf, "ivfpq_stream_a")
+    graft.operators.Similarity.buildIvfPqIndex(sp, sf, "ivfpq_stream_b")
+    val fresh = sp.read.parquet(s"$sf/embeddings.parquet")
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .limit(40)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ivfpqa-ck").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.ivfPqAppendStream(sp,
+      input.toDF().toDF("vec_id", "v"), "ivfpq_stream_a", ckpt)
+    fresh.grouped(20).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    graft.operators.Similarity.appendToIvfPqIndex(sp, "ivfpq_stream_b",
+      fresh.toSeq.toDF("vec_id", "v"))
+    val queries = fresh.take(10).toSeq.toDF("vec_id", "v")
+    def probe(name: String, rerank: Int) =
+      graft.operators.Similarity.probeIvfPqIndex(sp, name, queries,
+          k = 3, nProbe = 4, rerank = rerank)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    for (rr <- Seq(0, 6)) {
+      val a = probe("ivfpq_stream_a", rr)
+      val b = probe("ivfpq_stream_b", rr)
+      assert(a.nonEmpty)
+      assert(a == b, s"rerank=$rr: streamed appends diverged from the " +
+        s"batch append: only-stream=${(a -- b).take(3)} " +
+        s"only-batch=${(b -- a).take(3)}")
+    }
+    // probe stream face: micro-batched queries ≡ one batch probe
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-ivfpqp-out").toString
+    val ckpt2 = java.nio.file.Files
+      .createTempDirectory("graft-ivfpqp-ck").toString
+    val qin = MemoryStream[(Long, Seq[Double])]
+    val pq = Streams.ivfPqProbeStream(sp,
+      qin.toDF().toDF("vec_id", "v"), "ivfpq_stream_a", out, ckpt2,
+      k = 3, nProbe = 4, rerank = 6)
+    fresh.take(10).grouped(5).foreach { chunk =>
+      qin.addData(chunk.toIndexedSeq)
+      pq.processAllAvailable()
+    }
+    pq.stop()
+    val streamed = sp.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(streamed == probe("ivfpq_stream_a", 6),
+      "micro-batched IVF-PQ probe diverged from the batch probe")
+  }
+
   test("streaming markov deltas sum to the batch transition counts on the " +
     "real log; late events never count backwards") {
     val sp = spark
