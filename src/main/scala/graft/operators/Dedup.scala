@@ -50,13 +50,92 @@ object Dedup {
     shingledOf(Tables.documents(spark, dir))
 
   /** doc_id (+payload cols) exploded to (band_id, band_sig) bucket keys. */
-  private def banded(df: DataFrame): DataFrame =
-    df.withColumn("sig", minhashSignature(col("shingles"), K))
+  private def banded(df: DataFrame): DataFrame = bandedWith(df, K, BANDS)
+
+  /** [[banded]] under an explicit (signature width, band count) plan —
+    * the hook [[lshBandPlan]]'s chosen (b, r) feeds. */
+  private def bandedWith(df: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val r = k / bands
+    df.withColumn("sig", minhashSignature(col("shingles"), k))
       .withColumn("band", explode(expr(
-        s"transform(sequence(0, ${BANDS - 1}), " +
-          s"b -> struct(b AS band_id, xxhash64(slice(sig, b * ${K / BANDS} + 1, ${K / BANDS})) AS band_sig))")))
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> struct(b AS band_id, xxhash64(slice(sig, b * $r + 1, $r)) AS band_sig))")))
       .select(col("doc_id"), col("shingles"),
         col("band.band_id"), col("band.band_sig"))
+  }
+
+  /** LSH BAND-PLAN TUNER: for a fixed signature width k, every legal
+    * (bands b, rows-per-band r = k/b) split and its S-curve anatomy —
+    * P(candidate | Jaccard s) = 1 − (1 − s^r)^b — as closed forms:
+    * `threshold` = (1/b)^(1/r) (the curve's steepest point, ≈ where
+    * catch probability crosses 1 − 1/e), `p_at_tau` = the catch
+    * probability AT the caller's target threshold, `s_at_recall` = the
+    * smallest similarity caught with probability ≥ pRecall (solve
+    * P(s) = p ⇒ s = (1 − (1−p)^(1/b))^(1/r)), and `p_noise` = the
+    * false-candidate probability at τ/2 (the pair-mass bill: expected
+    * spurious candidates ≈ pairs(s≈τ/2) · p_noise). Pick the row whose
+    * threshold brackets your τ with acceptable noise — the choice the
+    * shipped 8×4 default froze at τ ≈ 0.59 becomes an informed,
+    * per-corpus knob. Pure math on the driver (k rows), but spec-tied
+    * to the REAL [[minhashSignature]] kernel by Monte-Carlo: empirical
+    * band-collision rates of planted-similarity pairs must track the
+    * formula. */
+  def lshBandPlan(spark: SparkSession, tau: Double, k: Int = K,
+      pRecall: Double = 0.95): DataFrame = {
+    import spark.implicits._
+    require(k > 0 && tau > 0.0 && tau < 1.0)
+    require(pRecall > 0.0 && pRecall < 1.0)
+    (1 to k).filter(k % _ == 0).map { b =>
+      val r = k / b
+      def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      (b, r,
+        BigDecimal(math.pow(1.0 / b, 1.0 / r))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(p(tau))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(math.pow(1.0 - math.pow(1.0 - pRecall, 1.0 / b), 1.0 / r))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(p(tau / 2))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("bands", "rows_per_band", "threshold", "p_at_tau",
+      "s_at_recall", "p_noise")
+  }
+
+  /** The tuner's argmax: the (bands, rowsPerBand) split of width-k
+    * signatures whose catch probability at `tau` is highest among
+    * plans whose noise catch at τ/2 stays under `maxNoise` — "catch
+    * everything at τ, pay bounded spurious pair mass"; falls back to
+    * the steepest-threshold-closest plan when no plan meets the noise
+    * budget. */
+  def chooseLshPlan(tau: Double, k: Int = K,
+      maxNoise: Double = 0.05): (Int, Int) = {
+    val plans = (1 to k).filter(k % _ == 0).map { b =>
+      val r = k / b
+      def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      (b, r, p(tau), p(tau / 2), math.pow(1.0 / b, 1.0 / r))
+    }
+    val eligible = plans.filter(_._4 <= maxNoise)
+    val pick =
+      if (eligible.nonEmpty) eligible.maxBy(_._3)
+      else plans.minBy(pl => math.abs(pl._5 - tau))
+    (pick._1, pick._2)
+  }
+
+  /** [[minhashPairsOf]] under a tuned band plan: k = bands·rowsPerBand
+    * minhash permutations, banded by the caller's (typically
+    * [[chooseLshPlan]]-picked) split. Same candidate semantics — every
+    * pair sharing ≥ 1 band bucket, distinct-ed. */
+  def minhashPairsWithPlan(docs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bd = bandedWith(shingledOf(docs), bands * rowsPerBand, bands)
+      .select("doc_id", "band_id", "band_sig")
+    val a = bd.select(col("doc_id").as("doc_a"), col("band_id"), col("band_sig"))
+    val b = bd.select(col("doc_id").as("doc_b"), col("band_id"), col("band_sig"))
+    a.join(b, Seq("band_id", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
 
   /** The exact-dup digest expression over a `text` column — shared by
     * [[exact]], [[keepBest]], the persisted digest relation and the

@@ -17,6 +17,91 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.filter(col("doc_a") >= col("doc_b")).count() == 0)
   }
 
+  test("lsh band-plan tuner: closed forms are internally consistent, " +
+    "the chooser respects the noise budget, and the S-curve tracks " +
+    "the REAL minhash kernel's empirical band-collision rate on " +
+    "known-similarity synthetic pairs") {
+    val sp = spark
+    import sp.implicits._
+    val plans = Dedup.lshBandPlan(spark, tau = 0.6, k = 32).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(plans.map(p => p._1 * p._2).forall(_ == 32))
+    plans.foreach { case (b, r, thr, pTau, sRec, pNoise) =>
+      def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      // threshold = steepest point; catch probability there is
+      // 1 - (1 - 1/b)^b ∈ [0.5, 1 - 1/e] for b ≥ 1
+      assert(math.abs(p(math.pow(1.0 / b, 1.0 / r)) -
+        (1.0 - math.pow(1.0 - 1.0 / b, b))) < 1e-9)
+      // s_at_recall inverts P: catching at that similarity ≥ pRecall
+      assert(p(sRec) >= 0.95 - 1e-4, s"b=$b r=$r: P($sRec)=${p(sRec)}")
+      assert(pNoise <= pTau + 1e-12, "noise catch cannot exceed tau catch")
+      // b=1 (a single AND-band) degenerates to threshold exactly 1.0
+      assert(thr > 0.0 && (thr < 1.0 || b == 1))
+    }
+    // chooser: eligible plans respect the noise budget and maximize
+    // catch at tau; the shipped 8x4 default is what tau≈0.59 picks
+    val (b1, r1) = Dedup.chooseLshPlan(tau = 0.59, k = 32,
+      maxNoise = 0.05)
+    def pOf(b: Int, r: Int, s: Double) =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    assert(pOf(b1, r1, 0.295) <= 0.05, "chosen plan busts the noise budget")
+    val better = (1 to 32).filter(32 % _ == 0).map(b => (b, 32 / b))
+      .filter { case (b, r) => pOf(b, r, 0.295) <= 0.05 }
+      .maxBy { case (b, r) => pOf(b, r, 0.59) }
+    assert((b1, r1) == better, s"chooser is not argmax: ($b1,$r1) vs $better")
+    // Monte-Carlo against the REAL kernel: synthetic shingle sets with
+    // planted Jaccard s (share s·n of n hashes), banded by the actual
+    // minhashSignature expression — empirical collision rate must
+    // track 1-(1-s^r)^b within CLT noise
+    val nPairs = 400
+    val nSh = 200
+    for (s <- Seq(0.4, 0.7); (b, r) <- Seq((8, 4), (16, 2))) {
+      // |A|=|B|=nSh, |A∩B|=shared ⇒ J = shared/(2·nSh − shared); solve
+      // for the planted target s (trueJ below recomputes the exact J)
+      val shared = (2.0 * nSh * s / (1 + s)).round.toInt
+      val rows = (0 until nPairs).flatMap { i =>
+        val base = i.toLong * 1000000L
+        val inter = (0 until shared).map(j => base + j)
+        val onlyA = (0 until nSh - shared).map(j => base + 1000 + j)
+        val onlyB = (0 until nSh - shared).map(j => base + 2000 + j)
+        Seq((2L * i, inter ++ onlyA), (2L * i + 1, inter ++ onlyB))
+      }
+      val trueJ = shared.toDouble / (shared + 2 * (nSh - shared))
+      val df = rows.toDF("doc_id", "shingles")
+        .withColumn("shingles", col("shingles").cast("array<long>"))
+      val k = b * r
+      val bandsDf = df
+        .withColumn("sig", minhashSignature(col("shingles"), k))
+        .withColumn("band", explode(expr(
+          s"transform(sequence(0, ${b - 1}), " +
+            s"x -> struct(x AS band_id, xxhash64(slice(sig, x * $r + 1, $r)) AS band_sig))")))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_sig"))
+      val hits = bandsDf.as("x").join(bandsDf.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_sig") === col("y.band_sig") &&
+            col("x.doc_id") + 1 === col("y.doc_id") &&
+            pmod(col("x.doc_id"), lit(2)) === 0)
+        .select(col("x.doc_id")).distinct().count()
+      val empirical = hits.toDouble / nPairs
+      val formula = 1.0 - math.pow(1.0 - math.pow(trueJ, r), b)
+      val tol = 4 * math.sqrt(formula * (1 - formula) / nPairs) + 0.03
+      assert(math.abs(empirical - formula) <= tol,
+        s"S-curve drift at J=$trueJ b=$b r=$r: empirical=$empirical " +
+          s"formula=$formula tol=$tol")
+    }
+    // the tuned-pairs entry point catches planted near-dups
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely unrelated text about spark catalyst optimizers")
+    ).toDF("doc_id", "text")
+    val tuned = Dedup.minhashPairsWithPlan(docs, bands = 16,
+      rowsPerBand = 2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tuned.contains((1L, 2L)), "tuned plan must catch the near-dup")
+    assert(!tuned.contains((1L, 3L)) && !tuned.contains((2L, 3L)))
+  }
+
   test("ngram jaccard on candidates is within (0,1] and candidates overlap") {
     val j = Dedup.ngramJaccard(spark, sf)
     assert(j.count() > 0)
