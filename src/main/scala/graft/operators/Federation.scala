@@ -255,15 +255,25 @@ object Federation {
   /** The central MG merge over a per-site summary panel
     * (site, summary: array<(item, cnt)>, n): pointwise add + (k+1)-cut.
     * Shared by [[federatedHeavyHitters]] and the audit query. */
-  private def mergeMgPanel(perSite: DataFrame, k: Int): DataFrame = {
-    val totals = perSite.agg(sum(col("n")).as("n_total"))
-    val added = perSite
-      .select(explode(col("summary")).as("e"))
-      .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
-      .groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
-    // the (k+1)-largest summed counter, 0 when ≤ k items survive the
-    // add — orderBy+limit plans as TakeOrderedAndProject (top-N over
-    // the ≤ sites·k panel, no global-sort Exchange)
+  private def mergeMgPanel(perSite: DataFrame, k: Int): DataFrame =
+    mergeSiteSummaries(
+      perSite.select(col("site"), col("n"), explode(col("summary")).as("e"))
+        .select(col("site"), col("e.item").as("item"),
+          col("e.cnt").as("cnt"), col("n")),
+      k)
+
+  /** Central MG merge over FLAT summary rows (site, item, cnt, n) —
+    * the shape [[graft.streaming.Streams.mgSummaryStream]] emits (take
+    * each site's latest revision) and any external consortium feed
+    * lands as. Pointwise add (groupBy item), then the (k+1)-largest
+    * summed counter subtracts from everything (0 when ≤ k items
+    * survive — a TakeOrderedAndProject over the ≤ sites·(k+1) panel,
+    * no global-sort Exchange), positives kept: Agarwal et al.'s
+    * mergeable-summaries rule, total undercount ≤ N/(k+1). */
+  def mergeSiteSummaries(rows: DataFrame, k: Int): DataFrame = {
+    val totals = rows.groupBy(col("site")).agg(max(col("n")).as("n"))
+      .agg(sum(col("n")).as("n_total"))
+    val added = rows.groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
     val cutVal = added.orderBy(col("cnt").desc).limit(k + 1)
       .agg(when(count(lit(1)) === k + 1, min(col("cnt")))
         .otherwise(lit(0L)).as("cut"))

@@ -1785,6 +1785,73 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class SiteItem(site: String, item: String)
+  case class MgEntry(item: String, cnt: Long)
+  case class MgState(rev: Long, n: Long, entries: Seq[MgEntry])
+  case class MgSummaryRow(site: String, rev: Long, item: String,
+      cnt: Long, n: Long)
+
+  /** Streaming per-site MISRA–GRIES summary — the live face of
+    * [[graft.operators.Federation.federatedHeavyHitters]]: each site's
+    * event stream folds into a capacity-k MG counter map (the exact
+    * update rule of the batch `heavyHitters` aggregate: increment if
+    * tracked, insert while < k slots, else decrement-all-and-drop),
+    * and every micro-batch emits the full summary under a new
+    * revision so a sink isolates the LIVE summary per site (the
+    * reservoir emission discipline) and ships it to the consortium
+    * merge ([[graft.operators.Federation]]'s pointwise-add +
+    * (k+1)-cut) — federated top-k that is always current, rows still
+    * never leaving their site. State is ≤ k entries + two longs per
+    * site FOREVER. Guarantees: while a site's distinct items ≤ k the
+    * summary IS its exact counts (bit-equal to the batch groupBy);
+    * saturated, every counter undercounts by ≤ n_site/(k+1) and any
+    * item with frequency > n_site/(k+1) is tracked — the same MG
+    * bound the central merge composes to N/(k+1). Restart-safe
+    * (transformWithState versions state per batch); duplicate SOURCE
+    * deliveries count twice, exactly as they would in the batch
+    * aggregate fed the same duplicated rows. */
+  class MgSummaryProcessor(k: Int)
+      extends StatefulProcessor[String, SiteItem, MgSummaryRow] {
+    @transient private var state: ValueState[MgState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[MgState]("mg",
+        Encoders.product[MgState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[SiteItem],
+        timers: TimerValues): Iterator[MgSummaryRow] = {
+      val st = if (state.exists) state.get() else MgState(0L, 0L, Seq.empty)
+      val buf = scala.collection.mutable.HashMap
+        .from(st.entries.map(e => e.item -> e.cnt))
+      var n = st.n
+      rows.foreach { r =>
+        n += 1
+        buf.get(r.item) match {
+          case Some(c) => buf(r.item) = c + 1
+          case None if buf.size < k => buf(r.item) = 1L
+          case None =>
+            val dead = List.newBuilder[String]
+            buf.foreach { case (item, c) =>
+              if (c == 1L) dead += item else buf(item) = c - 1
+            }
+            dead.result().foreach(buf.remove)
+        }
+      }
+      val rev = st.rev + 1
+      val entries = buf.toSeq.sortBy { case (i, c) => (-c, i) }
+        .map { case (i, c) => MgEntry(i, c) }
+      state.update(MgState(rev, n, entries))
+      entries.iterator.map(e => MgSummaryRow(key, rev, e.item, e.cnt, n))
+    }
+  }
+
+  def mgSummaryStream(spark: SparkSession, items: Dataset[SiteItem],
+      k: Int = 64): Dataset[MgSummaryRow] = {
+    import spark.implicits._
+    items.groupByKey(_.site)
+      .transformWithState(new MgSummaryProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class Touch(t_us: Long, t_id: Long, channel: String)
   case class TouchState(touches: Seq[Touch])
   case class AttributionCredit(p_id: Long, user_id: Long,

@@ -2126,6 +2126,80 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming per-site MG summaries: exact regime is bit-equal to " +
+    "the batch counts, the saturated regime honors the per-site MG " +
+    "bound, and the latest revisions compose through the central " +
+    "consortium merge to pooled-count accuracy") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val prior = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val k = 8
+      // site A: 5 distinct items (exact regime at k=8); site B: 40
+      // distinct + a planted heavy item (saturated regime)
+      val aRows = (0 until 200).map(i =>
+        Streams.SiteItem("siteA", s"a${i % 5}"))
+      val bRows = (0 until 300).map(i =>
+        Streams.SiteItem("siteB",
+          if (i % 3 == 0) "HEAVY" else s"b${i % 40}"))
+      val all = new scala.util.Random(7).shuffle(aRows ++ bRows)
+      val input = MemoryStream[Streams.SiteItem]
+      val q = Streams.mgSummaryStream(sp, input.toDS(), k)
+        .writeStream.format("memory").queryName("mg_out")
+        .outputMode("update").start()
+      all.grouped(120).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val rows = sp.sql("SELECT * FROM mg_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4)))
+      val latest = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val maxRev = rs.map(_._2).max
+        rs.filter(_._2 == maxRev).toSeq
+      }
+      // site A (unsaturated): summary ≡ exact counts, n exact
+      val aGot = latest.filter(_._1 == "siteA")
+        .map(r => r._3 -> r._4).toMap
+      val aExact = aRows.groupBy(_.item).view.mapValues(_.size.toLong).toMap
+      assert(aGot == aExact, s"unsaturated site diverged: $aGot vs $aExact")
+      assert(latest.filter(_._1 == "siteA").forall(_._5 == 200L))
+      // site B (saturated): ≤ k entries, every counter undercounts by
+      // ≤ n_B/(k+1), the heavy item (100 > 300/9) is tracked
+      val bGot = latest.filter(_._1 == "siteB")
+        .map(r => r._3 -> r._4).toMap
+      val bExact = bRows.groupBy(_.item).view.mapValues(_.size.toLong).toMap
+      assert(bGot.size <= k)
+      val bBound = 300.0 / (k + 1)
+      bGot.foreach { case (item, est) =>
+        val ex = bExact.getOrElse(item, 0L)
+        assert(est <= ex, s"$item: $est overcounts $ex")
+        assert(ex - est <= bBound, s"$item undercount ${ex - est} > $bBound")
+      }
+      assert(bGot.contains("HEAVY"), "planted heavy item must be tracked")
+      // the live summaries compose through the consortium merge
+      val merged = graft.operators.Federation.mergeSiteSummaries(
+        latest.toDF("site", "rev", "item", "cnt", "n"), k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val pooledExact = (aRows ++ bRows).groupBy(_.item)
+        .view.mapValues(_.size.toLong).toMap
+      val nBound = 500.0 / (k + 1)
+      merged.foreach { case (item, est) =>
+        val ex = pooledExact.getOrElse(item, 0L)
+        assert(est <= ex && ex - est <= nBound,
+          s"merged $item: est=$est exact=$ex bound=$nBound")
+      }
+      assert(merged.contains("HEAVY"))
+    } finally prior match {
+      case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming attribution credits equal the batch ledger on the " +
     "in-order log; every purchase emits exactly one credit row") {
     val sp = spark
