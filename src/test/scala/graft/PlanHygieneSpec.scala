@@ -111,7 +111,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_key_profile",
     // bounded md5 query panel (raw vectors + ADC tables) against the
     // coded corpus scan — the q_ivf_recall panel-kernel class
-    "q_pq_recall")
+    "q_pq_recall",
+    // broadcast 1-row (k+1)-cut scalar and 1-row site-total against
+    // the ≤ sites·(k+1) MG panel — the 1-row scalar-reduction class
+    "q_federated_topk")
 
   test("no query plans a cartesian product; nested-loop only where documented") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
@@ -333,6 +336,28 @@ class PlanHygieneSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(ivfProbe.contains("WindowGroupLimit"),
       s"probeIvfIndexOn: expected WindowGroupLimit in:\n$ivfProbe")
+    // the compressed family's probe: ADC rank cut must push on both
+    // faces, and the rerank face's exact re-rank cut too
+    graft.operators.Similarity.buildIvfPqIndex(spark, sf, "wgl_ivfpq",
+      nBuckets = 2)
+    val pqProbe = graft.operators.Similarity
+      .probeIvfPqIndex(spark, "wgl_ivfpq", qvecs)
+      .queryExecution.executedPlan.toString
+    assert(pqProbe.contains("WindowGroupLimit"),
+      s"probeIvfPqIndex(adc): expected WindowGroupLimit in:\n$pqProbe")
+    val pqRerank = graft.operators.Similarity
+      .probeIvfPqIndex(spark, "wgl_ivfpq", qvecs, rerank = 6)
+      .queryExecution.executedPlan.toString
+    val pqWgl = "WindowGroupLimit".r.findAllIn(pqRerank).size
+    assert(pqWgl >= 2,
+      s"probeIvfPqIndex(rerank): both rank cuts must push " +
+        s"(found $pqWgl):\n$pqRerank")
+    // federated top-k: the (k+1)-cut and the final top-N must plan as
+    // TakeOrderedAndProject, never a global sort over the panel
+    val topk = SparkEntry.queries("q_federated_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(topk.contains("TakeOrderedAndProject"),
+      s"q_federated_topk: expected TakeOrderedAndProject in:\n$topk")
     val srchProbe = graft.operators.Search
       .probeSearchIndexMany(spark, "wgl_srch", qterms)
       .queryExecution.executedPlan.toString
