@@ -251,6 +251,9 @@ object SparkEntry {
     "q_rfm_segments" -> ((s: SparkSession, d: String) => Behavioral.rfmSegments(s, d)),
     "q_burst_days" -> ((s: SparkSession, d: String) => Behavioral.burstDays(s, d)),
     "q_gini_sources" -> ((s: SparkSession, d: String) => Quality.giniSources(s, d)),
+    // r10: the curve behind the gini scalar — source-concentration
+    // Lorenz points in token-mass order (the mixture-audit picture)
+    "q_lorenz_sources" -> ((s: SparkSession, d: String) => Quality.lorenzSources(s, d)),
     "q_length_buckets" -> ((s: SparkSession, d: String) => Sampling.lengthBuckets(s, d)),
     // rows-only: within-batch dedup runs the component fixpoint (no
     // clean SQL form); the defining law — increment == full rebuild
@@ -1255,6 +1258,27 @@ object SparkEntry {
         | round(CAST(sum((2 * i - n - 1) * x) AS DOUBLE)
         |   / (max(n) * sum(x)), 6) AS gini
         |FROM r""".stripMargin,
+    // Lorenz points: sources in ascending token-mass order, exact
+    // integer cumulative sums divided once at the output edge
+    "q_lorenz_sources" ->
+      """WITH ps AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(greatest(len(string_split_regex(lower(trim(text)),
+        |    '\s+')), 1)) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY 1),
+        |r AS (
+        | SELECT source, n_docs, n_tokens,
+        |  CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT)
+        |    AS i,
+        |  CAST(count(*) OVER () AS BIGINT) AS n,
+        |  sum(n_tokens) OVER (ORDER BY n_tokens, source
+        |    ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+        |  sum(n_tokens) OVER () AS tot
+        | FROM ps)
+        |SELECT source, n_docs, n_tokens,
+        | round(CAST(i AS DOUBLE) / n, 6) AS cum_source_share,
+        | round(CAST(cum_tokens AS DOUBLE) / tot, 6) AS cum_token_share
+        |FROM r ORDER BY cum_source_share""".stripMargin,
     "q_length_buckets" ->
       """WITH d AS (
         | SELECT CAST(len(string_split_regex(lower(trim(text)), '\s+'))

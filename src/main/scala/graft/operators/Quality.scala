@@ -455,6 +455,44 @@ object Quality {
         round(col("gini_num").cast("double") / col("gini_den"), 6))
   }
 
+  /** SOURCE-CONCENTRATION LORENZ CURVE — the curve behind
+    * [[giniSources]]'s scalar: sources ordered by ascending TOKEN mass
+    * (the Lorenz order), each row carrying the cumulative source share
+    * and the cumulative token share — the picture a data-mixture audit
+    * reads before setting [[Sampling.mixtureWeights]]: how far the
+    * curve bows below the diagonal is how much of the corpus a handful
+    * of sources own. Shares are exact-integer cumulative sums divided
+    * once at the output edge (round 6); token mass uses the repo's
+    * standard tokenization (greatest(size(split(lower(trim), ws)), 1)).
+    * Scale shape: one map-side-combined per-source aggregate, then one
+    * rank window over the |sources| dimension relation under a
+    * non-foldable constant key — the [[giniSources]] class. */
+  def lorenzSources(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"),
+        greatest(size(split(lower(trim(col("text"))), "\\s+")).cast("long"),
+          lit(1L)).as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_tokens"))
+    def oneGroup = pmod(length(col("source")), lit(1))
+    val w = Window.partitionBy(oneGroup)
+      .orderBy(col("n_tokens"), col("source"))
+    val wAll = Window.partitionBy(oneGroup)
+    perSource
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_sources", count(lit(1)).over(wAll))
+      .withColumn("tot_tokens", sum(col("n_tokens")).over(wAll))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("i").cast("double") / col("n_sources"), 6)
+          .as("cum_source_share"),
+        round(col("cum_tokens").cast("double") / col("tot_tokens"), 6)
+          .as("cum_token_share"))
+      .orderBy(col("cum_source_share"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift screen: per source, the KS
     * statistic between the source's document-length distribution and
     * the REST of the corpus — the distributional complement of
