@@ -30,11 +30,18 @@ object Bench {
     // comparison adjudicatable without solo replays
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
+    // A throwing query must not publish a plausible-looking wall: the
+    // elapsed time of a crash is indistinguishable from a fast success
+    // in the artifact, so round-over-round comparison would read a
+    // regression-turned-crash as a speedup. timeOnce reports success
+    // explicitly; failed reps surface as an "err" count in the spread
+    // and the query's median is the negative sentinel -1.0.
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Double = {
+        org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -70,15 +77,23 @@ object Bench {
     val stats = queries.map { case (name, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
       resetSessionState()
-      val times = (1 to reps).map { _ =>
-        val t = timeOnce(fn)
+      val runs = (1 to reps).map { _ =>
+        val r = timeOnce(fn)
         resetSessionState()
-        t
+        r
       }
-      name -> ((median(times), times.min, times.max))
+      val times = runs.map(_._1)
+      val errs = runs.count(!_._2)
+      // any failed rep poisons the median: -1.0 is unambiguous in the
+      // artifact where a small positive wall is not
+      val med = if (errs > 0) -1.0 else median(times)
+      name -> ((med, times.min, times.max, errs))
     }
-    val results = stats.map { case (n, (med, _, _)) => n -> med }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val results = stats.map { case (n, (med, _, _, _)) => n -> med }
+    // failed queries (sentinel -1.0) don't contribute to total — a
+    // crash must not LOWER the headline number
+    val total = results.values.filter(_ >= 0).sum
+    val nFailed = results.values.count(_ < 0)
     // The harness captures only a bounded output tail (observed: 2000
     // chars, with sbt's "[success] ..." line inside it). Emit per-query
     // seconds at 3 decimals and, if the full map would overflow that
@@ -105,14 +120,16 @@ object Bench {
       // bounded stdout line keeps only medians
       val spread = if (!withSpread) "" else {
         val st = entries.map { case (k, _) =>
-          val (med, mn, mx) = stats(k)
+          val (med, mn, mx, errs) = stats(k)
+          val errField = if (errs > 0) ",\"err\":" + errs else ""
           "\"" + k + "\":{\"med\":" + fmt(med) + ",\"min\":" + fmt(mn) +
-            ",\"max\":" + fmt(mx) + "}"
+            ",\"max\":" + fmt(mx) + errField + "}"
         }.mkString("{", ",", "}")
         s""","reps":$reps,"query_spread":$st"""
       }
       val extra = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"load_avg_start":${fmtLoad(loadStart)},"load_avg_end":${fmtLoad(loadAvg)},"queries":$qs$extra$spread,"sf":"$sfDir"}"""
+      val failed = if (nFailed > 0) s""","queries_failed":$nFailed""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size}$failed,"load_avg_start":${fmtLoad(loadStart)},"load_avg_end":${fmtLoad(loadAvg)},"queries":$qs$extra$spread,"sf":"$sfDir"}"""
     }
     var line = render(sorted, 0, withSpread = false)
     var keep = sorted.size

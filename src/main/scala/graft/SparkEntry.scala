@@ -144,6 +144,7 @@ object SparkEntry {
     // §2c span-level dedup + gates + embedding storage
     "q_segment_dedup" -> ((s: SparkSession, d: String) => Dedup.segmentDedup(s, d)),
     "q_dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
+    "q_suffix_spans" -> ((s: SparkSession, d: String) => Suffix.suffixSpans(s, d)),
     "q_quality_gate" -> ((s: SparkSession, d: String) => TextAnalysis.qualityGate(s, d)),
     "q_embed_quantize" -> (Similarity.embedQuantize _),
     "q_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
@@ -1887,6 +1888,23 @@ object SparkEntry {
         |         AS dup_share
         |FROM g JOIN d USING (gram)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q_suffix_spans" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:(i+7)], ' ') AS gram
+        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i)
+        | WHERE len(toks) >= 8),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),
+        |r AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM m)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+        |       CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
+        |FROM r GROUP BY doc_id, grp ORDER BY doc_id, start_pos""".stripMargin,
     "q_quality_gate" ->
       """WITH t AS (SELECT doc_id, lang,
         |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS n_tok,

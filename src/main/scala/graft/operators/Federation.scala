@@ -256,24 +256,50 @@ object Federation {
     * (site, summary: array<(item, cnt)>, n): pointwise add + (k+1)-cut.
     * Shared by [[federatedHeavyHitters]] and the audit query. */
   private def mergeMgPanel(perSite: DataFrame, k: Int): DataFrame =
+    // explode_outer, not explode: a site whose MG buffer emptied (the
+    // saturated regime can decrement the last survivor away while
+    // n > 0) still contributes its n to n_total — a plain explode
+    // would drop the whole row and silently understate the N/(k+1)
+    // bound context. Null items are filtered inside the merge AFTER
+    // totals are taken.
     mergeSiteSummaries(
-      perSite.select(col("site"), col("n"), explode(col("summary")).as("e"))
+      perSite.select(col("site"), col("n"),
+          explode_outer(col("summary")).as("e"))
         .select(col("site"), col("e.item").as("item"),
           col("e.cnt").as("cnt"), col("n")),
       k)
 
-  /** Central MG merge over FLAT summary rows (site, item, cnt, n) —
-    * the shape [[graft.streaming.Streams.mgSummaryStream]] emits (take
-    * each site's latest revision) and any external consortium feed
-    * lands as. Pointwise add (groupBy item), then the (k+1)-largest
+  /** Central MG merge over FLAT summary rows (site, item, cnt, n[,
+    * rev]) — the shape [[graft.streaming.Streams.mgSummaryStream]]
+    * emits and any external consortium feed lands as. If a `rev`
+    * column is present the merge itself keeps only each site's
+    * max-rev rows, so replayed/stale revisions cannot double-count;
+    * without it the caller owns the one-revision-per-site contract.
+    * Pointwise add (groupBy item), then the (k+1)-largest
     * summed counter subtracts from everything (0 when ≤ k items
     * survive — a TakeOrderedAndProject over the ≤ sites·(k+1) panel,
     * no global-sort Exchange), positives kept: Agarwal et al.'s
     * mergeable-summaries rule, total undercount ≤ N/(k+1). */
   def mergeSiteSummaries(rows: DataFrame, k: Int): DataFrame = {
-    val totals = rows.groupBy(col("site")).agg(max(col("n")).as("n"))
+    // Revision hardening: a replayed or duplicated site summary must
+    // not double-count. When the panel carries a `rev` column (the
+    // shape mgSummaryStream emits), only each site's LATEST revision
+    // participates — a keyed window over the ≤ sites·(k+1) panel, no
+    // global sort. Without `rev` the caller owns the one-revision
+    // contract (documented above).
+    val latest =
+      if (rows.columns.contains("rev")) {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("site")
+        rows.withColumn("_maxrev", max(col("rev")).over(w))
+          .filter(col("rev") === col("_maxrev"))
+          .drop("_maxrev", "rev")
+      } else rows
+    val totals = latest.groupBy(col("site")).agg(max(col("n")).as("n"))
       .agg(sum(col("n")).as("n_total"))
-    val added = rows.groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
+    // null items (explode_outer placeholders from empty summaries)
+    // counted toward totals above, excluded from the counter merge here
+    val added = latest.filter(col("item").isNotNull)
+      .groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
     val cutVal = added.orderBy(col("cnt").desc).limit(k + 1)
       .agg(when(count(lit(1)) === k + 1, min(col("cnt")))
         .otherwise(lit(0L)).as("cut"))

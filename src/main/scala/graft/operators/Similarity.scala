@@ -652,6 +652,12 @@ object Similarity {
     probed.join(indexed, Seq("bucket"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"), dotProduct(col("va"), col("vb")).as("cos"))
+      // at-least-once replay hygiene: duplicate postings score
+      // identically so they sort ADJACENT — a lag() guard in the same
+      // window spec drops them without an extra exchange (see
+      // probeIvfPqIndex for the full rationale)
+      .withColumn("_prev", lag(col("id_b"), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col("id_b"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"), col("rank"))
@@ -1285,7 +1291,6 @@ object Similarity {
       k: Int = 5, m: Int = 4, codebookK: Int = 16,
       iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(m == 4, "the ADC audit's table plumbing is written for m=4")
     val trained = trainPq(spark, dir, m, codebookK, iters)
     if (trained.isEmpty) {
       return vecs(spark, dir).select(lit(0L).as("n_queries"),
@@ -1295,7 +1300,9 @@ object Similarity {
     val (coded, _, codebooks) = trained.get
     val corpus = coded.localCheckpoint()
     // md5-stable query panel: raw vectors + their per-subspace ADC
-    // distance tables against the trained codebooks
+    // distance tables against the trained codebooks — an m × K
+    // array-of-arrays column, so the plumbing is m-generic (the probe
+    // path always was; the audit's t0..t3 columns used to pin m=4)
     val queries = graft.operators.Sampling
       .md5TopN(vecs(spark, dir), "vec_id", nQueries)
       .collect().map { r =>
@@ -1308,17 +1315,19 @@ object Similarity {
               val d = s(j) - c(j); d * d
             }).sum).toSeq
         }
-        (id, v.toSeq, tables(0), tables(1), tables(2), tables(3))
+        (id, v.toSeq, tables)
       }
     val sp = spark
     import sp.implicits._
-    val qdf = broadcast(queries.toSeq
-      .toDF("q_id", "qv", "t0", "t1", "t2", "t3"))
+    val qdf = broadcast(queries.toSeq.toDF("q_id", "qv", "tables"))
     val scored = corpus.join(qdf, col("vec_id") =!= col("q_id"))
+      // same left-to-right summation order as the t0..t3 form — the
+      // m=4 output is bit-identical
       .withColumn("adc", (0 until m).map(i =>
-        element_at(col(s"t$i"), col(s"c$i").cast("int"))).reduce(_ + _))
+        element_at(element_at(col("tables"), i + 1),
+          col(s"c$i").cast("int"))).reduce(_ + _))
       .withColumn("exact", expr(
-        "aggregate(zip_with(concat(s0, s1, s2, s3), qv, " +
+        s"aggregate(zip_with(concat(${(0 until m).map(i => s"s$i").mkString(", ")}), qv, " +
           "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
     val wA = Window.partitionBy(col("q_id"))
       .orderBy(col("adc"), col("vec_id"))
@@ -1367,31 +1376,57 @@ object Similarity {
 
   /** Loaded PQ codebook of index `name` at pin `pin`: m × K × (dim/m)
     * doubles — driver-bounded (K·dim values, never corpus rows); the
-    * generation is the pin's rebase cut, matching [[loadCentroids]]. */
+    * generation is the pin's rebase cut, matching [[loadCentroids]].
+    * Also returns the generation's RESIDUAL flag (true = codewords
+    * quantize v − centroid(bucket), the Jégou et al. TPAMI 2011
+    * IVF-ADC recipe; false = raw subvectors) so probes score
+    * consistently with how the postings were encoded. */
   private def loadPqCodebooks(spark: SparkSession, name: String,
-      pin: Long): IndexedSeq[Array[Array[Double]]] = {
+      pin: Long): (IndexedSeq[Array[Array[Double]]], Boolean) = {
     import spark.implicits._
     val gen = graft.sources.FormatIO.rebaseEpochOf(spark, name, pin)
     val rows = spark.table(s"${name}_pq")
       .filter(col("epoch") === gen)
-      .select(col("sub"), col("code"), col("centroid"))
-      .as[(Int, Long, Array[Double])].collect()
+      .select(col("sub"), col("code"), col("centroid"), col("residual"))
+      .as[(Int, Long, Array[Double], Boolean)].collect()
     val m = if (rows.isEmpty) 0 else rows.map(_._1).max + 1
-    (0 until m).map(i => rows.filter(_._1 == i).sortBy(_._2).map(_._3))
+    ((0 until m).map(i =>
+       rows.filter(_._1 == i).sortBy(_._2).map(_._3)),
+     rows.headOption.exists(_._4))
   }
 
-  /** Encode normalized vectors (vec_id, vn [, keep…]) to (vec_id,
-    * codes [, keep…]): per-subspace L2 argmin against the broadcast
-    * codebooks — one row-local pass, ties to the lowest code
-    * (array_position). */
+  /** The per-row residual v − centroid(bucket) against a
+    * broadcast-literal centroid list (1-based `bucket`, matching
+    * array_position) — row-local, no join. */
+  private def residualExpr(vecCol: String,
+      centroids: IndexedSeq[Array[Double]]): Column =
+    zip_with(col(vecCol),
+      element_at(typedlit(centroids.map(_.toSeq)),
+        col("bucket").cast("int")),
+      (a, b) => a - b)
+
+  /** Encode normalized vectors (vec_id, vn, bucket [, keep…]) to
+    * (vec_id, codes [, keep…]): per-subspace L2 argmin against the
+    * broadcast codebooks — one row-local pass, ties to the lowest code
+    * (array_position). With `residualCentroids` set, the encoded
+    * quantity is the RESIDUAL v − centroid(bucket) (IVF-ADC): at the
+    * same m × codebookK budget the codewords only have to span the
+    * within-list spread, not the whole corpus — the recall lever. */
   private def pqEncode(normed: DataFrame,
       codebooks: IndexedSeq[Array[Array[Double]]],
-      keep: Seq[String] = Seq.empty): DataFrame = {
+      keep: Seq[String] = Seq.empty,
+      residualCentroids: Option[IndexedSeq[Array[Double]]] = None)
+      : DataFrame = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
+    val src = residualCentroids match {
+      case Some(cents) => normed.withColumn("_enc",
+        residualExpr("vn", cents))
+      case None => normed.withColumn("_enc", col("vn"))
+    }
     val withDists = (0 until m).foldLeft(
-      (0 until m).foldLeft(normed) { (df, i) =>
-        df.withColumn(s"s$i", expr(s"slice(vn, ${i * sub + 1}, $sub)"))
+      (0 until m).foldLeft(src) { (df, i) =>
+        df.withColumn(s"s$i", expr(s"slice(_enc, ${i * sub + 1}, $sub)"))
       }) { (df, i) =>
       df.withColumn(s"d$i", array(codebooks(i).toIndexedSeq.map(c =>
         expr(s"aggregate(zip_with(s$i, array(${c.mkString(",")}), " +
@@ -1413,7 +1448,8 @@ object Similarity {
     * raw on disk, fetched per-candidate). */
   def buildIvfPqIndex(spark: SparkSession, dir: String, name: String,
       nCentroids: Int = 16, kmeansIters: Int = 3, nBuckets: Int = 8,
-      m: Int = 4, codebookK: Int = 16, pqIters: Int = 3): Unit = {
+      m: Int = 4, codebookK: Int = 16, pqIters: Int = 3,
+      residual: Boolean = true): Unit = {
     import spark.implicits._
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
@@ -1431,8 +1467,28 @@ object Similarity {
       .headOption.map(_.getInt(0)).getOrElse(0)
     require(centroids.isEmpty || dim % m == 0,
       s"embedding dim $dim not divisible by m=$m")
-    val subCols = (0 until m).foldLeft(normed) { (df, i) =>
-      df.withColumn(s"s$i", expr(s"slice(vn, ${i * (dim / m) + 1}, ${dim / m})"))
+    // IVF assignment BEFORE codebook training: residual mode (the
+    // default — Jégou et al.'s IVF-ADC) trains the codebooks on
+    // v − centroid(bucket), which at fixed m × codebookK budget only
+    // has to span the within-list spread instead of the whole corpus —
+    // typically halving quantization error at the same posting bytes.
+    val assigned =
+      if (centroids.isEmpty) normed.withColumn("bucket", lit(0L)).limit(0)
+      else {
+        val dots = array(centroids.toIndexedSeq.map(c =>
+          dotProduct(col("vn"), typedlit(c.toSeq))): _*)
+        normed.withColumn("dots", dots)
+          .withColumn("bucket",
+            expr("array_position(dots, array_max(dots))").cast("long"))
+          .select(col("vec_id"), col("vn"), col("bucket"))
+          .localCheckpoint()
+      }
+    val trainSrc =
+      if (residual) assigned.withColumn("_enc",
+        residualExpr("vn", centroids))
+      else assigned.withColumn("_enc", col("vn"))
+    val subCols = (0 until m).foldLeft(trainSrc) { (df, i) =>
+      df.withColumn(s"s$i", expr(s"slice(_enc, ${i * (dim / m) + 1}, ${dim / m})"))
     }
     val codebooks =
       if (centroids.isEmpty) IndexedSeq.empty[Array[Array[Double]]]
@@ -1441,6 +1497,7 @@ object Similarity {
       cb.zipWithIndex.map { case (c, j) => (i, (j + 1).toLong, c.toSeq) }
     }.toSeq.toDF("sub", "code", "centroid")
       .withColumn("epoch", lit(0L))
+      .withColumn("residual", lit(residual))
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_pq")
     val postings =
@@ -1448,16 +1505,10 @@ object Similarity {
         normed.select(col("vec_id").as("id_b"),
           lit(null).cast("array<long>").as("codes"), lit(0L).as("bucket"))
           .limit(0)
-      else {
-        val dots = array(centroids.toIndexedSeq.map(c =>
-          dotProduct(col("vn"), typedlit(c.toSeq))): _*)
-        val assigned = normed.withColumn("dots", dots)
-          .withColumn("bucket",
-            expr("array_position(dots, array_max(dots))").cast("long"))
-          .select(col("vec_id"), col("vn"), col("bucket"))
-        pqEncode(assigned, codebooks, keep = Seq("bucket"))
+      else
+        pqEncode(assigned, codebooks, keep = Seq("bucket"),
+          residualCentroids = if (residual) Some(centroids) else None)
           .select(col("vec_id").as("id_b"), col("codes"), col("bucket"))
-      }
     graft.sources.FormatIO.writeBucketed(
       postings.withColumn("epoch", lit(0L)), s"${name}_postings",
       "bucket", nBuckets, sortCol = Some("bucket"))
@@ -1478,7 +1529,7 @@ object Similarity {
       batch: DataFrame): Unit = {
     val pin = graft.sources.FormatIO.committedEpoch(spark, name)
     val centroids = loadCentroids(spark, name, pin)
-    val codebooks = loadPqCodebooks(spark, name, pin)
+    val (codebooks, residual) = loadPqCodebooks(spark, name, pin)
     require(centroids.nonEmpty && codebooks.nonEmpty,
       s"appendToIvfPqIndex($name): index has no codebooks (built on an " +
         "empty corpus) — rebuild on a non-empty corpus before appending")
@@ -1496,7 +1547,8 @@ object Similarity {
     val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
       Seq(s"${name}_postings", s"${name}_vecs"))
     graft.sources.FormatIO.appendBucketed(spark,
-      pqEncode(assigned, codebooks, keep = Seq("bucket"))
+      pqEncode(assigned, codebooks, keep = Seq("bucket"),
+          residualCentroids = if (residual) Some(centroids) else None)
         .select(col("vec_id").as("id_b"), col("codes"), col("bucket"))
         .withColumn("epoch", lit(e)),
       s"${name}_postings")
@@ -1546,9 +1598,10 @@ object Similarity {
     * retrain); it stays append-only under [[pinnedAt]] reads. */
   def retrainIvfPqIndex(spark: SparkSession, name: String,
       nCentroids: Int = 16, kmeansIters: Int = 3,
-      m: Int = 4, codebookK: Int = 16, pqIters: Int = 3): Unit = {
+      m: Int = 4, codebookK: Int = 16, pqIters: Int = 3,
+      residual: Boolean = true): Unit = {
     val e = stageRetrainIvfPq(spark, name, nCentroids, kmeansIters, m,
-      codebookK, pqIters)
+      codebookK, pqIters, residual)
     graft.sources.FormatIO.commitIndexEpoch(spark, name, e, rebase = true)
   }
 
@@ -1556,7 +1609,7 @@ object Similarity {
     * can interleave a pinned probe between stage and commit). */
   def stageRetrainIvfPq(spark: SparkSession, name: String,
       nCentroids: Int, kmeansIters: Int, m: Int, codebookK: Int,
-      pqIters: Int): Long = {
+      pqIters: Int, residual: Boolean = true): Long = {
     import spark.implicits._
     val pin = graft.sources.FormatIO.committedEpoch(spark, name)
     val live = graft.sources.FormatIO.pinnedAt(spark, s"${name}_vecs", pin)
@@ -1570,8 +1623,22 @@ object Similarity {
     val dim = live.select(size(col("vn"))).limit(1).collect()
       .head.getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
-    val subCols = (0 until m).foldLeft(live) { (df, i) =>
-      df.withColumn(s"s$i", expr(s"slice(vn, ${i * (dim / m) + 1}, ${dim / m})"))
+    // assignment before codebook training (residual mode trains on
+    // v − centroid(bucket) against the NEW centroids — see
+    // buildIvfPqIndex)
+    val preDots = array(centroids.toIndexedSeq.map(c =>
+      dotProduct(col("vn"), typedlit(c.toSeq))): _*)
+    val preAssigned = live.withColumn("dots", preDots)
+      .withColumn("bucket",
+        expr("array_position(dots, array_max(dots))").cast("long"))
+      .select(col("vec_id"), col("vn"), col("bucket"))
+      .localCheckpoint()
+    val trainSrc =
+      if (residual) preAssigned.withColumn("_enc",
+        residualExpr("vn", centroids))
+      else preAssigned.withColumn("_enc", col("vn"))
+    val subCols = (0 until m).foldLeft(trainSrc) { (df, i) =>
+      df.withColumn(s"s$i", expr(s"slice(_enc, ${i * (dim / m) + 1}, ${dim / m})"))
     }
     val codebooks = trainCodebooks(spark, subCols, m, codebookK, pqIters)
     val e = graft.sources.FormatIO.stageIndexEpoch(spark, name,
@@ -1587,18 +1654,13 @@ object Similarity {
       cb.zipWithIndex.map { case (c, j) => (i, (j + 1).toLong, c.toSeq) }
     }.toSeq.toDF("sub", "code", "centroid")
       .withColumn("epoch", lit(e))
+      .withColumn("residual", lit(residual))
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
       .saveAsTable(s"${name}_pq")
     spark.catalog.refreshTable(s"${name}_pq")
-    val dots = array(centroids.toIndexedSeq.map(c =>
-      dotProduct(col("vn"), typedlit(c.toSeq))): _*)
-    val assigned = live.withColumn("dots", dots)
-      .withColumn("bucket",
-        expr("array_position(dots, array_max(dots))").cast("long"))
-      .select(col("vec_id"), col("vn"), col("bucket"))
-      .localCheckpoint()
     graft.sources.FormatIO.appendBucketed(spark,
-      pqEncode(assigned, codebooks, keep = Seq("bucket"))
+      pqEncode(preAssigned, codebooks, keep = Seq("bucket"),
+          residualCentroids = if (residual) Some(centroids) else None)
         .select(col("vec_id").as("id_b"), col("codes"), col("bucket"))
         .withColumn("epoch", lit(e)),
       s"${name}_postings")
@@ -1642,7 +1704,7 @@ object Similarity {
       rerank: Int = 0): DataFrame = {
     val pin = graft.sources.FormatIO.committedEpoch(spark, name)
     val centroids = loadCentroids(spark, name, pin)
-    val codebooks = loadPqCodebooks(spark, name, pin)
+    val (codebooks, residual) = loadPqCodebooks(spark, name, pin)
     val normQ = queries.select(col("vec_id"),
       expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
         .as("vn"))
@@ -1667,8 +1729,17 @@ object Similarity {
       df.withColumn(s"t$i", array(codebooks(i).toIndexedSeq.map(c =>
         dotProduct(expr(s"slice(vn, ${i * sub + 1}, $sub)"),
           typedlit(c.toSeq))): _*))
-    }.select(col("vec_id").as("id_a") +: col("vn").as("va") +:
-      col("bucket") +: (0 until m).map(i => col(s"t$i")): _*)
+    }
+      // residual generation: dot(q, v̂) = dot(q, centroid(bucket)) +
+      // dot(q, residual-decode) — the first term is already in `dots`
+      // (it ranked the probe lists), so it rides along as cdot and the
+      // ADC lookups below score the residual part. Raw generation:
+      // cdot ≡ 0.
+      .withColumn("cdot",
+        if (residual) element_at(col("dots"), col("bucket").cast("int"))
+        else lit(0.0))
+      .select(col("vec_id").as("id_a") +: col("vn").as("va") +:
+        col("bucket") +: col("cdot") +: (0 until m).map(i => col(s"t$i")): _*)
     val indexed = graft.sources.FormatIO.pinnedSince(spark,
         s"${name}_postings",
         graft.sources.FormatIO.rebaseEpochOf(spark, name, pin), pin)
@@ -1677,12 +1748,23 @@ object Similarity {
     val cut = if (rerank > 0) math.max(rerank, k) else k
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("adc").desc, col("id_b"))
+    // At-least-once replay hygiene: a replayed append leaves duplicate
+    // posting rows (and duplicate _vecs rows), which would consume
+    // multiple rank slots per (id_a, id_b) and displace true
+    // neighbors. Duplicates carry IDENTICAL (adc, id_b) so they are
+    // ADJACENT in the rank window's sort — a lag() guard in the SAME
+    // window spec drops them with zero extra exchange or sort (the
+    // follow-up row_number reuses the partitioning+ordering the first
+    // window established). A dropDuplicates would cost a second
+    // candidate-set shuffle; this costs nothing.
     val adcTop = probed.join(indexed, Seq("bucket"))
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("adc", (0 until m).map(i =>
         element_at(col(s"t$i"), element_at(col("codes"), i + 1)
-          .cast("int"))).reduce(_ + _))
+          .cast("int"))).reduce(_ + _) + col("cdot"))
       .select(col("id_a"), col("va"), col("id_b"), col("adc"))
+      .withColumn("_prev", lag(col("id_b"), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col("id_b"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= cut)
     if (rerank <= 0)
@@ -1697,6 +1779,10 @@ object Similarity {
         .join(vecsT, Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           dotProduct(col("va"), col("vb")).as("cos"))
+        // replayed _vecs duplicates: same lag-guard, same zero-cost
+        // rationale as the ADC leg above
+        .withColumn("_prev", lag(col("id_b"), 1).over(wx))
+        .filter(col("_prev").isNull || col("_prev") =!= col("id_b"))
         .withColumn("rank", row_number().over(wx).cast("long"))
         .filter(col("rank") <= k)
         .select(col("id_a"), col("id_b"),
@@ -1774,5 +1860,165 @@ object Similarity {
         n
       })
     checkIvfPqRecall(spark, name)
+  }
+
+  /** One row of the IVF-PQ budget tuner's priced table. */
+  case class PqPlan(m: Int, codebookK: Int, nProbe: Int, rerank: Int,
+      bytesPerVec: Double, recall: Double)
+
+  /** IVF-PQ BUDGET TUNER — completes the tuner trio next to
+    * [[graft.operators.Dedup.lshBandPlan]] (bands × rows) and
+    * [[tuneNProbe]] (probe budget): price every candidate
+    * (m, codebookK, nProbe, rerank) quadruple by MEASURED recall@k on
+    * the bounded md5 query panel against exact top-k, and by posting
+    * bytes per vector (m · ⌈log2 codebookK⌉ / 8 — the RAM-resident
+    * serving bill the compression exists to shrink).
+    *
+    * Cost discipline (the [[tuneNProbe]] pattern at a wider grid): the
+    * IVF centroids train ONCE (they don't depend on the PQ split);
+    * the exact side is |sample| × corpus, computed once; per (m, K)
+    * the residual codebooks train once and the sample's candidate
+    * table (probe rank, ADC score, exact cosine) materializes once —
+    * each (nProbe, rerank) cell is then a filter + two bounded
+    * windows over that sample-sized table. Nothing all-pairs. */
+  def ivfPqPlanTable(spark: SparkSession, dir: String, k: Int = 3,
+      nCentroids: Int = 16, kmeansIters: Int = 3, pqIters: Int = 3,
+      sampleN: Int = 32,
+      ms: Seq[Int] = Seq(4, 8, 16),
+      codebookKs: Seq[Int] = Seq(16, 256),
+      nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+      reranks: Seq[Int] = Seq(0, 12)): DataFrame = {
+    import spark.implicits._
+    val empty = Seq.empty[(Int, Int, Int, Int, Double, Double)]
+      .toDF("m", "codebook_k", "n_probe", "rerank", "bytes_per_vec",
+        "recall")
+    val normed = vecs(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
+          .as("vn"))
+      .localCheckpoint()
+    val dim = normed.select(size(col("vn"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (dim == 0) return empty
+    val centroids = trainCentroids(spark, normed, nCentroids, kmeansIters)
+    if (centroids.isEmpty) return empty
+    val nC = centroids.length
+    val dots = array(centroids.toIndexedSeq.map(c =>
+      dotProduct(col("vn"), typedlit(c.toSeq))): _*)
+    val assigned = normed.withColumn("dots", dots)
+      .withColumn("bucket",
+        expr("array_position(dots, array_max(dots))").cast("long"))
+      .localCheckpoint()
+    val sample = graft.operators.Sampling
+      .md5TopN(assigned, "vec_id", sampleN)
+      .select(col("vec_id").as("id_a"), col("vn").as("va"),
+        col("dots").as("qdots"))
+      .localCheckpoint()
+    // exact top-k of the panel only — |sample| × corpus, the fenced
+    // recall-audit shape
+    val corpus = assigned.select(col("vec_id").as("id_b"),
+      col("vn").as("vb"))
+    val wx = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b"))
+    val exact = sample.select(col("id_a"), col("va")).crossJoin(corpus)
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        dotProduct(col("va"), col("vb")).as("cos"))
+      .withColumn("rank", row_number().over(wx))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val exactN = exact.count().toDouble
+    if (exactN == 0.0) return empty
+    // probe-ranked buckets per query: pr = 1 means the nearest list
+    val qExpl = sample.withColumn("pb", expr(
+        s"""transform(
+           |  array_sort(zip_with(qdots, sequence(1, $nC),
+           |    (d, i) -> struct(-d AS nd, i AS idx))),
+           |  s -> CAST(s.idx AS BIGINT))""".stripMargin))
+      .select(col("id_a"), col("va"), col("qdots"),
+        posexplode(col("pb")).as(Seq("pr0", "bucket")))
+      .withColumn("pr", col("pr0") + 1)
+      .withColumn("cdot", element_at(col("qdots"), col("bucket").cast("int")))
+      .drop("pr0", "qdots")
+      .localCheckpoint()
+    val rows = for {
+      m <- ms if dim % m == 0
+      ck <- codebookKs
+    } yield {
+      val sub = dim / m
+      val trainSrc = assigned
+        .withColumn("_enc", residualExpr("vn", centroids))
+      val subCols = (0 until m).foldLeft(trainSrc) { (df, i) =>
+        df.withColumn(s"s$i", expr(s"slice(_enc, ${i * sub + 1}, $sub)"))
+      }
+      val codebooks = trainCodebooks(spark, subCols, m, ck, pqIters)
+      val postings = pqEncode(assigned, codebooks, keep = Seq("bucket"),
+          residualCentroids = Some(centroids))
+        .select(col("vec_id").as("id_b"), col("codes"), col("bucket"))
+      val withT = (0 until m).foldLeft(qExpl) { (df, i) =>
+        df.withColumn(s"t$i", array(codebooks(i).toIndexedSeq.map(c =>
+          dotProduct(expr(s"slice(va, ${i * sub + 1}, $sub)"),
+            typedlit(c.toSeq))): _*))
+      }
+      // sample-bounded candidate table: probe rank + ADC + exact cos
+      val cand = withT.join(postings, Seq("bucket"))
+        .filter(col("id_a") =!= col("id_b"))
+        .withColumn("adc", (0 until m).map(i =>
+          element_at(col(s"t$i"), element_at(col("codes"), i + 1)
+            .cast("int"))).reduce(_ + _) + col("cdot"))
+        .join(corpus, Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("pr"), col("adc"),
+          dotProduct(col("va"), col("vb")).as("cos"))
+        .localCheckpoint()
+      val bytes = m * math.ceil(math.log(ck.toDouble) / math.log(2.0)) / 8.0
+      for (p <- nProbes.filter(_ <= nC); r <- reranks) yield {
+        val cut = math.max(r, k)
+        val wa = Window.partitionBy(col("id_a"))
+          .orderBy(col("adc").desc, col("id_b"))
+        val adcTop = cand.filter(col("pr") <= p)
+          .withColumn("ra", row_number().over(wa))
+          .filter(col("ra") <= cut)
+        val top =
+          if (r <= 0) adcTop.filter(col("ra") <= k)
+          else {
+            val wc = Window.partitionBy(col("id_a"))
+              .orderBy(col("cos").desc, col("id_b"))
+            adcTop.withColumn("rc", row_number().over(wc))
+              .filter(col("rc") <= k)
+          }
+        val hits = top.select(col("id_a"), col("id_b"))
+          .join(exact, Seq("id_a", "id_b"), "left_semi").count()
+        (m, ck, p, r, bytes, hits / exactN)
+      }
+    }
+    rows.flatten
+      .toDF("m", "codebook_k", "n_probe", "rerank", "bytes_per_vec",
+        "recall")
+      .withColumn("recall", round(col("recall"), 4))
+  }
+
+  /** The tuner's argmin — [[graft.operators.Dedup.chooseLshPlan]] for
+    * the compressed family: the CHEAPEST plan (posting bytes first,
+    * then rerank fetches, then probe lists) whose measured recall
+    * clears the floor; falls back to the highest-recall plan when
+    * nothing does (the honest answer on structureless corpora). */
+  def chooseIvfPqPlan(spark: SparkSession, dir: String,
+      targetRecall: Double = 0.8, k: Int = 3, nCentroids: Int = 16,
+      sampleN: Int = 32,
+      ms: Seq[Int] = Seq(4, 8, 16),
+      codebookKs: Seq[Int] = Seq(16, 256),
+      nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+      reranks: Seq[Int] = Seq(0, 12)): PqPlan = {
+    val rows = ivfPqPlanTable(spark, dir, k = k, nCentroids = nCentroids,
+      sampleN = sampleN, ms = ms, codebookKs = codebookKs,
+      nProbes = nProbes, reranks = reranks).collect()
+      .map(r => PqPlan(r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getDouble(4), r.getDouble(5)))
+    require(rows.nonEmpty, s"ivfPqPlanTable($dir) produced no plans")
+    val eligible = rows.filter(_.recall >= targetRecall)
+    if (eligible.nonEmpty)
+      eligible.minBy(p => (p.bytesPerVec, p.rerank, p.nProbe))
+    else rows.maxBy(p => (p.recall, -p.bytesPerVec))
   }
 }

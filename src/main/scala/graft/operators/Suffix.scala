@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.sources.Tables
+
+/** Distributed SUFFIX RANKING by prefix doubling, and the exact
+  * variable-length duplicate-span extraction it enables (the
+  * suffix-array half of Lee et al. 2022 "Deduplicating Training Data
+  * Makes Language Models Better" — the exact-substring method the
+  * fixed-gram signals `Dedup.dupSpans`/`Dedup.segmentDedup`
+  * approximate).
+  *
+  * The corpus is the set of per-document token suffixes (each suffix
+  * ends at its OWN document's end — the per-doc terminator is "end of
+  * tokens", ranked below every real token, so suffixes never run
+  * across documents). Prefix doubling (Manber & Myers 1990, the
+  * sort-based formulation used by every distributed suffix-array
+  * builder): after step k each suffix carries a DENSE rank that
+  * orders suffixes by their first 2^k tokens; step k+1 re-ranks by
+  * the pair (rank(p), rank(p + 2^k)) — log(maxLen) keyed sorts over
+  * integer pairs, never token strings. At 100 TB that is the whole
+  * point: every round shuffles fixed-width longs, and the sorts are
+  * Spark's range-partitioned exchange — no single-partition window
+  * anywhere.
+  */
+object Suffix {
+
+  /** Normalized whitespace tokens — the exact tokenization the DuckDB
+    * oracles mirror (same expression as Dedup's). */
+  private def normToks: Column =
+    split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+
+  /** Dense 1-based lexicographic ids for the distinct values of
+    * `keys`' columns: distinct → range-partitioned sort → RDD
+    * zipWithIndex (order-preserving, two light jobs — the standard
+    * distributed dense_rank; a Window.orderBy would pull the whole
+    * key space into ONE partition). Linear in |distinct keys|. */
+  private def denseIds(keys: DataFrame, outCol: String): DataFrame = {
+    val cols = keys.columns.map(col).toIndexedSeq
+    val sorted = keys.distinct().orderBy(cols: _*)
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (i + 1L))
+      }, schema)
+  }
+
+  /** (doc_id, pos, tok) position table of the documents' normalized
+    * tokens — pos is 0-based. */
+  private def positions(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), normToks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+
+  /** Prefix-doubling suffix ranks over `pos` tables (doc_id, pos, tok):
+    * returns (doc_id, pos, rank) where rank is a DENSE 1-based rank of
+    * the suffix starting at (doc_id, pos) by its first
+    * min(2^`steps`, remaining) tokens — with `2^steps ≥` the longest
+    * document, the full lexicographic suffix order (end-of-doc sorts
+    * below every token; identical cross-doc suffixes TIE, which is
+    * exactly the equality-class semantics the span extraction needs).
+    *
+    * Each doubling step: one self-equi-join on (doc_id, pos + 2^k)
+    * (the "next rank"), one dense re-rank of the (rank, next) pairs —
+    * a distinct + range sort over integer pairs — and one join back.
+    * All shuffles carry (long, long) keys; nothing is quadratic. */
+  def suffixRanks(pos: DataFrame, steps: Int): DataFrame = {
+    val toks = pos.select(col("doc_id"), col("pos"), col("tok"))
+    val dict = denseIds(toks.select(col("tok")), "rank")
+    var cur = toks.join(dict, Seq("tok"))
+      .select(col("doc_id"), col("pos"), col("rank"))
+    var k = 0
+    while (k < steps) {
+      val stepLen = 1L << k
+      val shifted = cur.select(col("doc_id"),
+        (col("pos") - stepLen).as("pos"), col("rank").as("rnext"))
+      val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
+        // 0 = past end-of-doc: ranks are 1-based, so the terminator
+        // sorts below every real rank (shorter suffix first — the
+        // standard suffix-array sentinel)
+        .withColumn("rnext", coalesce(col("rnext"), lit(0L)))
+      val pairDict = denseIds(
+        paired.select(col("rank"), col("rnext")), "nrank")
+      cur = paired.join(pairDict, Seq("rank", "rnext"))
+        .select(col("doc_id"), col("pos"), col("nrank").as("rank"))
+        // cut the lineage each round: log n rounds of joins otherwise
+        // compound into one enormous plan (and re-execute the whole
+        // prefix on every action)
+        .localCheckpoint()
+      k += 1
+    }
+    cur
+  }
+
+  /** The composite equality key for windows of EXACT length `winLen`
+    * at level K = floor(log2 winLen): two positions (with ≥ winLen
+    * tokens remaining) share the key iff their winLen-token windows
+    * are identical — the classic sparse-table overlap trick,
+    * (rank_K(p), rank_K(p + winLen − 2^K)); the halves may overlap,
+    * equality of both ⟺ equality of the window. Positions with fewer
+    * than winLen tokens remaining can never share a key with a full
+    * window: a truncated suffix's rank chain contains the end-of-doc
+    * sentinel where the full window's has a real rank, so their dense
+    * ranks differ at every level (proved in SuffixSpec by driver
+    * recount). */
+  private def windowKeys(ranks: DataFrame, winLen: Int): DataFrame = {
+    val half = java.lang.Long.highestOneBit(winLen.toLong)
+    if (half == winLen.toLong)
+      ranks.select(col("doc_id"), col("pos"), col("rank").as("k1"),
+        lit(0L).as("k2"))
+    else {
+      val second = ranks.select(col("doc_id"),
+        (col("pos") - (winLen - half)).as("pos"), col("rank").as("k2"))
+      ranks.join(second, Seq("doc_id", "pos"))
+        .select(col("doc_id"), col("pos"), col("rank").as("k1"), col("k2"))
+    }
+  }
+
+  /** EXACT maximal duplicated spans ≥ `minLen` tokens (q_suffix_spans):
+    * every maximal token interval of a document all of whose
+    * minLen-token windows occur at some OTHER corpus position (another
+    * doc or another offset of the same doc — Lee et al.'s
+    * exact-substring coverage set: a substring of length m ≥ minLen
+    * occurring twice marks all its minLen-windows, and conversely
+    * every marked position is covered by a duplicated window, so the
+    * merged runs ARE the exact variable-length spans, boundaries and
+    * all). Fixed-gram signals at stride k miss nothing at the
+    * position level but cannot report exact span extents; this emits
+    * (doc_id, start_pos, span_len) with span_len = run + minLen − 1
+    * exact.
+    *
+    * Scale shape: ⌈log2 minLen⌉ prefix-doubling rounds over integer
+    * pairs (vs shuffling minLen-token gram STRINGS — at minLen = 50
+    * the gram bytes dwarf the corpus; ranks stay 16 bytes), one
+    * count-over-key mark, one per-doc gap-and-island window. Every
+    * shuffle is linear in token volume. */
+  def suffixSpans(spark: SparkSession, dir: String,
+      minLen: Int = 8): DataFrame = {
+    require(minLen >= 2, s"minLen must be ≥ 2, got $minLen")
+    val pos = positions(spark, dir).localCheckpoint()
+    // the composite key needs ranks at level K = floor(log2 minLen):
+    // (rank_K(p), rank_K(p + minLen − 2^K)) covers any window length
+    // in (2^K, 2^{K+1}]
+    val ranks = suffixRanks(pos,
+      31 - Integer.numberOfLeadingZeros(minLen))
+    // only positions that can host a FULL minLen window participate:
+    // a tail position's truncated suffix can tie with another doc's
+    // identical tail (k1 AND k2 both truncated), which would mark a
+    // span that isn't one
+    val lens = pos.groupBy(col("doc_id"))
+      .agg((max(col("pos")) + 1).as("doc_len"))
+    val keyed = windowKeys(ranks, minLen)
+      .join(lens, Seq("doc_id"))
+      .filter(col("pos") <= col("doc_len") - minLen)
+    // a window "occurs elsewhere" ⟺ its equality class has ≥ 2 members
+    val wKey = Window.partitionBy(col("k1"), col("k2"))
+    val marked = keyed
+      .withColumn("n_occ", count(lit(1)).over(wKey))
+      .filter(col("n_occ") >= 2)
+      .select(col("doc_id"), col("pos"))
+    // gap-and-island per doc: consecutive marked positions merge into
+    // one maximal span of run + minLen − 1 tokens
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("grp", col("pos") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        (max(col("pos")) - min(col("pos")) + minLen).cast("long")
+          .as("span_len"))
+      .select(col("doc_id"), col("start_pos"), col("span_len"))
+      .orderBy(col("doc_id"), col("start_pos"))
+  }
+
+  /** Library face of [[suffixRanks]] over a corpus directory, doubled
+    * to the full suffix order (2^steps ≥ longest document). */
+  def fullSuffixOrder(spark: SparkSession, dir: String): DataFrame = {
+    val pos = positions(spark, dir).localCheckpoint()
+    val maxLen = pos.groupBy(col("doc_id")).count()
+      .agg(max(col("count"))).collect().head.getLong(0)
+    val steps = if (maxLen <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(maxLen - 1)
+    suffixRanks(pos, steps.toInt)
+  }
+}

@@ -1510,9 +1510,14 @@ object Streams {
     * the bucket, frozen PQ codebooks encode the codes, the full vector
     * lands in the `_vecs` rerank side table; all row-local against
     * broadcast codebooks, O(batch) per wave. See
-    * [[minhashAppendStream]] for the shared at-least-once contract
-    * (a replayed posting widens a shortlist but rerank re-scores by
-    * exact cosine, and the ADC face dedups on (id_a, id_b) ranks). */
+    * [[minhashAppendStream]] for the shared at-least-once contract.
+    * Replay safety: a replayed wave appends duplicate posting AND
+    * `_vecs` rows; `probeIvfPqIndex` drops them with an in-window
+    * lag() guard before BOTH rank cuts (duplicates sort adjacent), so
+    * a replay cannot consume k-slots or multiply the rerank join —
+    * the duplicates still occupy storage until the next retrain
+    * rewrites the generation (same compaction runbook as the BM25/LM
+    * append streams). */
   def ivfPqAppendStream(spark: SparkSession, vectors: DataFrame,
       indexName: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

@@ -282,4 +282,51 @@ class FederationSkewSpec extends AnyFunSuite {
     assert(rows.length == 3)
     assert(rows.head.getLong(1) >= rows.last.getLong(1))
   }
+
+  test("mergeSiteSummaries with a rev column keeps only each site's " +
+    "latest revision: a stale replayed summary cannot double-count") {
+    val sp = spark
+    import sp.implicits._
+    // siteA at rev 1 (stale, larger counts) and rev 2 (latest);
+    // siteB one revision only
+    val panel = Seq(
+      ("siteA", 1L, "x", 90L, 100L),
+      ("siteA", 1L, "y", 10L, 100L),
+      ("siteA", 2L, "x", 95L, 120L),
+      ("siteA", 2L, "y", 25L, 120L),
+      ("siteB", 7L, "x", 40L, 60L),
+      ("siteB", 7L, "z", 20L, 60L)
+    ).toDF("site", "rev", "item", "cnt", "n")
+    val latestOnly = panel.filter(
+      (col("site") === "siteA" && col("rev") === 2) ||
+        col("site") === "siteB")
+    val merged = Federation.mergeSiteSummaries(panel, k = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val expected = Federation.mergeSiteSummaries(latestOnly, k = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(merged == expected,
+      s"stale revision leaked into the merge: $merged vs $expected")
+    // exact counts in the unsaturated regime: x = 95 + 40, y = 25, z = 20
+    val got = merged.map(t => t._1 -> t._2).toMap
+    assert(got == Map("x" -> 135L, "y" -> 25L, "z" -> 20L))
+    assert(merged.forall(_._3 == 180L), "n_total must be 120 + 60")
+  }
+
+  test("a site with an EMPTY summary still contributes its n to " +
+    "n_total (explode_outer path: null items survive to the totals)") {
+    val sp = spark
+    import sp.implicits._
+    // the flat shape mergeMgPanel produces from explode_outer: siteB's
+    // buffer emptied (null item/cnt) but its n is real
+    val panel = Seq(
+      ("siteA", Some("x"), Some(50L), 80L),
+      ("siteB", Option.empty[String], Option.empty[Long], 70L)
+    ).toDF("site", "item", "cnt", "n")
+    val merged = Federation.mergeSiteSummaries(panel, k = 8).collect()
+    assert(merged.length == 1 && merged.head.getString(0) == "x")
+    assert(merged.head.getLong(2) == 150L,
+      s"empty-summary site's n must reach n_total: ${merged.head}")
+  }
 }

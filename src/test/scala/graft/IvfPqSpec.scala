@@ -52,17 +52,26 @@ class IvfPqSpec extends AnyFunSuite {
       10L -> c(1), 11L -> c(2), 12L -> c(3))
   }
 
+  /** Shared lossless fixture: built ONCE, lazily, by whichever test
+    * touches it first — so every test in this suite passes in
+    * isolation (a test reading spark.table("ivfpq_pq_postings") must
+    * not depend on suite-level declaration order). */
+  private lazy val losslessBuilt: String = {
+    val dir = writeEmb(losslessCorpus)
+    Similarity.buildIvfIndex(spark, dir, "ivfpq_raw", nCentroids = 3,
+      kmeansIters = 2, nBuckets = 2)
+    Similarity.buildIvfPqIndex(spark, dir, "ivfpq_pq", nCentroids = 3,
+      kmeansIters = 2, nBuckets = 2, m = 2, codebookK = 16, pqIters = 2)
+    dir
+  }
+
   test("lossless fixture: the ADC probe reproduces the raw-vector IVF " +
     "probe rank for rank (PQ codewords cover every subvector, so ADC " +
     "IS the exact dot product); the rerank face agrees; the audit " +
     "reads recall 1.0 on both faces") {
     val sp = spark
     import sp.implicits._
-    val dir = writeEmb(losslessCorpus)
-    Similarity.buildIvfIndex(spark, dir, "ivfpq_raw", nCentroids = 3,
-      kmeansIters = 2, nBuckets = 2)
-    Similarity.buildIvfPqIndex(spark, dir, "ivfpq_pq", nCentroids = 3,
-      kmeansIters = 2, nBuckets = 2, m = 2, codebookK = 16, pqIters = 2)
+    losslessBuilt
     val queries = losslessCorpus
       .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "v")
     def ranksOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
@@ -199,6 +208,7 @@ class IvfPqSpec extends AnyFunSuite {
   test("postings store codes, not vectors: the compressed posting row " +
     "is m longs against dim doubles on the raw index — the memory " +
     "story the composition exists for") {
+    losslessBuilt // force the shared fixture (isolation-safe)
     val postings = spark.table("ivfpq_pq_postings")
     val schema = postings.schema.fields.map(f =>
       f.name -> f.dataType.simpleString).toMap
@@ -212,5 +222,150 @@ class IvfPqSpec extends AnyFunSuite {
     // raw vectors live ONLY in the rerank side table
     val vecs = spark.table("ivfpq_pq_vecs").schema.fieldNames.toSet
     assert(vecs.contains("vb"))
+  }
+
+  /** 8 directions (±eᵢ in 4D), 4 members each: the raw subvector
+    * vocabulary per subspace is ~5 macro patterns × perturbations
+    * (> K=4), while residuals are the tiny per-member offsets. */
+  private def planted8: Seq[(Long, Array[Double])] = {
+    def mk(i: Int, s: Double): Array[Double] = {
+      val a = Array.fill(4)(0.0); a(i) = s; a
+    }
+    val dirs = (0 until 4).flatMap(i => Seq(mk(i, 1.0), mk(i, -1.0)))
+    val eps = Seq(
+      Array(0.0, 0.0, 0.0, 0.0), Array(0.03, 0.01, 0.0, 0.0),
+      Array(0.0, 0.03, 0.01, 0.0), Array(0.0, 0.0, 0.03, 0.01))
+    dirs.zipWithIndex.flatMap { case (d, j) =>
+      eps.zipWithIndex.map { case (e, i) =>
+        ((j * 10 + i + 1).toLong,
+          norm(d.zip(e).map { case (a, b) => a + b }))
+      }
+    }
+  }
+
+  test("residual encoding (Jégou IVF-ADC) beats raw-subvector encoding " +
+    "at the SAME m × codebookK budget on a planted clustered corpus: " +
+    "8 well-separated lists whose raw subvectors overflow a K=4 " +
+    "codebook, but whose within-list residuals it covers — ADC recall " +
+    "strictly above; the rerank face stays high in both modes") {
+    val dir = writeEmb(planted8)
+    Similarity.buildIvfPqIndex(spark, dir, "res_on", nCentroids = 8,
+      kmeansIters = 3, nBuckets = 2, m = 2, codebookK = 4, pqIters = 3,
+      residual = true)
+    Similarity.buildIvfPqIndex(spark, dir, "res_off", nCentroids = 8,
+      kmeansIters = 3, nBuckets = 2, m = 2, codebookK = 4, pqIters = 3,
+      residual = false)
+    def recalls(name: String): (Double, Double) = {
+      val r = Similarity.checkIvfPqRecall(spark, name, target = 0.9,
+        k = 3, nProbe = 2, sampleN = 32).collect().head
+      (r.getAs[Double]("recall_adc"), r.getAs[Double]("recall_rerank"))
+    }
+    val (adcRes, rerankRes) = recalls("res_on")
+    val (adcRaw, rerankRaw) = recalls("res_off")
+    assert(adcRes > adcRaw,
+      s"residual ADC recall must beat raw at the same budget: " +
+        s"residual=$adcRes raw=$adcRaw")
+    assert(adcRes >= 0.95, s"residual ADC recall regressed: $adcRes " +
+      s"(measured 0.9583 at pin time)")
+    assert(rerankRes >= 0.95 && rerankRaw >= 0.95,
+      "exact rerank must recover high recall in both modes: " +
+        s"residual=$rerankRes raw=$rerankRaw")
+  }
+
+  test("IVF-PQ budget tuner: the priced table measures recall per " +
+    "(m, codebookK, nProbe, rerank) with correct byte pricing, and " +
+    "the chooser picks the CHEAPEST plan clearing the floor on the " +
+    "planted fixture (falling back to max recall on an impossible " +
+    "floor)") {
+    import graft.operators.Similarity.PqPlan
+    val dir = writeEmb(planted8)
+    val table = Similarity.ivfPqPlanTable(spark, dir, k = 3,
+      nCentroids = 8, sampleN = 32, ms = Seq(2, 4),
+      codebookKs = Seq(4, 16), nProbes = Seq(1, 2), reranks = Seq(0, 6))
+      .collect()
+      .map(r => PqPlan(r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getDouble(4), r.getDouble(5)))
+    assert(table.length == 2 * 2 * 2 * 2, s"full grid expected: ${table.length}")
+    table.foreach { p =>
+      assert(p.recall >= 0.0 && p.recall <= 1.0, s"recall out of range: $p")
+      val bits = p.m * math.ceil(math.log(p.codebookK) / math.log(2)).toInt
+      assert(p.bytesPerVec == bits / 8.0, s"byte pricing wrong: $p")
+    }
+    // some plan clears 0.9 on this clustered corpus (the residual test
+    // measured 0.9583 at m=2/K=4/nProbe=2)
+    val floor = 0.9
+    val eligible = table.filter(_.recall >= floor)
+    assert(eligible.nonEmpty, s"no plan cleared $floor: ${table.toSeq}")
+    val chosen = Similarity.chooseIvfPqPlan(spark, dir,
+      targetRecall = floor, k = 3, nCentroids = 8, sampleN = 32,
+      ms = Seq(2, 4), codebookKs = Seq(4, 16), nProbes = Seq(1, 2),
+      reranks = Seq(0, 6))
+    assert(chosen.recall >= floor, s"chooser missed the floor: $chosen")
+    assert(chosen.bytesPerVec == eligible.map(_.bytesPerVec).min,
+      s"chooser must pick minimal posting bytes among eligible: $chosen " +
+        s"vs ${eligible.toSeq.sortBy(_.bytesPerVec).take(3)}")
+    // impossible floor → honest fallback: the max-recall plan
+    val fallback = Similarity.chooseIvfPqPlan(spark, dir,
+      targetRecall = 1.01, k = 3, nCentroids = 8, sampleN = 32,
+      ms = Seq(2, 4), codebookKs = Seq(4, 16), nProbes = Seq(1, 2),
+      reranks = Seq(0, 6))
+    assert(fallback.recall == table.map(_.recall).max,
+      s"fallback must be the max-recall plan: $fallback")
+  }
+
+  test("at-least-once replay: appending the same batch TWICE leaves " +
+    "every probe face identical to a single append — duplicate " +
+    "postings/_vecs rows cannot consume k rank slots or multiply the " +
+    "rerank join (the in-window lag guard)") {
+    val sp = spark
+    import sp.implicits._
+    val base = losslessCorpus.take(6)
+    val extra = losslessCorpus.drop(6)
+    val dir = writeEmb(base)
+    for (n <- Seq("ivfpq_rp1", "ivfpq_rp2"))
+      Similarity.buildIvfPqIndex(spark, dir, n, nCentroids = 3,
+        kmeansIters = 2, nBuckets = 2, m = 2, codebookK = 16, pqIters = 2)
+    val batch = extra.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "v")
+    Similarity.appendToIvfPqIndex(spark, "ivfpq_rp1", batch)
+    Similarity.appendToIvfPqIndex(spark, "ivfpq_rp2", batch)
+    Similarity.appendToIvfPqIndex(spark, "ivfpq_rp2", batch) // the replay
+    val queries = losslessCorpus.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "v")
+    def probe(name: String, rr: Int): Set[(Long, Long, Double, Long)] =
+      Similarity.probeIvfPqIndex(spark, name, queries, k = 3,
+          nProbe = 2, rerank = rr)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+    val onceAdc = probe("ivfpq_rp1", 0)
+    val replAdc = probe("ivfpq_rp2", 0)
+    assert(replAdc == onceAdc,
+      s"ADC face diverged under replay:\nextra=${(replAdc -- onceAdc).toSeq}" +
+        s"\nmissing=${(onceAdc -- replAdc).toSeq}")
+    assert(probe("ivfpq_rp2", 6) == probe("ivfpq_rp1", 6),
+      "rerank face diverged under replay")
+    // ranks stay contiguous per query — a leaked duplicate would gap
+    // or repeat them
+    replAdc.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._4).toSeq.sorted == (1L to rows.size).toSeq,
+        s"query $qid ranks not contiguous: $rows")
+      assert(rows.map(_._2).size == rows.map(_._2).toSeq.distinct.size,
+        s"query $qid has a duplicate neighbor: $rows")
+    }
+    // the RAW IVF index shares the probe contract — same replay law
+    for (n <- Seq("ivf_rp1", "ivf_rp2"))
+      Similarity.buildIvfIndex(spark, dir, n, nCentroids = 3,
+        kmeansIters = 2, nBuckets = 2)
+    Similarity.appendToIvfIndex(spark, "ivf_rp1", batch)
+    Similarity.appendToIvfIndex(spark, "ivf_rp2", batch)
+    Similarity.appendToIvfIndex(spark, "ivf_rp2", batch)
+    def probeRaw(name: String): Set[(Long, Long, Double, Long)] =
+      Similarity.probeIvfIndexOn(spark, name, queries, k = 3, nProbe = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+    assert(probeRaw("ivf_rp2") == probeRaw("ivf_rp1"),
+      "raw IVF probe diverged under replay")
   }
 }

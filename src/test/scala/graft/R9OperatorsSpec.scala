@@ -505,5 +505,12 @@ class R9OperatorsSpec extends AnyFunSuite {
     val mean = a.getAs[Double]("mean_recall")
     assert(mean >= 0.0 && mean <= 1.0)
     assert(a.getAs[Double]("min_recall") <= mean)
+    // m-generic plumbing (the tables column is m × K): m=8 audits the
+    // same lossless corpus at 8 subspaces of 8 dims — still lossless,
+    // recall stays 1.0
+    val r8 = Similarity.pqRecallAudit(spark, dir, nQueries = 8, k = 3,
+      m = 8).collect().head
+    assert(r8.getAs[Double]("min_recall") === 1.0,
+      s"m=8 lossless audit must read 1.0: $r8")
   }
 }
