@@ -145,6 +145,7 @@ object SparkEntry {
     "q_segment_dedup" -> ((s: SparkSession, d: String) => Dedup.segmentDedup(s, d)),
     "q_dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
     "q_suffix_spans" -> ((s: SparkSession, d: String) => Suffix.suffixSpans(s, d)),
+    "q_span_clip" -> ((s: SparkSession, d: String) => Suffix.spanClip(s, d)),
     "q_quality_gate" -> ((s: SparkSession, d: String) => TextAnalysis.qualityGate(s, d)),
     "q_embed_quantize" -> (Similarity.embedQuantize _),
     "q_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
@@ -1905,6 +1906,34 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
         |       CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
         |FROM r GROUP BY doc_id, grp ORDER BY doc_id, start_pos""".stripMargin,
+    "q_span_clip" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+        | WHERE len(toks) > 0),
+        |g AS (
+        | SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:(i+7)], ' ') AS gram
+        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i)
+        | WHERE len(toks) >= 8),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (
+        | SELECT DISTINCT m.doc_id, m.pos + o AS pos
+        | FROM (SELECT doc_id, pos FROM g JOIN c USING (gram)) m,
+        |      LATERAL (SELECT unnest(generate_series(0, 7)) AS o)),
+        |kept AS (
+        | SELECT p.doc_id, p.pos, p.tok
+        | FROM p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.pos
+        | WHERE cov.pos IS NULL)
+        |SELECT p.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) - count(kept.tok) AS BIGINT) AS n_removed,
+        |       coalesce(string_agg(kept.tok, ' ' ORDER BY p.pos), '') AS clean_text
+        |FROM p LEFT JOIN kept ON p.doc_id = kept.doc_id AND p.pos = kept.pos
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "q_quality_gate" ->
       """WITH t AS (SELECT doc_id, lang,
         |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS n_tok,

@@ -97,18 +97,24 @@ object Suffix {
   }
 
   /** The composite equality key for windows of EXACT length `winLen`
-    * at level K = floor(log2 winLen): two positions (with ≥ winLen
-    * tokens remaining) share the key iff their winLen-token windows
-    * are identical — the classic sparse-table overlap trick,
-    * (rank_K(p), rank_K(p + winLen − 2^K)); the halves may overlap,
-    * equality of both ⟺ equality of the window. Positions with fewer
-    * than winLen tokens remaining can never share a key with a full
-    * window: a truncated suffix's rank chain contains the end-of-doc
-    * sentinel where the full window's has a real rank, so their dense
-    * ranks differ at every level (proved in SuffixSpec by driver
-    * recount). */
-  private def windowKeys(ranks: DataFrame, winLen: Int): DataFrame = {
-    val half = java.lang.Long.highestOneBit(winLen.toLong)
+    * from ranks at level K (requires 2^(K+1) ≥ winLen ≥ 2^K + 1, or
+    * winLen = 2^K exactly... any K with 2^K ≥ winLen − 2^K works):
+    * two positions (with ≥ winLen tokens remaining) share the key iff
+    * their winLen-token windows are identical — the classic
+    * sparse-table overlap trick, (rank_K(p), rank_K(p + winLen −
+    * 2^K)); the halves may overlap, equality of both ⟺ equality of
+    * the window. Using K = ⌈log2 winLen⌉ − 1 (one level BELOW the
+    * full window) saves an entire doubling round versus ranking to
+    * the window length. Positions with fewer than winLen tokens
+    * remaining can never share a key with a full window: a truncated
+    * suffix's rank chain contains the end-of-doc sentinel where the
+    * full window's has a real rank, so their dense ranks differ at
+    * every level (proved in SuffixSpec by driver recount). */
+  private def windowKeys(ranks: DataFrame, winLen: Int,
+      level: Int): DataFrame = {
+    val half = 1L << level
+    require(half >= winLen - half && half <= winLen,
+      s"level $level cannot key windows of $winLen")
     if (half == winLen.toLong)
       ranks.select(col("doc_id"), col("pos"), col("rank").as("k1"),
         lit(0L).as("k2"))
@@ -142,18 +148,20 @@ object Suffix {
       minLen: Int = 8): DataFrame = {
     require(minLen >= 2, s"minLen must be ≥ 2, got $minLen")
     val pos = positions(spark, dir).localCheckpoint()
-    // the composite key needs ranks at level K = floor(log2 minLen):
-    // (rank_K(p), rank_K(p + minLen − 2^K)) covers any window length
-    // in (2^K, 2^{K+1}]
-    val ranks = suffixRanks(pos,
-      31 - Integer.numberOfLeadingZeros(minLen))
+    // rank only to level K = ⌈log2 minLen⌉ − 1: the composite key
+    // (rank_K(p), rank_K(p + minLen − 2^K)) already decides equality
+    // of full minLen windows (2^K ≥ minLen − 2^K), saving one whole
+    // doubling round (distinct + sort + join) versus ranking to the
+    // window length — at 100 TB each round is a corpus-linear sort
+    val level = 31 - Integer.numberOfLeadingZeros(minLen - 1) // ceil−1
+    val ranks = suffixRanks(pos, level)
     // only positions that can host a FULL minLen window participate:
     // a tail position's truncated suffix can tie with another doc's
     // identical tail (k1 AND k2 both truncated), which would mark a
     // span that isn't one
     val lens = pos.groupBy(col("doc_id"))
       .agg((max(col("pos")) + 1).as("doc_len"))
-    val keyed = windowKeys(ranks, minLen)
+    val keyed = windowKeys(ranks, minLen, level)
       .join(lens, Seq("doc_id"))
       .filter(col("pos") <= col("doc_len") - minLen)
     // a window "occurs elsewhere" ⟺ its equality class has ≥ 2 members
@@ -173,6 +181,41 @@ object Suffix {
           .as("span_len"))
       .select(col("doc_id"), col("start_pos"), col("span_len"))
       .orderBy(col("doc_id"), col("start_pos"))
+  }
+
+  /** SPAN-CLIP — the transformation [[suffixSpans]]'s span set exists
+    * for (Lee et al. 2022's actual dedup step): remove every token
+    * position covered by a cross-corpus duplicated span ≥ `minLen`
+    * and reassemble the surviving tokens in order. Emits per doc the
+    * token counts (total, removed) and the cleaned text; docs with no
+    * duplicated span pass through intact (including docs shorter than
+    * minLen). Scale shape: [[suffixSpans]]'s rounds + one explode of
+    * span intervals to covered positions (linear in REMOVED token
+    * volume, a subset of the corpus), one anti-join on (doc, pos),
+    * one per-doc ordered reassembly — the segmentDedup rollup shape. */
+  def spanClip(spark: SparkSession, dir: String,
+      minLen: Int = 8): DataFrame = {
+    val pos = positions(spark, dir)
+    val covered = suffixSpans(spark, dir, minLen)
+      .select(col("doc_id"), explode(expr(
+        "sequence(start_pos, start_pos + span_len - 1)")).as("pos"))
+    pos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+      // docs fully covered by duplicated spans drop out of the
+      // anti-join — restore them with empty text (the doc row must
+      // survive its own clipping), and carry the total for the share
+      .join(pos.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
   }
 
   /** Library face of [[suffixRanks]] over a corpus directory, doubled

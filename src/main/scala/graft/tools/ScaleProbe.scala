@@ -322,6 +322,9 @@ object ScaleProbe {
       ("q_sax_symbols", 1.0, (d, _) => graft.operators.TimeSeries.saxSymbols(spark, d)),
       ("q_pq_codes", 1.0, (d, _) => graft.operators.Similarity.pqCodes(spark, d)),
       ("q_pq_recall", 1.0, (d, _) => graft.operators.Similarity.pqRecallAudit(spark, d)),
+      // r11: suffix spans — every doubling round is a corpus-linear
+      // integer sort; marks and gap-islands are keyed windows
+      ("q_suffix_spans", 1.0, (d, _) => graft.operators.Suffix.suffixSpans(spark, d)),
       // NOT q_media_phash_dup / q_split_leakage / q_blast_radius: like
       // minhashPairs, their OUTPUT is pair-shaped over template
       // families, so the replicated corpus grows it ~N²/2 by

@@ -158,6 +158,35 @@ class SuffixSpec extends AnyFunSuite {
       s"suffix ranks diverge from the driver sort:\n got=$got\n exp=$expected")
   }
 
+  test("spanClip removes exactly the span-covered tokens: partial clips " +
+    "keep surviving tokens in order, an exact-duplicate doc clips to " +
+    "EMPTY (the row survives), untouched docs pass through verbatim, " +
+    "and n_removed reconciles with the suffixSpans interval set") {
+    val shared = (1 to 9).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a b c " + shared + " x y"),
+      (2L, shared),            // exact duplicate content: fully covered
+      (3L, "u v w unique tokens only here"))
+    val dir = writeDocs(docs)
+    val got = graft.operators.Suffix.spanClip(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(got(1L) == ((14L, 9L, "a b c x y")),
+      s"partial clip must keep order: ${got(1L)}")
+    assert(got(2L) == ((9L, 9L, "")),
+      s"fully duplicated doc must clip to empty but keep its row: ${got(2L)}")
+    assert(got(3L) == ((7L, 0L, "u v w unique tokens only here")),
+      s"untouched doc must pass through: ${got(3L)}")
+    // reconciliation: n_removed per doc == tokens covered by the span set
+    val spans = runSpans(dir, 8)
+    val coveredByDoc = spans.groupBy(_._1).view.mapValues(ss =>
+      ss.flatMap(s => s._2 until (s._2 + s._3)).distinct.size.toLong).toMap
+    got.foreach { case (id, (_, removed, _)) =>
+      assert(removed == coveredByDoc.getOrElse(id, 0L),
+        s"doc $id: n_removed $removed != covered ${coveredByDoc.get(id)}")
+    }
+  }
+
   test("real-data sanity at sf: spans respect doc bounds and minLen, " +
     "and every span's token run is genuinely duplicated (recount on " +
     "the span set itself)") {
