@@ -37,15 +37,25 @@ object Suffix {
     * `keys`' columns: distinct → range-partitioned sort → RDD
     * zipWithIndex (order-preserving, two light jobs — the standard
     * distributed dense_rank; a Window.orderBy would pull the whole
-    * key space into ONE partition). Linear in |distinct keys|. */
-  private def denseIds(keys: DataFrame, outCol: String): DataFrame = {
+    * key space into ONE partition). Linear in |distinct keys|.
+    *
+    * The sorted RDD is PERSISTED across zipWithIndex's size job and
+    * the caller's join — without it every downstream action re-runs
+    * the distinct + range sort (zipWithIndex's partition-size pass
+    * does not retain its input), doubling each doubling round's sort
+    * mass. The caller unpersists the returned handle once its join
+    * has materialized. */
+  private def denseIds(keys: DataFrame, outCol: String)
+      : (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
     val cols = keys.columns.map(col).toIndexedSeq
     val sorted = keys.distinct().orderBy(cols: _*)
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
-    sorted.sparkSession.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) =>
+    (sorted.sparkSession.createDataFrame(
+      rdd.zipWithIndex.map { case (r, i) =>
         Row.fromSeq(r.toSeq :+ (i + 1L))
-      }, schema)
+      }, schema), rdd)
   }
 
   /** (doc_id, pos, tok) position table of the documents' normalized
@@ -70,9 +80,14 @@ object Suffix {
     * All shuffles carry (long, long) keys; nothing is quadratic. */
   def suffixRanks(pos: DataFrame, steps: Int): DataFrame = {
     val toks = pos.select(col("doc_id"), col("pos"), col("tok"))
-    val dict = denseIds(toks.select(col("tok")), "rank")
+    val (dict, dictHandle) = denseIds(toks.select(col("tok")), "rank")
     var cur = toks.join(dict, Seq("tok"))
       .select(col("doc_id"), col("pos"), col("rank"))
+      // cut the lineage each round: log n rounds of joins otherwise
+      // compound into one enormous plan (and re-execute the whole
+      // prefix on every action)
+      .localCheckpoint()
+    dictHandle.unpersist(blocking = false)
     var k = 0
     while (k < steps) {
       val stepLen = 1L << k
@@ -83,14 +98,12 @@ object Suffix {
         // sorts below every real rank (shorter suffix first — the
         // standard suffix-array sentinel)
         .withColumn("rnext", coalesce(col("rnext"), lit(0L)))
-      val pairDict = denseIds(
+      val (pairDict, handle) = denseIds(
         paired.select(col("rank"), col("rnext")), "nrank")
       cur = paired.join(pairDict, Seq("rank", "rnext"))
         .select(col("doc_id"), col("pos"), col("nrank").as("rank"))
-        // cut the lineage each round: log n rounds of joins otherwise
-        // compound into one enormous plan (and re-execute the whole
-        // prefix on every action)
         .localCheckpoint()
+      handle.unpersist(blocking = false)
       k += 1
     }
     cur
