@@ -33,6 +33,8 @@ ORDER = [
     "q_quality_tiers", "q_gopher_rules", "q_hybrid_rrf",
     "q_federated_quantiles", "q_federated_topk",
     # the r9 set
+    # r11 widening: the suffix-ranking dedup family
+    "q_suffix_spans", "q_span_clip",
     "q_dsir_select", "q_dup_spans", "q_winnow_candidates",
     "q_containment_join", "q_split_leakage", "q_basket_rules",
     "q_degree_hist", "q_clustering_coeff", "q_triangle_count",
