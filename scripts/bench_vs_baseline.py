@@ -40,8 +40,12 @@ for k in common:
         slower.append((r, k))
     elif r < 1 - band:
         faster.append((r, k))
-print(f"\ncommon keys: {len(common)}  sum ratio: "
-      f"{sum(c[k] for k in common if c[k] > 0) / sum(b[k] for k in common if b[k] > 0):.3f}")
+# the sum ratio compares the SAME key set on both sides: a key with a
+# failed-rep sentinel (<= 0) on EITHER side drops from both sums, so a
+# crash in one artifact cannot deflate/inflate the headline ratio
+ok = [k for k in common if b[k] > 0 and c[k] > 0]
+print(f"\ncommon keys: {len(common)} ({len(ok)} timed on both sides)  "
+      f"sum ratio: {sum(c[k] for k in ok) / sum(b[k] for k in ok):.3f}")
 for r, k in sorted(slower, reverse=True):
     print(f"  SLOWER {r:5.2f}x  {k}  base={b[k]:.2f}s cur={c[k]:.2f}s")
 for r, k in sorted(faster):

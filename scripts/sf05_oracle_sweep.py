@@ -34,7 +34,7 @@ ORDER = [
     "q_federated_quantiles", "q_federated_topk",
     # the r9 set
     # r11 widening: the suffix-ranking dedup family
-    "q_suffix_spans", "q_span_clip",
+    "q_suffix_spans", "q_span_clip", "q_span_classes", "q_span_clip_inc",
     "q_dsir_select", "q_dup_spans", "q_winnow_candidates",
     "q_containment_join", "q_split_leakage", "q_basket_rules",
     "q_degree_hist", "q_clustering_coeff", "q_triangle_count",

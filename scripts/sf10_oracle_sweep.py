@@ -11,9 +11,10 @@ seconds. The deliberately-naive all-pairs oracles are SKIPPED at this
 SF (q_entity_resolution read 5269 DuckDB-seconds at sf0.5;
 q_jaccard_prefix 1739; q_triangle_count 730; q_edit_join 449 — the
 verdict's "skip the multi-hundred-second naive oracles"); everything
-else from the sf0.5 list runs, plus the TPC-H heavies and the new
-q_suffix_spans. Queries run cheapest-expected-first so a wall-clock
-cutoff loses only the tail.
+else from the sf0.5 list runs, plus the TPC-H heavies and the suffix
+family (q_suffix_spans + q_span_clip since r12 item #5, plus the new
+q_span_classes / q_span_clip_inc index faces). Queries run
+cheapest-expected-first so a wall-clock cutoff loses only the tail.
 
 usage: python3 sf10_oracle_sweep.py <sf10_dir> <spark_out_dir> <result_json>
 """
@@ -30,7 +31,8 @@ ORDER = [
     "q_funnel_windowed", "q_ltv_cohort", "q_rfm_segments",
     "q_hybrid_rrf", "q_interval_coalesce", "q_key_profile",
     "q_order_gaps", "q_federated_quantiles", "q_markov_transitions",
-    "q_ind_audit", "q_dup_spans", "q_suffix_spans", "q_dsir_select",
+    "q_ind_audit", "q_dup_spans", "q_suffix_spans", "q_span_clip",
+    "q_span_classes", "q_span_clip_inc", "q_dsir_select",
     "q_gopher_rules", "q_session_paths", "q_fd_audit",
     "q_pagerank_panel", "q_degree_hist", "q_attribution",
     "q_peak_concurrency", "q_basket_rules",

@@ -51,6 +51,34 @@ object Metrics {
   def observed(obs: org.apache.spark.sql.Observation): Map[String, Any] =
     obs.get
 
+  /** Run `action` counting the Spark JOBS launched inside (settle-
+    * polled like [[withMetrics]]) — the scheduling-overhead audit for
+    * driver-side evaluation loops: a grid that fires an action per
+    * cell reads as |cells| jobs here instead of one, which at a
+    * 1000-executor cluster is |cells| round trips of scheduler
+    * latency on an otherwise sample-sized computation. */
+  def withJobCount[T](spark: SparkSession)(action: => T): (T, Int) = {
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val l = new SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val out = action
+      var prev = -1
+      var cur = n.get
+      val deadline = System.nanoTime() + 5000000000L
+      while (prev != cur && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        prev = cur
+        cur = n.get
+      }
+      (out, n.get)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   /** Run `action` with a listener attached; returns (result, aggregated
     * task metrics for everything executed inside). */
   def withMetrics[T](spark: SparkSession)(action: => T): (T, RunMetrics) = {

@@ -146,6 +146,8 @@ object SparkEntry {
     "q_dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
     "q_suffix_spans" -> ((s: SparkSession, d: String) => Suffix.suffixSpans(s, d)),
     "q_span_clip" -> ((s: SparkSession, d: String) => Suffix.spanClip(s, d)),
+    "q_span_classes" -> ((s: SparkSession, d: String) => Suffix.spanClasses(s, d)),
+    "q_span_clip_inc" -> ((s: SparkSession, d: String) => Suffix.spanClipIncrement(s, d)),
     "q_quality_gate" -> ((s: SparkSession, d: String) => TextAnalysis.qualityGate(s, d)),
     "q_embed_quantize" -> (Similarity.embedQuantize _),
     "q_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
@@ -1889,51 +1891,12 @@ object SparkEntry {
         |         AS dup_share
         |FROM g JOIN d USING (gram)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
-    "q_suffix_spans" ->
-      """WITH t AS (
-        | SELECT doc_id,
-        |        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        | FROM documents),
-        |g AS (
-        | SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:(i+7)], ' ') AS gram
-        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i)
-        | WHERE len(toks) >= 8),
-        |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-        |m AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),
-        |r AS (SELECT doc_id, pos,
-        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |      FROM m)
-        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
-        |       CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
-        |FROM r GROUP BY doc_id, grp ORDER BY doc_id, start_pos""".stripMargin,
-    "q_span_clip" ->
-      """WITH t AS (
-        | SELECT doc_id,
-        |        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        | FROM documents),
-        |p AS (
-        | SELECT doc_id, i - 1 AS pos, toks[i] AS tok
-        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
-        | WHERE len(toks) > 0),
-        |g AS (
-        | SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:(i+7)], ' ') AS gram
-        | FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i)
-        | WHERE len(toks) >= 8),
-        |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-        |cov AS (
-        | SELECT DISTINCT m.doc_id, m.pos + o AS pos
-        | FROM (SELECT doc_id, pos FROM g JOIN c USING (gram)) m,
-        |      LATERAL (SELECT unnest(generate_series(0, 7)) AS o)),
-        |kept AS (
-        | SELECT p.doc_id, p.pos, p.tok
-        | FROM p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.pos
-        | WHERE cov.pos IS NULL)
-        |SELECT p.doc_id,
-        |       CAST(count(*) AS BIGINT) AS n_tokens,
-        |       CAST(count(*) - count(kept.tok) AS BIGINT) AS n_removed,
-        |       coalesce(string_agg(kept.tok, ' ' ORDER BY p.pos), '') AS clean_text
-        |FROM p LEFT JOIN kept ON p.doc_id = kept.doc_id AND p.pos = kept.pos
-        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    // generated from the SAME Suffix.SpanMinLen constant the Scala
+    // operators default to — the two sides cannot drift (r11 item #7)
+    "q_suffix_spans" -> Suffix.spanOracleSql(),
+    "q_span_clip" -> Suffix.clipOracleSql(),
+    "q_span_classes" -> Suffix.classesOracleSql(),
+    "q_span_clip_inc" -> Suffix.clipIncOracleSql(),
     "q_quality_gate" ->
       """WITH t AS (SELECT doc_id, lang,
         |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS n_tok,

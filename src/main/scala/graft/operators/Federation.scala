@@ -290,9 +290,14 @@ object Federation {
     val latest =
       if (rows.columns.contains("rev")) {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("site")
-        rows.withColumn("_maxrev", max(col("rev")).over(w))
-          .filter(col("rev") === col("_maxrev"))
-          .drop("_maxrev", "rev")
+        // null revs coalesce to a floor, not drop: a feed that carries
+        // no revision for a site still participates (it only loses to
+        // a real revision of the SAME site — the null-propagating
+        // === would silently drop the whole site instead)
+        rows.withColumn("_rev", coalesce(col("rev"), lit(Long.MinValue)))
+          .withColumn("_maxrev", max(col("_rev")).over(w))
+          .filter(col("_rev") === col("_maxrev"))
+          .drop("_maxrev", "_rev", "rev")
       } else rows
     val totals = latest.groupBy(col("site")).agg(max(col("n")).as("n"))
       .agg(sum(col("n")).as("n_total"))

@@ -83,7 +83,8 @@ object Pipeline {
     * survivors into the corpus (and its indexes) for the next wave. */
   def curateIncrement(spark: SparkSession, mhIndex: String,
       contIndex: String, batch: DataFrame,
-      minQuality: Double = 0.3): DataFrame = {
+      minQuality: Double = 0.3,
+      spanIndex: Option[String] = None): DataFrame = {
     val batchDocs = batch.select(col("doc_id"), col("text")).localCheckpoint()
     val bIds = batchDocs.select(col("doc_id"))
     // corpus hits (exact + near) — each probe is O(batch)
@@ -139,7 +140,7 @@ object Pipeline {
       .unionByName(leakWithin)
       .distinct()
     // row-local gates last (they commute with the id-keyed drops)
-    Sampling.hashSplit(
+    val curated = Sampling.hashSplit(
       batchDocs.select(col("doc_id"),
         TextAnalysis.qualityCol.as("quality"),
         TextAnalysis.langPredCol.as("lang_pred"))
@@ -147,7 +148,26 @@ object Pipeline {
       "doc_id")
       .join(drops, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang_pred"), col("quality"), col("split"))
-      .orderBy(col("doc_id"))
+    spanIndex match {
+      case None => curated.orderBy(col("doc_id"))
+      case Some(si) =>
+        // SPAN-CLIP GATE (r11 verdict item #2): survivors additionally
+        // carry their duplicated-span-clipped text — the arriving wave
+        // is clipped against the PERSISTED duplicated-window classes at
+        // O(batch) ([[graft.operators.Suffix.probeSpanClip]]), instead
+        // of a full-corpus suffix re-rank per wave. The doc-drop
+        // semantics above are untouched: clipping rewrites text, it
+        // never deletes a surviving row (SpanIndexSpec parity law:
+        // the clip equals full spanClip(corpus ∪ batch) restricted to
+        // the batch).
+        curated
+          .join(Suffix.probeSpanClip(spark, si, batchDocs),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang_pred"), col("quality"),
+            col("split"), col("n_tokens"), col("n_removed"),
+            col("clean_text"))
+          .orderBy(col("doc_id"))
+    }
   }
 
   /** [[curateIncrement]] staging cache — same contract as the

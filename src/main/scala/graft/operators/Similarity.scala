@@ -1385,9 +1385,14 @@ object Similarity {
       pin: Long): (IndexedSeq[Array[Array[Double]]], Boolean) = {
     import spark.implicits._
     val gen = graft.sources.FormatIO.rebaseEpochOf(spark, name, pin)
-    val rows = spark.table(s"${name}_pq")
+    val pq = spark.table(s"${name}_pq")
+    // indexes persisted before the residual column existed encoded raw
+    // subvectors — read them as residual=false instead of throwing
+    val resCol = if (pq.columns.contains("residual")) col("residual")
+      else lit(false).as("residual")
+    val rows = pq
       .filter(col("epoch") === gen)
-      .select(col("sub"), col("code"), col("centroid"), col("residual"))
+      .select(col("sub"), col("code"), col("centroid"), resCol)
       .as[(Int, Long, Array[Double], Boolean)].collect()
     val m = if (rows.isEmpty) 0 else rows.map(_._1).max + 1
     ((0 until m).map(i =>
@@ -1595,7 +1600,13 @@ object Similarity {
     * centroids + new PQ codebooks + fully re-encoded postings staged
     * at one epoch and published with a single REBASE commit. The
     * `_vecs` table itself is NOT rewritten (vectors don't change on
-    * retrain); it stays append-only under [[pinnedAt]] reads. */
+    * retrain); it stays append-only under [[pinnedAt]] reads.
+    *
+    * MIGRATION NOTE: the codebook table gained a `residual` column;
+    * probes of a pre-residual index read it as residual=false
+    * (loadPqCodebooks' fallback), but retrain/append WRITE the widened
+    * schema — an index persisted before the column existed must be
+    * rebuilt ([[buildIvfPqIndex]]) before its first retrain. */
   def retrainIvfPqIndex(spark: SparkSession, name: String,
       nCentroids: Int = 16, kmeansIters: Int = 3,
       m: Int = 4, codebookK: Int = 16, pqIters: Int = 3,
@@ -1887,11 +1898,93 @@ object Similarity {
       ms: Seq[Int] = Seq(4, 8, 16),
       codebookKs: Seq[Int] = Seq(16, 256),
       nProbes: Seq[Int] = Seq(1, 2, 4, 8),
-      reranks: Seq[Int] = Seq(0, 12)): DataFrame = {
+      reranks: Seq[Int] = Seq(0, 12)): DataFrame =
+    pqTunerCandidates(spark, dir, k, nCentroids, kmeansIters, pqIters,
+      sampleN, ms, codebookKs) match {
+      case None => emptyPlanTable(spark)
+      case Some(t) =>
+        // ONE aggregation prices the whole (nProbe, rerank) grid per
+        // (m, K) candidate table — the per-cell evaluation fired a
+        // count() action per cell (48 jobs at the default grid, r11
+        // verdict item #8); here each cell is a slice of one exploded
+        // frame and the grid resolves in a single job at collect time.
+        import spark.implicits._
+        val probes = nProbes.filter(_ <= t.nCentroids).distinct
+        val maxCut = (k +: reranks).max
+        val priced = t.cands.map { case (m, ck, bytes, cand) =>
+          val wAdc = Window.partitionBy(col("id_a"), col("n_probe"))
+            .orderBy(col("adc").desc, col("id_b"))
+          val wCos = Window.partitionBy(col("id_a"), col("n_probe"),
+            col("rerank")).orderBy(col("cos").desc, col("id_b"))
+          cand
+            // a candidate participates in every probe budget ≥ its
+            // probe rank; the explode multiplies only the
+            // sample-bounded candidate table
+            .withColumn("n_probe", explode(typedlit(probes)))
+            .filter(col("pr") <= col("n_probe"))
+            .withColumn("ra", row_number().over(wAdc))
+            .filter(col("ra") <= maxCut) // superset of every cell's cut
+            .withColumn("rerank", explode(typedlit(reranks.distinct)))
+            .filter(col("ra") <= greatest(col("rerank"), lit(k)))
+            .withColumn("rc", row_number().over(wCos))
+            .filter(when(col("rerank") <= 0, col("ra") <= k)
+              .otherwise(col("rc") <= k))
+            .join(t.exact.withColumn("hit", lit(1L)),
+              Seq("id_a", "id_b"), "left")
+            .groupBy(col("n_probe"), col("rerank"))
+            .agg((sum(coalesce(col("hit"), lit(0L))) / t.exactN)
+              .as("recall"))
+            .select(lit(m).as("m"), lit(ck).as("codebook_k"),
+              col("n_probe"), col("rerank"),
+              lit(bytes).as("bytes_per_vec"), col("recall"))
+        }
+        // empty cells (no surviving candidates) must still price at
+        // recall 0 — a groupBy drops them, so the dense driver-side
+        // grid left-joins the measured slices back
+        val grid = (for {
+          (m, ck, bytes, _) <- t.cands
+          p <- probes
+          r <- reranks.distinct
+        } yield (m, ck, p, r, bytes))
+          .toDF("m", "codebook_k", "n_probe", "rerank", "bytes_per_vec")
+        val measured = priced.reduceOption(_ unionByName _)
+        val joined = measured match {
+          case Some(mdf) => grid.join(mdf,
+            Seq("m", "codebook_k", "n_probe", "rerank", "bytes_per_vec"),
+            "left")
+          case None => grid.withColumn("recall", lit(null).cast("double"))
+        }
+        joined
+          .withColumn("recall", round(coalesce(col("recall"), lit(0.0)), 4))
+          .select("m", "codebook_k", "n_probe", "rerank", "bytes_per_vec",
+            "recall")
+    }
+
+  private def emptyPlanTable(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val empty = Seq.empty[(Int, Int, Int, Int, Double, Double)]
+    Seq.empty[(Int, Int, Int, Int, Double, Double)]
       .toDF("m", "codebook_k", "n_probe", "rerank", "bytes_per_vec",
         "recall")
+  }
+
+  /** The tuner's shared, strategy-independent setup: IVF centroids
+    * (trained once — they don't depend on the PQ split), the exact
+    * top-k of the bounded md5 panel (computed once), and per (m, K)
+    * the residual-trained codebooks + the sample-sized candidate
+    * table (probe rank, ADC score, exact cosine), each materialized
+    * once. Both evaluation strategies — the batched grid aggregation
+    * ([[ivfPqPlanTable]]) and the per-cell reference
+    * ([[ivfPqPlanTableReference]], the differential spec's oracle) —
+    * price THESE tables, so a divergence is strictly an evaluation
+    * bug, never a training difference. */
+  private[graft] case class PqTunerInputs(
+      cands: Seq[(Int, Int, Double, DataFrame)],
+      exact: DataFrame, exactN: Double, nCentroids: Int)
+
+  private[graft] def pqTunerCandidates(spark: SparkSession, dir: String,
+      k: Int, nCentroids: Int, kmeansIters: Int, pqIters: Int,
+      sampleN: Int, ms: Seq[Int], codebookKs: Seq[Int])
+      : Option[PqTunerInputs] = {
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
         expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
@@ -1899,9 +1992,9 @@ object Similarity {
       .localCheckpoint()
     val dim = normed.select(size(col("vn"))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
-    if (dim == 0) return empty
+    if (dim == 0) return None
     val centroids = trainCentroids(spark, normed, nCentroids, kmeansIters)
-    if (centroids.isEmpty) return empty
+    if (centroids.isEmpty) return None
     val nC = centroids.length
     val dots = array(centroids.toIndexedSeq.map(c =>
       dotProduct(col("vn"), typedlit(c.toSeq))): _*)
@@ -1929,7 +2022,7 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
       .localCheckpoint()
     val exactN = exact.count().toDouble
-    if (exactN == 0.0) return empty
+    if (exactN == 0.0) return None
     // probe-ranked buckets per query: pr = 1 means the nearest list
     val qExpl = sample.withColumn("pb", expr(
         s"""transform(
@@ -1942,7 +2035,7 @@ object Similarity {
       .withColumn("cdot", element_at(col("qdots"), col("bucket").cast("int")))
       .drop("pr0", "qdots")
       .localCheckpoint()
-    val rows = for {
+    val cands = for {
       m <- ms if dim % m == 0
       ck <- codebookKs
     } yield {
@@ -1972,31 +2065,55 @@ object Similarity {
           dotProduct(col("va"), col("vb")).as("cos"))
         .localCheckpoint()
       val bytes = m * math.ceil(math.log(ck.toDouble) / math.log(2.0)) / 8.0
-      for (p <- nProbes.filter(_ <= nC); r <- reranks) yield {
-        val cut = math.max(r, k)
-        val wa = Window.partitionBy(col("id_a"))
-          .orderBy(col("adc").desc, col("id_b"))
-        val adcTop = cand.filter(col("pr") <= p)
-          .withColumn("ra", row_number().over(wa))
-          .filter(col("ra") <= cut)
-        val top =
-          if (r <= 0) adcTop.filter(col("ra") <= k)
-          else {
-            val wc = Window.partitionBy(col("id_a"))
-              .orderBy(col("cos").desc, col("id_b"))
-            adcTop.withColumn("rc", row_number().over(wc))
-              .filter(col("rc") <= k)
-          }
-        val hits = top.select(col("id_a"), col("id_b"))
-          .join(exact, Seq("id_a", "id_b"), "left_semi").count()
-        (m, ck, p, r, bytes, hits / exactN)
-      }
+      (m, ck, bytes, cand)
     }
-    rows.flatten
-      .toDF("m", "codebook_k", "n_probe", "rerank", "bytes_per_vec",
-        "recall")
-      .withColumn("recall", round(col("recall"), 4))
+    Some(PqTunerInputs(cands, exact, exactN, nC))
   }
+
+  /** PER-CELL evaluation of the tuner grid — the pre-r12 strategy
+    * (one count() action per (nProbe, rerank) cell), kept as the
+    * DIFFERENTIAL REFERENCE for the batched grid aggregation: both
+    * price the same candidate tables, so IvfPqSpec asserts table
+    * equality cell by cell. Not on the query surface. */
+  private[graft] def ivfPqPlanTableReference(spark: SparkSession,
+      dir: String, k: Int = 3, nCentroids: Int = 16,
+      kmeansIters: Int = 3, pqIters: Int = 3, sampleN: Int = 32,
+      ms: Seq[Int] = Seq(4, 8, 16),
+      codebookKs: Seq[Int] = Seq(16, 256),
+      nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+      reranks: Seq[Int] = Seq(0, 12)): DataFrame =
+    pqTunerCandidates(spark, dir, k, nCentroids, kmeansIters, pqIters,
+      sampleN, ms, codebookKs) match {
+      case None => emptyPlanTable(spark)
+      case Some(t) =>
+        import spark.implicits._
+        val rows = for {
+          (m, ck, bytes, cand) <- t.cands
+          p <- nProbes.filter(_ <= t.nCentroids)
+          r <- reranks
+        } yield {
+          val cut = math.max(r, k)
+          val wa = Window.partitionBy(col("id_a"))
+            .orderBy(col("adc").desc, col("id_b"))
+          val adcTop = cand.filter(col("pr") <= p)
+            .withColumn("ra", row_number().over(wa))
+            .filter(col("ra") <= cut)
+          val top =
+            if (r <= 0) adcTop.filter(col("ra") <= k)
+            else {
+              val wc = Window.partitionBy(col("id_a"))
+                .orderBy(col("cos").desc, col("id_b"))
+              adcTop.withColumn("rc", row_number().over(wc))
+                .filter(col("rc") <= k)
+            }
+          val hits = top.select(col("id_a"), col("id_b"))
+            .join(t.exact, Seq("id_a", "id_b"), "left_semi").count()
+          (m, ck, p, r, bytes, hits / t.exactN)
+        }
+        rows.toDF("m", "codebook_k", "n_probe", "rerank",
+            "bytes_per_vec", "recall")
+          .withColumn("recall", round(col("recall"), 4))
+    }
 
   /** The tuner's argmin — [[graft.operators.Dedup.chooseLshPlan]] for
     * the compressed family: the CHEAPEST plan (posting bytes first,

@@ -36,6 +36,15 @@ object GenData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    generate(spark, ref, out, mult)
+    spark.stop()
+  }
+
+  /** The generator proper — separated from [[main]]'s session
+    * lifecycle so specs can grow corpora inside the shared test
+    * session (main would stop() it). */
+  def generate(spark: SparkSession, ref: String, out: String,
+      mult: Int): Unit = {
 
     // hash-uniform in [0, 2^32): a pure function of (tag, key columns)
     def u(tag: String, keys: Column*): Column =
@@ -43,6 +52,14 @@ object GenData {
         _.cast("string")): _*)), 1, 8), 16, 10).cast("long")
     def u01(tag: String, keys: Column*): Column =
       u(tag, keys: _*).cast("double") / 4294967296.0
+    // hash-standard-normal (Box–Muller over two md5 uniforms): the
+    // deterministic Gaussian the embedding mixture draws from —
+    // regeneration stays bit-identical, no RNG state anywhere
+    def gauss(tag: String, keys: Column*): Column = {
+      val u1 = (u(tag + "~a", keys: _*).cast("double") + 0.5) / 4294967296.0
+      val u2 = (u(tag + "~b", keys: _*).cast("double") + 0.5) / 4294967296.0
+      sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+    }
 
     // categorical domain of `ref` column `c`, quantized to `n` slots
     // proportional to observed frequency (every observed value keeps
@@ -106,12 +123,21 @@ object GenData {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     // ---------------- embeddings ------------------------------------
+    // Mixture of 10 Gaussians with LABEL-ALIGNED centroids (r11
+    // verdict item #3): centroid components are hash-Gaussians of
+    // (label, dim) — cluster spread ~N(0,1), within-cluster noise
+    // σ = 0.35 — so ANN/recall/PQ surfaces measure SIGNAL on generated
+    // corpora (cosine ≈ 0.94 within a cluster, ≈ 0 across), not the
+    // structureless uniform noise the pre-r12 generator emitted. The
+    // label column IS the mixture component, so label-supervised
+    // checks (kNN label agreement, centroid purity) are exercised too.
     val nVec = spark.read.parquet(s"$ref/embeddings.parquet").count() * mult
     spark.range(nVec).select(col("id").as("vec_id"))
-      .withColumn("embedding", transform(sequence(lit(0), lit(63)),
-        d => ((u("E", col("vec_id"), d).cast("double") / 4294967296.0)
-          * 0.7 - 0.35).cast("float")))
       .withColumn("label", (u("B", col("vec_id")) % 10).cast("int"))
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)),
+        d => (gauss("EC", col("label"), d)
+          + lit(0.35) * gauss("EN", col("vec_id"), d)).cast("float")))
+      .select("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     // ---------------- customer --------------------------------------
@@ -203,6 +229,5 @@ object GenData {
         catch { case _: Throwable => () }
     }
     println(s"[gen] wrote mult=$mult tables to $out")
-    spark.stop()
   }
 }

@@ -272,6 +272,51 @@ class IvfPqSpec extends AnyFunSuite {
         s"residual=$rerankRes raw=$rerankRaw")
   }
 
+  test("generated-corpus signal (r12): GenData embeddings are a " +
+    "label-aligned Gaussian mixture — within-label cosine high, " +
+    "cross-label near zero — so residual PQ beats raw encoding ON " +
+    "GENERATED corpora, not only on the crafted planted fixture") {
+    val out = java.nio.file.Files.createTempDirectory("graft-gen-mix").toString
+    graft.tools.GenData.generate(spark, "/root/testdata/sf0.001", out, 1)
+    // mixture structure: normalized dot within a label ≫ across labels
+    val e = spark.read.parquet(s"$out/embeddings.parquet")
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("vec_id", "label",
+        "transform(v, x -> x / sqrt(aggregate(v, 0D, (a, y) -> a + y * y))) AS vn")
+      .limit(200).collect()
+      .map(r => (r.getInt(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val pairs = for {
+      i <- e.indices; j <- e.indices if i < j
+    } yield (e(i)._1 == e(j)._1, cos(e(i)._2, e(j)._2))
+    val within = pairs.filter(_._1).map(_._2)
+    val across = pairs.filterNot(_._1).map(_._2)
+    val mWithin = within.sum / within.size
+    val mAcross = across.sum / across.size
+    assert(mWithin >= 0.8,
+      s"within-label cosine must show cluster structure: $mWithin")
+    assert(math.abs(mAcross) <= 0.2,
+      s"cross-label cosine must be near zero: $mAcross")
+    // the residual-PQ win must now be measurable on GENERATED data
+    Similarity.buildIvfPqIndex(spark, out, "gen_res_on", nCentroids = 10,
+      kmeansIters = 3, nBuckets = 2, m = 8, codebookK = 16, pqIters = 3,
+      residual = true)
+    Similarity.buildIvfPqIndex(spark, out, "gen_res_off", nCentroids = 10,
+      kmeansIters = 3, nBuckets = 2, m = 8, codebookK = 16, pqIters = 3,
+      residual = false)
+    def adcRecall(name: String): Double =
+      Similarity.checkIvfPqRecall(spark, name, target = 0.5, k = 3,
+        nProbe = 3, sampleN = 32).collect().head
+        .getAs[Double]("recall_adc")
+    val res = adcRecall("gen_res_on")
+    val raw = adcRecall("gen_res_off")
+    assert(res > raw,
+      s"residual ADC recall must beat raw on the generated mixture: " +
+        s"residual=$res raw=$raw")
+  }
+
   test("IVF-PQ budget tuner: the priced table measures recall per " +
     "(m, codebookK, nProbe, rerank) with correct byte pricing, and " +
     "the chooser picks the CHEAPEST plan clearing the floor on the " +
@@ -311,6 +356,42 @@ class IvfPqSpec extends AnyFunSuite {
       reranks = Seq(0, 6))
     assert(fallback.recall == table.map(_.recall).max,
       s"fallback must be the max-recall plan: $fallback")
+  }
+
+  test("batched tuner grid: identical PqPlan table to the per-cell " +
+    "reference (same candidate tables, differential compare), at a " +
+    "measured job saving of at least cells − evaluation-stages — the " +
+    "r12 fold of 16 count() actions into one grid aggregation") {
+    val dir = writeEmb(planted8)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) ->
+        ((r.getDouble(4), r.getDouble(5)))).toMap
+    val (batched, jBatched) = Metrics.withJobCount(spark)(asMap(
+      Similarity.ivfPqPlanTable(spark, dir, k = 3, nCentroids = 8,
+        sampleN = 32, ms = Seq(2, 4), codebookKs = Seq(4, 16),
+        nProbes = Seq(1, 2), reranks = Seq(0, 6))))
+    val (reference, jReference) = Metrics.withJobCount(spark)(asMap(
+      Similarity.ivfPqPlanTableReference(spark, dir, k = 3,
+        nCentroids = 8, sampleN = 32, ms = Seq(2, 4),
+        codebookKs = Seq(4, 16), nProbes = Seq(1, 2),
+        reranks = Seq(0, 6))))
+    assert(batched.keySet == reference.keySet,
+      s"grid mismatch: ${batched.keySet} vs ${reference.keySet}")
+    batched.foreach { case (cell, (bytes, recall)) =>
+      val (rBytes, rRecall) = reference(cell)
+      assert(bytes == rBytes && recall == rRecall,
+        s"cell $cell diverged: batched=($bytes,$recall) " +
+          s"reference=($rBytes,$rRecall)")
+    }
+    // 16 cells: the reference fires a count() action per cell (each
+    // several AQE stage-jobs); the batched strategy resolves the whole
+    // grid in ONE collect. Shared setup (training, checkpoints, exact
+    // panel) is identical — the saving is the evaluation loop itself.
+    assert(jBatched < jReference,
+      s"batched must schedule fewer jobs: $jBatched vs $jReference")
+    assert(jReference - jBatched >= 12,
+      s"expected ≥ 12 evaluation jobs saved over 16 cells: " +
+        s"batched=$jBatched reference=$jReference")
   }
 
   test("at-least-once replay: appending the same batch TWICE leaves " +

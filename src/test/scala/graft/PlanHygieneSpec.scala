@@ -128,6 +128,22 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("suffix-span plans contain no WindowExec partitioned on " +
+    "window-content keys — the duplicated-class mark is a map-side-" +
+    "combined aggregate + semi-join (AQE-skew-splittable), never a " +
+    "count-over-window on (k1, k2): the hot class IS boilerplate and " +
+    "WindowExec cannot be skew-split") {
+    for (q <- Seq("q_suffix_spans", "q_span_clip")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val partCols = "windowspecdefinition\\((\\w+)#".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet
+      assert(partCols.subsetOf(Set("doc_id")),
+        s"$q: window partitioned on content keys ${partCols -- Set("doc_id")}" +
+          s" in:\n$plan")
+    }
+  }
+
   test("no split() re-evaluates inside a higher-order-function lambda") {
     // the trap class behind the winnow cubic: CollapseProject inlines a
     // tokenizing alias into a transform/aggregate lambda BODY, where it

@@ -132,6 +132,45 @@ class SkewStressSpec extends AnyFunSuite {
       "forced-shuffle self-join must produce exactly the broadcast-path pairs")
   }
 
+  test("hot duplicated window across ~half the corpus: the suffix-span " +
+    "mark's semi-join is AQE-skew-split (bounded per-task input) and " +
+    "the spans equal the unstressed run — the shape a count-over-window " +
+    "mark could NOT survive (WindowExec is unsplittable)") {
+    // 50000 of 51000 docs share ONE exact 8-token boilerplate window →
+    // a single (k1, k2) equality class carrying 50000 rows, all hashed
+    // to ONE reduce key — the worst case for any keyed partitioning
+    // (sized so the hot class dwarfs the median partition even after
+    // shuffle compression folds its near-identical rows away — at 10k
+    // copies LZ4 shrinks the class below the skew threshold)
+    val boiler = (1 to 8).map(i => s"hotw$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew-sfx").toString
+    val hot = spark.range(50000).select(col("id").as("doc_id"),
+      concat(lit("u"), col("id").cast("string"), lit(" v"),
+        col("id").cast("string"), lit(" " + boiler)).as("text"))
+    val bg = spark.range(1000).select((col("id") + 50000).as("doc_id"),
+      concat_ws(" ", (0 to 7).map(j =>
+        concat(lit(s"bg$j"), ((col("id") * 23 + j) % 99991).cast("string"))): _*)
+        .as("text"))
+    hot.unionByName(bg).repartition(8).write.parquet(s"$dir/documents.parquet")
+    val reference = graft.operators.Suffix.suffixSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // every hot doc's boiler run must span whole (positions 2..9)
+    assert(reference.count(_._3 == 8L) == 50000,
+      s"expected 50000 planted 8-token spans, got ${reference.size} spans")
+    val (got, plan) = withSkewConfs {
+      val df = graft.operators.Suffix.suffixSpans(spark, dir)
+      val g = df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2))).toSet
+      (g, df.queryExecution.executedPlan.toString)
+    }
+    assert(got == reference,
+      "skew-split suffix marking must produce exactly the unstressed spans")
+    assert(plan.contains("AQEShuffleRead"),
+      s"expected an adaptive shuffle read in:\n$plan")
+    assert(plan.toLowerCase.contains("skewed"),
+      s"expected AQE to split the hot class partition in:\n$plan")
+  }
+
   test("salted-join fallback on the hot corpus equals the plain band " +
     "join (the self-join mitigation AQE cannot provide)") {
     val dir = craftedDir(200, 800)

@@ -187,6 +187,49 @@ class SuffixSpec extends AnyFunSuite {
     }
   }
 
+  test("the generated DuckDB oracles derive from the ONE shared minLen " +
+    "constant: SparkEntry registers exactly spanOracleSql()/clipOracleSql() " +
+    "and a changed constant regenerates every width-dependent clause") {
+    // the wired default: what the driver's oracle runs IS the generator
+    assert(SparkEntry.oracleSql("q_suffix_spans") == Suffix.spanOracleSql())
+    assert(SparkEntry.oracleSql("q_span_clip") == Suffix.clipOracleSql())
+    assert(Suffix.spanOracleSql() == Suffix.spanOracleSql(Suffix.SpanMinLen))
+    // regeneration law: every clause that encodes the window width
+    // follows the constant (gram slice, series bound, length fence,
+    // span-length arithmetic, coverage offsets)
+    val s12 = Suffix.spanOracleSql(12)
+    assert(s12.contains("toks[i:(i+11)]") &&
+      s12.contains("len(toks) - 11") &&
+      s12.contains("len(toks) >= 12") &&
+      s12.contains("- min(pos) + 12 AS BIGINT"), s12)
+    val c12 = Suffix.clipOracleSql(12)
+    assert(c12.contains("toks[i:(i+11)]") &&
+      c12.contains("generate_series(0, 11)") &&
+      c12.contains("len(toks) >= 12"), c12)
+    // and the default really is the operators' default (one constant)
+    assert(Suffix.spanOracleSql().contains(
+      s"len(toks) >= ${Suffix.SpanMinLen}"))
+  }
+
+  test("suffixRanks frees superseded doubling-round checkpoints: a " +
+    "many-round fullSuffixOrder leaves ~2 corpus-sized artifacts in " +
+    "block-manager storage, not log(maxLen) of them") {
+    // a 600-token doc → 10 doubling rounds; without the per-round
+    // unpersist the persistent-RDD count grows by ~rounds
+    val longDoc = (1 to 600).map(i => s"w${i % 37} t$i").mkString(" ")
+    val dir = writeDocs(Seq((1L, longDoc), (2L, "a b c d e f")))
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val ranks = Suffix.fullSuffixOrder(spark, dir)
+    assert(ranks.count() > 0)
+    val leaked = sc.getPersistentRDDs.keySet.toSet -- before
+    // allowed residue: the positions checkpoint + the FINAL round's
+    // rank table (the caller's live result) — nothing per-round
+    assert(leaked.size <= 3,
+      s"fullSuffixOrder leaked ${leaked.size} persistent RDDs " +
+        s"(expected ≤ 3: positions + final ranks): $leaked")
+  }
+
   test("real-data sanity at sf: spans respect doc bounds and minLen, " +
     "and every span's token run is genuinely duplicated (recount on " +
     "the span set itself)") {
