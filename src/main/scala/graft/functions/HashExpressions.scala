@@ -43,6 +43,12 @@ object HashExpressions {
   def compressRatio(c: Column): Column = toCol(CompressRatio(toExpr(c)))
   def phrasePack(c: Column, phrase: Seq[String]): Column =
     toCol(PhrasePack(toExpr(c), phrase))
+  def sqEuclidean(a: Column, b: Column): Column =
+    toCol(SqEuclidean(toExpr(a), toExpr(b)))
+  def l2Normalize(c: Column): Column = toCol(L2Normalize(toExpr(c)))
+  def sqNorm(c: Column): Column = toCol(SqNorm(toExpr(c)))
+  def pairMergeFold(c: Column, a: String, b: String): Column =
+    toCol(PairMergeFold(toExpr(c), a, b))
 }
 
 /** 64-bit SimHash over whitespace tokens: per token a 64-bit FNV hash
@@ -267,6 +273,89 @@ case class PhrasePack(child: Expression, phrase: Seq[String])
   override def prettyName: String = "phrase_pack"
 }
 
+/** Squared Euclidean distance over two double arrays, accumulated
+  * left-to-right — BIT-IDENTICAL to the declarative
+  * `aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D,
+  * (acc, x) -> acc + x)` it replaces (same IEEE op order), but a
+  * whole-stage-codegen scalar instead of two interpreted
+  * higher-order-function trees per row (guide §4: built-ins/codegen
+  * over interpreted expressions in the hot path). */
+case class SqEuclidean(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(ExprRuntime.sqEuclidean(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprRuntime.sqEuclidean($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqEuclidean =
+    copy(left = l, right = r)
+  override def prettyName: String = "sq_euclidean"
+}
+
+/** Unit (L2) normalization of a double array in ONE pass + divide —
+  * BIT-IDENTICAL to the declarative
+  * `transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y*y)))`
+  * (same accumulation order, same IEEE divide; a zero vector divides
+  * by 0.0 exactly as SQL does → NaN elements). The HOF form is
+  * O(d²) interpreted per row — the inner `aggregate` is loop-invariant
+  * but re-evaluated for every `transform` element — so this kernel is
+  * the normalization hot-path fix across the ANN family. */
+case class L2Normalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ExprRuntime.l2Normalize(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprRuntime.l2Normalize($c)")
+  override protected def withNewChildInternal(c: Expression): L2Normalize = copy(c)
+  override def prettyName: String = "l2_normalize"
+}
+
+/** Squared L2 norm (sum of squares, left-to-right) — the scalar half
+  * of [[L2Normalize]]; bit-identical to
+  * `aggregate(v, 0D, (acc, y) -> acc + y * y)`. */
+case class SqNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(ExprRuntime.sqNorm(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprRuntime.sqNorm($c)")
+  override protected def withNewChildInternal(c: Expression): SqNorm = copy(c)
+  override def prettyName: String = "sq_norm"
+}
+
+/** Left-to-right non-overlapping merge of adjacent (a, b) token pairs —
+  * the BPE rewrite step. Semantics identical to the declarative
+  * `aggregate(toks, (out, pend), …)` fold it replaces (same
+  * pending-token state machine, merged token "a b", trailing pend
+  * flushed), but a single O(n) pass: the SQL fold's `array_append`
+  * copies the growing output array per element, making each rewrite
+  * O(n²) per row. Codegen'd like [[PhrasePack]], with the pair riding
+  * in as reference objects. */
+case class PairMergeFold(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  private val aU = UTF8String.fromString(a)
+  private val bU = UTF8String.fromString(b)
+  private val mergedU = UTF8String.fromString(a + " " + b)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ExprRuntime.pairMergeFold(input.asInstanceOf[ArrayData], aU, bU, mergedU)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("pairA", aU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    val bRef = ctx.addReferenceObj("pairB", bU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    val mRef = ctx.addReferenceObj("pairMerged", mergedU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ExprRuntime.pairMergeFold($c, $aRef, $bRef, $mRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): PairMergeFold =
+    copy(child = c)
+  override def prettyName: String = "pair_merge_fold"
+}
+
 /** Static computational kernels, the single source of truth for both
   * evaluation paths: the case classes' `nullSafeEval` delegates here and
   * generated (Janino) code calls the same static forwarders — hot loops
@@ -431,6 +520,71 @@ object ExprRuntime {
     var i = 0
     while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
     dot
+  }
+
+  /** Squared Euclidean distance; see [[SqEuclidean]]. Left-to-right
+    * accumulation — the same op order as the aggregate/zip_with form. */
+  def sqEuclidean(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Sum of squares, left-to-right; see [[SqNorm]]. */
+  def sqNorm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    s
+  }
+
+  /** BPE pair-merge fold kernel; see [[PairMergeFold]]. One pass, one
+    * output buffer — the state machine of the declarative fold. */
+  def pairMergeFold(toks: ArrayData, a: UTF8String, b: UTF8String,
+      merged: UTF8String): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[AnyRef](n)
+    var len = 0
+    var pend: UTF8String = null
+    var i = 0
+    while (i < n) {
+      val x = toks.getUTF8String(i)
+      if (pend != null && pend.equals(a) && x != null && x.equals(b)) {
+        out(len) = merged; len += 1; pend = null
+      } else if (pend == null) pend = x
+      else { out(len) = pend; len += 1; pend = x }
+      i += 1
+    }
+    if (pend != null) { out(len) = pend; len += 1 }
+    new GenericArrayData(if (len == n) out
+      else java.util.Arrays.copyOf(out, len))
+  }
+
+  /** Unit normalization; see [[L2Normalize]]. The divide is the same
+    * IEEE op as the SQL `x / sqrt(...)`; a ZERO vector throws like the
+    * ANSI-mode declarative divide does (Spark 4 default
+    * spark.sql.ansi.enabled=true errors on double division by zero) —
+    * same crash-on-degenerate-input outcome, so the kernel cannot
+    * silently emit NaN rows where the declarative form failed the
+    * query. An empty array normalizes to an empty array (no division
+    * runs), also matching the declarative form. */
+  def l2Normalize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val norm = math.sqrt(sqNorm(a))
+    if (norm == 0.0 && n > 0)
+      throw new ArithmeticException(
+        "[DIVIDE_BY_ZERO] l2_normalize of a zero vector (ANSI division by zero)")
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getDouble(i) / norm; i += 1 }
+    new GenericArrayData(out)
   }
 
   /** Entropy in bits over code points: decode, sort, one run-length

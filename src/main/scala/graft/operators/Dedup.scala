@@ -215,7 +215,12 @@ object Dedup {
   /** Core of [[minhashPairs]] over any (doc_id, text) frame — the unit
     * the skew-stress probes drive with crafted boilerplate corpora. */
   def minhashPairsOf(docs: DataFrame): DataFrame = {
+    // materialized ONCE (projected to keys first — no shingle payload):
+    // the a/b self-join below references the banded subtree twice, and
+    // the per-doc shingling + 32-permutation signature re-executed per
+    // side (differing aliases defeat ReuseExchange)
     val bands = banded(shingledOf(docs)).select("doc_id", "band_id", "band_sig")
+      .localCheckpoint()
     val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_id"), col("band_sig"))
     a.join(b, Seq("band_id", "band_sig"))
@@ -227,7 +232,10 @@ object Dedup {
     * ride through the band join; band-duplicate pairs collapse via
     * groupBy max (jaccard is identical per pair, so max = the value). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val bands = banded(shingled(spark, dir))
+    // materialized ONCE — same double-compute as [[minhashPairsOf]];
+    // here the shingle arrays ride through the join for the exact
+    // verify, so the checkpoint carries them
+    val bands = banded(shingled(spark, dir)).localCheckpoint()
     val a = bands.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
       col("band_id"), col("band_sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
@@ -697,9 +705,10 @@ object Dedup {
     // it appears twice inside j and the expression isn't CSE'd across
     // filter and project); j itself stays a single int division, the
     // identical arithmetic the oracle runs
+    // verify reads the MATERIALIZED sets — see containmentJoinOn
     cands
-      .join(setsPlan.select(col("doc_id").as("doc_a"), col("st").as("sa")), Seq("doc_a"))
-      .join(setsPlan.select(col("doc_id").as("doc_b"), col("st").as("sb")), Seq("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("st").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("st").as("sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa"), col("sb"))).as("inter"),
         (size(col("sa")) + size(col("sb"))).as("szsum"))
@@ -811,9 +820,12 @@ object Dedup {
           (lit(1) + suffixOverlapBound(col("sz_a") - col("pos_a"),
             col("sz_b") - col("pos_b"))) >= needA)
     }).select(col("doc_a"), col("doc_b")).distinct()
+    // the verify reads the MATERIALIZED sets (not the raw plan): each
+    // side of the attach join would otherwise re-run tokenization +
+    // shingling over the whole corpus a third and fourth time
     cands
-      .join(setsPlan.select(col("doc_id").as("doc_a"), col("st").as("sa")), Seq("doc_a"))
-      .join(setsPlan.select(col("doc_id").as("doc_b"), col("st").as("sb")), Seq("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("st").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("st").as("sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(col("sa"))).as("c"))
@@ -1262,9 +1274,13 @@ object Dedup {
           concat(lit(s"editJoin tau=2 key longer than maxKeyLen=$maxKeyLen " +
             "(O(len^2) key fan-out) - raise maxKeyLen deliberately or use " +
             "the shingle-family joins for long strings: "), col("s")))))
+    // materialized ONCE: both sides of the variant equi-join reference
+    // this subtree, and the deletion-variant fan-out (O(len) keys at
+    // τ=1, O(len²/2) at τ=2) would otherwise generate twice
     val keyed = fenced
       .select(col("k") +: col("s") +: blockCols.map(col) :+
         explode(expr(variants)).as("variant"): _*)
+      .localCheckpoint()
     val a = keyed.select(col("k").as("key_a") +: col("s").as("s_a") +:
       col("variant") +: blockCols.map(col): _*)
     val b = keyed.select(col("k").as("key_b") +: col("s").as("s_b") +:
@@ -1540,14 +1556,24 @@ object Dedup {
         Seq("doc_a"))
       .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
         Seq("doc_b"))
+    // ONE pass over the containment join: the former
+    // union-of-two-filtered-branches referenced `withSplits` twice,
+    // and the un-materialized containment join (the expensive subtree)
+    // re-executed per branch — the branches are disjoint row sets of
+    // the same relation, so a conditional projection emits the same
+    // rows with the join computed once (guide §1.2: don't compute
+    // things twice before tuning anything else)
     withSplits
-      .filter(col("split_a") === "train" && col("split_b") === "test")
-      .select(col("doc_a").as("train_doc"), col("doc_b").as("test_doc"),
-        col("containment"), lit("train_in_test").as("direction"))
-      .union(withSplits
-        .filter(col("split_a") === "test" && col("split_b") === "train")
-        .select(col("doc_b").as("train_doc"), col("doc_a").as("test_doc"),
-          col("containment"), lit("test_in_train").as("direction")))
+      .filter((col("split_a") === "train" && col("split_b") === "test") ||
+        (col("split_a") === "test" && col("split_b") === "train"))
+      .select(
+        when(col("split_a") === "train", col("doc_a")).otherwise(col("doc_b"))
+          .as("train_doc"),
+        when(col("split_a") === "train", col("doc_b")).otherwise(col("doc_a"))
+          .as("test_doc"),
+        col("containment"),
+        when(col("split_a") === "train", lit("train_in_test"))
+          .otherwise(lit("test_in_train")).as("direction"))
       .orderBy(col("train_doc"), col("test_doc"), col("direction"))
   }
 

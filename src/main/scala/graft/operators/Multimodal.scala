@@ -210,6 +210,10 @@ object Multimodal {
       feats.select(col("doc_id"), col("feature"), lit(t).as("table_id"),
         bucketCol.as("bucket"))
     }.reduce(_ unionByName _)
+      // materialized ONCE: the a/b bucket self-join below would
+      // otherwise re-run all nTables hyperplane-projection branches on
+      // each side (2× the featurize + bucketing work)
+      .localCheckpoint()
     val a = tables.select(col("doc_id").as("id_a"), col("feature").as("fa"),
       col("table_id"), col("bucket"))
     val b = tables.select(col("doc_id").as("id_b"), col("feature").as("fb"),
@@ -486,7 +490,11 @@ object Multimodal {
     * takes any (doc_id, phash) frame. */
   def phashDupOn(hashes: DataFrame, r: Int): DataFrame = {
     require(r <= 3, s"4x16 banding is pigeonhole-lossless only to r=3, got $r")
-    val bands = phashBands(hashes)
+    // materialized ONCE: the self-join references the band subtree on
+    // both sides, and without a checkpoint the whole decode/hash
+    // mapPartitions stage under it executes twice (aliases differ, so
+    // ReuseExchange cannot fold the sides)
+    val bands = phashBands(hashes).localCheckpoint()
     bands.select(col("doc_id").as("doc_a"), col("phash").as("ha"),
         col("band_key"), col("band_id"), col("band_sig"))
       .join(bands.select(col("doc_id").as("doc_b"), col("phash").as("hb"),

@@ -400,9 +400,8 @@ object Search {
       .select(col("doc_id"), col("bm25_rank"))
     val normed = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        expr("transform(cast(embedding as array<double>), " +
-          "x -> x / sqrt(aggregate(cast(embedding as array<double>), " +
-          "0D, (acc, y) -> acc + y * y)))").as("vn"))
+        graft.functions.HashExpressions.l2Normalize(
+          col("embedding").cast("array<double>")).as("vn"))
     val qv = normed.filter(col("vec_id") === queryVecId)
       .select(col("vn").as("qn"))
     val wV = Window.partitionBy(oneGroup)

@@ -45,8 +45,7 @@ object Similarity {
     fenceExactBaseline(spark, vecs(spark, dir), "embedNeardup")
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("vn"))
+        l2Normalize(col("v")).as("vn"))
     val a = normed.select(col("vec_id").as("id_a"), col("vn").as("na"))
     val b = normed.select(col("vec_id").as("id_b"), col("vn").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
@@ -63,10 +62,16 @@ object Similarity {
     * (engine-stable), round only for output. */
   def annBruteforce(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     fenceExactBaseline(spark, vecs(spark, dir), "annBruteforce")
+    // materialized ONCE: the pair join references `vn` on both sides and
+    // the mirror union evaluates the join subtree twice — left lazy,
+    // CollapseProject inlines the (now cheap, hence inlineable)
+    // normalization into the per-PAIR projection, turning n·d work into
+    // 2·n²·d (measured 3.5 → 5.1 s at sf0.1 when the native kernel
+    // replaced the HOF form, which the optimizer had refused to inline)
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("vn"))
+        l2Normalize(col("v")).as("vn"))
+      .localCheckpoint()
     val a = normed.select(col("vec_id").as("id_a"), col("vn").as("na"))
     val b = normed.select(col("vec_id").as("id_b"), col("vn").as("nb"))
     val half = a.join(b, col("id_a") < col("id_b"))
@@ -101,8 +106,7 @@ object Similarity {
     import spark.implicits._
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("vn"))
+        l2Normalize(col("v")).as("vn"))
       .as[(Long, Array[Double])]
       .localCheckpoint() // scanned once per shard + once per shard collect
     val total = normed.count()
@@ -240,8 +244,7 @@ object Similarity {
     // would rescan parquet and renormalize, iters× the corpus at 100 TB
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("vn"))
+        l2Normalize(col("v")).as("vn"))
       .localCheckpoint()
     val centroids = trainCentroids(spark, normed, nCentroids, kmeansIters)
     if (centroids.isEmpty) {
@@ -308,8 +311,7 @@ object Similarity {
     // re-read this working set (see annIvf)
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("vn"))
+        l2Normalize(col("v")).as("vn"))
       .localCheckpoint()
     // centroidSource REUSES another index's trained codebook instead of
     // running Lloyd — the "re-shard with frozen centroids" maintenance
@@ -498,8 +500,7 @@ object Similarity {
       dotProduct(col("vn"), typedlit(c.toSeq))): _*)
     val postings = batch
       .select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("vn"))
+        l2Normalize(col("v")).as("vn"))
       .withColumn("dots", dots)
       .withColumn("bucket",
         expr("array_position(dots, array_max(dots))").cast("long"))
@@ -613,8 +614,7 @@ object Similarity {
       k: Int = 3, nProbe: Int = 8): DataFrame =
     probeIvfNormalized(spark, name,
       queries.select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("vn")), k, nProbe)
+        l2Normalize(col("v")).as("vn")), k, nProbe)
 
   /** [[probeIvfIndexOn]] over ALREADY-normalized (vec_id, vn) queries —
     * the flavor [[checkIvfRecall]] feeds with the index's own stored
@@ -679,8 +679,7 @@ object Similarity {
     // materialized once — Lloyd iterations re-read it (see annIvf)
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("vn"))
+        l2Normalize(col("v")).as("vn"))
       .localCheckpoint()
     // ONE Lloyd training + ONE materialized assignment; every candidate
     // probe budget is evaluated against it (centroids are identical
@@ -865,8 +864,7 @@ object Similarity {
     // all re-read this working set (see annIvf)
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("vn"))
+        l2Normalize(col("v")).as("vn"))
       .localCheckpoint()
     val centroids = trainCentroids(spark, normed, nCentroids, kmeansIters)
     if (centroids.isEmpty) {
@@ -930,8 +928,7 @@ object Similarity {
     // all re-read this working set (see annIvf)
     val normed = raw
       .select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("vn"))
+        l2Normalize(col("v")).as("vn"))
       .localCheckpoint()
     val centroids = trainCentroids(spark, normed, nCentroids, kmeansIters)
     if (centroids.isEmpty) {
@@ -972,8 +969,7 @@ object Similarity {
       : DataFrame = {
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("vn"))
+        l2Normalize(col("v")).as("vn"))
     kCenterSelectOn(spark, normed, k)
   }
 
@@ -1029,8 +1025,7 @@ object Similarity {
     def byDim(df: DataFrame): DataFrame = df
       .select(col("vec_id"), explode(typedlit(dims)).as("dim"), col("v"))
       .withColumn("prefix", slice(col("v"), lit(1), col("dim")))
-      .withColumn("norm", sqrt(expr(
-        "aggregate(prefix, 0D, (acc, y) -> acc + y * y)")))
+      .withColumn("norm", sqrt(sqNorm(col("prefix"))))
       .select(col("vec_id"), col("dim"), col("prefix"), col("norm"))
     val corpus = byDim(all)
     val queries = byDim(graft.operators.Sampling.md5TopN(all, "vec_id",
@@ -1080,8 +1075,7 @@ object Similarity {
       lam: Double = 0.5): DataFrame = {
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("vn"))
+        l2Normalize(col("v")).as("vn"))
     mmrSelectOn(spark, normed, k, lam)
   }
   def mmrSelectOn(spark: SparkSession, normed: DataFrame, k: Int,
@@ -1146,8 +1140,7 @@ object Similarity {
       : DataFrame = {
     val all = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"),
-        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x / sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D, (acc, y) -> acc + y * y)))")
-          .as("vn"))
+        l2Normalize(col("embedding").cast("array<double>")).as("vn"))
       .localCheckpoint()
     val queries = graft.operators.Sampling.md5TopN(all, "vec_id", panelN)
       .select(col("vec_id").as("qid"), col("label").as("q_label"),
@@ -1199,8 +1192,7 @@ object Similarity {
       // argmin reads it once (let-binding, not a repeated subtree)
       val withDists = (0 until m).foldLeft(subs) { (df, i) =>
         df.withColumn(s"d$i", array(cents(i).toIndexedSeq.map(c =>
-          expr(s"aggregate(zip_with(s$i, array(${c.mkString(",")}), " +
-            "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")): _*))
+          sqEuclidean(col(s"s$i"), typedlit(c.toSeq))): _*))
       }
       val cells = (0 until m).map(i =>
         struct(lit(i).as("sub"),
@@ -1267,8 +1259,7 @@ object Similarity {
     val codebooks = trainCodebooks(spark, subs, m, codebookK, iters)
     val coded = (0 until m).foldLeft(subs) { (df, i) =>
       val dists = array(codebooks(i).toIndexedSeq.map(c =>
-        expr(s"aggregate(zip_with(s$i, array(${c.mkString(",")}), " +
-          "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")): _*)
+        sqEuclidean(col(s"s$i"), typedlit(c.toSeq))): _*)
       df.withColumn(s"d$i", dists)
         .withColumn(s"c$i", expr(s"array_position(d$i, array_min(d$i))"))
         .withColumn(s"e$i", expr(s"array_min(d$i)"))
@@ -1326,9 +1317,8 @@ object Similarity {
       .withColumn("adc", (0 until m).map(i =>
         element_at(element_at(col("tables"), i + 1),
           col(s"c$i").cast("int"))).reduce(_ + _))
-      .withColumn("exact", expr(
-        s"aggregate(zip_with(concat(${(0 until m).map(i => s"s$i").mkString(", ")}), qv, " +
-          "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("exact", sqEuclidean(
+        concat((0 until m).map(i => col(s"s$i")): _*), col("qv")))
     val wA = Window.partitionBy(col("q_id"))
       .orderBy(col("adc"), col("vec_id"))
     val wE = Window.partitionBy(col("q_id"))
@@ -1434,8 +1424,7 @@ object Similarity {
         df.withColumn(s"s$i", expr(s"slice(_enc, ${i * sub + 1}, $sub)"))
       }) { (df, i) =>
       df.withColumn(s"d$i", array(codebooks(i).toIndexedSeq.map(c =>
-        expr(s"aggregate(zip_with(s$i, array(${c.mkString(",")}), " +
-          "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")): _*))
+        sqEuclidean(col(s"s$i"), typedlit(c.toSeq))): _*))
     }
     withDists.withColumn("codes", array((0 until m).map(i =>
         expr(s"array_position(d$i, array_min(d$i))")): _*)
@@ -1458,8 +1447,7 @@ object Similarity {
     import spark.implicits._
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("vn"))
+        l2Normalize(col("v")).as("vn"))
       .localCheckpoint()
     val centroids = trainCentroids(spark, normed, nCentroids, kmeansIters)
     centroids.zipWithIndex
@@ -1542,8 +1530,7 @@ object Similarity {
       dotProduct(col("vn"), typedlit(c.toSeq))): _*)
     val assigned = batch
       .select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("vn"))
+        l2Normalize(col("v")).as("vn"))
       .withColumn("dots", dots)
       .withColumn("bucket",
         expr("array_position(dots, array_max(dots))").cast("long"))
@@ -1717,8 +1704,7 @@ object Similarity {
     val centroids = loadCentroids(spark, name, pin)
     val (codebooks, residual) = loadPqCodebooks(spark, name, pin)
     val normQ = queries.select(col("vec_id"),
-      expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-        .as("vn"))
+      l2Normalize(col("v")).as("vn"))
     if (centroids.isEmpty || codebooks.isEmpty)
       return normQ.select(col("vec_id").as("id_a"),
         col("vec_id").as("id_b"), lit(0.0).as("score"), lit(0L).as("rank"))
@@ -1987,8 +1973,7 @@ object Similarity {
       : Option[PqTunerInputs] = {
     val normed = vecs(spark, dir)
       .select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))")
-          .as("vn"))
+        l2Normalize(col("v")).as("vn"))
       .localCheckpoint()
     val dim = normed.select(size(col("vn"))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)

@@ -524,7 +524,16 @@ object TextAnalysis {
     * state — (pending==a && t==b) emits the merged token and clears
     * pending. Shared by [[bpeTrain]] (one merge per round) and
     * [[bpeApply]] (replay of a learned table). */
-  private def mergeFold(tokCol: String, a: String, b: String): Column = {
+  private def mergeFold(tokCol: String, a: String, b: String): Column =
+    graft.functions.HashExpressions.pairMergeFold(col(tokCol), a, b)
+
+  /** The declarative twin of the native fold — kept as the reference
+    * implementation the parity spec compares [[mergeFold]] against
+    * (identical pending-token state machine; the `array_append` copies
+    * make it O(n²) per row, which is why the hot path runs the
+    * kernel). */
+  private[graft] def mergeFoldDeclarative(tokCol: String, a: String,
+      b: String): Column = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
     val (aLit, bLit) = (esc(a), esc(b))
     expr(

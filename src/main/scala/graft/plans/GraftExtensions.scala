@@ -64,6 +64,19 @@ object GraftFunctionRegistry {
     ("char_entropy", info("char_entropy",
       "char_entropy(text) - Shannon entropy (bits) of the code-point distribution"),
       (es: Seq[Expression]) => CharEntropy(es.head)),
+    ("pair_merge_fold", info("pair_merge_fold",
+      "pair_merge_fold(toks, a, b) - left-to-right non-overlapping BPE merge of adjacent (a, b)"),
+      (es: Seq[Expression]) => PairMergeFold(es(0),
+        es(1).eval().toString, es(2).eval().toString)),
+    ("sq_euclidean", info("sq_euclidean",
+      "sq_euclidean(a, b) - squared L2 distance over double arrays"),
+      (es: Seq[Expression]) => SqEuclidean(es(0), es(1))),
+    ("l2_normalize", info("l2_normalize",
+      "l2_normalize(v) - unit-normalize a double array (x / sqrt(sum x^2))"),
+      (es: Seq[Expression]) => L2Normalize(es.head)),
+    ("sq_norm", info("sq_norm",
+      "sq_norm(v) - sum of squares of a double array"),
+      (es: Seq[Expression]) => SqNorm(es.head)),
     ("compress_ratio", info("compress_ratio",
       "compress_ratio(text) - DEFLATE bytes / raw bytes (repetitiveness quality signal)"),
       (es: Seq[Expression]) => CompressRatio(es.head)),

@@ -226,4 +226,81 @@ class ExpressionPropertySpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(viaNative === viaDecl)
   }
+
+  /** Deterministic double arrays for the vector-kernel parity tests:
+    * value magnitudes spread over several decades so accumulation-order
+    * differences WOULD show up as last-ulp drift if the kernels ever
+    * deviated from the declarative left-to-right fold. */
+  private def vecRows(n: Int, dim: Int): Seq[(Long, Seq[Double], Seq[Double])] =
+    (0 until n).map { i =>
+      val r = new scala.util.Random(1000L + i)
+      def v = Seq.fill(dim)((r.nextDouble() - 0.5) *
+        math.pow(10.0, r.nextInt(7) - 3))
+      (i.toLong, v, v)
+    }
+
+  test("SqEuclidean / SqNorm / L2Normalize are BIT-identical to the " +
+    "declarative aggregate/zip_with/transform forms they replaced") {
+    import spark.implicits._
+    val rows = vecRows(120, 64) ++ Seq(
+      (901L, Seq.empty[Double], Seq.empty[Double]), // empty arrays
+      (902L, Seq(1e300, -1e300, 2.5), Seq(-1e300, 1e300, 0.5))) // overflow-ish
+    val df = rows.toDF("id", "a", "b").localCheckpoint()
+    val declared = df.select(col("id"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)").as("sq"),
+      expr("aggregate(a, 0D, (acc, y) -> acc + y * y)").as("nrm"),
+      expr("transform(a, x -> x / sqrt(aggregate(a, 0D, (acc, y) -> acc + y * y)))").as("un"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getSeq[Double](3).toSeq)).sortBy(_._1)
+    val native = df.select(col("id"),
+      sqEuclidean(col("a"), col("b")).as("sq"),
+      sqNorm(col("a")).as("nrm"),
+      l2Normalize(col("a")).as("un"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getSeq[Double](3).toSeq)).sortBy(_._1)
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    declared.zip(native).foreach { case ((di, ds, dn, du), (ni, ns, nn, nu)) =>
+      assert(di == ni)
+      assert(bits(ds) == bits(ns), s"sqEuclidean drift at id=$di: $ds vs $ns")
+      assert(bits(dn) == bits(nn), s"sqNorm drift at id=$di: $dn vs $nn")
+      assert(du.size == nu.size, s"l2Normalize size at id=$di")
+      du.zip(nu).foreach { case (x, y) =>
+        assert(bits(x) == bits(y) || (x.isNaN && y.isNaN),
+          s"l2Normalize drift at id=$di: $x vs $y")
+      }
+    }
+    // the one deliberate divergence in ERROR CLASS, not outcome: a zero
+    // vector fails the query on BOTH paths (declarative = ANSI
+    // DIVIDE_BY_ZERO, kernel = its own ArithmeticException)
+    val zero = Seq((0L, Seq.fill(8)(0.0))).toDF("id", "a")
+    intercept[Exception] {
+      zero.select(expr(
+        "transform(a, x -> x / sqrt(aggregate(a, 0D, (acc, y) -> acc + y * y)))"))
+        .collect()
+    }
+    intercept[Exception] {
+      zero.select(l2Normalize(col("a"))).collect()
+    }
+  }
+
+  test("PairMergeFold equals the declarative aggregate fold " +
+    "(overlapping runs, pair-at-edges, empty arrays)") {
+    import spark.implicits._
+    val words = Seq("a", "b", "c", "a b")
+    val rows = (0 until 300).map { i =>
+      val r = new scala.util.Random(i.toLong)
+      (i.toLong, Seq.fill(r.nextInt(20))(words(r.nextInt(4))))
+    } ++ Seq(
+      (900L, Seq("a", "b")), (901L, Seq("a", "a", "b", "b")),
+      (902L, Seq("a", "a", "a", "b")), // overlap: merge must not chain
+      (903L, Seq("b", "a")), (904L, Seq.empty[String]), (905L, Seq("a")))
+    val df = rows.toDF("id", "t").localCheckpoint()
+    val native = df.select(col("id"),
+        pairMergeFold(col("t"), "a", "b").as("m"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).sortBy(_._1)
+    val declared = df.select(col("id"),
+        graft.operators.TextAnalysis.mergeFoldDeclarative("t", "a", "b").as("m"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).sortBy(_._1)
+    assert(native.toSeq == declared.toSeq)
+  }
 }
