@@ -49,6 +49,13 @@ object HashExpressions {
   def sqNorm(c: Column): Column = toCol(SqNorm(toExpr(c)))
   def pairMergeFold(c: Column, a: String, b: String): Column =
     toCol(PairMergeFold(toExpr(c), a, b))
+  def tokenGrams(c: Column, window: Int, stride: Int = 1,
+      cover: Boolean = false): Column =
+    toCol(TokenGrams(toExpr(c), window, stride, cover))
+  def gramDigests(c: Column, k: Int, hexLen: Int = 32): Column =
+    toCol(GramDigests(toExpr(c), k, hexLen))
+  def winnowMins(c: Column, w: Int): Column = toCol(WinnowMins(toExpr(c), w))
+  def pairCombos(c: Column): Column = toCol(PairCombos(toExpr(c)))
 }
 
 /** 64-bit SimHash over whitespace tokens: per token a 64-bit FNV hash
@@ -356,6 +363,99 @@ case class PairMergeFold(child: Expression, a: String, b: String)
   override def prettyName: String = "pair_merge_fold"
 }
 
+/** Sliding/strided token n-grams as space-joined strings in ONE native
+  * pass — the gram-generation core of the dedup/shingle family,
+  * replacing the interpreted
+  * `transform(sequence(...), i -> array_join(slice(toks, ..., w), ' '))`
+  * trees (per-window lambda eval + per-window array slice copies).
+  *
+  * Two counting modes, matching the two declarative shapes in use:
+  *  - `cover = false` (shingles/sliding grams): FULL windows only,
+  *    count = (L − window)/stride + 1; EMPTY result when L < window —
+  *    identical to the `sequence(0, L − window)` form under the
+  *    callers' `size ≥ window` guards, and to the when-guarded form
+  *    (empty array) without them.
+  *  - `cover = true` (segments/chunks): count =
+  *    ceil(max(L − window, 0)/stride) + 1 for L > 0, trailing windows
+  *    truncated — identical to the `ceil(size/k)` segment form (when
+  *    window == stride) and the chunk form (window ≥ stride).
+  * Join semantics are `concat_ws(' ', …)` exactly (split tokens are
+  * never null, so array_join and concat_ws coincide). */
+case class TokenGrams(child: Expression, window: Int, stride: Int,
+    cover: Boolean) extends UnaryExpression {
+  require(window > 0 && stride > 0, s"need window/stride > 0, got $window/$stride")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ExprRuntime.tokenGrams(input.asInstanceOf[ArrayData], window, stride, cover)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ExprRuntime.tokenGrams($c, $window, $stride, $cover)")
+  override protected def withNewChildInternal(c: Expression): TokenGrams =
+    copy(child = c)
+  override def prettyName: String = "token_grams"
+}
+
+/** MD5 window digests of token k-grams, one native pass — the digest
+  * twin of [[TokenGrams]] (full windows, stride 1): element i is the
+  * first `hexLen` lowercase hex chars of md5 of the space-joined
+  * window starting at i, exactly
+  * `transform(sequence(0, size − k), i -> md5(array_join(slice(toks,
+  * i + 1, k), ' '))[.substr(1, hexLen)])`. Returns an EMPTY array when
+  * the doc has fewer than k tokens (callers that need NULL there —
+  * winnow — keep their `when(size ≥ k, …)` guard; a codegen'd scalar
+  * must not return null from a non-null input). */
+case class GramDigests(child: Expression, k: Int, hexLen: Int)
+    extends UnaryExpression {
+  require(k > 0 && hexLen > 0 && hexLen <= 32, s"bad k=$k hexLen=$hexLen")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ExprRuntime.gramDigests(input.asInstanceOf[ArrayData], k, hexLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ExprRuntime.gramDigests($c, $k, $hexLen)")
+  override protected def withNewChildInternal(c: Expression): GramDigests =
+    copy(child = c)
+  override def prettyName: String = "gram_digests"
+}
+
+/** Winnowing fingerprint selection (Schleimer et al. 2003): the
+  * DISTINCT minima of every w-wide sliding window over a hash array,
+  * in first-occurrence order — exactly
+  * `array_distinct(transform(sequence(0, greatest(size(hs) − w, 0)),
+  * i -> array_min(slice(hs, i + 1, w))))` (binary string ordering,
+  * short trailing windows min over what remains), as one native pass
+  * instead of an interpreted per-window lambda + slice. */
+case class WinnowMins(child: Expression, w: Int) extends UnaryExpression {
+  require(w > 0, s"need w > 0, got $w")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ExprRuntime.winnowMins(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprRuntime.winnowMins($c, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowMins =
+    copy(child = c)
+  override def prettyName: String = "winnow_mins"
+}
+
+/** All ordered index pairs (i < j) of a long array as (u, v) structs —
+  * the basket pair-generation core of the co-purchase graph family,
+  * replacing the interpreted nested
+  * `flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, …),
+  * y -> struct(x, y))))` (per-element lambda frames + a slice copy per
+  * outer element). Emits the same pairs in the same order. */
+case class PairCombos(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("u", LongType, nullable = false),
+      StructField("v", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ExprRuntime.pairCombos(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprRuntime.pairCombos($c)")
+  override protected def withNewChildInternal(c: Expression): PairCombos =
+    copy(child = c)
+  override def prettyName: String = "pair_combos"
+}
+
 /** Static computational kernels, the single source of truth for both
   * evaluation paths: the case classes' `nullSafeEval` delegates here and
   * generated (Janino) code calls the same static forwarders — hot loops
@@ -543,6 +643,123 @@ object ExprRuntime {
     var i = 0
     while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
     s
+  }
+
+  private val md5s = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Token n-gram kernel; see [[TokenGrams]]. */
+  def tokenGrams(toks: ArrayData, window: Int, stride: Int,
+      cover: Boolean): ArrayData = {
+    val n = toks.numElements()
+    val count =
+      if (!cover) { if (n < window) 0 else (n - window) / stride + 1 }
+      else if (n == 0) 0
+      else (math.max(n - window, 0) + stride - 1) / stride + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { parts(i) = toks.getUTF8String(i); i += 1 }
+    val space = UTF8String.fromString(" ")
+    val out = new Array[AnyRef](count)
+    var j = 0
+    while (j < count) {
+      val start = j * stride
+      val len = math.min(window, n - start)
+      val slice = new Array[UTF8String](len)
+      System.arraycopy(parts, start, slice, 0, len)
+      out(j) = UTF8String.concatWs(space, slice: _*)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MD5 window-digest kernel; see [[GramDigests]]. Hashes the exact
+    * UTF-8 bytes of the space-joined window without materializing the
+    * joined string. */
+  def gramDigests(toks: ArrayData, k: Int, hexLen: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { bytes(i) = toks.getUTF8String(i).getBytes; i += 1 }
+    val md = md5s.get()
+    val out = new Array[AnyRef](n - k + 1)
+    var j = 0
+    while (j <= n - k) {
+      md.reset()
+      var t = j
+      while (t < j + k) {
+        if (t > j) md.update(' '.toByte)
+        md.update(bytes(t))
+        t += 1
+      }
+      val d = md.digest()
+      val hex = new Array[Byte](hexLen)
+      var h = 0
+      while (h < hexLen) {
+        val b = d(h >> 1) & 0xff
+        hex(h) = hexDigits(if ((h & 1) == 0) b >> 4 else b & 0xf).toByte
+        h += 1
+      }
+      out(j) = UTF8String.fromBytes(hex)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Ordered-pair kernel; see [[PairCombos]]. */
+  def pairCombos(ps: ArrayData): ArrayData = {
+    val n = ps.numElements()
+    val out = new Array[AnyRef](n * (n - 1) / 2)
+    var o = 0
+    var i = 0
+    while (i < n) {
+      val u = ps.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(o) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](u, ps.getLong(j)))
+        o += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Winnow window-minima kernel; see [[WinnowMins]]. Naive O(L·w)
+    * scan (w is small); distinct preserves first-occurrence order via
+    * value-hashed UTF8Strings — the array_distinct contract. */
+  def winnowMins(hs: ArrayData, w: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0)
+      return new GenericArrayData(Array.empty[Any])
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { parts(i) = hs.getUTF8String(i); i += 1 }
+    val count = math.max(n - w, 0) + 1
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var j = 0
+    while (j < count) {
+      var min = parts(j)
+      var t = j + 1
+      val end = math.min(j + w, n)
+      while (t < end) {
+        if (parts(t).compareTo(min) < 0) min = parts(t)
+        t += 1
+      }
+      seen.add(min)
+      j += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
   }
 
   /** BPE pair-merge fold kernel; see [[PairMergeFold]]. One pass, one

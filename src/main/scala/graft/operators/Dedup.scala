@@ -585,9 +585,10 @@ object Dedup {
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), normToks.as("toks"))
       .filter(size(col("toks")) >= shingle)
-      .select(col("doc_id"), array_distinct(expr(
-        s"transform(sequence(1, size(toks) - ${shingle - 1}), " +
-          s"i -> concat_ws(' ', slice(toks, i, $shingle)))")).as("st"))
+      // native gram kernel — one pass, no per-window interpreted
+      // lambda/slice-copy (identical join strings; see TokenGrams)
+      .select(col("doc_id"),
+        array_distinct(tokenGrams(col("toks"), shingle)).as("st"))
 
   /** Per-occurrence SUFFIX bound (PPJoin+ depth-1 median partition,
     * Xiao et al. WWW'08 §4): both sides' sets live in ONE global
@@ -1170,9 +1171,8 @@ object Dedup {
     val segs = Tables.documents(spark, dir)
       .select(col("doc_id"), normToks.as("toks"))
       .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, CAST(ceil(size(toks) / $segTokens.0) AS INT) - 1), " +
-          s"i -> array_join(slice(toks, i * $segTokens + 1, $segTokens), ' '))")))
+      .select(col("doc_id"), posexplode(
+        tokenGrams(col("toks"), segTokens, segTokens, cover = true)))
       .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
     val w = Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
     segs
@@ -1202,9 +1202,8 @@ object Dedup {
     val docGrams = Tables.documents(spark, dir)
       .select(col("doc_id"), normToks.as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(toks) - $n), " +
-          s"i -> array_join(slice(toks, i + 1, $n), ' '))")).as("gram"))
+      .select(col("doc_id"),
+        explode(tokenGrams(col("toks"), n)).as("gram"))
       .distinct()
     val gramDocs = docGrams.groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs")) // post-distinct: count == distinct docs
@@ -1597,9 +1596,8 @@ object Dedup {
     Tables.documents(spark, dir)
       .select(col("doc_id"), normToks.as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(toks) - $n), " +
-          s"i -> array_join(slice(toks, i + 1, $n), ' '))")).as("gram"))
+      .select(col("doc_id"),
+        explode(tokenGrams(col("toks"), n)).as("gram"))
       .groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
@@ -1621,9 +1619,8 @@ object Dedup {
     val docGrams = Tables.documents(spark, dir)
       .select(col("doc_id"), normToks.as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(toks) - $n), " +
-          s"i -> array_join(slice(toks, i + 1, $n), ' '))")).as("gram"))
+      .select(col("doc_id"),
+        explode(tokenGrams(col("toks"), n)).as("gram"))
       .distinct()
     val firstCarrier = docGrams.groupBy(col("gram"))
       .agg(min(col("doc_id")).as("fid"))
@@ -1775,23 +1772,29 @@ object Dedup {
         split(lower(trim(col("text"))), "\\s+").as("toks"))
       // cut list = content-gated positions ∪ {n}, let-bound so the
       // boundary scan runs once per row; chunk i spans
-      // (cuts[i-1], cuts[i]]
-      .select(col("source"), explode(expr(
-        """transform(array(array_distinct(concat(
-          |   filter(sequence(3, greatest(size(toks), 3)),
-          |     p -> p <= size(toks) AND
-          |       CAST(conv(substring(md5(concat_ws(' ',
-          |         slice(toks, p - 2, 3))), 1, 2), 16, 10) AS INT) < 32),
-          |   array(size(toks))))),
-          | cuts -> transform(sequence(1, size(cuts)),
-          |   i -> struct(
-          |     element_at(cuts, i) -
-          |       IF(i = 1, 0, element_at(cuts, i - 1)) AS n_tok,
-          |     md5(concat_ws(' ', slice(toks,
-          |       IF(i = 1, 0, element_at(cuts, i - 1)) + 1,
-          |       element_at(cuts, i) -
-          |         IF(i = 1, 0, element_at(cuts, i - 1))))) AS digest)))[0]
-          |""".stripMargin)).as("c"))
+      // (cuts[i-1], cuts[i]]. The per-position boundary hash comes
+      // from ONE GramDigests kernel pass (hexLen=2 ≡ the former
+      // substring(md5(…), 1, 2)); it is let-bound as a lambda variable
+      // exactly like `cuts` so CollapseProject can never inline the
+      // kernel call into the per-element filter.
+      .select(col("source"), explode(
+        transform(array(graft.functions.HashExpressions
+            .gramDigests(col("toks"), 3, 2)), gd =>
+          transform(array(array_distinct(concat(
+              filter(sequence(lit(3), greatest(size(col("toks")), lit(3))),
+                p => p <= size(col("toks")) &&
+                  conv(element_at(gd, (p - lit(2)).cast("int")),
+                    16, 10).cast("int") < 32),
+              array(size(col("toks")))))),
+            cuts => transform(sequence(lit(1), size(cuts)), i => {
+              val prev = when(i === 1, lit(0))
+                .otherwise(element_at(cuts, (i - 1).cast("int")))
+              val end = element_at(cuts, i.cast("int"))
+              struct((end - prev).as("n_tok"),
+                md5(concat_ws(" ", slice(col("toks"),
+                  (prev + 1).cast("int"), (end - prev).cast("int"))))
+                  .as("digest"))
+            })).getItem(0)).getItem(0)).as("c"))
       .select(col("source"), col("c.n_tok").cast("long").as("n_tok"),
         col("c.digest"))
     chunks.groupBy(col("source"))

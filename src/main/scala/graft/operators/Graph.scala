@@ -395,9 +395,9 @@ object Graph {
   def copurchaseEdgesOf(op: DataFrame, minWeight: Int): DataFrame = {
     op.groupBy(col("o"))
       .agg(sort_array(collect_set(col("p"))).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
+      // native pair kernel — same (i < j) pairs in the same order, no
+      // nested interpreted lambdas / per-element slice copies
+      .select(explode(graft.functions.HashExpressions.pairCombos(col("ps")))
         .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .groupBy(col("u"), col("v"))
@@ -490,9 +490,9 @@ object Graph {
     val partN = op.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
     val pairN = op.groupBy(col("o"))
       .agg(sort_array(collect_set(col("p"))).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
+      // native pair kernel — same (i < j) pairs in the same order, no
+      // nested interpreted lambdas / per-element slice copies
+      .select(explode(graft.functions.HashExpressions.pairCombos(col("ps")))
         .as("e"))
       .groupBy(col("e.u").as("u"), col("e.v").as("v"))
       .agg(count(lit(1)).as("n_uv"))
@@ -721,9 +721,9 @@ object Graph {
     val partN = op.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
     val pairN = op.groupBy(col("o"))
       .agg(sort_array(collect_set(col("p"))).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
+      // native pair kernel — same (i < j) pairs in the same order, no
+      // nested interpreted lambdas / per-element slice copies
+      .select(explode(graft.functions.HashExpressions.pairCombos(col("ps")))
         .as("e"))
       .groupBy(col("e.u").as("u"), col("e.v").as("v"))
       .agg(count(lit(1)).as("n_common"))

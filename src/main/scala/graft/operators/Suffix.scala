@@ -85,9 +85,10 @@ object Suffix {
   private def windowDigests(docs: DataFrame, minLen: Int): DataFrame =
     docs.select(col("doc_id"), normToks.as("toks"))
       .filter(size(col("toks")) >= minLen)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $minLen), " +
-          s"i -> md5(array_join(slice(toks, i + 1, $minLen), ' ')))"))
+      // native digest kernel: identical md5-hex values, one pass per
+      // row instead of a per-window interpreted lambda (GramDigests)
+      .select(col("doc_id"), posexplode(graft.functions.HashExpressions
+        .gramDigests(col("toks"), minLen, 32))
         .as(Seq("pos", "digest")))
 
   /** Prefix-doubling suffix ranks over `pos` tables (doc_id, pos, tok):

@@ -48,9 +48,8 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("toks")).as("len"), col("toks"))
       .filter(col("len") > 0)
       .select(col("doc_id"), col("len"),
-        posexplode(expr(
-          s"transform(sequence(0, CAST(ceil(greatest(len - $w, 0) / $s.0) AS INT)), " +
-            s"i -> array_join(slice(toks, i * $s + 1, $w), ' '))")))
+        posexplode(graft.functions.HashExpressions
+          .tokenGrams(col("toks"), w, s, cover = true)))
       .select(col("doc_id"),
         col("pos").cast("long").as("chunk_idx"),
         (col("pos") * s + 1).cast("long").as("start_tok"),
@@ -442,10 +441,10 @@ object TextAnalysis {
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), tokensCol.as("t"))
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(when(size(col("t")) >= n,
-          expr(s"transform(sequence(1, size(t) - ${n - 1}), " +
-            s"i -> concat_ws(' ', slice(t, i, $n)))"))
-          .otherwise(array().cast("array<string>")))).as("g"))
+        // native gram kernel: returns EMPTY below n tokens, exactly
+        // like the former when(size >= n, …).otherwise(array()) guard
+        explode(array_distinct(graft.functions.HashExpressions
+          .tokenGrams(col("t"), n))).as("g"))
     val train = grams.filter(col("source") =!= evalSource)
       .select(col("g")).distinct()
       .withColumn("hit", lit(1))
@@ -901,22 +900,19 @@ object TextAnalysis {
     * of a per-window-element stack). A bound lambda variable cannot be
     * inlined away, so each array is computed exactly once per row. */
   private[graft] def winnowFpsOf(docs: DataFrame, k: Int, w: Int): DataFrame = {
-    val toksArr = array(
-      split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
-    val hs0 = transform(toksArr, t =>
-      when(size(t) >= k,
-        transform(sequence(lit(0), size(t) - k), i =>
-          md5(array_join(slice(t, i + 1, lit(k)), " ")).substr(lit(1), lit(16)))))
-      .getItem(0)
-    val fps = (hs: Column) =>
-      transform(sequence(lit(0), greatest(size(hs) - w, lit(0))), i =>
-        array_min(slice(hs, i + 1, lit(w))))
+    // Both stages are native kernels now (GramDigests → WinnowMins):
+    // one pass each per row, no interpreted per-window lambdas — which
+    // also retires this function's historical let-binding contortions
+    // against CollapseProject inlining (a nested scalar kernel call
+    // evaluates exactly once per row wherever the optimizer puts it).
+    // Identical output: md5-hex[0,16) window digests, sliding-w minima,
+    // first-occurrence distinct; docs under k tokens drop at the guard.
+    import graft.functions.HashExpressions.{gramDigests, winnowMins}
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
     docs
-      .select(col("doc_id"), hs0.as("hs0"))
       .select(col("doc_id"),
-        transform(array(col("hs0")),
-          hs => when(hs.isNotNull, array_distinct(fps(hs)))).getItem(0)
-          .as("fps"))
+        when(size(toks) >= k,
+          winnowMins(gramDigests(toks, k, 16), w)).as("fps"))
       .filter(col("fps").isNotNull)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
   }

@@ -64,6 +64,22 @@ object GraftFunctionRegistry {
     ("char_entropy", info("char_entropy",
       "char_entropy(text) - Shannon entropy (bits) of the code-point distribution"),
       (es: Seq[Expression]) => CharEntropy(es.head)),
+    ("token_grams", info("token_grams",
+      "token_grams(toks, window, stride, cover) - space-joined strided token n-grams"),
+      (es: Seq[Expression]) => TokenGrams(es(0),
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
+        es(3).eval().asInstanceOf[Boolean])),
+    ("gram_digests", info("gram_digests",
+      "gram_digests(toks, k, hexLen) - md5 hex digests of sliding token k-grams"),
+      (es: Seq[Expression]) => GramDigests(es(0),
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+    ("pair_combos", info("pair_combos",
+      "pair_combos(longs) - all ordered (i < j) element pairs as (u, v) structs"),
+      (es: Seq[Expression]) => PairCombos(es.head)),
+    ("winnow_mins", info("winnow_mins",
+      "winnow_mins(hashes, w) - distinct sliding-window minima (winnowing selection)"),
+      (es: Seq[Expression]) => WinnowMins(es(0),
+        es(1).eval().asInstanceOf[Int])),
     ("pair_merge_fold", info("pair_merge_fold",
       "pair_merge_fold(toks, a, b) - left-to-right non-overlapping BPE merge of adjacent (a, b)"),
       (es: Seq[Expression]) => PairMergeFold(es(0),

@@ -283,6 +283,90 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TokenGrams / GramDigests / WinnowMins equal their declarative " +
+    "transform/sequence forms (full-window, cover, md5, sliding min)") {
+    import spark.implicits._
+    val words = Seq("alpha", "b", "γδ", "zz9", "m", "q_")
+    val rows = (0 until 250).map { i =>
+      val r = new scala.util.Random(42L + i)
+      (i.toLong, Seq.fill(r.nextInt(25))(words(r.nextInt(6))))
+    } ++ Seq((900L, Seq.empty[String]), (901L, Seq("solo")),
+      (902L, Seq("a", "b", "c")))
+    val df = rows.toDF("id", "toks").localCheckpoint()
+    def collectArr(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0),
+        Option(r.getSeq[String](1)).map(_.toSeq))).sortBy(_._1).toSeq
+    // full windows, n = 3 (callers guard size >= n; the kernel's empty
+    // result below n must match the when-guarded empty array)
+    val declFull = collectArr(df.select(col("id"),
+      when(size(col("toks")) >= 3, expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+        .otherwise(array().cast("array<string>")).as("g")))
+    val natFull = collectArr(df.select(col("id"),
+      tokenGrams(col("toks"), 3).as("g")))
+    assert(natFull == declFull)
+    // cover mode: segments (window == stride == 4) on non-empty docs
+    val nonEmpty = df.filter(size(col("toks")) > 0)
+    val declSeg = collectArr(nonEmpty.select(col("id"), expr(
+      "transform(sequence(0, CAST(ceil(size(toks) / 4.0) AS INT) - 1), " +
+        "i -> array_join(slice(toks, i * 4 + 1, 4), ' '))").as("g")))
+    val natSeg = collectArr(nonEmpty.select(col("id"),
+      tokenGrams(col("toks"), 4, 4, cover = true).as("g")))
+    assert(natSeg == declSeg)
+    // cover mode: overlapping chunks (window 6, stride 4)
+    val declChunk = collectArr(nonEmpty.select(col("id"), expr(
+      "transform(sequence(0, CAST(ceil(greatest(size(toks) - 6, 0) / 4.0) AS INT)), " +
+        "i -> array_join(slice(toks, i * 4 + 1, 6), ' '))").as("g")))
+    val natChunk = collectArr(nonEmpty.select(col("id"),
+      tokenGrams(col("toks"), 6, 4, cover = true).as("g")))
+    assert(natChunk == declChunk)
+    // md5 digests at both hex lengths, guarded like the callers
+    val okDocs = df.filter(size(col("toks")) >= 3)
+    val declMd5 = collectArr(okDocs.select(col("id"), expr(
+      "transform(sequence(0, size(toks) - 3), " +
+        "i -> md5(array_join(slice(toks, i + 1, 3), ' ')))").as("g")))
+    val natMd5 = collectArr(okDocs.select(col("id"),
+      gramDigests(col("toks"), 3, 32).as("g")))
+    assert(natMd5 == declMd5)
+    val declMd5h = collectArr(okDocs.select(col("id"), expr(
+      "transform(sequence(0, size(toks) - 3), " +
+        "i -> substring(md5(array_join(slice(toks, i + 1, 3), ' ')), 1, 16))").as("g")))
+    val natMd5h = collectArr(okDocs.select(col("id"),
+      gramDigests(col("toks"), 3, 16).as("g")))
+    assert(natMd5h == declMd5h)
+    // winnow minima over the digest arrays (w = 5, includes docs whose
+    // digest array is shorter than w); the hs input is materialized so
+    // the declarative reference can't be perturbed by lambda inlining
+    val hsDf = okDocs.select(col("id"),
+      gramDigests(col("toks"), 3, 16).as("hs")).localCheckpoint()
+    val declWin = collectArr(hsDf.select(col("id"),
+      array_distinct(expr(
+        "transform(sequence(0, greatest(size(hs) - 5, 0)), " +
+          "i -> array_min(slice(hs, i + 1, 5)))")).as("g")))
+    val natWin = collectArr(hsDf.select(col("id"),
+      winnowMins(col("hs"), 5).as("g")))
+    assert(natWin == declWin)
+  }
+
+  test("PairCombos equals the declarative nested-transform pair expansion") {
+    import spark.implicits._
+    val rows = (0 until 100).map { i =>
+      val r = new scala.util.Random(7L + i)
+      (i.toLong, Seq.fill(r.nextInt(9))(r.nextInt(50).toLong).distinct.sorted)
+    } ++ Seq((900L, Seq.empty[Long]), (901L, Seq(5L)))
+    val df = rows.toDF("id", "ps").localCheckpoint()
+    def coll(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    val decl = coll(df.select(col("id"), explode(expr(
+      "flatten(transform(ps, (x, i) -> " +
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
+      .as("e")).select(col("id"), col("e.u"), col("e.v")))
+    val nat = coll(df.select(col("id"),
+      explode(pairCombos(col("ps"))).as("e"))
+      .select(col("id"), col("e.u"), col("e.v")))
+    assert(nat == decl)
+  }
+
   test("PairMergeFold equals the declarative aggregate fold " +
     "(overlapping runs, pair-at-edges, empty arrays)") {
     import spark.implicits._
