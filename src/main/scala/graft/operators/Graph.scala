@@ -132,6 +132,44 @@ object Graph {
         .union(df.select(col("v").as("u"), col("u").as("v")))
     var l = canon(edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))).localCheckpoint()
+    // SMALL-GRAPH FAST PATH: below `graft.cc.localMaxEdges` (default
+    // 4M canonical edges ≈ 64 MB on the driver) the star-contraction
+    // fixpoint's per-round cost is pure job-scheduling overhead —
+    // ~3 jobs/round × O(log n) rounds over kilobytes — so the
+    // materialized edge list is collected once and union-find labels
+    // it on the driver with IDENTICAL semantics (component = smallest
+    // reachable id; parity with the distributed path is spec-pinned).
+    // Above the threshold the distributed O(log n) path runs unchanged
+    // — this is an adaptive local fallback like the broadcast-join
+    // threshold, not a scale strategy.
+    val spark = edges.sparkSession
+    val localMax = spark.conf.getOption("graft.cc.localMaxEdges")
+      .map(_.toLong).getOrElse(4000000L)
+    val nEdges = l.count()
+    if (nEdges <= localMax) {
+      import spark.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      l.collect().foreach { row =>
+        val (u, v) = (row.getLong(0), row.getLong(1))
+        if (!parent.containsKey(u)) parent.put(u, u)
+        if (!parent.containsKey(v)) parent.put(v, v)
+        val (ru, rv) = (find(u), find(v))
+        // union by MIN root: the root invariant IS the component label
+        if (ru < rv) parent.put(rv, ru)
+        else if (rv < ru) parent.put(ru, rv)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      val it = parent.keySet().iterator()
+      while (it.hasNext) { val id = it.next(); out += ((id, find(id))) }
+      return out.toSeq.toDF("id", "component")
+    }
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
         coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head

@@ -204,8 +204,18 @@ object Suffix {
     * shuffle is linear in token volume. */
   def suffixSpans(spark: SparkSession, dir: String,
       minLen: Int = SpanMinLen): DataFrame = {
-    require(minLen >= 2, s"minLen must be ≥ 2, got $minLen")
     val (pos, posIds) = checkpointTracked(positions(spark, dir))
+    suffixSpansFrom(spark, pos, posIds, minLen)
+      .orderBy(col("doc_id"), col("start_pos"))
+  }
+
+  /** [[suffixSpans]] over an ALREADY-MATERIALIZED position table —
+    * unordered spans; `freePos` are checkpoint block ids to release
+    * once the keyed relation has materialized (pass empty to keep the
+    * position blocks alive for reuse, the [[spanClip]] path). */
+  private def suffixSpansFrom(spark: SparkSession, pos: DataFrame,
+      freePos: Set[Int], minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be ≥ 2, got $minLen")
     // rank only to level K = ⌈log2 minLen⌉ − 1: the composite key
     // (rank_K(p), rank_K(p + minLen − 2^K)) already decides equality
     // of full minLen windows (2^K ≥ minLen − 2^K), saving one whole
@@ -233,7 +243,7 @@ object Suffix {
     val (keyed, _) = checkpointTracked(windowKeys(ranks, minLen, level)
       .join(lens, Seq("doc_id"))
       .filter(col("pos") <= col("doc_len") - minLen))
-    freeIds(spark, posIds ++ ranksIds)
+    freeIds(spark, freePos ++ ranksIds)
     // a window "occurs elsewhere" ⟺ its equality class has ≥ 2
     // members. Class sizes come from a map-side-combined groupBy (the
     // Dedup.dupSpans shape) — NOT a count-over-window: the hottest
@@ -261,7 +271,6 @@ object Suffix {
         (max(col("pos")) - min(col("pos")) + minLen).cast("long")
           .as("span_len"))
       .select(col("doc_id"), col("start_pos"), col("span_len"))
-      .orderBy(col("doc_id"), col("start_pos"))
   }
 
   /** SPAN-CLIP — the transformation [[suffixSpans]]'s span set exists
@@ -276,10 +285,17 @@ object Suffix {
     * one per-doc ordered reassembly — the segmentDedup rollup shape. */
   def spanClip(spark: SparkSession, dir: String,
       minLen: Int = SpanMinLen): DataFrame = {
-    val covered = suffixSpans(spark, dir, minLen)
+    // ONE position table serves both halves: the span extraction reads
+    // it (checkpoint kept alive — freePos empty) and the clip rollup
+    // reassembles from the same materialized blocks, instead of
+    // re-tokenizing and re-exploding the corpus a second time. The
+    // intermediate span relation also needs no presentation orderBy
+    // here (one less global sort than going through the query face).
+    val (pos, _) = checkpointTracked(positions(spark, dir))
+    val covered = suffixSpansFrom(spark, pos, Set.empty, minLen)
       .select(col("doc_id"), explode(expr(
         "sequence(start_pos, start_pos + span_len - 1)")).as("pos"))
-    assembleClip(positions(spark, dir), covered)
+    assembleClip(pos, covered)
   }
 
   /** The clip rollup shared by [[spanClip]] and [[probeSpanClip]]:

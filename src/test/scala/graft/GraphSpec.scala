@@ -34,18 +34,40 @@ class GraphSpec extends AnyFunSuite {
       "in O(log n) rounds and labels equal the component minimum") {
     // a 64-node path needs ~63 rounds of min-label propagation; the
     // alternating-star rewrite must finish it inside the default 25
-    // (it actually takes O(log n)) — this is the round-complexity win
-    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("s", "t")
-    val cc = graft.operators.Graph.connectedComponents(chain, "s", "t")
+    // (it actually takes O(log n)) — this is the round-complexity win.
+    // The local-union-find threshold is forced to 0 here so the test
+    // exercises the DISTRIBUTED loop, not the small-graph fast path.
+    spark.conf.set("graft.cc.localMaxEdges", "0")
+    try {
+      val chain = (0L until 63L).map(i => (i, i + 1)).toDF("s", "t")
+      val cc = graft.operators.Graph.connectedComponents(chain, "s", "t")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc.size == 64)
+      assert(cc.values.forall(_ == 0L), "one path component rooted at 0")
+      // two separate components + correct minima
+      val two = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("s", "t")
+      val cc2 = graft.operators.Graph.connectedComponents(two, "s", "t")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc2 == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+        20L -> 20L, 21L -> 20L))
+    } finally spark.conf.unset("graft.cc.localMaxEdges")
+  }
+
+  test("small-graph union-find fast path equals the distributed " +
+      "star-contraction labels on a seeded random multigraph") {
+    val r = new scala.util.Random(11L)
+    val edges = (0 until 400).map(_ =>
+      (r.nextInt(120).toLong, r.nextInt(120).toLong)) ++
+      Seq((500L, 500L), (600L, 601L)) // self-loop dropped, isolated pair
+    val df = edges.toDF("s", "t").localCheckpoint()
+    val viaLocal = graft.operators.Graph.connectedComponents(df, "s", "t")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc.size == 64)
-    assert(cc.values.forall(_ == 0L), "one path component rooted at 0")
-    // two separate components + correct minima
-    val two = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("s", "t")
-    val cc2 = graft.operators.Graph.connectedComponents(two, "s", "t")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc2 == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
-      20L -> 20L, 21L -> 20L))
+    spark.conf.set("graft.cc.localMaxEdges", "0")
+    val viaDist =
+      try graft.operators.Graph.connectedComponents(df, "s", "t")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("graft.cc.localMaxEdges")
+    assert(viaLocal == viaDist)
   }
 
   test("alternating-star components agree with min-label propagation " +
